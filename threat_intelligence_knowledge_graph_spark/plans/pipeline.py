@@ -1,0 +1,122 @@
+"""End-to-end KG construction pipeline with checkpoint/resume + metrics.
+
+Stage graph (SURVEY.md §3.1 "Spark lifecycle"):
+
+  transcripts ──A reassemble──> documents ──C extract──> extraction
+       extraction ──E assemble──> nodes / edges / triples
+       every stage ──> metrics rows (run_id, stage, partition_id)
+
+Each stage commits a snapshot via the TableIO seam; a resumed run skips
+any stage already committed for its ``run_id`` (idempotent — re-running a
+finished run rewrites nothing and the triple set is unchanged, the
+run-twice test). Lineage is per-partition row counts in the ``metrics``
+table, satisfying the north_star's "per-partition lineage and metrics
+rows".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extraction import extract_graph_records
+from ..operators.reassembly import reassemble
+from ..operators.triples import build_edges, build_nodes, build_triples
+from ..sources.tableio import LocalTableCatalog
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    tables: dict[str, str] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def _partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Per-partition row counts — the lineage record for this stage."""
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .count()
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id").cast("int"),
+            F.lit("rows").alias("metric"),
+            F.col("count").cast("long").alias("value"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: LocalTableCatalog,
+    run_id: str,
+    salt_blocks: int | None = None,
+    collect_counts: bool = True,
+) -> PipelineResult:
+    """Execute (or resume) the full pipeline for ``run_id``."""
+    result = PipelineResult(run_id=run_id)
+
+    def stage_done(table: str, stage: str) -> bool:
+        return catalog.committed(table, run_id, stage)
+
+    # --- Stage A: reassembly ------------------------------------------------
+    if not stage_done("documents", "reassemble"):
+        documents = reassemble(transcripts, salt_blocks=salt_blocks)
+        catalog.overwrite(documents, "documents", run_id, "reassemble")
+        catalog.merge(
+            spark,
+            _partition_metrics(catalog.read(spark, "documents"), run_id, "reassemble"),
+            "metrics",
+            keys=["run_id", "stage", "partition_id", "metric"],
+            run_id=run_id,
+            stage="reassemble-metrics",
+        )
+    documents = catalog.read(spark, "documents")
+
+    # --- Stage C: extraction (checkpointed once, split by kind after) ------
+    if not stage_done("extraction", "extract"):
+        extraction = extract_graph_records(documents)
+        catalog.overwrite(extraction, "extraction", run_id, "extract")
+        catalog.merge(
+            spark,
+            _partition_metrics(catalog.read(spark, "extraction"), run_id, "extract"),
+            "metrics",
+            keys=["run_id", "stage", "partition_id", "metric"],
+            run_id=run_id,
+            stage="extract-metrics",
+        )
+    extraction = catalog.read(spark, "extraction")
+
+    # --- Stage E: graph tables (MERGE upserts — incremental-run ready) -----
+    if not stage_done("nodes", "assemble"):
+        nodes = build_nodes(extraction)
+        catalog.merge(
+            spark, nodes, "nodes", keys=["node_label", "node_id"],
+            run_id=run_id, stage="assemble",
+        )
+    nodes = catalog.read(spark, "nodes")
+
+    if not stage_done("edges", "assemble"):
+        edges = build_edges(extraction, nodes)
+        catalog.merge(
+            spark, edges, "edges", keys=["src_id", "rel_type", "dst_id"],
+            run_id=run_id, stage="assemble",
+        )
+    edges = catalog.read(spark, "edges")
+
+    if not stage_done("triples", "assemble"):
+        triples = build_triples(edges)
+        catalog.merge(
+            spark, triples, "triples", keys=["subj", "pred", "obj"],
+            run_id=run_id, stage="assemble",
+        )
+
+    for t in ("documents", "extraction", "nodes", "edges", "triples", "metrics"):
+        result.tables[t] = t
+        if collect_counts:
+            result.counts[t] = catalog.read(spark, t).count()
+    return result

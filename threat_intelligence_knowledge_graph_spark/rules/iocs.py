@@ -1,0 +1,157 @@
+"""Pinned IOC regex library + defang/refang rules.
+
+The reference delegates IOC detection to ``find_iocs`` /``prepare_text``
+from its STIXnet submodule (reference ner_extractor.py:31,447,455), which
+is an *empty, un-cloned* submodule in the repo. The operator contract is
+therefore derived from the call sites: the consumed IOC-class keys
+(reference stix_mappings.py:32-60) and the public ioc-finder package's
+documented behavior. This module pins a self-contained regex per class;
+both the oracle and the Spark kernel import exactly these, so triple
+parity is defined against this pinned library (documented deviation:
+SURVEY.md §2.8).
+
+All regexes are also kept RE2-compatible where they back SQL-expressible
+queries (no backreferences), so the same pattern strings run under Spark
+``regexp_extract_all`` and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Refang ("fanging") rules — reference ner_extractor.py:447 prepare_text.
+# Applied before IOC detection only; relation/location extraction runs on the
+# RAW text (reference ner_extractor.py:532,629 pass `text`, not the fanged
+# form) — that asymmetry is part of the contract.
+# ---------------------------------------------------------------------------
+FANG_RULES: list[tuple[str, str]] = [
+    (r"(?i)hxxp", "http"),
+    (r"(?i)fxp", "ftp"),
+    (r"\[\.\]|\(\.\)|\[dot\]|\(dot\)", "."),
+    (r"\[:\]", ":"),
+    (r"\[@\]|\[at\]|\(at\)", "@"),
+    (r"\[/\]", "/"),
+]
+
+_FANG_COMPILED = [(re.compile(p), r) for p, r in FANG_RULES]
+
+
+def fang_text(text: str) -> str:
+    """Refang defanged IOCs (``hxxp``→``http``, ``[.]``→``.`` …)."""
+    for rx, repl in _FANG_COMPILED:
+        text = rx.sub(repl, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Per-class regexes. Class keys match the reference's consumed ioc-finder
+# keys (reference stix_mappings.py:32-60). Order is the pinned iteration
+# order (reference iterates `iocs.items()` — dict literal order — at
+# ner_extractor.py:458,611); entity order feeds order-sensitive relation
+# selection, so this list order is part of the contract.
+# ---------------------------------------------------------------------------
+
+_OCT = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+IPV4_CORE = rf"(?:{_OCT}\.){{3}}{_OCT}"
+
+# TLD allowlist (ioc-finder validates against the real TLD list; we pin a
+# fixed, useful subset — deterministic, offline).
+_TLDS = (
+    "com|net|org|io|ru|cn|info|biz|gov|edu|mil|co|uk|de|fr|onion|xyz|top|"
+    "site|online|tech|me|us|eu|in|jp|br|au|ca|ch|nl|se|no|es|it|pl|ir|kr|ua"
+)
+DOMAIN_CORE = rf"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{{0,61}}[A-Za-z0-9])?\.)+(?:{_TLDS})"
+
+# (class, pattern, flags) — pattern group 0 (or group 1 if present) is the value.
+IOC_PATTERNS: list[tuple[str, str]] = [
+    ("domains", rf"(?<![A-Za-z0-9.-])({DOMAIN_CORE})(?![A-Za-z0-9-])"),
+    ("ipv4s", rf"(?<![\d.])({IPV4_CORE})(?![\d.])(?!/\d)"),
+    (
+        "ipv6s",
+        r"(?<![:.\w])((?:[A-Fa-f0-9]{1,4}:){2,7}:?[A-Fa-f0-9]{1,4})(?![:.\w])",
+    ),
+    ("urls", r"\b((?:https?|ftp|sftp)://[^\s'\"<>\])]+)"),
+    ("email_addresses", r"\b([A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\.)+[A-Za-z]{2,})\b"),
+    ("md5s", r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{32})(?![A-Fa-f0-9])"),
+    ("sha1s", r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{40})(?![A-Fa-f0-9])"),
+    ("sha256s", r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{64})(?![A-Fa-f0-9])"),
+    ("sha512s", r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{128})(?![A-Fa-f0-9])"),
+    ("ssdeeps", r"\b(\d+:[A-Za-z0-9/+]{3,}:[A-Za-z0-9/+]{3,})\b"),
+    ("imphashes", r"(?i)imphash[:=\s]+([a-f0-9]{32})"),
+    ("authentihashes", r"(?i)authentihash[:=\s]+([a-f0-9]{64})"),
+    ("cves", r"(?i)\b(CVE-\d{4}-\d{4,7})\b"),
+    ("file_paths", r"([A-Za-z]:\\(?:[^\\/:*?\"'<>|\r\n ]+\\)*[^\\/:*?\"'<>|\r\n ]+)"),
+    (
+        "registry_key_paths",
+        r"\b((?:HKEY_LOCAL_MACHINE|HKLM|HKEY_CURRENT_USER|HKCU|HKEY_CLASSES_ROOT"
+        r"|HKCR|HKEY_USERS|HKU|HKEY_CURRENT_CONFIG)\\[^\s\"']+)",
+    ),
+    ("asns", r"\b(?:AS|ASN)\s?(\d{1,10})\b"),
+    ("bitcoin_addresses", r"\b([13][a-km-zA-HJ-NP-Z1-9]{25,34}|bc1[a-z0-9]{20,})\b"),
+    ("monero_addresses", r"\b(4[0-9AB][1-9A-HJ-NP-Za-km-z]{93})\b"),
+    ("mac_addresses", r"\b((?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}|(?:[0-9A-Fa-f]{2}-){5}[0-9A-Fa-f]{2})\b"),
+    ("ipv4_cidrs", rf"(?<![\d.])({IPV4_CORE}/(?:3[0-2]|[12]?\d))(?!\d)"),
+    ("xmpp_addresses", r"\b([A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\.)*(?:jabber|xmpp)\.[A-Za-z]{2,})\b"),
+    (
+        "user_agents",
+        r"(Mozilla/\d\.0 \([^)\n]{0,160}\)[ A-Za-z0-9/.;,:+()_-]{0,160})",
+    ),
+    ("credit_cards", r"\b((?:4\d{3}|5[1-5]\d{2}|3[47]\d{2}|6011)(?:[ -]?\d{4}){3})\b"),
+]
+
+IOC_CLASS_ORDER: list[str] = [c for c, _ in IOC_PATTERNS]
+
+COMPILED_IOC_PATTERNS: list[tuple[str, re.Pattern]] = [
+    (c, re.compile(p)) for c, p in IOC_PATTERNS
+]
+
+_MAC_FULL = re.compile(r"^(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}$")
+
+
+def normalize_value(ioc_class: str, value: str) -> str:
+    """Per-class value normalization (pinned; mirrors ioc-finder defaults:
+    domains/emails lowercased, CVEs uppercased, ASNs ``ASN<digits>``,
+    URLs stripped of trailing punctuation)."""
+    if ioc_class in ("domains", "email_addresses", "xmpp_addresses"):
+        return value.lower()
+    if ioc_class == "cves":
+        return value.upper()
+    if ioc_class == "asns":
+        return f"ASN{value}"
+    if ioc_class == "urls":
+        return value.rstrip(".,;:!?'\"")
+    if ioc_class == "user_agents":
+        return value.rstrip(" .,;")
+    return value
+
+
+def _dedup_keep_order(values: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for v in values:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def find_iocs_doc(fanged_text: str) -> dict[str, list[str]]:
+    """Single-document IOC sweep over *fanged* text → ordered dict of
+    unique values per class (contract of reference ner_extractor.py:455).
+
+    Cross-class post-filters (pinned):
+    - ipv4s inside CIDRs are excluded (negative lookahead on ``/d``);
+    - xmpp addresses are removed from ``email_addresses``;
+    - MAC-shaped matches are removed from ``ipv6s``.
+    """
+    iocs: dict[str, list[str]] = {}
+    for cls, rx in COMPILED_IOC_PATTERNS:
+        vals = [normalize_value(cls, m) for m in rx.findall(fanged_text)]
+        iocs[cls] = _dedup_keep_order(vals)
+    if iocs.get("xmpp_addresses"):
+        xmpp = set(iocs["xmpp_addresses"])
+        iocs["email_addresses"] = [v for v in iocs["email_addresses"] if v not in xmpp]
+    if iocs.get("ipv6s"):
+        iocs["ipv6s"] = [v for v in iocs["ipv6s"] if not _MAC_FULL.match(v)]
+    return iocs

@@ -1,0 +1,140 @@
+"""TableIO seam — Iceberg-style snapshot tables over local parquet.
+
+Production target is an Iceberg catalog (``MERGE INTO`` + snapshot
+isolation give the reference's MERGE-upsert idempotence for free,
+reference neo4j_store.py:126-164 → SURVEY.md §2 ops 27-28). This sandbox
+has no iceberg-spark-runtime jar, so this module reproduces the semantics
+the pipeline depends on — atomic snapshot commit, read-committed reads,
+key-based merge, commit log for resume — on plain parquet directories plus
+a JSON log. The pipeline code is written against this seam only, so
+swapping in a real catalog is a constructor change, not a rewrite.
+
+Layout per table::
+
+    <root>/<table>/_log.json          # ordered commit records
+    <root>/<table>/snap-<n>/          # immutable parquet snapshot dirs
+
+Commit = write ``snap-<n>`` then atomically replace ``_log.json``
+(``os.replace``). Readers resolve the latest committed snapshot from the
+log; a crashed writer leaves only an orphan directory, never a torn table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class CommitRecord:
+    snapshot: int
+    run_id: str
+    stage: str
+    operation: str  # 'overwrite' | 'merge'
+
+
+class LocalTableCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- log helpers --------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_log.json")
+
+    def log(self, name: str) -> list[dict]:
+        path = self._log_path(name)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    def _append_log(self, name: str, record: dict) -> None:
+        entries = self.log(name)
+        entries.append(record)
+        tmp = self._log_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, self._log_path(name))
+
+    def exists(self, name: str) -> bool:
+        return bool(self.log(name))
+
+    def committed(self, name: str, run_id: str, stage: str) -> bool:
+        """Has (run_id, stage) already committed to this table? (resume)"""
+        return any(
+            e["run_id"] == run_id and e["stage"] == stage for e in self.log(name)
+        )
+
+    def _next_snapshot(self, name: str) -> int:
+        entries = self.log(name)
+        return (entries[-1]["snapshot"] + 1) if entries else 0
+
+    def _snap_dir(self, name: str, snap: int) -> str:
+        return os.path.join(self._table_dir(name), f"snap-{snap}")
+
+    # -- operations ---------------------------------------------------------
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        entries = self.log(name)
+        if not entries:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        return spark.read.parquet(self._snap_dir(name, entries[-1]["snapshot"]))
+
+    def overwrite(
+        self, df: DataFrame, name: str, run_id: str = "", stage: str = ""
+    ) -> None:
+        """Full-snapshot replace (checkpoint write)."""
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        snap = self._next_snapshot(name)
+        df.write.mode("overwrite").parquet(self._snap_dir(name, snap))
+        self._append_log(
+            name,
+            {"snapshot": snap, "run_id": run_id, "stage": stage, "operation": "overwrite"},
+        )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        run_id: str = "",
+        stage: str = "",
+    ) -> None:
+        """MERGE INTO emulation: upsert ``df`` into ``name`` on ``keys``.
+
+        WHEN MATCHED → new row wins (last-writer, reference MERGE ``SET n
+        += props``); WHEN NOT MATCHED → insert. Idempotent: merging the
+        same batch twice is a no-op on content.
+        """
+        if self.exists(name):
+            current = self.read(spark, name).withColumn("_commit", F.lit(0))
+            incoming = df.withColumn("_commit", F.lit(1))
+            unioned = current.unionByName(incoming)
+        else:
+            unioned = df.withColumn("_commit", F.lit(1))
+        value_cols = [c for c in unioned.columns if c not in keys and c != "_commit"]
+        merged = (
+            unioned.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*value_cols), F.col("_commit")).alias("_v")
+            )
+            .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in value_cols])
+        )
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        snap = self._next_snapshot(name)
+        merged.write.mode("overwrite").parquet(self._snap_dir(name, snap))
+        self._append_log(
+            name,
+            {"snapshot": snap, "run_id": run_id, "stage": stage, "operation": "merge"},
+        )
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)
