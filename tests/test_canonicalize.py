@@ -1,0 +1,133 @@
+"""Stage D tests: MinHash/LSH primitives, connected components, aliasing."""
+
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+    apply_canonicalization,
+    build_alias_dictionary,
+)
+from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+    char_shingles,
+    connected_components,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+
+
+class TestShingles:
+    def test_char_shingles(self, spark):
+        df = spark.createDataFrame([("x", "abcd")], ["id", "t"])
+        got = {
+            r.shingle for r in char_shingles(df, "id", "t", n=3).collect()
+        }
+        assert got == {"abc", "bcd"}
+
+    def test_word_shingles(self, spark):
+        df = spark.createDataFrame([("x", "a b c d")], ["id", "t"])
+        got = {r.shingle for r in word_shingles(df, "id", "t", n=2).collect()}
+        assert got == {"a b", "b c", "c d"}
+
+
+class TestMinhashLsh:
+    def test_identical_texts_share_all_bands(self, spark):
+        df = spark.createDataFrame(
+            [("a", "the quick brown fox"), ("b", "the quick brown fox")],
+            ["id", "t"],
+        )
+        sh = char_shingles(df, "id", "t")
+        banded = lsh_bands(minhash_signatures(sh, 16), bands=4)
+        pairs, dropped = lsh_candidate_pairs(banded)
+        assert {(r.a, r.b) for r in pairs.collect()} == {("a", "b")}
+        assert dropped.count() == 0
+
+    def test_disjoint_texts_no_pairs(self, spark):
+        df = spark.createDataFrame(
+            [("a", "aaaaaaaaaaaa"), ("b", "zzzzzzzzzzzz")], ["id", "t"]
+        )
+        sh = char_shingles(df, "id", "t")
+        banded = lsh_bands(minhash_signatures(sh, 16), bands=4)
+        pairs, _ = lsh_candidate_pairs(banded)
+        assert pairs.count() == 0
+
+    def test_jaccard_exact(self, spark):
+        df = spark.createDataFrame(
+            [("a", "abcde"), ("b", "abcdx")], ["id", "t"]
+        )
+        sh = char_shingles(df, "id", "t", n=2)  # a:{ab,bc,cd,de} b:{ab,bc,cd,dx}
+        pairs = spark.createDataFrame([("a", "b")], ["a", "b"])
+        got = jaccard_verify(pairs, sh, threshold=0.0).collect()[0]
+        assert abs(got.jaccard - 3 / 5) < 1e-9
+
+    def test_bucket_cap_reports_dropped(self, spark):
+        rows = [(f"id{i}", "same text every time") for i in range(10)]
+        df = spark.createDataFrame(rows, ["id", "t"])
+        banded = lsh_bands(
+            minhash_signatures(char_shingles(df, "id", "t"), 8), bands=2
+        )
+        pairs, dropped = lsh_candidate_pairs(banded, max_bucket_size=5)
+        assert pairs.count() == 0
+        assert dropped.count() > 0
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], ["a", "b"]
+        )
+        got = {
+            r.id: r.component for r in connected_components(edges).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_chain_converges(self, spark):
+        # Long chain exercises multi-iteration propagation.
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["a", "b"]
+        )
+        got = connected_components(edges)
+        assert got.select("component").distinct().count() == 1
+
+
+class TestAliasLayer:
+    def test_near_duplicate_ids_merge(self, spark):
+        nodes = spark.createDataFrame(
+            [
+                ("Threat_actor", "Threat-Actor_Apt29"),
+                ("Threat_actor", "Threat-Actor_Apt_29"),
+                ("Threat_actor", "Threat-Actor_Lazarus_Group"),
+                ("Domain", "Domain_Evil_Example_Net"),
+            ],
+            ["node_label", "node_id"],
+        )
+        alias = build_alias_dictionary(nodes, jaccard_threshold=0.6)
+        got = {r.node_id: r.canonical_id for r in alias.collect()}
+        # APT29 variants merge to the lexicographically smaller id.
+        assert got == {"Threat-Actor_Apt_29": "Threat-Actor_Apt29"}
+
+    def test_cross_type_never_merges(self, spark):
+        # Same value, different type → label salt keeps them apart.
+        nodes = spark.createDataFrame(
+            [
+                ("Ipv4", "X_10_0_0_1"),
+                ("Cidr", "X_10_0_0_1"),
+            ],
+            ["node_label", "node_id"],
+        )
+        alias = build_alias_dictionary(nodes, jaccard_threshold=0.5)
+        assert alias.count() == 0
+
+    def test_apply_canonicalization_rewrites_and_dedups(self, spark):
+        edges = spark.createDataFrame(
+            [
+                ("A", "a1", "USES", "B", "b1"),
+                ("A", "a2", "USES", "B", "b1"),  # a2 aliases to a1 → dup
+            ],
+            ["src_label", "src_id", "rel_type", "dst_label", "dst_id"],
+        )
+        alias = spark.createDataFrame([("a2", "a1")], ["node_id", "canonical_id"])
+        got = apply_canonicalization(edges, alias)
+        assert got.count() == 1
+        assert got.first().src_id == "a1"

@@ -1,0 +1,192 @@
+"""Reusable MinHash / LSH blocking + connected components — pure DataFrame ops.
+
+The scale path for entity canonicalization (north_star: "salted-key entity
+canonicalization via MinHash/LSH blocking plus connected-components
+resolution") and for document near-dup dedup. Pattern follows the public
+SparkER / pairwise-dedup literature (PAPERS.md): shingle → minhash
+signature → band → bucket join → verify → connected components.
+
+Everything is JVM-side Catalyst expressions (``F.hash`` with seed columns,
+exploded shingles, hash-aggregations) — no Python UDFs. Bucket-size capping
+guards against degenerate LSH buckets (the skew knob); dropped buckets are
+reported, never silently ignored.
+
+Connected components uses iterative label propagation (min-label flooding)
+with per-iteration ``localCheckpoint`` to truncate lineage. Alias clusters
+are small-diameter, so convergence is a handful of iterations; for
+adversarial graphs swap in large-star/small-star — the interface is the
+same edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct character n-grams of lowercase text.
+
+    Expression-only: sequence over offsets + substring + explode.
+    """
+    norm = F.lower(F.col(text_col))
+    offsets = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(offsets, lambda i: norm.substr(i, F.lit(n)))
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams (token shingles for documents)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    offsets = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(offsets, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, seed, mh) — minhash per seed via seeded murmur3.
+
+    One explode×num_hashes via a broadcast seed dimension, then a map-side
+    combinable min aggregation.
+    """
+    spark = shingles.sparkSession
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingles.join(F.broadcast(seeds))
+        .select("_id", "seed", F.hash("shingle", "seed").alias("h"))
+        .groupBy("_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """(id, band, band_key) — hash each band's minhash sub-signature."""
+    return (
+        signatures.withColumn("band", F.col("seed") % bands)
+        .groupBy("_id", "band")
+        .agg(
+            F.hash(F.sort_array(F.collect_list(F.struct("seed", "mh")))).alias(
+                "band_key"
+            )
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    banded: DataFrame, max_bucket_size: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join within (band, band_key) buckets → candidate pairs (a < b).
+
+    Returns (pairs, dropped_buckets). Buckets larger than
+    ``max_bucket_size`` would create O(n²) pairs on one key (LSH skew);
+    they are excluded from the join and returned for reporting — the "no
+    silent caps" rule.
+    """
+    sized = banded.groupBy("band", "band_key").agg(F.count("*").alias("bucket_size"))
+    ok = sized.filter(F.col("bucket_size") <= max_bucket_size)
+    dropped = sized.filter(F.col("bucket_size") > max_bucket_size)
+    bucketed = banded.join(ok.select("band", "band_key"), ["band", "band_key"])
+    left = bucketed.select("band", "band_key", F.col("_id").alias("a"))
+    right = bucketed.select("band", "band_key", F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate pairs → (a, b, jaccard).
+
+    Intersection via join on shingle restricted to candidate ids;
+    |A∪B| = |A|+|B|−|A∩B|. All hash-aggs + one shuffle on shingle.
+    """
+    sizes = shingles.groupBy("_id").agg(F.count("*").alias("sz"))
+    sa = shingles.withColumnRenamed("_id", "a")
+    sb = shingles.withColumnRenamed("_id", "b")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id, component) with component = min id in the component.
+
+    Min-label propagation over the undirected edge list; converges in
+    O(component diameter) joins. ``localCheckpoint`` per iteration keeps
+    the plan from growing unboundedly.
+    """
+    sym = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.id)
+            .select(F.col("x").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
