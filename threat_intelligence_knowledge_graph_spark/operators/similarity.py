@@ -1,0 +1,220 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k — a single narrow scan with a JVM-side
+``aggregate``/``zip_with`` dot product and ``TakeOrderedAndProject`` (no
+global sort, no UDF). Scale path: hyperplane-LSH bucketing — sign-bit
+signatures against a deterministic, seed-derived plane set; candidates
+are restricted to the query's bucket (multi-probe over 1-bit flips), so
+the per-query work drops from O(N) to O(N / 2^bits · probes).
+
+An IVF-style variant assigns vectors to nearest of C sampled centroids
+with one Arrow-batched numpy matmul per batch (BLAS — the legitimate use
+of a pandas kernel), probing P nearest centroids at query time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_cosine(embeddings: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(query_vec))
+    return embeddings.withColumn(
+        "cosine",
+        _dot(F.col(vec_col).cast("array<double>"), q) / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: narrow map + TakeOrderedAndProject."""
+    return (
+        with_cosine(embeddings, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-bit signature against seeded random planes.
+
+    Planes are literal arrays (broadcast with the plan); the signature is
+    a pure Catalyst fold, no Python at scan time.
+    """
+    planes = _planes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def query_bucket(query_vec: list[float], n_planes: int = 8, seed: int = 7) -> int:
+    planes = _planes(len(query_vec), n_planes, seed)
+    signs = planes @ np.asarray(query_vec, dtype=np.float64) > 0
+    return int(sum(1 << i for i, s in enumerate(signs) if s))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search the query's bucket plus ``probes``
+    one-bit-flip neighbor buckets (multi-probe LSH)."""
+    qb = query_bucket(query_vec, n_planes, seed)
+    candidates = [qb] + [qb ^ (1 << i) for i in range(min(probes, n_planes))]
+    sigs = hyperplane_signatures(
+        embeddings, len(query_vec), n_planes, seed, id_col, vec_col
+    )
+    return (
+        with_cosine(
+            sigs.filter(F.col("bucket").isin(candidates)), query_vec, vec_col
+        )
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style partitioned index
+# ---------------------------------------------------------------------------
+
+def sample_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic centroid sample: the n vectors with smallest
+    ``xxhash64(id)`` — stable under partitioning, no RNG on data."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id) via one numpy matmul per Arrow batch."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("centroid_id", IntegerType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            best = (mat @ c.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].values, "centroid_id": best})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` centroids nearest the query; exact cosine
+    within the probed partitions."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    cand = assignments.filter(F.col("centroid_id").isin([int(p) for p in probe]))
+    subset = embeddings.join(cand.select(id_col), id_col, "left_semi")
+    return brute_force_topk(subset, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ threshold, bucketed by
+    hyperplane LSH so the pairwise stage is per-bucket only."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    sigs = hyperplane_signatures(
+        embeddings, int(dim_row["d"]), n_planes, seed, id_col, vec_col
+    )
+    left = sigs.select(
+        "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    right = sigs.select(
+        "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    va, vb = F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,121 @@
+"""Text analysis for training-data curation — all Catalyst expressions.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (min-k of shingle hashes, winnowing-style). Every
+operator is a pure column expression over ``documents(doc_id, text)`` —
+whole-stage-codegen'd, zero Python — and each is mirrored by an ANSI-SQL
+oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+STOPWORDS_EN = [
+    "the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+STOPWORDS_ES = [
+    "el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+    "por", "con", "para", "es", "del", "se", "no", "al", "lo", "como",
+]
+STOPWORDS_DE = [
+    "der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist",
+    "des", "im", "ein", "eine", "auf", "für", "als", "auch", "an", "nicht",
+]
+
+LANG_STOPWORDS = {"en": STOPWORDS_EN, "es": STOPWORDS_ES, "de": STOPWORDS_DE}
+
+# A BPE-ish pre-tokenizer split: word pieces, numbers, or single
+# non-space symbols (the GPT-2-style pattern family, simplified to be
+# portable between Java regex and RE2/DuckDB).
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _stopword_hits(text_col: str, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(_tokens(text_col), lambda t: F.array_contains(wl, t)))
+
+
+def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return documents.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_metrics(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc curation features: lengths, ratios, stopword density."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(_tokens(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    hits = _stopword_hits(text_col, STOPWORDS_EN)
+    return documents.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / n_tokens).alias("mean_token_len"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_upper / n_chars).alias("upper_ratio"),
+        (hits / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scalar [0,1] quality score: documents that look like prose score
+    high; word salad / symbol soup scores low. Fixed weights, documented
+    here so the oracle SQL can reproduce them exactly."""
+    m = quality_metrics(documents, id_col, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.3
+        + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(F.col("upper_ratio") * F.lit(5.0), F.lit(1.0))) * 0.1
+    )
+    return m.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Argmax of per-language stopword hit counts (n-gram-free heuristic;
+    deterministic ties broken by language code order en < es < de via
+    strictly-greater comparison chain)."""
+    hits = {lang: _stopword_hits(text_col, words) for lang, words in LANG_STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["es"] > hits["en"]) & (hits["es"] >= hits["de"]), F.lit("es")
+        )
+        .when((hits["de"] > hits["en"]) & (hits["de"] > hits["es"]), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+    return documents.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the k lexicographically-smallest md5s
+    of character shingles. md5 (not murmur) so the DuckDB oracle computes
+    the identical fingerprint."""
+    norm = F.lower(F.col(text_col))
+    offsets = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(shingle - 1), F.lit(1))
+    )
+    hashes = F.transform(offsets, lambda i: F.md5(norm.substr(i, F.lit(shingle))))
+    return documents.select(
+        F.col(id_col),
+        F.slice(F.array_sort(F.array_distinct(hashes)), 1, k).alias("fingerprint"),
+    )
