@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query end-to-end on sf0.001.
+``queries()``/``oracle_sql()`` pair every SQL-expressible operator from
+SURVEY.md §2 with a DuckDB oracle. Strategy for the KG-specific operators:
+the sf tables carry no IOCs, so several queries *construct* deterministic
+CTI-shaped text from table keys (same arithmetic on both sides), run the
+real Spark operator/kernel over it, while the oracle derives the expected
+result analytically — an independent end-to-end check, not a replay.
+
+Column names/aliases are kept identical between each query and its
+oracle; doubles are rounded before comparison (sum-order differs across
+engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.chunker import chunk_documents
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_signatures_df,
+)
+from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+    extract_graph_records,
+)
+from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+    BPE_TOKEN_REGEX,
+    LANG_STOPWORDS,
+    STOPWORDS_EN,
+    fingerprints,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Constructed CTI corpus from `orders` (both engines build identical text).
+# ---------------------------------------------------------------------------
+
+def _cti_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    a = (F.col("o_orderkey") % 250).cast("string")
+    b = ((F.col("o_orderkey") * 7) % 250).cast("string")
+    c = ((F.col("o_orderkey") % 249) + 1).cast("string")
+    text = F.concat(
+        F.lit("The domain evil-"), k, F.lit(".example.net resolves to 10."),
+        a, F.lit("."), b, F.lit("."), c, F.lit(" now. "),
+        F.lit("Fetched https://evil-"), k, F.lit(".example.net/p"), k,
+        F.lit(" today. "),
+        F.lit("Order exploits CVE-2021-"),
+        ((F.col("o_orderkey") % 9000) + 1000).cast("string"),
+        F.lit(" and CVE-2017-0144 today."),
+    )
+    return o.select(k.alias("conv_id"), text.alias("doc_text"))
+
+
+_CTI_TEXT_SQL = """
+    SELECT cast(o_orderkey AS varchar) AS doc_id,
+           'The domain evil-' || cast(o_orderkey AS varchar)
+           || '.example.net resolves to 10.'
+           || cast(o_orderkey % 250 AS varchar) || '.'
+           || cast((o_orderkey * 7) % 250 AS varchar) || '.'
+           || cast((o_orderkey % 249) + 1 AS varchar) || ' now. '
+           || 'Fetched https://evil-' || cast(o_orderkey AS varchar)
+           || '.example.net/p' || cast(o_orderkey AS varchar) || ' today. '
+           || 'Order exploits CVE-2021-'
+           || cast((o_orderkey % 9000) + 1000 AS varchar)
+           || ' and CVE-2017-0144 today.' AS text
+    FROM orders
+"""
+
+_IPV4_SIMPLE = r"(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_CVE_RX = r"CVE-[0-9]{4}-[0-9]{4,7}"
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def q_kg_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text")
+    )
+    return chunk_documents(docs, 100, 10).select(
+        F.col("conv_id").alias("doc_id"),
+        "chunk_index",
+        "total_chunks",
+        "chunk_text",
+    )
+
+
+def q_kg_node_ids(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    node_type = (
+        F.when(F.col("doc_id") % 3 == 0, "Domain")
+        .when(F.col("doc_id") % 3 == 1, "IPv4")
+        .otherwise("URL")
+    )
+    value = F.concat(
+        F.lit("val-"), F.col("doc_id").cast("string"), F.lit("/x."),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        node_type.alias("node_type"),
+        F.concat(
+            F.lower(node_type), F.lit("_"),
+            F.regexp_replace(value, r"[^a-zA-Z0-9_-]", "_"),
+        ).alias("node_id"),
+    )
+
+
+def q_kg_ioc_typing(spark, sf_dir):
+    from threat_intelligence_knowledge_graph_spark.rules.mappings import (
+        IOC_TO_ENTITY_TYPE,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    classes = ["domains", "md5s", "cves", "urls", "ipv4s", "not_a_class", "asns"]
+    ioc_class = F.element_at(
+        F.array(*[F.lit(c) for c in classes]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    mapping = spark.createDataFrame(
+        [(k, v) for k, v in IOC_TO_ENTITY_TYPE.items()], ["ioc_class", "node_type"]
+    )
+    mentions = d.select("doc_id", ioc_class.alias("ioc_class"))
+    return mentions.join(F.broadcast(mapping), "ioc_class").select(
+        "doc_id", "ioc_class", "node_type"
+    )
+
+
+def q_kg_cve_mentions(spark, sf_dir):
+    docs = _cti_docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("doc_text", F.lit(_CVE_RX), 0)
+            ).alias("value")
+        )
+        .groupBy("value")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_kg_ipv4_mentions(spark, sf_dir):
+    docs = _cti_docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("conv_id").alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all("doc_text", F.lit(_IPV4_SIMPLE), 0)
+            ).alias("value"),
+        )
+        .distinct()
+    )
+
+
+def q_kg_triples_from_kernel(spark, sf_dir):
+    """Full extraction kernel over constructed text; the oracle predicts
+    the triple set analytically (strongest end-to-end check)."""
+    records = extract_graph_records(_cti_docs(spark, sf_dir))
+    return (
+        records.filter(F.col("kind") == "edge")
+        .select(
+            F.col("src_id").alias("subj"),
+            F.col("rel_type").alias("pred"),
+            F.col("dst_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def q_kg_nodes_from_kernel(spark, sf_dir):
+    """Kernel node typing/canonicalization over constructed text; oracle
+    predicts (label, id) rows analytically."""
+    records = extract_graph_records(_cti_docs(spark, sf_dir))
+    return (
+        records.filter(F.col("kind") == "node")
+        .select("node_label", "node_id")
+        .distinct()
+    )
+
+
+def q_kg_edge_dedup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.concat(F.lit("part_"), F.col("l_partkey").cast("string")).alias("subj"),
+            F.lit("SUPPLIED_BY").alias("pred"),
+            F.concat(F.lit("supp_"), F.col("l_suppkey").cast("string")).alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def q_kg_endpoint_semijoin(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.concat(F.lit("c_"), F.col("c_custkey").cast("string")).alias("node_id")
+    )
+    edges = o.select(
+        F.concat(F.lit("c_"), F.col("o_custkey").cast("string")).alias("src_id"),
+        F.concat(F.lit("c_"), (F.col("o_orderkey") % 3000).cast("string")).alias(
+            "dst_id"
+        ),
+    ).distinct()
+    return (
+        edges.join(nodes, edges.src_id == nodes.node_id, "left_semi")
+        .join(nodes, edges.dst_id == nodes.node_id, "left_semi")
+    )
+
+
+def q_kg_metrics_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("stage")).agg(
+        F.count("*").alias("n_rows"),
+        F.floor(F.sum("value")).cast("long").alias("total_value"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.floor(F.sum("l_extendedprice")).cast("long").alias("sum_base_price"),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("long").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_customer_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.floor(F.sum("o_totalprice")).cast("long").alias("revenue"),
+        )
+    )
+
+
+def q_events_user_windows(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id", "event_id", "ts", F.sum("new_session").over(w2).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_sec"),
+    )
+
+
+def q_top_parts_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+        .select(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("part_name"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("partkey"))
+        .limit(10)
+    )
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_text_token_counts(spark, sf_dir):
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality_score(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_language_id(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat_ws(",", "fingerprint").alias("fp")
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        with_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return (
+        with_cosine(emb, qvec)
+        .select("vec_id", F.round("cosine", 3).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# --- rows-only entries (not SQL-expressible; weaker driver check) ----------
+
+def q_minhash_near_dup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, jaccard_threshold=0.5)
+
+
+def q_simhash_signatures(spark, sf_dir):
+    return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: construct CTI text from sf0.001, run the full extraction
+    kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
+    return q_kg_triples_from_kernel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_chunks": q_kg_chunks,
+        "kg_node_ids": q_kg_node_ids,
+        "kg_ioc_typing": q_kg_ioc_typing,
+        "kg_cve_mentions": q_kg_cve_mentions,
+        "kg_ipv4_mentions": q_kg_ipv4_mentions,
+        "kg_triples_from_kernel": q_kg_triples_from_kernel,
+        "kg_nodes_from_kernel": q_kg_nodes_from_kernel,
+        "kg_edge_dedup": q_kg_edge_dedup,
+        "kg_endpoint_semijoin": q_kg_endpoint_semijoin,
+        "kg_metrics_rollup": q_kg_metrics_rollup,
+        "tpch_q1": q_tpch_q1,
+        "join_customer_orders": q_join_customer_orders,
+        "events_user_windows": q_events_user_windows,
+        "events_sessionize": q_events_sessionize,
+        "top_parts_by_revenue": q_top_parts_by_revenue,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_token_counts": q_text_token_counts,
+        "text_quality_score": q_text_quality_score,
+        "text_language_id": q_text_language_id,
+        "text_fingerprints": q_text_fingerprints,
+        "similarity_topk": q_similarity_topk,
+        "minhash_near_dup_docs": q_minhash_near_dup_docs,
+        "simhash_signatures": q_simhash_signatures,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    es = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["es"])
+    de = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["de"])
+    return {
+        "kg_chunks": """
+            WITH d AS (
+              SELECT cast(doc_id AS varchar) AS doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id,
+                   cast(u.i AS int) AS chunk_index,
+                   cast(floor((n - 1) / 90) + 1 AS int) AS total_chunks,
+                   substring(text, cast(u.i AS int) * 90 + 1, 100) AS chunk_text
+            FROM (
+              SELECT doc_id, text, n,
+                     unnest(range(0, cast(floor((n - 1) / 90) AS bigint) + 1)) AS i
+              FROM d
+            ) u
+        """,
+        "kg_node_ids": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'Domain'
+                        WHEN doc_id % 3 = 1 THEN 'IPv4'
+                        ELSE 'URL' END AS node_type,
+                   lower(CASE WHEN doc_id % 3 = 0 THEN 'Domain'
+                              WHEN doc_id % 3 = 1 THEN 'IPv4'
+                              ELSE 'URL' END)
+                   || '_'
+                   || regexp_replace(
+                        'val-' || cast(doc_id AS varchar) || '/x.'
+                        || cast(doc_id % 7 AS varchar),
+                        '[^a-zA-Z0-9_-]', '_', 'g') AS node_id
+            FROM documents
+        """,
+        "kg_ioc_typing": """
+            WITH m AS (
+              SELECT doc_id,
+                     (['domains','md5s','cves','urls','ipv4s','not_a_class','asns'])
+                       [cast(doc_id % 7 AS int) + 1] AS ioc_class
+              FROM documents
+            ), map(ioc_class, node_type) AS (VALUES
+              ('domains','Domain'), ('md5s','Hash'), ('cves','Vulnerability'),
+              ('urls','URL'), ('ipv4s','IPv4'), ('asns','ASN')
+            )
+            SELECT m.doc_id, m.ioc_class, map.node_type
+            FROM m JOIN map USING (ioc_class)
+        """,
+        "kg_cve_mentions": f"""
+            WITH t AS ({_CTI_TEXT_SQL})
+            SELECT u.value AS value, count(*) AS n_mentions
+            FROM t, unnest(regexp_extract_all(t.text, '{_CVE_RX}')) AS u(value)
+            GROUP BY u.value
+        """,
+        "kg_ipv4_mentions": f"""
+            WITH t AS ({_CTI_TEXT_SQL})
+            SELECT DISTINCT t.doc_id AS doc_id, u.value AS value
+            FROM t, unnest(regexp_extract_all(t.text, '{_IPV4_SIMPLE}')) AS u(value)
+        """,
+        # Analytic prediction of the kernel's output on constructed text:
+        # sentence 1 → Domain RESOLVES_TO Ipv4 (lookup rule idx 8);
+        # sentence 2 → Url CONTAINS Domain (lookup rule idx 9; the URL
+        # string itself contains the domain, so co-location holds).
+        # Stored ids are Python str.title() of
+        # '<type>_<sanitized value>' (reference neo4j_store.py:114).
+        "kg_triples_from_kernel": """
+            SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS subj,
+                   'RESOLVES_TO' AS pred,
+                   'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
+                     || cast((o_orderkey * 7) % 250 AS varchar) || '_'
+                     || cast((o_orderkey % 249) + 1 AS varchar) AS obj
+            FROM orders
+            UNION
+            SELECT 'Url_Https___Evil-' || cast(o_orderkey AS varchar)
+                     || '_Example_Net_P' || cast(o_orderkey AS varchar) AS subj,
+                   'CONTAINS' AS pred,
+                   'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS obj
+            FROM orders
+        """,
+        "kg_nodes_from_kernel": """
+            SELECT 'Domain' AS node_label,
+                   'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS node_id
+            FROM orders
+            UNION
+            SELECT 'Ipv4' AS node_label,
+                   'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
+                     || cast((o_orderkey * 7) % 250 AS varchar) || '_'
+                     || cast((o_orderkey % 249) + 1 AS varchar) AS node_id
+            FROM orders
+            UNION
+            SELECT 'Url' AS node_label,
+                   'Url_Https___Evil-' || cast(o_orderkey AS varchar)
+                     || '_Example_Net_P' || cast(o_orderkey AS varchar) AS node_id
+            FROM orders
+            UNION
+            SELECT 'Vulnerability' AS node_label,
+                   'Vulnerability_Cve-2021-' || cast((o_orderkey % 9000) + 1000 AS varchar) AS node_id
+            FROM orders
+            UNION
+            SELECT 'Vulnerability' AS node_label,
+                   'Vulnerability_Cve-2017-0144' AS node_id
+            FROM orders
+        """,
+        "kg_edge_dedup": """
+            SELECT DISTINCT 'part_' || cast(l_partkey AS varchar) AS subj,
+                   'SUPPLIED_BY' AS pred,
+                   'supp_' || cast(l_suppkey AS varchar) AS obj
+            FROM lineitem
+        """,
+        "kg_endpoint_semijoin": """
+            WITH nodes AS (
+              SELECT 'c_' || cast(c_custkey AS varchar) AS node_id FROM customer
+            ), edges AS (
+              SELECT DISTINCT 'c_' || cast(o_custkey AS varchar) AS src_id,
+                     'c_' || cast(o_orderkey % 3000 AS varchar) AS dst_id
+              FROM orders
+            )
+            SELECT e.src_id, e.dst_id FROM edges e
+            WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.node_id = e.src_id)
+              AND EXISTS (SELECT 1 FROM nodes n WHERE n.node_id = e.dst_id)
+        """,
+        "kg_metrics_rollup": """
+            SELECT event_type AS stage, count(*) AS n_rows,
+                   cast(floor(sum(value)) AS bigint) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(l_quantity) AS bigint) AS sum_qty,
+                   cast(floor(sum(l_extendedprice)) AS bigint) AS sum_base_price,
+                   cast(floor(sum(l_extendedprice * (1 - l_discount))) AS bigint) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_customer_orders": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   cast(floor(sum(o_totalprice)) AS bigint) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_user_windows": """
+            SELECT event_id, user_id,
+                   cast(row_number() OVER w AS int) AS rn,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+              SELECT user_id, event_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, cast(session_id AS bigint) AS session_id,
+                   count(*) AS n_events,
+                   cast((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS bigint) AS duration_sec
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "top_parts_by_revenue": """
+            WITH rev AS (
+              SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_partkey AS partkey, p_name AS part_name, revenue
+            FROM rev JOIN part ON l_partkey = p_partkey
+            ORDER BY revenue DESC, partkey
+            LIMIT 10
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_token_counts": rf"""
+            SELECT doc_id,
+                   cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS int) AS ws_tokens,
+                   cast(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS int) AS bpe_tokens
+            FROM documents
+        """,
+        "text_quality_score": rf"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{en}], x))) AS hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_tokens / 64.0, 1.0) * 0.3
+                     + least((hits * 1.0 / n_tokens) * 4.0, 1.0) * 0.4
+                     + (1.0 - least((n_punct * 1.0 / n_chars) * 10.0, 1.0)) * 0.2
+                     + (1.0 - least((n_upper * 1.0 / n_chars) * 5.0, 1.0)) * 0.1,
+                   6) AS quality
+            FROM m
+        """,
+        "text_language_id": rf"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{en}], x))) AS hits_en,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{es}], x))) AS hits_es,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{de}], x))) AS hits_de
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN hits_es > hits_en AND hits_es >= hits_de THEN 'es'
+                        WHEN hits_de > hits_en AND hits_de > hits_es THEN 'de'
+                        ELSE 'en' END AS lang_pred
+            FROM h
+        """,
+        "text_fingerprints": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_slice(list_sort(list(DISTINCT md5(substring(lower(text), cast(i AS int), 8)))), 1, 5),
+                     ',') AS fp
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+              FROM documents
+            )
+            GROUP BY doc_id
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     cast(embedding AS double[]), cast((SELECT qv FROM q) AS double[])), 3) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+    }

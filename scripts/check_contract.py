@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, compares row count, column names, and an
+order-insensitive multiset of stringified rows. Usage::
+
+    python scripts/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from threat_intelligence_knowledge_graph_spark.session import build_session  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(
+        tuple(norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def main(sf_dir: str) -> int:
+    spark = build_session("contract-check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"columns {sorted(scols)} vs {sorted(dcols)}"))
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"rowcount {len(srows)} vs {len(drows)}"))
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        sm = rows_to_multiset(scols, [tuple(r) for r in srows])
+        dm = rows_to_multiset(dcols, drows)
+        if sm != dm:
+            diff_s = list((sm - dm).items())[:3]
+            diff_d = list((dm - sm).items())[:3]
+            failures.append((name, f"values spark-only={diff_s} duck-only={diff_d}"))
+            print(f"FAIL {name}: spark-only={diff_s} duck-only={diff_d}")
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf))
