@@ -1,0 +1,141 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_triples_per_sec", "value": N, "unit": "triples/sec",
+   "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+
+**Scaling measurement** (the north rule's two-cluster-size criterion,
+evidenced in-sandbox per BASELINE.md): the full KG pipeline (fused
+reassembly+extraction → distinct triples) runs over a materialized
+synthetic corpus at TWO CPU budgets — 8 and 32 cores — with the whole
+process tree pinned via ``taskset`` (local[N] alone bounds task slots,
+not cores: each task uses a JVM thread plus a Python worker, so an
+unpinned local[8] silently consumes ~2× its nominal cores). The host is
+multi-tenant and noisy, so each level runs ``BENCH_REPEATS`` times
+alternating and the minimum is reported (standard noise-robust
+throughput estimator).
+
+**Headline queries** run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CONVS (default
+400000 ≈ 4.6M turns), BENCH_REPEATS (default 2), BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "200000"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _pinned_run(cores: int, corpus_path: str) -> dict:
+    """One pipeline run in a subprocess pinned to ``cores`` CPUs."""
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, os.path.join(REPO, "scripts", "bench_run_pipeline.py"),
+        corpus_path, str(cores), str(cores * 2),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    from threat_intelligence_knowledge_graph_spark.datagen import (
+        generate_transcripts_df,
+    )
+    from threat_intelligence_knowledge_graph_spark.session import build_session
+
+    queries: dict[str, float] = {}
+    result: dict = {"unit": "triples/sec", "sf": SF_DIR, "queries": queries}
+
+    corpus_dir = tempfile.mkdtemp(prefix="tikg-bench-corpus-")
+    corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
+    try:
+        spark = build_session(
+            "tikg-bench-gen", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        )
+        generate_transcripts_df(spark, N_CONVS, partitions=CPUS * 2).write.parquet(
+            corpus_path
+        )
+        spark.stop()
+
+        low, high = max(CPUS // 4, 1), CPUS
+        times: dict[int, list[float]] = {low: [], high: []}
+        info: dict = {}
+        skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
+        for _ in range(REPEATS):
+            r_high = _pinned_run(high, corpus_path)
+            times[high].append(r_high["sec"])
+            info = r_high
+            if not skip_scaling:
+                times[low].append(_pinned_run(low, corpus_path)["sec"])
+
+        t_high = min(times[high])
+        n_turns, n_triples = info["n_turns"], info["n_triples"]
+        queries[f"kg_pipeline_{high}cores"] = t_high
+        result["metric"] = "kg_pipeline_triples_per_sec"
+        result["value"] = round(n_triples / t_high, 1)
+        result["n_turns"] = n_turns
+        result["n_triples"] = n_triples
+        result["turns_per_sec"] = round(n_turns / t_high, 1)
+
+        if not skip_scaling:
+            t_low = min(times[low])
+            queries[f"kg_pipeline_{low}cores"] = t_low
+            result["scaling"] = {
+                "cores_low": low,
+                "cores_high": high,
+                "sec_low": t_low,
+                "sec_high": t_high,
+                "throughput_low_turns_per_sec": round(n_turns / t_low, 1),
+                "throughput_high_turns_per_sec": round(n_turns / t_high, 1),
+                "speedup": round(t_low / t_high, 2),
+                "efficiency": round((t_low / t_high) / (high / low), 3),
+                "runs_low_sec": times[low],
+                "runs_high_sec": times[high],
+            }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # --- headline queries at the sf dir ------------------------------------
+    spark = build_session(
+        "tikg-bench-q", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    try:
+        import __spark_entry__ as entry_mod
+
+        qmap = entry_mod.queries()
+        for name in (
+            "tpch_q1",
+            "join_customer_orders",
+            "events_sessionize",
+            "dedup_exact_docs",
+            "minhash_near_dup_docs",
+            "similarity_topk",
+            "text_quality_score",
+        ):
+            t0 = time.time()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Subprocess pipeline runner for the scaling bench.
+
+Usage: python scripts/bench_run_pipeline.py <corpus_path> <cores> <shuffle> [mode]
+  mode = "local" (default): single-JVM local[cores]
+  mode = "cluster": local-cluster[cores/4, 4, mem] — real separate
+         executor JVMs fed the package via an addPyFile zip (the
+         spark-submit --py-files deployment artifact).
+
+Prints one JSON line {"sec": ..., "n_turns": ..., "n_triples": ...}.
+
+Always run under ``taskset -c 0-(cores-1)``: local[N] bounds task slots,
+not CPUs — each task uses a JVM thread plus a Python worker process, so
+an unpinned local[8] silently consumes ~2× its nominal cores and
+invalidates the scaling comparison.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+import zipfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+    extract_graph_records_fused,
+)
+
+
+def package_zip() -> str:
+    """Zip the package for executor distribution — the same artifact a
+    production ``spark-submit --py-files`` deployment ships."""
+    pkg_root = "/root/repo/threat_intelligence_knowledge_graph_spark"
+    zpath = os.path.join(tempfile.gettempdir(), "tikg_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, "/root/repo")
+                    zf.write(full, rel)
+    return zpath
+
+
+def build_bench_session(master: str, shuffle: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("tikg-bench-run")
+        .master(master)
+        .config("spark.executor.memory", "5g")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(shuffle))
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> None:
+    if mode == "cluster":
+        master = f"local-cluster[{max(cores // 4, 1)},4,6144]"
+    else:
+        master = f"local[{cores}]"
+    spark = build_bench_session(master, shuffle)
+    if mode == "cluster":
+        spark.sparkContext.addPyFile(package_zip())
+    transcripts = spark.read.parquet(corpus_path)
+    n_turns = transcripts.count()
+    extract_graph_records_fused(transcripts.limit(4000)).count()  # warm workers
+    t0 = time.time()
+    n_triples = (
+        extract_graph_records_fused(transcripts, num_partitions=shuffle)
+        .filter(F.col("kind") == "edge")
+        .select("src_id", "rel_type", "dst_id")
+        .distinct()
+        .count()
+    )
+    sec = time.time() - t0
+    spark.stop()
+    print(json.dumps({"sec": round(sec, 3), "n_turns": n_turns, "n_triples": n_triples}))
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4] if len(sys.argv) > 4 else "local",
+    )

@@ -1,0 +1,58 @@
+"""Fused reassembly+extraction must equal the declarative path exactly."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.datagen import transcripts_rows
+from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+    extract_graph_records,
+    extract_graph_records_fused,
+)
+from threat_intelligence_knowledge_graph_spark.operators.reassembly import reassemble
+from threat_intelligence_knowledge_graph_spark.operators.triples import (
+    build_edges,
+    build_nodes,
+    build_triples,
+)
+from threat_intelligence_knowledge_graph_spark.schemas import TRANSCRIPTS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(transcripts_rows(15)), schema=TRANSCRIPTS_SCHEMA
+    ).cache()
+
+
+def _tables(extraction):
+    nodes = build_nodes(extraction)
+    edges = build_edges(extraction, nodes)
+    return nodes, edges, build_triples(edges)
+
+
+class TestFusedEqualsDeclarative:
+    def test_triples_identical(self, spark, transcripts):
+        declarative = extract_graph_records(reassemble(transcripts))
+        fused = extract_graph_records_fused(transcripts, num_partitions=7)
+        _, _, t1 = _tables(declarative)
+        _, _, t2 = _tables(fused)
+        s1 = {(r.subj, r.pred, r.obj) for r in t1.collect()}
+        s2 = {(r.subj, r.pred, r.obj) for r in t2.collect()}
+        assert s1 == s2 and len(s1) > 20
+
+    def test_nodes_identical(self, spark, transcripts):
+        declarative = extract_graph_records(reassemble(transcripts))
+        fused = extract_graph_records_fused(transcripts, num_partitions=3)
+        n1, *_ = _tables(declarative)
+        n2, *_ = _tables(fused)
+        g1 = {(r.node_label, r.node_id): dict(r.properties) for r in n1.collect()}
+        g2 = {(r.node_label, r.node_id): dict(r.properties) for r in n2.collect()}
+        assert g1 == g2
+
+    def test_partition_count_does_not_change_results(self, spark, transcripts):
+        a = extract_graph_records_fused(transcripts, num_partitions=1)
+        b = extract_graph_records_fused(transcripts, num_partitions=13)
+        ta = {(r.subj, r.pred, r.obj) for r in _tables(a)[2].collect()}
+        tb = {(r.subj, r.pred, r.obj) for r in _tables(b)[2].collect()}
+        assert ta == tb

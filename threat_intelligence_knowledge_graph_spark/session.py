@@ -35,15 +35,23 @@ def build_session(
         # Arrow transfer for mapInPandas/applyInPandas kernels; bounded
         # batches so reassembled long conversations can't blow memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # Broadcast threshold comfortably above all dimension tables.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # AQE coalescing balances shuffle BYTES, but our post-shuffle stages
+    # (pandas extraction kernel, collect_list reassembly) are CPU-heavy per
+    # row — never let AQE shrink below full parallelism.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        str(spark.sparkContext.defaultParallelism * 2),
+    )
+    return spark
