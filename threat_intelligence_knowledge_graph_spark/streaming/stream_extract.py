@@ -1,0 +1,192 @@
+"""Structured Streaming ingestion of transcript turns.
+
+The reference is batch-only (SURVEY.md §2: no streaming operators); this
+module is OUR scale addition: continuous transcript ingestion with the
+same extraction semantics and idempotent MERGE sinks.
+
+Design: ``readStream`` over a transcripts directory → ``foreachBatch`` →
+fused extraction kernel per micro-batch → MERGE into the snapshot-table
+catalog (the Iceberg seam). The sinks dedup on their natural keys, so
+replays after failure are idempotent — the Structured Streaming
+exactly-once discipline the batch checkpoint design mirrors (SURVEY.md
+§2 op-checklist, streaming row).
+
+Assumption (documented): a conversation's turns arrive within one
+micro-batch (file-shipping granularity = whole conversations). For feeds
+where turns trickle in across batches, ``stateful_reassembly`` buffers
+turns per conv_id with ``applyInPandasWithState`` and emits a document
+only after an idle timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extraction import extract_graph_records_fused
+from ..operators.triples import build_edges, build_nodes, build_triples
+from ..schemas import TRANSCRIPTS_SCHEMA
+from ..sources.tableio import LocalTableCatalog
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    catalog: LocalTableCatalog,
+    run_id: str = "stream",
+    available_now: bool = True,
+):
+    """Stream transcripts from ``input_dir`` into nodes/edges/triples.
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains existing files and stops (test/backfill mode), otherwise it
+    runs continuously.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extraction = extract_graph_records_fused(batch_df)
+        # Persist: nodes and edges both read the extraction output.
+        extraction = extraction.persist()
+        try:
+            nodes = build_nodes(extraction)
+            catalog.merge(
+                spark, nodes, "nodes", keys=["node_label", "node_id"],
+                run_id=run_id, stage=f"batch-{batch_id}-nodes",
+            )
+            all_nodes = catalog.read(spark, "nodes")
+            edges = build_edges(extraction, all_nodes)
+            catalog.merge(
+                spark, edges, "edges", keys=["src_id", "rel_type", "dst_id"],
+                run_id=run_id, stage=f"batch-{batch_id}-edges",
+            )
+            triples = build_triples(catalog.read(spark, "edges"))
+            catalog.merge(
+                spark, triples, "triples", keys=["subj", "pred", "obj"],
+                run_id=run_id, stage=f"batch-{batch_id}-triples",
+            )
+        finally:
+            extraction.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stateful_reassembly(
+    stream: DataFrame,
+    idle_timeout_ms: int = 30_000,
+    turn_separator: str = "\n",
+) -> DataFrame:
+    """Cross-batch conversation reassembly with ``applyInPandasWithState``.
+
+    For feeds where a conversation's turns trickle in across micro-batches:
+    turns buffer in per-conv_id group state; when no new turns arrive for
+    ``idle_timeout_ms`` (processing time), the conversation is considered
+    complete and its document row is emitted — the custom stateful
+    operator slot from the north_star ("applyInPandasWithState for custom
+    stateful operators").
+
+    Output: (conv_id, doc_text, n_turns). Exactly-once downstream via the
+    same MERGE sinks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("doc_text", StringType()),
+            StructField("n_turns", IntegerType()),
+        ]
+    )
+    # State: accumulated (turn_idx, text) pairs, encoded as parallel arrays.
+    state_schema = StructType(
+        [
+            StructField("turn_idxs", StringType()),  # csv of ints
+            StructField("texts", StringType()),      # \x1f-joined
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            idxs_csv, texts_joined = state.get
+            idxs = [int(x) for x in idxs_csv.split(",")]
+            texts = texts_joined.split("\x1f")
+            ordered = [t for _, t in sorted(zip(idxs, texts))]
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "doc_text": [turn_separator.join(ordered)],
+                    "n_turns": [len(ordered)],
+                }
+            )
+            return
+        new_idxs: list[int] = []
+        new_texts: list[str] = []
+        for pdf in pdfs:
+            new_idxs.extend(int(i) for i in pdf["turn_idx"])
+            new_texts.extend(str(t) for t in pdf["text"])
+        if state.exists:
+            idxs_csv, texts_joined = state.get
+            new_idxs = [int(x) for x in idxs_csv.split(",")] + new_idxs
+            new_texts = texts_joined.split("\x1f") + new_texts
+        state.update((",".join(map(str, new_idxs)), "\x1f".join(new_texts)))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"conv_id": [], "doc_text": [], "n_turns": []})
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def windowed_mention_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation demo: CVE mentions per event-time
+    window with late-data watermarking — the watermark + tumbling-window
+    operator pair over the transcript stream (pure expressions, no UDF)."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(r"CVE-\d{4}-\d{4,7}"), 0)
+            ).alias("cve"),
+        )
+        .groupBy(F.window("ts", window).alias("w"), "cve")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("cve"),
+            F.col("n_mentions"),
+        )
+    )
