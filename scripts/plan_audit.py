@@ -84,7 +84,7 @@ def main(sf_dir: str) -> int:
     check(
         "chunker_no_udf_no_shuffle",
         chunk_documents(docs, 100, 10).drop("total_chunks"),
-        ["Generate posexplode"],
+        ["posexplode"],
         must_not=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
     )
     spark.stop()
