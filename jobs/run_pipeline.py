@@ -1,0 +1,69 @@
+"""spark-submit entry point: transcripts parquet → KG warehouse.
+
+Production invocation (the north rule's deployment shape)::
+
+    spark-submit --py-files tikg_pyfiles.zip jobs/run_pipeline.py \
+        --input s3://bucket/transcripts/ --warehouse s3://bucket/kg/ \
+        --run-id 2026-08-16 --fused
+
+Local::
+
+    python jobs/run_pipeline.py --input /tmp/transcripts.parquet \
+        --warehouse /tmp/kg-wh --run-id dev --fused
+
+Resume: re-running with the same --run-id skips committed stages and is
+idempotent (MERGE sinks). Build the --py-files zip with
+``scripts/bench_run_pipeline.package_zip()``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+    flagship_query,
+    register_graph_views,
+)
+from threat_intelligence_knowledge_graph_spark.plans.pipeline import (
+    run_pipeline,
+    summarize_metrics,
+)
+from threat_intelligence_knowledge_graph_spark.session import build_session
+from threat_intelligence_knowledge_graph_spark.sources.tableio import LocalTableCatalog
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--warehouse", required=True, help="table catalog root")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--model", default="ner", help="extractor (only 'ner' is productionized)")
+    ap.add_argument("--fused", action="store_true", help="fused reassembly+extraction hot path")
+    ap.add_argument("--salt-blocks", type=int, default=None, help="two-phase reassembly block size for skewed convs")
+    ap.add_argument("--show-flagship", action="store_true")
+    args = ap.parse_args()
+
+    if args.model != "ner":
+        raise SystemExit("only the deterministic 'ner' extractor is productionized")
+
+    spark = build_session("tikg-pipeline")
+    catalog = LocalTableCatalog(args.warehouse)
+    transcripts = spark.read.parquet(args.input)
+    result = run_pipeline(
+        spark, transcripts, catalog, run_id=args.run_id,
+        salt_blocks=args.salt_blocks, fused=args.fused,
+    )
+    print({"run_id": result.run_id, "counts": result.counts})
+    summarize_metrics(spark, catalog).show(50, truncate=False)
+    if args.show_flagship:
+        register_graph_views(spark, catalog)
+        flagship_query(spark).show(50, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

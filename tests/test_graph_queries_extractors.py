@@ -1,0 +1,101 @@
+"""Tests: graph query interface, extractor factory, tactic tagger slot,
+fused pipeline mode."""
+
+import pandas as pd
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.datagen import transcripts_rows
+from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+    NerExtractor,
+    make_extractor,
+    tag_tactics,
+)
+from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+    degrees,
+    flagship_query,
+    neighbors,
+    register_graph_views,
+    two_hop,
+)
+from threat_intelligence_knowledge_graph_spark.plans.pipeline import (
+    run_pipeline,
+    summarize_metrics,
+)
+from threat_intelligence_knowledge_graph_spark.schemas import TRANSCRIPTS_SCHEMA
+from threat_intelligence_knowledge_graph_spark.sources.tableio import LocalTableCatalog
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    catalog = LocalTableCatalog(str(tmp_path_factory.mktemp("wh")))
+    transcripts = spark.createDataFrame(
+        pd.DataFrame(transcripts_rows(10)), schema=TRANSCRIPTS_SCHEMA
+    )
+    run_pipeline(spark, transcripts, catalog, run_id="g1", fused=True)
+    register_graph_views(spark, catalog)
+    return catalog
+
+
+class TestGraphQueries:
+    def test_flagship_nonempty(self, spark, warehouse):
+        rows = flagship_query(spark).collect()
+        assert rows and all(
+            r.pred in ("COMMUNICATES_WITH", "RESOLVES_TO", "TARGETS") for r in rows
+        )
+
+    def test_degrees_consistent(self, spark, warehouse):
+        deg = degrees(spark)
+        total_deg = deg.groupBy().sum("degree").first()[0]
+        n_triples = spark.table("triples").count()
+        assert total_deg == 2 * n_triples
+
+    def test_neighbors(self, spark, warehouse):
+        some = spark.table("triples").first()
+        rows = neighbors(spark, some.subj).collect()
+        assert any(r.obj == some.obj for r in rows)
+
+    def test_two_hop_joins(self, spark, warehouse):
+        paths = two_hop(spark).limit(5).collect()
+        for p in paths:
+            assert p.b is not None
+
+
+class TestExtractors:
+    def test_factory_ner(self, spark):
+        ex = make_extractor("ner")
+        assert isinstance(ex, NerExtractor)
+        docs = spark.createDataFrame(
+            [("c1", "The domain evil.example.net resolves to 10.0.0.1 now.")],
+            ["conv_id", "doc_text"],
+        )
+        out = ex.extract(docs)
+        assert out.filter("kind='edge'").count() == 1
+
+    def test_llm_slots_raise(self, spark):
+        docs = spark.createDataFrame([("c1", "x")], ["conv_id", "doc_text"])
+        for m in ("gemini-pro", "claude-haiku", "default"):
+            with pytest.raises(NotImplementedError):
+                make_extractor(m).extract(docs)
+
+    def test_unknown_model(self):
+        with pytest.raises(ValueError):
+            make_extractor("gpt-99")
+
+    def test_tactic_tagger(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", "Observed lateral movement and credential dumping."),
+                ("c2", "Routine maintenance, nothing suspicious."),
+            ],
+            ["conv_id", "doc_text"],
+        )
+        got = {(r.conv_id, r.tactic_code) for r in tag_tactics(docs).collect()}
+        assert ("c1", "TA0008") in got and ("c1", "TA0006") in got
+        assert not any(c == "c2" for c, _ in got)
+
+
+class TestMetricsSummary:
+    def test_summarize(self, spark, warehouse):
+        s = summarize_metrics(spark, warehouse)
+        stages = {r.stage for r in s.collect()}
+        assert "extract" in stages

@@ -1,0 +1,80 @@
+"""Graph query interface over the materialized tables.
+
+The reference exposes a raw Cypher pass-through (reference
+neo4j_store.py:175-208, SURVEY.md §2 op 30). Our store is relational, so
+graph questions are SQL joins over registered views — no query-language
+translation layer, by design: every Cypher pattern the reference's users
+run (neighbors, typed edges, degree, 2-hop paths) maps to one of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tableio import LocalTableCatalog
+
+
+def register_graph_views(spark: SparkSession, catalog: LocalTableCatalog) -> None:
+    """Expose nodes/edges/triples (+ metrics) as temp views for spark.sql."""
+    for t in ("nodes", "edges", "triples", "metrics"):
+        if catalog.exists(t):
+            catalog.read(spark, t).createOrReplaceTempView(t)
+
+
+def neighbors(spark: SparkSession, node_id: str) -> DataFrame:
+    """All edges touching a node — Cypher ``MATCH (n {id})-[r]-(m)``."""
+    return spark.sql(
+        """
+        SELECT subj, pred, obj FROM triples
+        WHERE subj = :node OR obj = :node
+        """,
+        args={"node": node_id},
+    )
+
+
+def degrees(spark: SparkSession) -> DataFrame:
+    """Per-node in/out/total degree — Cypher ``MATCH (n) RETURN n, degree``."""
+    return spark.sql(
+        """
+        WITH outs AS (SELECT subj AS node_id, count(*) AS out_degree
+                      FROM triples GROUP BY subj),
+             ins  AS (SELECT obj AS node_id, count(*) AS in_degree
+                      FROM triples GROUP BY obj)
+        SELECT coalesce(outs.node_id, ins.node_id) AS node_id,
+               coalesce(out_degree, 0) AS out_degree,
+               coalesce(in_degree, 0) AS in_degree,
+               coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+        FROM outs FULL OUTER JOIN ins ON outs.node_id = ins.node_id
+        """
+    )
+
+
+def two_hop(spark: SparkSession, pred1: str | None = None, pred2: str | None = None) -> DataFrame:
+    """2-hop paths — Cypher ``MATCH (a)-[r1]->(b)-[r2]->(c)``; self-join on
+    the triples view (shuffle on the join key; AQE skew-splits hot hubs)."""
+    t1 = spark.table("triples").alias("t1")
+    t2 = spark.table("triples").alias("t2")
+    j = t1.join(t2, F.col("t1.obj") == F.col("t2.subj"))
+    if pred1:
+        j = j.filter(F.col("t1.pred") == pred1)
+    if pred2:
+        j = j.filter(F.col("t2.pred") == pred2)
+    return j.select(
+        F.col("t1.subj").alias("a"),
+        F.col("t1.pred").alias("pred1"),
+        F.col("t1.obj").alias("b"),
+        F.col("t2.pred").alias("pred2"),
+        F.col("t2.obj").alias("c"),
+    )
+
+
+def flagship_query(spark: SparkSession) -> DataFrame:
+    """SURVEY.md §7: "Which infrastructure does each malware family
+    communicate with, and which CVEs are exploited?"."""
+    return spark.sql(
+        """
+        SELECT subj, pred, obj FROM triples
+        WHERE pred IN ('COMMUNICATES_WITH', 'RESOLVES_TO', 'TARGETS')
+        ORDER BY subj, pred, obj
+        """
+    )

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extraction import extract_graph_records
+from ..operators.extraction import extract_graph_records, extract_graph_records_fused
 from ..operators.reassembly import reassemble
 from ..operators.triples import build_edges, build_nodes, build_triples
 from ..sources.tableio import LocalTableCatalog
@@ -56,30 +56,43 @@ def run_pipeline(
     run_id: str,
     salt_blocks: int | None = None,
     collect_counts: bool = True,
+    fused: bool = False,
 ) -> PipelineResult:
-    """Execute (or resume) the full pipeline for ``run_id``."""
+    """Execute (or resume) the full pipeline for ``run_id``.
+
+    ``fused=True`` runs reassembly+extraction as one shuffle + one Arrow
+    pass (the hot path, see BENCH.md) — it skips the materialized
+    ``documents`` checkpoint, trading stage-A resume granularity for ~2×
+    throughput; output tables are identical either way (tested).
+    """
     result = PipelineResult(run_id=run_id)
 
     def stage_done(table: str, stage: str) -> bool:
         return catalog.committed(table, run_id, stage)
 
-    # --- Stage A: reassembly ------------------------------------------------
-    if not stage_done("documents", "reassemble"):
-        documents = reassemble(transcripts, salt_blocks=salt_blocks)
-        catalog.overwrite(documents, "documents", run_id, "reassemble")
-        catalog.merge(
-            spark,
-            _partition_metrics(catalog.read(spark, "documents"), run_id, "reassemble"),
-            "metrics",
-            keys=["run_id", "stage", "partition_id", "metric"],
-            run_id=run_id,
-            stage="reassemble-metrics",
-        )
-    documents = catalog.read(spark, "documents")
+    # --- Stage A: reassembly (skipped in fused mode) ------------------------
+    if not fused:
+        if not stage_done("documents", "reassemble"):
+            documents = reassemble(transcripts, salt_blocks=salt_blocks)
+            catalog.overwrite(documents, "documents", run_id, "reassemble")
+            catalog.merge(
+                spark,
+                _partition_metrics(
+                    catalog.read(spark, "documents"), run_id, "reassemble"
+                ),
+                "metrics",
+                keys=["run_id", "stage", "partition_id", "metric"],
+                run_id=run_id,
+                stage="reassemble-metrics",
+            )
+        documents = catalog.read(spark, "documents")
 
     # --- Stage C: extraction (checkpointed once, split by kind after) ------
     if not stage_done("extraction", "extract"):
-        extraction = extract_graph_records(documents)
+        if fused:
+            extraction = extract_graph_records_fused(transcripts)
+        else:
+            extraction = extract_graph_records(documents)
         catalog.overwrite(extraction, "extraction", run_id, "extract")
         catalog.merge(
             spark,
@@ -115,8 +128,25 @@ def run_pipeline(
             run_id=run_id, stage="assemble",
         )
 
-    for t in ("documents", "extraction", "nodes", "edges", "triples", "metrics"):
+    tables = ["extraction", "nodes", "edges", "triples", "metrics"]
+    if not fused:
+        tables.insert(0, "documents")
+    for t in tables:
         result.tables[t] = t
         if collect_counts:
             result.counts[t] = catalog.read(spark, t).count()
     return result
+
+
+def summarize_metrics(spark: SparkSession, catalog: LocalTableCatalog) -> DataFrame:
+    """Stats aggregation (reference main.py:100-108,326-342 → SURVEY.md §2
+    op 31): totals per (run, stage) from the per-partition lineage rows."""
+    return (
+        catalog.read(spark, "metrics")
+        .groupBy("run_id", "stage", "metric")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count("*").alias("n_partitions"),
+            F.max("value").alias("max_partition"),
+        )
+    )
