@@ -66,7 +66,9 @@ DOMAIN_CORE = rf"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{{0,61}}[A-Za-z0-9])?\.)+(?:{_TLDS
 # (class, pattern, flags) — pattern group 0 (or group 1 if present) is the value.
 IOC_PATTERNS: list[tuple[str, str]] = [
     ("domains", rf"(?<![A-Za-z0-9.-])({DOMAIN_CORE})(?![A-Za-z0-9-])"),
-    ("ipv4s", rf"(?<![\d.])({IPV4_CORE})(?![\d.])(?!/\d)"),
+    # ipv4: reject continuations of a dotted/numeric run and CIDR masks,
+    # but allow a sentence-final period ("… to 10.1.2.3.").
+    ("ipv4s", rf"(?<![\d.])({IPV4_CORE})(?!\d)(?!\.\d)(?!/\d)"),
     (
         "ipv6s",
         r"(?<![:.\w])((?:[A-Fa-f0-9]{1,4}:){2,7}:?[A-Fa-f0-9]{1,4})(?![:.\w])",
@@ -108,6 +110,39 @@ COMPILED_IOC_PATTERNS: list[tuple[str, re.Pattern]] = [
 
 _MAC_FULL = re.compile(r"^(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}$")
 
+# ---------------------------------------------------------------------------
+# Fast-path scan plan (semantics identical to scanning IOC_PATTERNS
+# one-by-one; asserted by tests/test_kernel.py + the parity suite):
+# - one hex-run scan classifies md5/sha1/sha256/sha512 by length,
+#   replacing four full-text scans;
+# - one ipv4-or-cidr scan classifies by mask presence, replacing two;
+# - rare classes are gated by a cheap substring test before their regex.
+# ---------------------------------------------------------------------------
+
+_HEX_RUN = re.compile(r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{32,128})(?![A-Fa-f0-9])")
+_HEX_LEN_TO_CLASS = {32: "md5s", 40: "sha1s", 64: "sha256s", 128: "sha512s"}
+_HASH_CLASSES = set(_HEX_LEN_TO_CLASS.values())
+
+_IPV4_OR_CIDR = re.compile(
+    rf"(?<![\d.])({IPV4_CORE})(/(?:3[0-2]|[12]?\d))?(?!\d)(?!\.\d)(?!/\d)"
+)
+
+# class → substring that must be present for the regex to possibly match.
+# Gate literals mirror the regex's case sensitivity exactly.
+_CLASS_GATES: dict[str, tuple[str, ...]] = {
+    "registry_key_paths": ("HK",),       # all alternatives start HK…
+    "file_paths": (":\\",),
+    "ssdeeps": (":",),
+    "xmpp_addresses": ("jabber", "xmpp"),  # lowercase literals in regex
+    "urls": ("://",),
+    "user_agents": ("Mozilla/",),
+}
+# gates checked against text.lower() — for (?i) regexes.
+_CLASS_GATES_LOWER: dict[str, tuple[str, ...]] = {
+    "imphashes": ("imphash",),
+    "authentihashes": ("authentihash",),
+}
+
 
 def normalize_value(ioc_class: str, value: str) -> str:
     """Per-class value normalization (pinned; mirrors ioc-finder defaults:
@@ -145,10 +180,37 @@ def find_iocs_doc(fanged_text: str) -> dict[str, list[str]]:
     - xmpp addresses are removed from ``email_addresses``;
     - MAC-shaped matches are removed from ``ipv6s``.
     """
+    # Fused scans (see scan-plan comment above).
+    hex_hits: dict[str, list[str]] = {c: [] for c in _HEX_LEN_TO_CLASS.values()}
+    for run in _HEX_RUN.findall(fanged_text):
+        cls = _HEX_LEN_TO_CLASS.get(len(run))
+        if cls:
+            hex_hits[cls].append(run)
+    ip_hits: dict[str, list[str]] = {"ipv4s": [], "ipv4_cidrs": []}
+    for core, mask in _IPV4_OR_CIDR.findall(fanged_text):
+        if mask:
+            ip_hits["ipv4_cidrs"].append(core + mask)
+        else:
+            ip_hits["ipv4s"].append(core)
+
+    lower_text = fanged_text.lower()
     iocs: dict[str, list[str]] = {}
     for cls, rx in COMPILED_IOC_PATTERNS:
-        vals = [normalize_value(cls, m) for m in rx.findall(fanged_text)]
-        iocs[cls] = _dedup_keep_order(vals)
+        if cls in _HASH_CLASSES:
+            vals = hex_hits[cls]
+        elif cls in ip_hits:
+            vals = ip_hits[cls]
+        else:
+            gates = _CLASS_GATES.get(cls)
+            if gates and not any(g in fanged_text for g in gates):
+                iocs[cls] = []
+                continue
+            lgates = _CLASS_GATES_LOWER.get(cls)
+            if lgates and not any(g in lower_text for g in lgates):
+                iocs[cls] = []
+                continue
+            vals = rx.findall(fanged_text)
+        iocs[cls] = _dedup_keep_order([normalize_value(cls, m) for m in vals])
     if iocs.get("xmpp_addresses"):
         xmpp = set(iocs["xmpp_addresses"])
         iocs["email_addresses"] = [v for v in iocs["email_addresses"] if v not in xmpp]
