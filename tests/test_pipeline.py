@@ -101,3 +101,23 @@ class TestTableIO:
         assert [e["snapshot"] for e in log] == [0, 1]
         assert catalog.committed("t2", "r", "s")
         assert not catalog.committed("t2", "other", "s")
+
+
+class TestCanonicalizePipeline:
+    def test_alias_layer_keeps_graph_valid(self, spark, transcripts, tmp_path):
+        catalog = LocalTableCatalog(str(tmp_path / "canon"))
+        base = LocalTableCatalog(str(tmp_path / "base"))
+        run_pipeline(spark, transcripts, base, run_id="r", fused=True)
+        run_pipeline(
+            spark, transcripts, catalog, run_id="r", fused=True, canonicalize=True
+        )
+        raw = base.read(spark, "triples").count()
+        canon = catalog.read(spark, "triples").count()
+        # Canonicalization can only merge — never invent — triples.
+        assert 0 < canon <= raw
+        assert catalog.exists("canonical_map")
+        # Conservative threshold on exact-canonical NER ids: distinct
+        # domains that differ by one char must NOT have merged.
+        alias = {r.node_id: r.canonical_id for r in catalog.read(spark, "canonical_map").collect()}
+        for a, b in alias.items():
+            assert a.split("_")[0] == b.split("_")[0]  # same type prefix

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.canonicalize import apply_canonicalization, build_alias_dictionary
 from ..operators.extraction import extract_graph_records, extract_graph_records_fused
 from ..operators.reassembly import reassemble
 from ..operators.triples import build_edges, build_nodes, build_triples
@@ -57,6 +58,7 @@ def run_pipeline(
     salt_blocks: int | None = None,
     collect_counts: bool = True,
     fused: bool = False,
+    canonicalize: bool = False,
 ) -> PipelineResult:
     """Execute (or resume) the full pipeline for ``run_id``.
 
@@ -64,6 +66,13 @@ def run_pipeline(
     pass (the hot path, see BENCH.md) — it skips the materialized
     ``documents`` checkpoint, trading stage-A resume granularity for ~2×
     throughput; output tables are identical either way (tested).
+
+    ``canonicalize=True`` enables stage D's alias layer (MinHash/LSH +
+    connected components over node surface forms) and rewrites edge
+    endpoints through the broadcast alias dictionary before the triple
+    view. OFF by default: the NER path's ids are already exact-canonical
+    and the parity gate requires the exact triple set (SURVEY.md §7
+    step 6). The dictionary is committed as the ``canonical_map`` table.
     """
     result = PipelineResult(run_id=run_id)
 
@@ -120,6 +129,18 @@ def run_pipeline(
             run_id=run_id, stage="assemble",
         )
     edges = catalog.read(spark, "edges")
+
+    # --- Stage D (optional): alias canonicalization -------------------------
+    if canonicalize:
+        if not stage_done("canonical_map", "canonicalize"):
+            # Conservative threshold: ids are already exact-canonical, so
+            # only near-identical surface forms (punctuation/underscore
+            # variants) may merge — 0.75 would falsely merge distinct
+            # domains that differ by one char (evil-1 vs evil-2).
+            alias = build_alias_dictionary(nodes, jaccard_threshold=0.9)
+            catalog.overwrite(alias, "canonical_map", run_id, "canonicalize")
+        alias = catalog.read(spark, "canonical_map")
+        edges = apply_canonicalization(edges, alias)
 
     if not stage_done("triples", "assemble"):
         triples = build_triples(edges)
