@@ -362,6 +362,79 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def q_set_ops_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select(F.lit("both").alias("src"), "nationkey")
+    cust_only = c.subtract(s).select(  # EXCEPT DISTINCT semantics
+        F.lit("customer_only").alias("src"), "nationkey"
+    )
+    return both.unionByName(cust_only)
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
+
+
+def q_pivot_order_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+def q_anti_join_orders(spark, sf_dir):
+    """Orders with no lineitems (left-anti; ~1.7% of orders)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").alias("e")
+    last = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .alias("l")
+    )
+    return (
+        e.join(
+            last,
+            (F.col("e.user_id") == F.col("l.user_id"))
+            & (F.col("e.ts") == F.col("l.last_ts")),
+        )
+        .groupBy(F.col("l.user_id").alias("user_id"), F.col("l.last_ts"))
+        .agg(F.min("event_id").alias("event_id"))  # deterministic tie-break
+        .select("user_id", "event_id")
+    )
+
+
 # --- rows-only entries (not SQL-expressible; weaker driver check) ----------
 
 def q_minhash_near_dup_docs(spark, sf_dir):
@@ -396,6 +469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_windows": q_events_user_windows,
         "events_sessionize": q_events_sessionize,
         "top_parts_by_revenue": q_top_parts_by_revenue,
+        "set_ops_nations": q_set_ops_nations,
+        "rollup_orders": q_rollup_orders,
+        "pivot_order_status": q_pivot_order_status,
+        "anti_join_orders": q_anti_join_orders,
+        "events_hourly": q_events_hourly,
+        "latest_event_per_user": q_latest_event_per_user,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_token_counts": q_text_token_counts,
         "text_quality_score": q_text_quality_score,
@@ -585,6 +664,47 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN part ON l_partkey = p_partkey
             ORDER BY revenue DESC, partkey
             LIMIT 10
+        """,
+        "set_ops_nations": """
+            SELECT 'both' AS src, nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT 'customer_only' AS src, nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT s_nationkey FROM supplier
+            )
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "pivot_order_status": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "anti_join_orders": """
+            SELECT o_orderkey, o_orderstatus FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "latest_event_per_user": """
+            WITH last AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+            SELECT e.user_id, min(e.event_id) AS event_id
+            FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
+            GROUP BY e.user_id, l.last_ts
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS content_hash, count(*) AS n_copies,
