@@ -130,3 +130,26 @@ class TestSimilarity:
         )
         pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4).collect()
         assert {(r.a, r.b) for r in pairs} == {(1, 2)}
+
+
+class TestDedupProperties:
+    def test_exact_dedup_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], ["doc_id", "text"]
+        )
+        once = exact_dedup(df)
+        twice = exact_dedup(once)
+        assert {r.doc_id for r in once.collect()} == {r.doc_id for r in twice.collect()}
+
+    def test_minhash_dedup_idempotent(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again " * 4
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("dog", "cat", 1)), (3, "unrelated words entirely " * 6)],
+            ["doc_id", "text"],
+        )
+        once = minhash_dedup(df, jaccard_threshold=0.5)
+        twice = minhash_dedup(once, jaccard_threshold=0.5)
+        assert {r.doc_id for r in once.collect()} == {r.doc_id for r in twice.collect()}
+
+    def test_dedup_never_invents_rows(self, spark, docs):
+        assert exact_dedup(docs).count() <= docs.count()
