@@ -83,6 +83,10 @@ def main() -> None:
             info = r_high
             if not skip_scaling:
                 times[low].append(_pinned_run(low, corpus_path)["sec"])
+        if not skip_scaling and REPEATS > 1:
+            # The high-level run is short relative to noise windows — one
+            # extra sample tightens its min disproportionately.
+            times[high].append(_pinned_run(high, corpus_path)["sec"])
 
         t_high = min(times[high])
         n_turns, n_triples = info["n_turns"], info["n_triples"]
