@@ -99,3 +99,45 @@ class TestChunker:
         assert len(got) == 1
         assert got["chunk_text"][0] == "x" * 9000
         assert got["total_chunks"][0] == 1
+
+
+class TestNullTurns:
+    def test_null_text_preserved_as_empty_line(self, spark):
+        import datetime
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello",
+             "tool": None, "ts": datetime.datetime(2025, 1, 1)},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": None,
+             "tool": None, "ts": datetime.datetime(2025, 1, 1)},
+            {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "bye",
+             "tool": None, "ts": datetime.datetime(2025, 1, 1)},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+        r = reassemble(df).first()
+        # NULL turn = empty line; turn count and exploded lines must agree.
+        assert r.doc_text == "hello\n\nbye"
+        assert r.n_turns == 3
+        back = explode_back(reassemble(df)).collect()
+        assert [b.text for b in sorted(back, key=lambda b: b.turn_idx)] == ["hello", "", "bye"]
+
+    def test_fused_kernel_null_text(self, spark):
+        import datetime
+        from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+            extract_graph_records_fused,
+        )
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "The domain evil.example.net resolves", "tool": None,
+             "ts": datetime.datetime(2025, 1, 1)},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": None,
+             "tool": None, "ts": datetime.datetime(2025, 1, 1)},
+            {"conv_id": "c1", "turn_idx": 2, "role": "user",
+             "text": "to 10.1.1.1 now.", "tool": None,
+             "ts": datetime.datetime(2025, 1, 1)},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+        out = extract_graph_records_fused(df, num_partitions=2)
+        ids = {r.node_id for r in out.filter("kind='node'").collect()}
+        # No 'None' artifacts in any id.
+        assert not any("None" in i for i in ids)
+        assert "Domain_Evil_Example_Net" in ids and "Ipv4_10_1_1_1" in ids

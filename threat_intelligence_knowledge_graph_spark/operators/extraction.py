@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..kernel.extract import extract_document, finalize_edges, finalize_nodes
 from ..schemas import EXTRACTION_SCHEMA
@@ -151,7 +151,10 @@ def extract_graph_records_fused(
 
     n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        transcripts.select("conv_id", "turn_idx", "text")
+        # NULL turn text pinned to '' (same contract as reassemble()).
+        transcripts.select(
+            "conv_id", "turn_idx", F.coalesce("text", F.lit("")).alias("text")
+        )
         .repartition(n, "conv_id")
         .mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
     )

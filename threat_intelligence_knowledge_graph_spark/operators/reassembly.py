@@ -37,6 +37,10 @@ def reassemble(transcripts: DataFrame, salt_blocks: int | None = None) -> DataFr
     sees more than ``salt_blocks`` turns of one conversation (skew cap —
     SURVEY.md §4.1a). Output is byte-identical to the direct path.
     """
+    # NULL turn text is pinned to '' (an empty line in the document):
+    # array_join would otherwise silently DROP null elements, breaking the
+    # per-turn equality invariant (turn count vs exploded lines).
+    transcripts = transcripts.withColumn("text", F.coalesce("text", F.lit("")))
     if salt_blocks is None:
         turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
         return (

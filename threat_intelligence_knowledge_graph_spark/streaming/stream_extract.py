@@ -141,7 +141,8 @@ def stateful_reassembly(
         new_texts: list[str] = []
         for pdf in pdfs:
             new_idxs.extend(int(i) for i in pdf["turn_idx"])
-            new_texts.extend(str(t) for t in pdf["text"])
+            # NULL text pinned to '' (same contract as reassemble()).
+            new_texts.extend("" if t is None else str(t) for t in pdf["text"])
         if state.exists:
             idxs_csv, texts_joined = state.get
             new_idxs = [int(x) for x in idxs_csv.split(",")] + new_idxs
