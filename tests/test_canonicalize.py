@@ -131,3 +131,24 @@ class TestAliasLayer:
         got = apply_canonicalization(edges, alias)
         assert got.count() == 1
         assert got.first().src_id == "a1"
+
+
+class TestReviewRegressions:
+    def test_cc_raises_on_nonconvergence(self, spark):
+        import pytest as _pytest
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["a", "b"]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=3)
+
+    def test_cross_type_hard_guard_long_values(self, spark):
+        # Long shared value dilutes the label-prefix shingles — the hard
+        # same-label filter must still prevent the merge.
+        long_val = "X_" + "_".join(f"Seg{i}" for i in range(60))
+        nodes = spark.createDataFrame(
+            [("Url", long_val), ("Filepath", long_val)],
+            ["node_label", "node_id"],
+        )
+        alias = build_alias_dictionary(nodes, jaccard_threshold=0.5)
+        assert alias.count() == 0

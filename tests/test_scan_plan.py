@@ -67,3 +67,18 @@ class TestScanPlanEquivalence:
     )
     def test_random_adversarial_text(self, text):
         assert find_iocs_doc(text) == naive_scan(text)
+
+
+class TestCidrRegressions:
+    """Review finding: shared trailing lookahead dropped CIDRs like
+    '1.2.3.4/24.5' that the per-class pattern accepts."""
+
+    def test_cidr_followed_by_dot_digit(self):
+        got = find_iocs_doc("ip 1.2.3.4/24.5 end")
+        assert got["ipv4_cidrs"] == ["1.2.3.4/24"] == naive_scan("ip 1.2.3.4/24.5 end")["ipv4_cidrs"]
+        assert got["ipv4s"] == []
+
+    def test_cidr_double_mask(self):
+        t = "range 10.0.0.0/8/24 end"
+        assert find_iocs_doc(t) == naive_scan(t)
+        assert find_iocs_doc(t)["ipv4_cidrs"] == ["10.0.0.0/8"]

@@ -48,20 +48,22 @@ class TestSaltedAgg:
         }
         assert salted == direct
 
-    def test_phase1_shards_bounded(self, spark):
-        # No single (key, salt) shard carries more than ~total/n_salts
-        # of the hot key (uniform hash split).
-        df = _skewed_df(spark)
-        salt = F.pmod(F.hash("k", "v"), F.lit(16))
+    def test_phase1_shards_bounded_single_column(self, spark):
+        # The degenerate shape that matters: grouping keys == all columns
+        # (hot_entity_counts). The salt must still split the hot key — a
+        # value-derived salt would collapse to ONE shard here.
+        from threat_intelligence_knowledge_graph_spark.operators.skew import _row_salt
+
+        df = _skewed_df(spark).select("k")  # single column == the key
         shards = (
-            df.withColumn("s", salt)
+            df.withColumn("s", _row_salt(16))
             .groupBy("k", "s")
             .count()
             .filter(F.col("k") == "CVE-2021-44228")
             .collect()
         )
-        assert len(shards) == 16
-        assert max(r["count"] for r in shards) < 8000 / 16 * 2
+        assert len(shards) > 1  # hot key genuinely sharded
+        assert max(r["count"] for r in shards) < 8000  # no single-shard collapse
 
     def test_hot_entity_counts(self, spark):
         triples = spark.createDataFrame(

@@ -49,7 +49,7 @@ def build_alias_dictionary(
     surface = nodes.select(
         F.col("node_id").alias("raw_id"),
         # Salt the blocking key with the label: type prefix joins the
-        # shingled text so cross-type ids can never collide in a bucket.
+        # shingled text so cross-type ids rarely collide in a bucket.
         F.concat_ws("|", "node_label", F.lower("node_id")).alias("surface"),
     )
     shingles = char_shingles(surface, "raw_id", "surface", n=3)
@@ -57,6 +57,25 @@ def build_alias_dictionary(
     banded = lsh_bands(signatures, bands=bands)
     pairs, _dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     verified = jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
+    # HARD same-label guard: the prefix salt is probabilistic (long ids
+    # dilute the label shingles below any Jaccard threshold), so enforce
+    # label equality on verified pairs before clustering — cross-type
+    # merges must be impossible, not merely unlikely.
+    labels_df = nodes.select(
+        F.col("node_id").alias("_lid"), F.col("node_label").alias("_label")
+    )
+    verified = (
+        verified.join(
+            labels_df.withColumnRenamed("_lid", "a").withColumnRenamed("_label", "_la"),
+            "a",
+        )
+        .join(
+            labels_df.withColumnRenamed("_lid", "b").withColumnRenamed("_label", "_lb"),
+            "b",
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .select("a", "b", "jaccard")
+    )
     components = connected_components(verified.select("a", "b"))
     return (
         components.filter(F.col("id") != F.col("component"))

@@ -15,7 +15,6 @@ UDF call.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 # (char_limit, overlap) profiles — reference main.py:27-53, config.py:99-102.
 CHUNK_PROFILES: dict[str, tuple[int, int] | None] = {
@@ -43,12 +42,15 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.col("doc_text").substr(s + 1, F.lit(char_limit))
     )
+    # total_chunks = size of the chunk array computed in the SAME
+    # projection — a count-over-window here would shuffle+sort every chunk
+    # row just to recount what the array already knows.
     return (
         documents.filter(F.length("doc_text") > 0)
-        .select("conv_id", F.posexplode(chunks).alias("chunk_index", "chunk_text"))
-        .withColumn(
-            "total_chunks",
-            F.count("*").over(Window.partitionBy("conv_id")).cast("int"),
+        .select(
+            "conv_id",
+            F.size(chunks).cast("int").alias("total_chunks"),
+            F.posexplode(chunks).alias("chunk_index", "chunk_text"),
         )
         .select("conv_id", "chunk_index", "total_chunks", "chunk_text")
     )

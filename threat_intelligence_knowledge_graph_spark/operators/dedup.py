@@ -89,14 +89,21 @@ def minhash_dedup(
     text_col: str = "text",
     **kwargs,
 ) -> DataFrame:
-    """Remove near-duplicates: cluster verified pairs with connected
-    components, keep min id per cluster."""
-    pairs = minhash_near_duplicates(documents, id_col, text_col, **kwargs)
+    """Remove near-duplicates: exact-dedup first, then cluster verified
+    LSH pairs with connected components and keep min id per cluster.
+
+    The exact pre-pass matters beyond speed: a text duplicated more times
+    than ``max_bucket_size`` would blow the LSH bucket cap and be dropped
+    from candidate generation entirely (see ``lsh_candidate_pairs`` —
+    dropped buckets are returned there, and the exact pass removes the
+    only unbounded source of identical-signature buckets)."""
+    exact = exact_dedup(documents, id_col, text_col)
+    pairs = minhash_near_duplicates(exact, id_col, text_col, **kwargs)
     components = connected_components(pairs.select("a", "b"))
     drop = components.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return documents.join(drop, id_col, "left_anti")
+    return exact.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

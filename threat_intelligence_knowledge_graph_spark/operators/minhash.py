@@ -144,13 +144,17 @@ def jaccard_verify(
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """(id, component) with component = min id in the component.
 
     Min-label propagation over the undirected edge list; converges in
     O(component diameter) joins. ``localCheckpoint`` per iteration keeps
-    the plan from growing unboundedly.
+    the plan from growing unboundedly. Raises if the iteration cap is hit
+    before convergence — silently returning split components would make
+    dedup keep duplicate survivors and the canonicalizer emit
+    inconsistent ids (fail loud; raise the cap or switch to
+    large-star/small-star for adversarial diameters).
     """
     sym = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -162,6 +166,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.y == labels.id)
@@ -188,5 +193,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter too large) — raise "
+            "max_iterations or use a star-contraction variant"
+        )
     return labels

@@ -192,29 +192,47 @@ def ivf_topk(
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int = 8,
+    bands: int = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cosine) pairs with cosine ≥ threshold, bucketed by
-    hyperplane LSH so the pairwise stage is per-bucket only."""
+    """(a, b, cosine) pairs with cosine ≥ threshold.
+
+    Banded hyperplane LSH: ``bands`` independent plane sets; a pair is a
+    candidate if it agrees on ANY band's full signature (union of
+    per-band bucket joins). A single signature would miss most qualifying
+    pairs — at cosine 0.95 a pair agrees on one 8-bit signature with
+    p≈0.43, but misses all 8 bands with p≈(1-0.43)^8 ≈ 1% (the same
+    banding math the MinHash path uses)."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    sigs = hyperplane_signatures(
-        embeddings, int(dim_row["d"]), n_planes, seed, id_col, vec_col
+    dim = int(dim_row["d"])
+    candidates = None
+    for band in range(bands):
+        sigs = hyperplane_signatures(
+            embeddings, dim, n_planes, seed + band * 1009, id_col, vec_col
+        )
+        left = sigs.select("bucket", F.col(id_col).alias("a"))
+        right = sigs.select("bucket", F.col(id_col).alias("b"))
+        band_pairs = (
+            left.join(right, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        candidates = band_pairs if candidates is None else candidates.unionAll(band_pairs)
+    candidates = candidates.distinct()
+    va_df = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
-    left = sigs.select(
-        "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    vb_df = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
-    right = sigs.select(
-        "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
-    )
-    va, vb = F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    va, vb = F.col("va"), F.col("vb")
     return (
-        left.join(right, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        candidates.join(va_df, "a")
+        .join(vb_df, "b")
         .withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .distinct()
     )

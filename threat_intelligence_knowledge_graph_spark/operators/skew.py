@@ -16,8 +16,13 @@ Three layers of defense in this engine, outermost first:
    Both phases are partial-agg-friendly; no reducer ever sees more than
    total/n_salts of a hot key's rows.
 
-Salt = ``pmod(hash(whole row), n_salts)`` — deterministic, uniform,
-requires no key statistics.
+Salt = ``pmod(monotonically_increasing_id(), n_salts)`` — a row's salt is
+independent of its VALUES (a hash-of-columns salt degenerates to a pure
+function of the key whenever the grouping keys cover all columns, which
+silently disables the protection for exactly the hot-key rollups this
+module exists for). The id is deterministic given the input partitioning;
+results are partition-independent either way since the salt only shapes
+the intermediate grouping.
 """
 
 from __future__ import annotations
@@ -25,11 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _row_salt(n_salts: int) -> Column:
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+
+
 def salted_count(df: DataFrame, keys: list[str], n_salts: int = 64) -> DataFrame:
     """``df.groupBy(keys).count()`` with two-phase salting."""
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     phase1 = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _row_salt(n_salts))
         .groupBy(*keys, "_salt")
         .agg(F.count("*").alias("_partial"))
     )
@@ -49,9 +57,8 @@ def salted_agg(
     Only decomposable aggregates are valid (sum/count/min/max — anything
     with an associative merge).
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     phase1 = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _row_salt(n_salts))
         .groupBy(*keys, "_salt")
         .agg(*[p1.alias(name) for name, (p1, _p2) in aggs.items()])
     )

@@ -65,7 +65,11 @@ def run_pipeline(
     ``fused=True`` runs reassembly+extraction as one shuffle + one Arrow
     pass (the hot path, see BENCH.md) — it skips the materialized
     ``documents`` checkpoint, trading stage-A resume granularity for ~2×
-    throughput; output tables are identical either way (tested).
+    throughput. The final graph tables (nodes/edges/triples) are
+    identical either way (tested); the intermediate ``extraction`` table
+    is NOT: the fused kernel pre-dedups per partition and omits edge
+    ``context`` by default, so its row counts/provenance differ from the
+    declarative per-conversation records.
 
     ``canonicalize=True`` enables stage D's alias layer (MinHash/LSH +
     connected components over node surface forms) and rewrites edge
@@ -76,12 +80,19 @@ def run_pipeline(
     """
     result = PipelineResult(run_id=run_id)
 
-    def stage_done(table: str, stage: str) -> bool:
-        return catalog.committed(table, run_id, stage)
+    def stage_done(table: str, stage: str, with_metrics: bool = False) -> bool:
+        """A stage counts as committed only when its LAST write landed —
+        for checkpoint stages that's the metrics merge, not the data
+        snapshot, else a crash between the two would skip the lineage
+        rows forever on resume (both writes are idempotent to redo)."""
+        ok = catalog.committed(table, run_id, stage)
+        if with_metrics:
+            ok = ok and catalog.committed("metrics", run_id, f"{stage}-metrics")
+        return ok
 
     # --- Stage A: reassembly (skipped in fused mode) ------------------------
     if not fused:
-        if not stage_done("documents", "reassemble"):
+        if not stage_done("documents", "reassemble", with_metrics=True):
             documents = reassemble(transcripts, salt_blocks=salt_blocks)
             catalog.overwrite(documents, "documents", run_id, "reassemble")
             catalog.merge(
@@ -97,7 +108,7 @@ def run_pipeline(
         documents = catalog.read(spark, "documents")
 
     # --- Stage C: extraction (checkpointed once, split by kind after) ------
-    if not stage_done("extraction", "extract"):
+    if not stage_done("extraction", "extract", with_metrics=True):
         if fused:
             extraction = extract_graph_records_fused(transcripts)
         else:

@@ -123,8 +123,13 @@ _HEX_RUN = re.compile(r"(?<![A-Fa-f0-9])([A-Fa-f0-9]{32,128})(?![A-Fa-f0-9])")
 _HEX_LEN_TO_CLASS = {32: "md5s", 40: "sha1s", 64: "sha256s", 128: "sha512s"}
 _HASH_CLASSES = set(_HEX_LEN_TO_CLASS.values())
 
+# Branch-specific lookaheads must mirror each per-class pattern exactly:
+# the cidr branch only forbids a digit continuation; the ipv4 branch also
+# forbids '.d' and '/d' continuations. A shared trailing lookahead would
+# reject CIDRs like '1.2.3.4/24.5' that the per-class pattern accepts.
 _IPV4_OR_CIDR = re.compile(
-    rf"(?<![\d.])({IPV4_CORE})(/(?:3[0-2]|[12]?\d))?(?!\d)(?!\.\d)(?!/\d)"
+    rf"(?<![\d.])({IPV4_CORE})"
+    rf"(?:(/(?:3[0-2]|[12]?\d))(?!\d)|(?!\d)(?!\.\d)(?!/\d))"
 )
 
 # class → substring that must be present for the regex to possibly match.

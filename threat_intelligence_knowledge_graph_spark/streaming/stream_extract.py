@@ -106,6 +106,8 @@ def stateful_reassembly(
         StructType,
     )
 
+    import json
+
     out_schema = StructType(
         [
             StructField("conv_id", StringType()),
@@ -113,20 +115,21 @@ def stateful_reassembly(
             StructField("n_turns", IntegerType()),
         ]
     )
-    # State: accumulated (turn_idx, text) pairs, encoded as parallel arrays.
+    # State: accumulated (turn_idx, text) pairs, JSON-encoded — a joined-
+    # string encoding would corrupt on texts containing the join char.
     state_schema = StructType(
         [
-            StructField("turn_idxs", StringType()),  # csv of ints
-            StructField("texts", StringType()),      # \x1f-joined
+            StructField("turn_idxs", StringType()),  # json list of ints
+            StructField("texts", StringType()),      # json list of strings
         ]
     )
 
     def fn(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
-            idxs_csv, texts_joined = state.get
-            idxs = [int(x) for x in idxs_csv.split(",")]
-            texts = texts_joined.split("\x1f")
+            idxs_json, texts_json = state.get
+            idxs = json.loads(idxs_json)
+            texts = json.loads(texts_json)
             ordered = [t for _, t in sorted(zip(idxs, texts))]
             state.remove()
             yield pd.DataFrame(
@@ -144,10 +147,10 @@ def stateful_reassembly(
             # NULL text pinned to '' (same contract as reassemble()).
             new_texts.extend("" if t is None else str(t) for t in pdf["text"])
         if state.exists:
-            idxs_csv, texts_joined = state.get
-            new_idxs = [int(x) for x in idxs_csv.split(",")] + new_idxs
-            new_texts = texts_joined.split("\x1f") + new_texts
-        state.update((",".join(map(str, new_idxs)), "\x1f".join(new_texts)))
+            idxs_json, texts_json = state.get
+            new_idxs = json.loads(idxs_json) + new_idxs
+            new_texts = json.loads(texts_json) + new_texts
+        state.update((json.dumps(new_idxs), json.dumps(new_texts)))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({"conv_id": [], "doc_text": [], "n_turns": []})
 
