@@ -170,6 +170,44 @@ def run_pipeline(
     return result
 
 
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: LocalTableCatalog,
+    run_id: str,
+    fused: bool = True,
+) -> PipelineResult:
+    """Daily-increment mode: process only conversations not yet in the
+    warehouse, then MERGE into the graph tables.
+
+    Seen-conversation lineage comes from the committed ``conv_seen``
+    table (conv_id set — tiny relative to the corpus); new transcripts
+    anti-join it, so a feed that replays old conversations costs one
+    broadcast-able anti-join instead of a full re-extraction. MERGE sinks
+    keep the result identical to a from-scratch run over the union
+    (asserted by tests).
+    """
+    if catalog.exists("conv_seen"):
+        seen = catalog.read(spark, "conv_seen")
+        todo = transcripts.join(seen, "conv_id", "left_anti")
+    else:
+        todo = transcripts
+    result = run_pipeline(
+        spark, todo, catalog, run_id=run_id, fused=fused, collect_counts=False
+    )
+    catalog.merge(
+        spark,
+        todo.select("conv_id").distinct(),
+        "conv_seen",
+        keys=["conv_id"],
+        run_id=run_id,
+        stage="conv-seen",
+    )
+    for t in ("nodes", "edges", "triples"):
+        result.counts[t] = catalog.read(spark, t).count()
+    return result
+
+
 def summarize_metrics(spark: SparkSession, catalog: LocalTableCatalog) -> DataFrame:
     """Stats aggregation (reference main.py:100-108,326-342 → SURVEY.md §2
     op 31): totals per (run, stage) from the per-partition lineage rows."""

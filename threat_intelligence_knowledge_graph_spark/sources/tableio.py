@@ -138,3 +138,23 @@ class LocalTableCatalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
+
+    def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots' data dirs
+        (the commit log keeps every record — history stays auditable,
+        only superseded data files are reclaimed). Returns the snapshot
+        ids removed. Equivalent of Iceberg's expire_snapshots."""
+        entries = self.log(name)
+        if len(entries) <= keep_last:
+            return []
+        keep = {e["snapshot"] for e in entries[-keep_last:]}
+        removed = []
+        for e in entries[:-keep_last]:
+            snap = e["snapshot"]
+            if snap in keep:
+                continue
+            path = self._snap_dir(name, snap)
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(snap)
+        return removed
