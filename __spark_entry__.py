@@ -442,6 +442,43 @@ def q_minhash_near_dup_docs(spark, sf_dir):
     return minhash_near_duplicates(d, jaccard_threshold=0.5)
 
 
+def q_similarity_lsh_topk(spark, sf_dir):
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return lsh_topk(emb, qvec, k=10).select(
+        "vec_id", F.round("cosine", 3).alias("cosine")
+    )
+
+
+def q_similarity_ivf_topk(spark, sf_dir):
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        assign_centroids,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents = sample_centroids(emb, 16)
+    assigns = assign_centroids(emb, cents)
+    return ivf_topk(emb, qvec, cents, assigns, k=10).select(
+        "vec_id", F.round("cosine", 3).alias("cosine")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.9).select(
+        "a", "b", F.round("cosine", 3).alias("cosine")
+    )
+
+
 def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
@@ -483,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
         "simhash_signatures": q_simhash_signatures,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
