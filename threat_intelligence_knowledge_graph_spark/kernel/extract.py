@@ -142,7 +142,10 @@ def _extract_relations(
 ) -> list[tuple[str, str, str, str, str, str]]:
     """Sentence-scoped pairwise relation extraction
     (reference stix_relation_extractor.py:118-296). Runs on RAW text."""
-    if not entities:
+    if len(entities) < 2:
+        # A pair needs two entities; skips the sentence split + containment
+        # scan for single-IOC documents (the common filler-doc fast path).
+        # Semantics identical: with <2 entities no sentence group can pair.
         return []
     sentences = _SENT_RX.split(raw_text)
 
