@@ -99,3 +99,41 @@ class TestMetricsSummary:
         s = summarize_metrics(spark, warehouse)
         stages = {r.stage for r in s.collect()}
         assert "extract" in stages
+
+
+class TestAnalystQueries:
+    def test_top_communicators(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            top_communicators,
+        )
+        rows = top_communicators(spark, k=5).collect()
+        assert rows and all(r.malware.startswith("Hash_") for r in rows)
+        assert [r.n_infra for r in rows] == sorted(
+            [r.n_infra for r in rows], reverse=True
+        )
+
+    def test_fast_flux_domains(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            fast_flux_domains,
+        )
+        rows = fast_flux_domains(spark, min_ips=1).collect()
+        assert rows and all(r.domain.startswith("Domain_") for r in rows)
+
+    def test_shared_infrastructure_symmetry(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            shared_infrastructure,
+        )
+        rows = shared_infrastructure(spark).collect()
+        for r in rows:
+            assert r.malware_a < r.malware_b  # canonical pair order
+
+    def test_cve_hotlist(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            cve_hotlist,
+        )
+        rows = cve_hotlist(spark, k=5).collect()
+        # Corpus seeds CVE targets via co-sentence (hash, cve) pairs which
+        # produce no edges — hotlist may be empty unless TARGETS exists;
+        # the query itself must run and respect ordering.
+        counts = [r["count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)

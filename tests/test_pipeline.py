@@ -160,3 +160,24 @@ class TestVacuum:
         assert removed == [0, 1]
         assert catalog.read(spark, "t").first().x == 3  # latest intact
         assert len(catalog.log("t")) == 4  # history preserved
+
+
+class TestCrashWindowResume:
+    def test_metrics_gap_recomputed_on_resume(self, spark, transcripts, tmp_path):
+        """Crash between a stage's data commit and its metrics commit must
+        not skip the stage on resume (review finding): the gate requires
+        BOTH commits."""
+        from threat_intelligence_knowledge_graph_spark.operators.reassembly import (
+            reassemble,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "crash"))
+        # Simulate the crash: data snapshot committed, metrics never merged.
+        catalog.overwrite(
+            reassemble(transcripts), "documents", run_id="r1", stage="reassemble"
+        )
+        assert not catalog.exists("metrics")
+
+        run_pipeline(spark, transcripts, catalog, run_id="r1")
+        stages = {r.stage for r in catalog.read(spark, "metrics").collect()}
+        assert "reassemble" in stages  # lineage recovered, not lost forever

@@ -68,6 +68,66 @@ def two_hop(spark: SparkSession, pred1: str | None = None, pred2: str | None = N
     )
 
 
+def top_communicators(spark: SparkSession, k: int = 20) -> DataFrame:
+    """Malware hashes ranked by distinct infrastructure they talk to —
+    the analyst's "noisiest implant" view."""
+    return spark.sql(
+        """
+        SELECT subj AS malware, count(DISTINCT obj) AS n_infra
+        FROM triples WHERE pred = 'COMMUNICATES_WITH'
+        GROUP BY subj ORDER BY n_infra DESC, malware LIMIT :k
+        """,
+        args={"k": k},
+    )
+
+
+def fast_flux_domains(spark: SparkSession, min_ips: int = 2) -> DataFrame:
+    """Domains resolving to many IPs (fast-flux indicator)."""
+    return spark.sql(
+        """
+        SELECT subj AS domain, count(DISTINCT obj) AS n_ips
+        FROM triples WHERE pred = 'RESOLVES_TO'
+        GROUP BY subj HAVING count(DISTINCT obj) >= :m
+        ORDER BY n_ips DESC, domain
+        """,
+        args={"m": min_ips},
+    )
+
+
+def shared_infrastructure(spark: SparkSession) -> DataFrame:
+    """Pairs of malware samples sharing a C2 endpoint — the classic
+    campaign-clustering join (self-join on obj; AQE splits hot hubs)."""
+    t1 = spark.table("triples").alias("t1")
+    t2 = spark.table("triples").alias("t2")
+    return (
+        t1.filter(F.col("t1.pred") == "COMMUNICATES_WITH")
+        .join(
+            t2.filter(F.col("t2.pred") == "COMMUNICATES_WITH"),
+            F.col("t1.obj") == F.col("t2.obj"),
+        )
+        .filter(F.col("t1.subj") < F.col("t2.subj"))
+        .select(
+            F.col("t1.subj").alias("malware_a"),
+            F.col("t2.subj").alias("malware_b"),
+            F.col("t1.obj").alias("shared_endpoint"),
+        )
+        .distinct()
+    )
+
+
+def cve_hotlist(spark: SparkSession, k: int = 10) -> DataFrame:
+    """Most-referenced vulnerabilities across the corpus (the hot-skew
+    entities by design) — uses the salted rollup for the degree count."""
+    from ..operators.skew import hot_entity_counts
+
+    return (
+        hot_entity_counts(spark.table("triples"))
+        .filter(F.col("entity").startswith("Vulnerability_"))
+        .orderBy(F.col("count").desc(), "entity")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
