@@ -415,6 +415,16 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
 def q_latest_event_per_user(spark, sf_dir):
     e = _t(spark, sf_dir, "events").alias("e")
     last = (
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_status": q_pivot_order_status,
         "anti_join_orders": q_anti_join_orders,
         "events_hourly": q_events_hourly,
+        "events_percentiles": q_events_percentiles,
         "latest_event_per_user": q_latest_event_per_user,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_token_counts": q_text_token_counts,
@@ -739,6 +750,14 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
         """,
         "latest_event_per_user": """
             WITH last AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
