@@ -736,11 +736,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
+        # DuckDB sum(int) is HUGEINT (decimal128 in Arrow) while Spark's is
+        # bigint; the driver hash is type-sensitive, so cast explicitly.
         "pivot_order_status": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+                   cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_f,
+                   cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_o,
+                   cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint) AS n_p
             FROM orders GROUP BY o_orderpriority
         """,
         "anti_join_orders": """

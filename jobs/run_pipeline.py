@@ -1,9 +1,16 @@
 """spark-submit entry point: transcripts parquet → KG warehouse.
 
-Production invocation (the north rule's deployment shape)::
+``--input`` may be any Spark-readable URI (s3a://, hdfs://, file paths).
+``--warehouse`` must be a LOCAL filesystem path: ``LocalTableCatalog``
+manages its snapshot log with os/json/shutil. Pointing the warehouse at an
+object store requires swapping in a real Iceberg catalog at the TableIO
+seam (see ``sources/tableio.py`` module docstring); the CLI validates the
+scheme and fails fast rather than crashing mid-run.
+
+Invocation::
 
     spark-submit --py-files tikg_pyfiles.zip jobs/run_pipeline.py \
-        --input s3://bucket/transcripts/ --warehouse s3://bucket/kg/ \
+        --input s3a://bucket/transcripts/ --warehouse /mnt/shared/kg-wh \
         --run-id 2026-08-16 --fused
 
 Local::
@@ -49,6 +56,12 @@ def main() -> None:
 
     if args.model != "ner":
         raise SystemExit("only the deterministic 'ner' extractor is productionized")
+    if "://" in args.warehouse and not args.warehouse.startswith("file://"):
+        raise SystemExit(
+            "--warehouse must be a local filesystem path: LocalTableCatalog "
+            "keeps its snapshot log via os/json; plug an Iceberg catalog "
+            "into the TableIO seam for object-store warehouses"
+        )
 
     spark = build_session("tikg-pipeline")
     catalog = LocalTableCatalog(args.warehouse)

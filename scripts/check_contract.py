@@ -25,6 +25,28 @@ TABLES = [
 ]
 
 
+def _type_kind(t: str) -> str:
+    """Canonical type class so e.g. DuckDB HUGEINT (decimal128) vs Spark
+    bigint is flagged — the driver's value hash is type-sensitive, and
+    this replica must be too (pivot_order_status regression, round 1)."""
+    t = t.lower()
+    if "decimal" in t or "hugeint" in t:
+        return "decimal"
+    if any(k in t for k in ("tinyint", "smallint", "int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("float", "double", "real")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if any(k in t for k in ("string", "varchar", "char", "text")):
+        return "str"
+    if "timestamp" in t or "date" in t:
+        return "ts"
+    if "array" in t or "list" in t or t.endswith("[]"):
+        return "list"
+    return t
+
+
 def norm_cell(v):
     if isinstance(v, float):
         return f"{v:.9g}"
@@ -64,9 +86,10 @@ def main(sf_dir: str) -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]  # real types (BIGINT vs HUGEINT)
+            drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
@@ -74,6 +97,16 @@ def main(sf_dir: str) -> int:
         if sorted(scols) != sorted(dcols):
             failures.append((name, f"columns {sorted(scols)} vs {sorted(dcols)}"))
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        stypes = {f.name: _type_kind(f.dataType.simpleString()) for f in sdf.schema.fields}
+        type_mismatch = [
+            (c, stypes[c], _type_kind(dt))
+            for c, dt in zip(dcols, dtypes)
+            if stypes[c] != _type_kind(dt)
+        ]
+        if type_mismatch:
+            failures.append((name, f"type kinds {type_mismatch}"))
+            print(f"FAIL {name}: type kinds (col, spark, duckdb) = {type_mismatch}")
             continue
         if len(srows) != len(drows):
             failures.append((name, f"rowcount {len(srows)} vs {len(drows)}"))

@@ -142,6 +142,11 @@ def run_pipeline(
     edges = catalog.read(spark, "edges")
 
     # --- Stage D (optional): alias canonicalization -------------------------
+    # The rewrite is committed as its own `edges_canonical` table (and
+    # feeds the triples build) rather than silently diverging from the
+    # raw `edges` view: the raw edges/nodes tables keep surface-form ids
+    # for provenance, `edges_canonical`/`triples` carry resolved ids, and
+    # graph queries choose explicitly which layer they read.
     if canonicalize:
         if not stage_done("canonical_map", "canonicalize"):
             # Conservative threshold: ids are already exact-canonical, so
@@ -151,7 +156,16 @@ def run_pipeline(
             alias = build_alias_dictionary(nodes, jaccard_threshold=0.9)
             catalog.overwrite(alias, "canonical_map", run_id, "canonicalize")
         alias = catalog.read(spark, "canonical_map")
-        edges = apply_canonicalization(edges, alias)
+        if not stage_done("edges_canonical", "canonicalize"):
+            catalog.merge(
+                spark,
+                apply_canonicalization(edges, alias),
+                "edges_canonical",
+                keys=["src_id", "rel_type", "dst_id"],
+                run_id=run_id,
+                stage="canonicalize",
+            )
+        edges = catalog.read(spark, "edges_canonical")
 
     if not stage_done("triples", "assemble"):
         triples = build_triples(edges)

@@ -113,6 +113,14 @@ class LocalTableCatalog:
         WHEN MATCHED → new row wins (last-writer, reference MERGE ``SET n
         += props``); WHEN NOT MATCHED → insert. Idempotent: merging the
         same batch twice is a no-op on content.
+
+        Incoming batches carrying duplicate keys with *different* values
+        would make the survivor nondeterministic (every incoming row has
+        ``_commit=1``); callers pre-dedup on keys (the pipeline does —
+        nodes/edges/triples are distinct-by-key before merge). Key-only
+        tables skip the max_by path entirely: a plain ``distinct`` over
+        the keys is the whole merge (and avoids an empty-struct max_by,
+        a fragile edge case).
         """
         if self.exists(name):
             current = self.read(spark, name).withColumn("_commit", F.lit(0))
@@ -121,13 +129,16 @@ class LocalTableCatalog:
         else:
             unioned = df.withColumn("_commit", F.lit(1))
         value_cols = [c for c in unioned.columns if c not in keys and c != "_commit"]
-        merged = (
-            unioned.groupBy(*keys)
-            .agg(
-                F.max_by(F.struct(*value_cols), F.col("_commit")).alias("_v")
+        if not value_cols:
+            merged = unioned.select(*keys).distinct()
+        else:
+            merged = (
+                unioned.groupBy(*keys)
+                .agg(
+                    F.max_by(F.struct(*value_cols), F.col("_commit")).alias("_v")
+                )
+                .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in value_cols])
             )
-            .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in value_cols])
-        )
         os.makedirs(self._table_dir(name), exist_ok=True)
         snap = self._next_snapshot(name)
         merged.write.mode("overwrite").parquet(self._snap_dir(name, snap))

@@ -64,7 +64,11 @@ def stream_extract(
                 spark, edges, "edges", keys=["src_id", "rel_type", "dst_id"],
                 run_id=run_id, stage=f"batch-{batch_id}-edges",
             )
-            triples = build_triples(catalog.read(spark, "edges"))
+            # Triples delta comes from THIS batch's (already endpoint-
+            # checked) edges, not a re-read of the whole edges table —
+            # per-batch work stays O(batch), not O(total graph); the
+            # key-based MERGE keeps the result identical and idempotent.
+            triples = build_triples(edges)
             catalog.merge(
                 spark, triples, "triples", keys=["subj", "pred", "obj"],
                 run_id=run_id, stage=f"batch-{batch_id}-triples",
