@@ -445,19 +445,80 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
-# --- rows-only entries (not SQL-expressible; weaker driver check) ----------
+# --- dedup / ANN entries over PLANTED corpora -------------------------------
+# The sf tables carry random text/vectors, where approximate operators'
+# outputs aren't SQL-predictable. These entries plant deterministic
+# near-duplicates (derived from o_orderkey on BOTH sides) chosen so the
+# approximate operator provably returns the exact answer:
+# - identical shingle sets / identical directions ⇒ identical LSH
+#   signatures in every band ⇒ candidacy is guaranteed, not probabilistic;
+# - all other cosines/jaccards sit far below the threshold ⇒ exact
+#   verification removes any chance collisions.
+# The DuckDB oracle then computes the expected set independently (full
+# brute-force pair join / exact top-k), making each entry an
+# "approximate == exact on this corpus" equivalence check.
+
+def _planted_near_dup_docs(spark, sf_dir):
+    """Two docs per orderkey: cyclic 4-word texts repeated 5× and 7×.
+
+    Same word cycle ⇒ identical word-3-shingle sets ⇒ jaccard exactly 1.0
+    and guaranteed LSH candidacy. For o_orderkey % 3 == 0 the second doc
+    swaps the 4th word, dropping jaccard to 1/7 — a below-threshold
+    family the verifier must exclude."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    )
+    ks = F.col("k").cast("string")
+    w = lambda p: F.concat(F.lit(p), ks)  # noqa: E731
+    last = F.when(
+        (F.col("j") == 1) & (F.col("k") % 3 == 0), w("we")
+    ).otherwise(w("wd"))
+    base = F.concat_ws(" ", w("wa"), w("wb"), w("wc"), last)
+    text = F.array_join(F.array_repeat(base, (F.lit(5) + F.col("j") * 2).cast("int")), " ")
+    return pairs.select(
+        (F.col("k") * 2 + F.col("j")).alias("doc_id"), text.alias("text")
+    )
+
 
 def q_minhash_near_dup_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, jaccard_threshold=0.5)
+    docs = _planted_near_dup_docs(spark, sf_dir)
+    return minhash_near_duplicates(docs, jaccard_threshold=0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _planted_vectors(spark, sf_dir):
+    """(vec_id, embedding): dim-8 vectors s·[1, t, 0…] with t = (key%50)/10
+    and integer scale s ∈ {1,2,3}. The t=0 vectors are exact positive
+    multiples of the query [1,0,…] — cosine exactly 1.0, same hyperplane
+    signature and same IVF assignment as the query — so the approximate
+    top-k provably equals the exact top-k."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = (k % 3 + 1).cast("double")
+    t = (k % 50).cast("double") / F.lit(10.0)
+    vec = F.array(s, s * t, *[F.lit(0.0)] * 6)
+    return o.select(k.alias("vec_id"), vec.alias("embedding"))
+
+
+_PLANTED_VECTORS_SQL = """
+    SELECT o_orderkey AS vec_id,
+           [cast(o_orderkey % 3 + 1 AS double),
+            cast(o_orderkey % 3 + 1 AS double) * (cast(o_orderkey % 50 AS double) / 10.0),
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS emb
+    FROM orders
+"""
+
+_QVEC8 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
     from threat_intelligence_knowledge_graph_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return lsh_topk(emb, qvec, k=10).select(
+    emb = _planted_vectors(spark, sf_dir)
+    return lsh_topk(emb, _QVEC8, k=10).select(
         "vec_id", F.round("cosine", 3).alias("cosine")
     )
 
@@ -469,22 +530,39 @@ def q_similarity_ivf_topk(spark, sf_dir):
         sample_centroids,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    emb = _planted_vectors(spark, sf_dir)
     cents = sample_centroids(emb, 16)
     assigns = assign_centroids(emb, cents)
-    return ivf_topk(emb, qvec, cents, assigns, k=10).select(
+    return ivf_topk(emb, _QVEC8, cents, assigns, k=10).select(
         "vec_id", F.round("cosine", 3).alias("cosine")
     )
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Planted dim-64 basis-direction vectors, two scales per orderkey
+    multiple of 199: same-direction pairs have cosine exactly 1.0 (and
+    identical signatures in every LSH band ⇒ guaranteed candidacy);
+    cross-direction cosine is exactly 0. The oracle brute-forces all
+    pairs, so LSH output must equal the exact pair set."""
     from threat_intelligence_knowledge_graph_spark.operators.similarity import (
         embedding_near_duplicates,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.9).select(
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 199 == 0)
+    rows = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    )
+    idx = ((F.col("k") / 199).cast("long") % 64).cast("int")
+    scale = (F.col("j") + 1).cast("double")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i == idx, scale).otherwise(F.lit(0.0)),
+    )
+    emb = rows.select(
+        (F.col("k") * 2 + F.col("j")).alias("vec_id"), vec.alias("embedding")
+    )
+    return embedding_near_duplicates(emb, threshold=0.9, dim=64).select(
         "a", "b", F.round("cosine", 3).alias("cosine")
     )
 
@@ -835,5 +913,84 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        # Planted corpus (see _planted_near_dup_docs): expected pairs are
+        # exactly the same-word-cycle families — jaccard 1.0 for
+        # o_orderkey % 3 <> 0; the % 3 = 0 families share only 1 of 7
+        # shingles (1/7 < 0.8) and must be excluded by the verifier.
+        "minhash_near_dup_docs": """
+            SELECT 2 * o_orderkey AS a,
+                   2 * o_orderkey + 1 AS b,
+                   cast(1.0 AS double) AS jaccard
+            FROM orders
+            WHERE o_orderkey % 3 <> 0
+        """,
+        # Independent simhash recomputation: md5_number_upper(token) is
+        # bit-identical to the kernel's md5-derived 64-bit token hash
+        # (first 8 digest bytes, little-endian); two's-complement signed
+        # reconstruction via the -2^63 term for bit 63.
+        "simhash_signatures": r"""
+            WITH toks AS (
+              SELECT d.doc_id, t.tok
+              FROM documents d,
+                   unnest(regexp_split_to_array(lower(d.text), '\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            ), bal AS (
+              SELECT doc_id, j.j AS j,
+                     sum(CASE WHEN (md5_number_upper(tok) >> j.j) & 1 = 1
+                              THEN 1 ELSE -1 END) AS balance
+              FROM toks, (SELECT unnest(range(0, 64)) AS j) j
+              GROUP BY doc_id, j.j
+            ), sig AS (
+              SELECT doc_id,
+                     cast(sum(CASE WHEN balance > 0 THEN
+                       CASE WHEN j = 63 THEN -9223372036854775808
+                            ELSE (cast(1 AS bigint) << cast(j AS int)) END
+                       ELSE 0 END) AS bigint) AS simhash
+              FROM bal GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+        """,
+        # Planted vectors (see _planted_vectors): the oracle brute-forces
+        # the exact top-k; the construction guarantees the approximate
+        # searches return the same set (t=0 vectors are exact positive
+        # multiples of the query).
+        "similarity_lsh_topk": f"""
+            WITH v AS ({_PLANTED_VECTORS_SQL})
+            SELECT vec_id,
+                   round(list_cosine_similarity(emb,
+                     [1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]), 3) AS cosine
+            FROM v
+            ORDER BY list_cosine_similarity(emb,
+                     [1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]) DESC, vec_id
+            LIMIT 10
+        """,
+        "similarity_ivf_topk": f"""
+            WITH v AS ({_PLANTED_VECTORS_SQL})
+            SELECT vec_id,
+                   round(list_cosine_similarity(emb,
+                     [1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]), 3) AS cosine
+            FROM v
+            ORDER BY list_cosine_similarity(emb,
+                     [1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]) DESC, vec_id
+            LIMIT 10
+        """,
+        # Exact brute-force pair join over the planted basis vectors;
+        # the banded-LSH operator must reproduce it exactly (cosines are
+        # exactly 1.0 within a direction, exactly 0.0 across).
+        "embedding_near_dups": """
+            WITH v AS (
+              SELECT 2 * o_orderkey + j.j AS vec_id,
+                     list_transform(range(0, 64), i ->
+                       CASE WHEN i = (o_orderkey // 199) % 64
+                            THEN cast(j.j + 1 AS double) ELSE 0.0 END) AS emb
+              FROM orders, (SELECT unnest([0, 1]) AS j) j
+              WHERE o_orderkey % 199 = 0
+            )
+            SELECT va.vec_id AS a, vb.vec_id AS b,
+                   round(list_cosine_similarity(va.emb, vb.emb), 3) AS cosine
+            FROM v va JOIN v vb ON va.vec_id < vb.vec_id
+            WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.9
         """,
     }

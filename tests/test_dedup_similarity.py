@@ -71,6 +71,22 @@ class TestSimhash:
         sigs = {r.doc_id: r.simhash for r in simhash_signatures_df(df).collect()}
         assert sigs[1] == sigs[2]
 
+    def test_single_token_signature_is_token_hash(self, spark):
+        """A one-token doc's per-bit balance is ±1 exactly, so the
+        signature must equal the token's md5-derived 64-bit hash —
+        regression for the uint64-underflow bug that set every bit."""
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            _token_hash_u64,
+        )
+
+        df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+        sig = simhash_signatures_df(df).first().simhash
+        expected = _token_hash_u64("hello")
+        if expected >= 1 << 63:
+            expected -= 1 << 64
+        assert sig == expected
+        assert sig != -1
+
     def test_near_duplicates(self, spark):
         words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
         a = " ".join(words)

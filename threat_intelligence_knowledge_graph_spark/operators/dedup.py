@@ -115,12 +115,25 @@ _SIMHASH_SCHEMA = StructType(
 )
 
 
+def _token_hash_u64(token: str) -> int:
+    """Engine-portable 64-bit token hash: first 8 md5 digest bytes,
+    little-endian — exactly DuckDB's ``md5_number_upper(token)``. Using a
+    cross-engine-reproducible hash (instead of e.g. pandas' internal
+    hash) is what makes simhash signatures SQL-oracle-able."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+
+
 def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """64-bit simhash per doc: sign of per-bit sums of token hashes.
 
-    Vectorized: one numpy unpackbits + matmul per Arrow batch, no per-token
-    Python.
+    Token hashes are md5-derived (see ``_token_hash_u64``) with a
+    per-batch memo (token vocab across a batch is much smaller than the
+    token stream); the per-bit balance is one numpy unpackbits + sum per
+    doc, no per-token Python beyond the memoized hash.
     """
+    memo: dict[str, int] = {}
     out_ids, out_hashes = [], []
     for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
         tokens = str(text).lower().split()
@@ -128,11 +141,15 @@ def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out_ids.append(doc_id)
             out_hashes.append(0)
             continue
-        # Deterministic 64-bit token hashes (numpy vectorized fold of
-        # Python hashes would be per-token; use pandas util hash instead).
-        hashes = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+        for t in tokens:
+            if t not in memo:
+                memo[t] = _token_hash_u64(t)
+        hashes = np.fromiter(
+            (memo[t] for t in tokens), dtype=np.uint64, count=len(tokens)
+        )
         bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        balance = bits.sum(axis=0) * 2 - len(tokens)  # (+1/-1 sums per bit)
+        # signed: a uint64 sum would underflow below len/2 ones per bit
+        balance = bits.sum(axis=0).astype(np.int64) * 2 - len(tokens)
         sig_bits = (balance > 0).astype(np.uint8)
         sig = int.from_bytes(np.packbits(sig_bits, bitorder="little").tobytes(), "little")
         out_ids.append(doc_id)
@@ -156,10 +173,18 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
-    within distance 3 agrees on ≥1 band → equi-join per band (shuffle on a
-    16-bit key), verify with JVM ``bit_count`` on XOR. No O(n²) stage.
+    Pigeonhole banding: 64 bits split into ``max_hamming + 1`` bands — a
+    pair within the distance budget must agree exactly on ≥1 band (it
+    can't touch all of them), so an equi-join per band finds every
+    qualifying pair; ``bit_count`` on XOR verifies JVM-side. No O(n²)
+    stage. Scale note: larger ``max_hamming`` ⇒ narrower band keys ⇒
+    bigger buckets — keep it small (≤ 7, i.e. ≥ 8-bit bands) on large
+    corpora.
     """
+    nbands = max_hamming + 1
+    if nbands > 32:
+        raise ValueError("max_hamming must be ≤ 31 (bands need ≥2 bits)")
+    bounds = [64 * i // nbands for i in range(nbands + 1)]
     sigs = simhash_signatures_df(documents, id_col, text_col)
     banded = sigs.select(
         F.col("doc_id"),
@@ -169,11 +194,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(nbands)
                 ]
             )
         ).alias("bk"),

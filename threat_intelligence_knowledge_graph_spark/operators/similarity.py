@@ -85,13 +85,11 @@ def hyperplane_signatures(
     Planes are literal arrays (broadcast with the plan); the signature is
     a pure Catalyst fold, no Python at scan time.
     """
-    planes = _planes(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _band_bucket_expr(dim, n_planes, seed, vec_col).alias("bucket"),
+    )
 
 
 def query_bucket(query_vec: list[float], n_planes: int = 8, seed: int = 7) -> int:
@@ -189,6 +187,17 @@ def ivf_topk(
     return brute_force_topk(subset, query_vec, k, id_col, vec_col)
 
 
+def _band_bucket_expr(dim: int, n_planes: int, seed: int, vec_col: str):
+    """Catalyst expression for one band's sign-bit bucket."""
+    planes = _planes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -197,31 +206,49 @@ def embedding_near_duplicates(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold.
 
     Banded hyperplane LSH: ``bands`` independent plane sets; a pair is a
-    candidate if it agrees on ANY band's full signature (union of
-    per-band bucket joins). A single signature would miss most qualifying
-    pairs — at cosine 0.95 a pair agrees on one 8-bit signature with
-    p≈0.43, but misses all 8 bands with p≈(1-0.43)^8 ≈ 1% (the same
-    banding math the MinHash path uses)."""
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    candidates = None
-    for band in range(bands):
-        sigs = hyperplane_signatures(
-            embeddings, dim, n_planes, seed + band * 1009, id_col, vec_col
-        )
-        left = sigs.select("bucket", F.col(id_col).alias("a"))
-        right = sigs.select("bucket", F.col(id_col).alias("b"))
-        band_pairs = (
-            left.join(right, "bucket")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-        )
-        candidates = band_pairs if candidates is None else candidates.unionAll(band_pairs)
-    candidates = candidates.distinct()
+    candidate if it agrees on ANY band's full signature. A single
+    signature would miss most qualifying pairs — at cosine 0.95 a pair
+    agrees on one 8-bit signature with p≈0.43, but misses all 8 bands
+    with p≈(1-0.43)^8 ≈ 1% (the same banding math the MinHash path uses).
+
+    Scale shape: ONE scan of the input computes every band's bucket in a
+    single projection (an ``explode`` over per-band structs), so the only
+    per-band cost is the (band, bucket)-keyed self-join on skinny
+    (band, bucket, id) rows; verification joins the sparse candidate
+    pairs back to the vectors. Pass ``dim`` when known to skip the
+    driver-side dimension probe job.
+    """
+    if dim is None:
+        dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    banded = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        _band_bucket_expr(
+                            dim, n_planes, seed + band * 1009, vec_col
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col(id_col).alias("a"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("b"))
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     va_df = embeddings.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
