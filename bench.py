@@ -122,19 +122,30 @@ def main() -> None:
     try:
         import __spark_entry__ as entry_mod
 
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            minhash_near_duplicates,
+        )
+
         qmap = entry_mod.queries()
         for name in (
             "tpch_q1",
             "join_customer_orders",
             "events_sessionize",
             "dedup_exact_docs",
-            "minhash_near_dup_docs",
             "similarity_topk",
             "text_quality_score",
         ):
             t0 = time.time()
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             queries[name] = round(time.time() - t0, 3)
+        # The contract entry now runs a planted 2×|orders| corpus (a
+        # correctness artifact); the bench keeps timing the r01-comparable
+        # workload: near-dup pairs over the sf documents table.
+        t0 = time.time()
+        minhash_near_duplicates(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), jaccard_threshold=0.5
+        ).write.format("noop").mode("overwrite").save()
+        queries["minhash_near_dup_docs"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
 

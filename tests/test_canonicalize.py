@@ -43,6 +43,31 @@ class TestMinhashLsh:
         assert {(r.a, r.b) for r in pairs.collect()} == {("a", "b")}
         assert dropped.count() == 0
 
+    def test_fused_band_keys_group_like_narrow_path(self, spark):
+        """lsh_band_keys (one-pass wide agg) must induce the same
+        candidate pairs as lsh_bands(minhash_signatures(...)) — the
+        band composition (seed ≡ band mod bands) is identical, only the
+        band_key hash encoding differs."""
+        from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+            lsh_band_keys,
+        )
+
+        texts = [
+            ("a", "the quick brown fox jumps"),
+            ("b", "the quick brown fox jumped"),
+            ("c", "a completely different sentence here"),
+            ("d", "the quick brown fox jumps"),
+            ("e", "yet another unrelated string value"),
+        ]
+        df = spark.createDataFrame(texts, ["id", "t"])
+        sh = char_shingles(df, "id", "t")
+        old_banded = lsh_bands(minhash_signatures(sh, 16), bands=4)
+        old_pairs, _ = lsh_candidate_pairs(old_banded)
+        new_pairs, _ = lsh_candidate_pairs(lsh_band_keys(sh, 16, bands=4))
+        assert {(r.a, r.b) for r in old_pairs.collect()} == {
+            (r.a, r.b) for r in new_pairs.collect()
+        }
+
     def test_disjoint_texts_no_pairs(self, spark):
         df = spark.createDataFrame(
             [("a", "aaaaaaaaaaaa"), ("b", "zzzzzzzzzzzz")], ["id", "t"]

@@ -28,9 +28,8 @@ from .minhash import (
     char_shingles,
     connected_components,
     jaccard_verify,
-    lsh_bands,
+    lsh_band_keys,
     lsh_candidate_pairs,
-    minhash_signatures,
 )
 
 
@@ -53,8 +52,7 @@ def build_alias_dictionary(
         F.concat_ws("|", "node_label", F.lower("node_id")).alias("surface"),
     )
     shingles = char_shingles(surface, "raw_id", "surface", n=3)
-    signatures = minhash_signatures(shingles, num_hashes=num_hashes)
-    banded = lsh_bands(signatures, bands=bands)
+    banded = lsh_band_keys(shingles, num_hashes=num_hashes, bands=bands)
     pairs, _dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     verified = jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
     # HARD same-label guard: the prefix salt is probabilistic (long ids

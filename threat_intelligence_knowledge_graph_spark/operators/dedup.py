@@ -29,9 +29,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 from .minhash import (
     connected_components,
     jaccard_verify,
-    lsh_bands,
+    lsh_band_keys,
     lsh_candidate_pairs,
-    minhash_signatures,
     word_shingles,
 )
 
@@ -77,8 +76,7 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs."""
     shingles = word_shingles(documents, id_col, text_col, n=shingle_words)
-    signatures = minhash_signatures(shingles, num_hashes=num_hashes)
-    banded = lsh_bands(signatures, bands=bands)
+    banded = lsh_band_keys(shingles, num_hashes=num_hashes, bands=bands)
     pairs, _dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     return jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
 
@@ -238,6 +236,6 @@ def ngram_jaccard_pairs(
     """(a, b, jaccard) — exact word-n-gram Jaccard ≥ threshold, with LSH
     pre-filtering so the exact computation only touches candidates."""
     shingles = word_shingles(documents, id_col, text_col, n=n)
-    banded = lsh_bands(minhash_signatures(shingles, num_hashes), bands=bands)
+    banded = lsh_band_keys(shingles, num_hashes=num_hashes, bands=bands)
     pairs, _ = lsh_candidate_pairs(banded)
     return jaccard_verify(pairs, shingles, threshold=threshold)

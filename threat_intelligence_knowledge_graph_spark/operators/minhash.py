@@ -60,20 +60,71 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def _wide_signatures(shingles: DataFrame, num_hashes: int) -> DataFrame:
+    """(_id, _mh0.._mh{n-1}) — every minhash as a parallel min-agg column
+    in one map-side-combinable pass over the shingle rows."""
+    return shingles.groupBy("_id").agg(
+        *[
+            F.min(F.hash("shingle", F.lit(s).cast("int"))).alias(f"_mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(
+    shingles: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, band_key) directly from shingles — the fused fast path.
+
+    One aggregation pass (wide signatures) + a pure projection of per-band
+    hashes + an explode to docs×bands skinny rows. Equivalent grouping to
+    ``lsh_bands(minhash_signatures(...))`` — band b covers seeds ≡ b (mod
+    bands), and two ids share a (band, band_key) iff that band's mh tuple
+    hash-matches — but skips materializing docs×num_hashes narrow rows
+    and their second shuffle+collect_list aggregation (the dominant cost
+    at corpus scale)."""
+    wide = _wide_signatures(shingles, num_hashes)
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[F.col(f"_mh{s}") for s in range(num_hashes) if s % bands == b]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "_id", F.explode(F.array(*structs)).alias("_x")
+    ).select("_id", "_x.band", "_x.band_key")
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(id, seed, mh) — minhash per seed via seeded murmur3.
 
-    One explode×num_hashes via a broadcast seed dimension, then a map-side
-    combinable min aggregation.
+    All ``num_hashes`` mins are computed as parallel aggregation columns
+    in ONE hash-agg pass over the shingle rows (map-side combinable), so
+    the shuffle carries one row of ``num_hashes`` ints per id — not the
+    ×num_hashes exploded shingle stream a seed-dimension join would feed
+    it (64× less shuffle input at 100 TB). The narrow (id, seed, mh)
+    shape is rebuilt afterwards by exploding docs×num_hashes rows, which
+    is negligible next to the shingle stream. Values are identical to
+    the seed-join formulation: ``hash(shingle, seed)`` per seed literal.
     """
-    spark = shingles.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingles.join(F.broadcast(seeds))
-        .select("_id", "seed", F.hash("shingle", "seed").alias("h"))
-        .groupBy("_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
+    wide = _wide_signatures(shingles, num_hashes)
+    return wide.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("seed"),
+                        F.col(f"_mh{s}").alias("mh"),
+                    )
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("_x"),
+    ).select("_id", "_x.seed", "_x.mh")
 
 
 def lsh_bands(signatures: DataFrame, bands: int = 16) -> DataFrame:
