@@ -82,6 +82,21 @@ _CTI_TEXT_SQL = """
 _IPV4_SIMPLE = r"(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _CVE_RX = r"CVE-[0-9]{4}-[0-9]{4,7}"
 
+_KERNEL_TRIPLES_SQL = """
+    SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS subj,
+           'RESOLVES_TO' AS pred,
+           'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
+             || cast((o_orderkey * 7) % 250 AS varchar) || '_'
+             || cast((o_orderkey % 249) + 1 AS varchar) AS obj
+    FROM orders
+    UNION
+    SELECT 'Url_Https___Evil-' || cast(o_orderkey AS varchar)
+             || '_Example_Net_P' || cast(o_orderkey AS varchar) AS subj,
+           'CONTAINS' AS pred,
+           'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS obj
+    FROM orders
+"""
+
 
 # ---------------------------------------------------------------------------
 # queries()
@@ -187,6 +202,31 @@ def q_kg_nodes_from_kernel(spark, sf_dir):
     return (
         records.filter(F.col("kind") == "node")
         .select("node_label", "node_id")
+        .distinct()
+    )
+
+
+def q_kg_llm_mock_triples(spark, sf_dir):
+    """Full LLM-extractor plumbing (chunk dispatch → batch backend → JSON
+    repair → stored records) with the deterministic mock backend over the
+    constructed CTI corpus; every 3rd payload is truncated so the repair
+    path runs inside the gate. Constructed docs are single-chunk, so the
+    expected triples equal the kernel oracle's analytic prediction."""
+    from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+        LlmExtractor,
+        MockKernelBackend,
+    )
+
+    docs = _cti_docs(spark, sf_dir)  # (conv_id, doc_text), single-chunk texts
+    ex = LlmExtractor("default", backend=MockKernelBackend(corrupt_every=3))
+    records = ex.extract(docs)
+    return (
+        records.filter(F.col("kind") == "edge")
+        .select(
+            F.col("src_id").alias("subj"),
+            F.col("rel_type").alias("pred"),
+            F.col("dst_id").alias("obj"),
+        )
         .distinct()
     )
 
@@ -585,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cve_mentions": q_kg_cve_mentions,
         "kg_ipv4_mentions": q_kg_ipv4_mentions,
         "kg_triples_from_kernel": q_kg_triples_from_kernel,
+        "kg_llm_mock_triples": q_kg_llm_mock_triples,
         "kg_nodes_from_kernel": q_kg_nodes_from_kernel,
         "kg_edge_dedup": q_kg_edge_dedup,
         "kg_endpoint_semijoin": q_kg_endpoint_semijoin,
@@ -680,20 +721,11 @@ def oracle_sql() -> dict[str, str]:
         # string itself contains the domain, so co-location holds).
         # Stored ids are Python str.title() of
         # '<type>_<sanitized value>' (reference neo4j_store.py:114).
-        "kg_triples_from_kernel": """
-            SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS subj,
-                   'RESOLVES_TO' AS pred,
-                   'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
-                     || cast((o_orderkey * 7) % 250 AS varchar) || '_'
-                     || cast((o_orderkey % 249) + 1 AS varchar) AS obj
-            FROM orders
-            UNION
-            SELECT 'Url_Https___Evil-' || cast(o_orderkey AS varchar)
-                     || '_Example_Net_P' || cast(o_orderkey AS varchar) AS subj,
-                   'CONTAINS' AS pred,
-                   'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS obj
-            FROM orders
-        """,
+        "kg_triples_from_kernel": _KERNEL_TRIPLES_SQL,
+        # The mock-backed LLM path must land on the same analytic triple
+        # set (single-chunk docs; the mock emits the kernel's graph as
+        # function-call JSON, with every 3rd payload truncated → repaired).
+        "kg_llm_mock_triples": _KERNEL_TRIPLES_SQL,
         "kg_nodes_from_kernel": """
             SELECT 'Domain' AS node_label,
                    'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS node_id

@@ -81,6 +81,89 @@ class TestExtractors:
         with pytest.raises(ValueError):
             make_extractor("gpt-99")
 
+    def _mock_docs(self, spark):
+        # > 2048 chars so the default profile genuinely chunks (3 chunks).
+        filler = "The quick brown fox jumps over the lazy dog. " * 50
+        cti = (
+            "The domain evil.example.net resolves to 10.0.0.1 now. "
+            "Fetched https://evil.example.net/p1 today. "
+            "Attack exploits CVE-2021-44228 via 10.9.8.7 quickly. "
+        )
+        return spark.createDataFrame(
+            [("c1", cti + filler), ("c2", filler + cti), ("c3", cti * 14)],
+            ["conv_id", "doc_text"],
+        )
+
+    def test_llm_slot_end_to_end_with_mock_backend(self, spark):
+        """Default 2048/24 profile through the full LLM plumbing (chunk
+        dispatch → batch inference → JSON parse → stored records) with a
+        deterministic mock backend. Each chunk must yield exactly the
+        kernel's stored-form graph for that chunk's text — asserted by
+        replaying the chunker + kernel locally."""
+        from threat_intelligence_knowledge_graph_spark.kernel.extract import (
+            extract_document,
+            finalize_edges,
+            finalize_nodes,
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.chunker import (
+            chunk_for_profile,
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+            LlmExtractor,
+            MockKernelBackend,
+        )
+
+        docs = self._mock_docs(spark)
+        ex = LlmExtractor("default", backend=MockKernelBackend())
+        got = ex.extract(docs)
+        got_nodes = {
+            (r.conv_id, r.node_label, r.node_id)
+            for r in got.filter("kind='node'").collect()
+        }
+        got_edges = {
+            (r.conv_id, r.src_id, r.rel_type, r.dst_id)
+            for r in got.filter("kind='edge'").collect()
+        }
+        exp_nodes, exp_edges = set(), set()
+        for row in chunk_for_profile(docs, "default").collect():
+            g = extract_document(row.chunk_text)
+            for label, node_id, _props in finalize_nodes(g):
+                exp_nodes.add((row.conv_id, label, node_id))
+            for src_l, src_id, rel, dst_l, dst_id, _ctx in finalize_edges(g):
+                exp_edges.add((row.conv_id, src_id, rel, dst_id))
+        assert got_nodes == exp_nodes and len(got_nodes) > 3
+        assert got_edges == exp_edges and len(got_edges) > 1
+
+    def test_llm_slot_repair_path_lossless(self, spark):
+        """corrupt_every=1 truncates every payload's final '}' — the
+        repair path must restore every record exactly."""
+        from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+            LlmExtractor,
+            MockKernelBackend,
+        )
+
+        docs = self._mock_docs(spark)
+
+        def snapshot(df):
+            return sorted(
+                (
+                    r.conv_id, r.kind, r.node_label, r.node_id,
+                    tuple(sorted((r.properties or {}).items())),
+                    r.src_id, r.rel_type, r.dst_id,
+                )
+                for r in df.collect()
+            )
+
+        clean = snapshot(
+            LlmExtractor("default", backend=MockKernelBackend()).extract(docs)
+        )
+        broken = snapshot(
+            LlmExtractor(
+                "default", backend=MockKernelBackend(corrupt_every=1)
+            ).extract(docs)
+        )
+        assert clean == broken and len(clean) > 0
+
     def test_tactic_tagger(self, spark):
         docs = spark.createDataFrame(
             [

@@ -14,12 +14,26 @@ limiter by design).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import json
+from collections.abc import Callable, Iterator
+from typing import Protocol
 
+import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.json_repair import repair_kg_json
+from ..kernel.extract import (
+    extract_document,
+    format_property_key,
+    py_title,
+    store_label,
+    store_rel_type,
+)
+from ..schemas import EXTRACTION_SCHEMA
 from .chunker import CHUNK_PROFILES, chunk_for_profile
 from .extraction import extract_graph_records
+
+_EXTRACTION_COLS = [f.name for f in EXTRACTION_SCHEMA.fields]
 
 
 class NerExtractor:
@@ -35,24 +49,161 @@ class NerExtractor:
         )
 
 
-class LlmExtractor:
-    """Slot for the reference's LLM extractors (openai/claude/gemini
-    function-calling, reference openai_extractor.py:71-238 et al).
+class BatchInferenceBackend(Protocol):
+    """An offline batch-inference service: chunk texts in, KnowledgeGraph
+    function-call JSON payloads out (one per text, same order). The
+    payload shape is the reference's function-call schema (reference
+    openai_extractor.py:95-157): ``{"nodes": [{"id","type","properties":
+    [{"key","value"}]}], "rels": [{"source":{"id","type"},
+    "target":{"id","type"},"type","properties":[...]}]}``.
 
-    A Spark-first implementation would batch chunks through an offline
-    inference service via ``mapInPandas`` — NOT per-row API calls. No such
-    service exists in this environment, so this raises by contract.
+    Implementations must be picklable — one instance ships to each Spark
+    worker and serves whole Arrow batches (never per-row calls; the
+    reference's per-chunk rate-limited loop, openai_extractor.py:189-238 +
+    its 5-req/min ceiling, is replaced by this batch seam — SURVEY.md §2
+    op 6)."""
+
+    def infer(self, texts: list[str]) -> list[str]: ...
+
+
+class MockKernelBackend:
+    """Deterministic stand-in for an LLM service, for tests/CI: emits the
+    KnowledgeGraph JSON an ideal LLM would — derived from the
+    deterministic kernel — so the full LLM plumbing (chunk dispatch →
+    batch inference → JSON repair → record conversion) is exercisable
+    end-to-end with an exactly predictable result.
+
+    ``corrupt_every=k`` truncates every k-th payload's final ``}`` —
+    a deterministic, losslessly-repairable fault that drives the
+    ``repair_kg_json`` path (the reference's repair, helpers.py:109-248).
     """
 
-    def __init__(self, profile: str):
+    def __init__(self, corrupt_every: int = 0):
+        self.corrupt_every = corrupt_every
+
+    def infer(self, texts: list[str]) -> list[str]:
+        out = []
+        for i, text in enumerate(texts):
+            graph = extract_document(text)
+            payload = json.dumps(
+                {
+                    "nodes": [
+                        {
+                            "id": node_id,
+                            "type": node_type,
+                            "properties": [
+                                {"key": k, "value": v} for k, v in props.items()
+                            ],
+                        }
+                        for node_id, node_type, props in graph.nodes
+                    ],
+                    "rels": [
+                        {
+                            "source": {"id": src_id, "type": src_t},
+                            "target": {"id": dst_id, "type": dst_t},
+                            "type": rel,
+                        }
+                        for src_id, src_t, rel, dst_id, dst_t, _ctx in graph.edges
+                    ],
+                }
+            )
+            if self.corrupt_every and i % self.corrupt_every == self.corrupt_every - 1:
+                payload = payload[:-1]  # drop final '}' — repair restores it
+            out.append(payload)
+        return out
+
+
+def _kg_payload_to_rows(conv_id: str, payload: str) -> list[tuple]:
+    """One chunk's JSON payload → stored-form EXTRACTION_SCHEMA rows.
+
+    Mirrors the reference's parse → repair → validate → store path:
+    malformed JSON goes through ``repair_kg_json`` (openai_extractor.py:
+    189-215); payloads with invalid nodes/rels (empty id/type — the
+    pydantic validators, data_models.py:20-36) drop the whole chunk like
+    the reference's failed KnowledgeGraph construction does (returns
+    None, main.py:306-315); store normalization is neo4j_store.py:109-164
+    (title-cased ids, capitalized labels, camelCase property keys).
+    """
+    try:
+        data = json.loads(payload)
+    except json.JSONDecodeError:
+        data = repair_kg_json(payload)
+    if not isinstance(data, dict):
+        return []
+    rows: list[tuple] = []
+    try:
+        for node in data.get("nodes") or []:
+            node_id, node_type = node["id"], node["type"]
+            if not node_id.strip() or not node_type.strip():
+                raise ValueError("empty node id/type")
+            props = {
+                format_property_key(p["key"]): p["value"]
+                for p in (node.get("properties") or [])
+            }
+            stored_id = py_title(node_id)
+            props["name"] = stored_id
+            rows.append(
+                (conv_id, "node", store_label(node_type), stored_id, props,
+                 None, None, None, None, None, None)
+            )
+        for rel in data.get("rels") or []:
+            src, dst, rel_type = rel["source"], rel["target"], rel["type"]
+            if not rel_type.strip():
+                raise ValueError("empty rel type")
+            rows.append(
+                (conv_id, "edge", None, None, None,
+                 store_label(src["type"]), py_title(src["id"]),
+                 store_rel_type(rel_type),
+                 store_label(dst["type"]), py_title(dst["id"]), "")
+            )
+    except (KeyError, TypeError, AttributeError, ValueError):
+        return []  # invalid graph → whole chunk dropped (reference behavior)
+    return rows
+
+
+class LlmExtractor:
+    """The reference's LLM extractor seam (openai/claude/gemini
+    function-calling, reference openai_extractor.py:71-238 et al),
+    re-expressed Spark-first: chunk dispatch per model profile →
+    Arrow-batched calls into a pluggable ``BatchInferenceBackend`` →
+    JSON repair → stored-form EXTRACTION_SCHEMA records.
+
+    No real inference service exists in this environment; constructing
+    without a backend keeps the round-1 contract (raises on use). The
+    deterministic NER extractor remains the parity path.
+    """
+
+    def __init__(self, profile: str, backend: BatchInferenceBackend | None = None):
         if profile not in CHUNK_PROFILES or profile == "ner":
             raise ValueError(f"unknown LLM chunk profile: {profile}")
         self.chunk_profile = profile
+        self.backend = backend
 
-    def extract(self, documents: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            "LLM extraction requires an offline batch-inference backend; "
-            "the deterministic NER extractor is the reproducible parity path"
+    def extract(self, documents: DataFrame, num_partitions: int | None = None) -> DataFrame:
+        if self.backend is None:
+            raise NotImplementedError(
+                "LLM extraction requires an offline batch-inference backend; "
+                "the deterministic NER extractor is the reproducible parity path"
+            )
+        backend = self.backend
+        chunks = chunk_for_profile(documents, self.chunk_profile)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = backend.infer(pdf["chunk_text"].tolist())
+                rows: list[tuple] = []
+                for conv_id, payload in zip(pdf["conv_id"].values, payloads):
+                    rows.extend(_kg_payload_to_rows(conv_id, payload))
+                yield pd.DataFrame(rows, columns=_EXTRACTION_COLS)
+
+        n = (
+            num_partitions
+            or documents.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        return (
+            chunks.select("conv_id", "chunk_text")
+            .repartition(n, "conv_id")
+            .mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
         )
 
 
