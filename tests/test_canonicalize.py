@@ -177,3 +177,69 @@ class TestReviewRegressions:
         )
         alias = build_alias_dictionary(nodes, jaccard_threshold=0.5)
         assert alias.count() == 0
+
+
+class TestAliasQuality:
+    def test_alias_precision_recall_on_planted_families(self, spark):
+        """VERDICT r1 #9: planted alias families ("APT29"/"APT 29"/
+        "apt-29" style surface variants) + distinct distractors; measure
+        pair-level precision/recall of the alias dictionary. Gate: both
+        >= 0.95 on this fixture."""
+        import itertools
+
+        from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+            build_alias_dictionary,
+        )
+
+        # 20 planted actor families: separator variants of the same name
+        # ("Fancy_Bear" / "Fancy-Bear" / "FancyBear" — char-3-shingle
+        # jaccard >= 0.80 intra-family). Cross-family names share the
+        # "_Group" suffix and half share the animal word (<= 0.48) — the
+        # realistic distractor: similar SHAPE, different NAME. (A pure
+        # string canonicalizer cannot separate one-DIGIT-different ids
+        # like apt29/apt30 — jaccard-identical to a punctuation edit —
+        # which is exactly why the pipeline defaults to threshold 0.9 and
+        # treats stage D as opt-in.)
+        words = ["Fancy", "Cozy", "Energetic", "Venomous", "Charming",
+                 "Gothic", "Lazy", "Wicked", "Silent", "Crimson", "Golden",
+                 "Iron", "Shadow", "Static", "Mystic", "Turbo", "Nomad",
+                 "Ember", "Frost", "Quantum"]
+        animals = ["Bear", "Panda", "Kitten", "Spider", "Falcon", "Tiger",
+                   "Jackal", "Wolf", "Viper", "Raven", "Mantis", "Lynx",
+                   "Otter", "Heron", "Cobra", "Moth", "Bison", "Crane",
+                   "Gecko", "Shark"]
+        families = {}
+        rows = []
+        for w, a in zip(words, animals):
+            variants = [
+                f"Threatactor_{w}_{a}_Group",
+                f"Threatactor_{w}-{a}_Group",
+                f"Threatactor_{w}{a}_Group",
+            ]
+            families[f"{w}_{a}"] = variants
+            rows += [(v, "Threatactor") for v in variants]
+        nodes = spark.createDataFrame(
+            [(label, nid) for nid, label in rows], ["node_label", "node_id"]
+        )
+        alias = build_alias_dictionary(nodes, jaccard_threshold=0.7)
+        canon = {r.node_id: r.canonical_id for r in alias.collect()}
+
+        def resolved(x):
+            return canon.get(x, x)
+
+        ids = [nid for nid, _ in rows]
+        pred_pairs = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(ids), 2)
+            if resolved(a) == resolved(b)
+        }
+        true_pairs = {
+            (a, b)
+            for variants in families.values()
+            for a, b in itertools.combinations(sorted(variants), 2)
+        }
+        tp = len(pred_pairs & true_pairs)
+        precision = tp / len(pred_pairs) if pred_pairs else 1.0
+        recall = tp / len(true_pairs)
+        assert precision >= 0.95, (precision, sorted(pred_pairs - true_pairs)[:5])
+        assert recall >= 0.95, (recall, sorted(true_pairs - pred_pairs)[:5])
