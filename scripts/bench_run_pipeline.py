@@ -23,7 +23,7 @@ import zipfile
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 from threat_intelligence_knowledge_graph_spark.operators.extraction import (
     extract_graph_records_fused,
@@ -74,11 +74,19 @@ def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> Non
         spark.sparkContext.addPyFile(package_zip())
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
-    extract_graph_records_fused(transcripts.limit(4000)).count()  # warm workers
+    # Warm EVERY worker/task slot, not just one: the warm-up must spread
+    # across all `shuffle` partitions or 31 of 32 Python workers cold-start
+    # (spawn + imports) inside the timed region — a fixed serial-ish cost
+    # that biases the high-core scaling sample.
+    extract_graph_records_fused(
+        transcripts.limit(cores * 400), num_partitions=shuffle, emit="edges"
+    ).count()
     t0 = time.time()
+    # Timed workload: distinct triples from transcripts. emit='edges'
+    # skips node rows the query never reads (same triples, ~4x less
+    # Arrow output; the MapType properties column never materializes).
     n_triples = (
-        extract_graph_records_fused(transcripts, num_partitions=shuffle)
-        .filter(F.col("kind") == "edge")
+        extract_graph_records_fused(transcripts, num_partitions=shuffle, emit="edges")
         .select("src_id", "rel_type", "dst_id")
         .distinct()
         .count()

@@ -50,6 +50,19 @@ class TestFusedEqualsDeclarative:
         g2 = {(r.node_label, r.node_id): dict(r.properties) for r in n2.collect()}
         assert g1 == g2
 
+    def test_edges_only_emit_identical_edges(self, spark, transcripts):
+        """emit='edges' must produce exactly the edge records of
+        emit='all' (and zero node rows) — the timed bench variant."""
+        full = extract_graph_records_fused(transcripts, num_partitions=5)
+        eo = extract_graph_records_fused(
+            transcripts, num_partitions=5, emit="edges"
+        )
+        assert eo.filter(F.col("kind") == "node").count() == 0
+        key = lambda r: (r.conv_id, r.src_label, r.src_id, r.rel_type, r.dst_label, r.dst_id)  # noqa: E731
+        e1 = sorted(key(r) for r in full.filter(F.col("kind") == "edge").collect())
+        e2 = sorted(key(r) for r in eo.collect())
+        assert e1 == e2 and len(e1) > 20
+
     def test_partition_count_does_not_change_results(self, spark, transcripts):
         a = extract_graph_records_fused(transcripts, num_partitions=1)
         b = extract_graph_records_fused(transcripts, num_partitions=13)

@@ -56,6 +56,27 @@ class TestFanging:
         assert fang_text("user[at]mail[.]com") == "user@mail.com"
         assert fang_text("hXXp://a[.]io") == "http://a.io"
 
+    def test_single_pass_equals_sequential_rules(self):
+        """fang_text's one-alternation scan must equal applying
+        FANG_RULES sequentially (incl. case-sensitivity of [dot]/[at]
+        and nested-bracket forms)."""
+        from threat_intelligence_knowledge_graph_spark.rules.iocs import (
+            _FANG_COMPILED,
+        )
+
+        cases = [
+            "hxxps://a[.]b(dot)c[/]path[:]8080 u[at]v(at)w fxp://x[.]y",
+            "[[dot]] [DOT] (AT) hXXp FXP [.](.)[:][@][/]",
+            "no defanging here at all",
+            "edge[.][.]cases(.)(.)", "",
+            "HxXpS://MiXeD[.]CaSe[At]x",  # [At] is case-sensitive → kept
+        ]
+        for text in cases:
+            seq = text
+            for rx, repl in _FANG_COMPILED:
+                seq = rx.sub(repl, seq)
+            assert fang_text(text) == seq, text
+
 
 class TestIocSweep:
     def test_basic_classes(self):
@@ -235,3 +256,26 @@ class TestFinalization:
         edges = finalize_edges(g)
         keys = [(e[1], e[2], e[4]) for e in edges]
         assert len(keys) == len(set(keys))
+
+
+class TestSentenceSplitterSeam:
+    def test_punkt_optin_falls_back_without_nltk(self, monkeypatch):
+        """TIKG_SENTENCE_SPLITTER=punkt with nltk absent must degrade to
+        the pinned regex (the reference's own fallback path)."""
+        import threat_intelligence_knowledge_graph_spark.kernel.extract as ke
+
+        monkeypatch.setenv("TIKG_SENTENCE_SPLITTER", "punkt")
+        monkeypatch.setattr(ke, "_SPLITTER", None)
+        got = ke._split_sentences("One sentence. Two sentence. ")
+        monkeypatch.setattr(ke, "_SPLITTER", None)  # reset for other tests
+        assert got == ke._SENT_RX.split("One sentence. Two sentence. ")
+
+    def test_default_is_pinned_regex(self, monkeypatch):
+        import threat_intelligence_knowledge_graph_spark.kernel.extract as ke
+
+        monkeypatch.delenv("TIKG_SENTENCE_SPLITTER", raising=False)
+        monkeypatch.setattr(ke, "_SPLITTER", None)
+        text = "A uses B! C resolves D? End."
+        got = ke._split_sentences(text)
+        monkeypatch.setattr(ke, "_SPLITTER", None)
+        assert got == ke._SENT_RX.split(text)

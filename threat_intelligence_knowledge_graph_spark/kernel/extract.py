@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from ..rules.iocs import fang_text, find_iocs_doc
 from ..rules.mappings import IOC_TO_ENTITY_TYPE, STIX_TYPE_MAPPING
@@ -40,13 +41,46 @@ _SANITIZE_RX = re.compile(r"[^a-zA-Z0-9_-]")
 _SENT_RX = re.compile(SENTENCE_SPLIT_REGEX)
 _URL_HOST_RX = re.compile(r"(?:https?|ftp|sftp)://([^:/]+)")
 
+# Sentence-splitter seam. The reference PREFERS NLTK punkt and falls back
+# to the regex (stix_relation_extractor.py:133-145); we pin the regex as
+# the parity default (cross-engine determinism — the DuckDB oracle can't
+# run punkt) and expose punkt as an opt-in: TIKG_SENTENCE_SPLITTER=punkt.
+# Resolution is lazy PER PROCESS so Spark workers (which don't share the
+# driver's module state) resolve it from their own environment; if nltk
+# or its punkt data is absent the regex fallback engages silently — the
+# same degradation path the reference takes.
+_SPLITTER = None
 
+
+def _split_sentences(text: str) -> list[str]:
+    global _SPLITTER
+    if _SPLITTER is None:
+        import os
+
+        fn = _SENT_RX.split
+        if os.environ.get("TIKG_SENTENCE_SPLITTER") == "punkt":
+            try:
+                from nltk.tokenize import sent_tokenize
+
+                sent_tokenize("Probe one. Probe two.")  # punkt data present?
+                fn = sent_tokenize
+            except Exception:
+                pass
+        _SPLITTER = fn
+    return _SPLITTER(text)
+
+
+# Bounded memos: pure string→string maps; IOC values repeat heavily both
+# within and across documents, and the caches are capped so a long-lived
+# Python worker cannot grow without bound over a 100 TB scan.
+@lru_cache(maxsize=65536)
 def create_node_id(entity_type: str, entity_value: str) -> str:
     """``{type.lower()}_{value with non [a-zA-Z0-9_-] → _}``
     (reference ner_extractor.py:159-163)."""
     return f"{entity_type.lower()}_{_SANITIZE_RX.sub('_', entity_value)}"
 
 
+@lru_cache(maxsize=65536)
 def py_title(s: str) -> str:
     """Python ``str.title()`` semantics — capitalizes after every
     non-alpha, which differs from Spark ``initcap`` (whitespace-only).
@@ -55,6 +89,7 @@ def py_title(s: str) -> str:
     return s.title()
 
 
+@lru_cache(maxsize=4096)
 def format_property_key(s: str) -> str:
     """camelCase on whitespace-separated words
     (reference utils/helpers.py:17-37)."""
@@ -141,66 +176,86 @@ def _extract_relations(
     entities: list[dict], raw_text: str
 ) -> list[tuple[str, str, str, str, str, str]]:
     """Sentence-scoped pairwise relation extraction
-    (reference stix_relation_extractor.py:118-296). Runs on RAW text."""
+    (reference stix_relation_extractor.py:118-296). Runs on RAW text.
+
+    Hot path: rebuilt allocation-light (entity tuples instead of dict
+    copies per (entity, sentence) hit; per-sentence memo of the
+    order-sensitive cue selection, which depends only on the candidate
+    list and the sentence). Semantics identical — asserted by the parity
+    suite and the kernel tests."""
     if len(entities) < 2:
         # A pair needs two entities; skips the sentence split + containment
         # scan for single-IOC documents (the common filler-doc fast path).
         # Semantics identical: with <2 entities no sentence group can pair.
         return []
-    sentences = _SENT_RX.split(raw_text)
+    sentences = _split_sentences(raw_text)
+
+    # (id, type, value, stix) tuples, entity order preserved.
+    ents: list[tuple[str, str, str, str]] = []
+    for entity in entities:
+        stix_type = STIX_TYPE_MAPPING.get(entity["type"])
+        if stix_type:
+            ents.append((entity["id"], entity["type"], entity["value"], stix_type))
 
     # Group entities by sentence (substring containment, case-sensitive) —
     # reference stix_relation_extractor.py:151-176.
-    by_sentence: dict[int, list[dict]] = {}
-    for entity in entities:
-        stix_type = STIX_TYPE_MAPPING.get(entity["type"])
-        if not stix_type:
-            continue
+    by_sentence: dict[int, list[tuple[str, str, str, str]]] = {}
+    for ent in ents:
+        value = ent[2]
         for i, sentence in enumerate(sentences):
-            if entity["value"] in sentence:
-                by_sentence.setdefault(i, []).append(
-                    {**entity, "stix_type": stix_type}
-                )
+            if value in sentence:
+                by_sentence.setdefault(i, []).append(ent)
 
     relationships: list[tuple[str, str, str, str, str, str]] = []
+    url_host_memo: dict[str, str | None] = {}
     for sent_idx, sent_entities in by_sentence.items():
         if len(sent_entities) < 2:
             continue
         sentence = sentences[sent_idx]
         sentence_lower = sentence.lower()
+        sel_memo: dict[tuple[str, ...], str | None] = {}
         for i, e1 in enumerate(sent_entities):
+            src_stix = e1[3]
             for j, e2 in enumerate(sent_entities):
                 if i == j:
                     continue
-                src_stix, dst_stix = e1["stix_type"], e2["stix_type"]
-                candidates = RELATION_LOOKUP.get((src_stix, dst_stix), [])
+                dst_stix = e2[3]
+                candidates = RELATION_LOOKUP.get((src_stix, dst_stix))
                 if not candidates:
                     # Special-case rules (stix_relation_extractor.py:201-224)
                     if src_stix == "domain-name" and dst_stix == "ipv4-addr":
-                        candidates = ["resolves-to"]
+                        candidates = ("resolves-to",)
                     elif src_stix == "url" and dst_stix == "domain-name":
-                        m = _URL_HOST_RX.search(e1["value"].lower())
-                        if m and m.group(1).lower() == e2["value"].lower():
-                            candidates = ["contains"]
+                        url_l = e1[2].lower()
+                        if url_l not in url_host_memo:
+                            m = _URL_HOST_RX.search(url_l)
+                            url_host_memo[url_l] = m.group(1) if m else None
+                        if url_host_memo[url_l] == e2[2].lower():
+                            candidates = ("contains",)
                         else:
-                            candidates = []
+                            continue
                     elif src_stix == "file" and dst_stix in (
                         "ipv4-addr",
                         "domain-name",
                         "url",
                     ):
-                        candidates = ["communicates-with"]
-                if not candidates:
-                    continue
-                selected = _select_rel_type(candidates, sentence_lower)
+                        candidates = ("communicates-with",)
+                    else:
+                        continue
+                ckey = tuple(candidates)
+                if ckey in sel_memo:
+                    selected = sel_memo[ckey]
+                else:
+                    selected = _select_rel_type(list(candidates), sentence_lower)
+                    sel_memo[ckey] = selected
                 if selected:
                     relationships.append(
                         (
-                            e1["id"],
-                            e1["type"],
+                            e1[0],
+                            e1[1],
                             selected.upper(),
-                            e2["id"],
-                            e2["type"],
+                            e2[0],
+                            e2[1],
                             sentence,
                         )
                     )
@@ -281,13 +336,12 @@ def extract_document(
         if not mapped_type or not values or not node_ok(mapped_type):
             continue
         for value in values:
-            if f"{mapped_type}:{value}" in node_map:
+            node = node_map.get(f"{mapped_type}:{value}")
+            if node is not None:
                 entity_list.append(
-                    {
-                        "id": create_node_id(mapped_type, value),
-                        "type": mapped_type,
-                        "value": value,
-                    }
+                    # Reuse the id computed at node creation (step 1) —
+                    # identical by construction, skips a second sanitize.
+                    {"id": node[0], "type": mapped_type, "value": value}
                 )
 
     for rel in _extract_relations(entity_list, text):
@@ -349,6 +403,7 @@ def extract_document(
 # the *stored* identity used for triple equality.
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=1024)
 def store_label(node_type: str) -> str:
     """``type.replace('-','_').capitalize()`` (neo4j_store.py:123,147-148)."""
     return node_type.replace("-", "_").capitalize()

@@ -78,6 +78,7 @@ def extract_graph_records_fused(
     num_partitions: int | None = None,
     turn_separator: str = "\n",
     include_context: bool = False,
+    emit: str = "all",
 ) -> DataFrame:
     """Fused reassembly+extraction: turns → extraction records in ONE
     shuffle and ONE Arrow pass.
@@ -94,7 +95,16 @@ def extract_graph_records_fused(
     Memory: a task holds one partition of raw turns (~input_bytes /
     num_partitions) — size ``num_partitions`` so that fits the executor
     (default 2× parallelism; at cluster scale use input_bytes / 128 MB).
+
+    ``emit='edges'`` skips node finalization and node output rows
+    entirely — for consumers that only read the edge stream (the triple
+    bench, edge-only incremental loads), node rows are ~3/4 of the output
+    and carry the MapType properties column, the most expensive part of
+    the Arrow encode. Edge records are identical to ``emit='all'``.
     """
+    if emit not in ("all", "edges"):
+        raise ValueError("emit must be 'all' or 'edges'")
+    edges_only = emit == "edges"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [pdf for pdf in batches if len(pdf)]
@@ -114,7 +124,9 @@ def extract_graph_records_fused(
         for conv_id, group in full.groupby("conv_id", sort=False):
             text = turn_separator.join(group["text"].tolist())
             graph = extract_document(text)
-            for label, node_id, props in finalize_nodes(graph):
+            for label, node_id, props in (
+                () if edges_only else finalize_nodes(graph)
+            ):
                 key = (label, node_id)
                 if key in node_acc:
                     node_acc[key][1].update(props)

@@ -36,12 +36,38 @@ FANG_RULES: list[tuple[str, str]] = [
 
 _FANG_COMPILED = [(re.compile(p), r) for p, r in FANG_RULES]
 
+# Single-pass equivalent of applying FANG_RULES sequentially: the rules'
+# match sets are pairwise non-overlapping and no replacement text can
+# create a match for a later rule ("http"/"ftp"/"."/":"/"@"/"/" match
+# nothing above), so one alternation scan produces the same output as six
+# sequential sub() passes (asserted by the parity suite + a dedicated
+# equivalence test). Note [dot]/[at] are case-SENSITIVE in the rules;
+# only hxxp/fxp are case-insensitive.
+_FANG_ONE = re.compile(
+    r"(?i:hxxp)|(?i:fxp)|\[\.\]|\(\.\)|\[dot\]|\(dot\)|\[:\]|\[@\]|\[at\]|\(at\)|\[/\]"
+)
+_FANG_EXACT = {
+    "[.]": ".", "(.)": ".", "[dot]": ".", "(dot)": ".",
+    "[:]": ":", "[@]": "@", "[at]": "@", "(at)": "@", "[/]": "/",
+}
+
+
+def _fang_repl(m: re.Match) -> str:
+    t = m.group(0)
+    exact = _FANG_EXACT.get(t)
+    if exact is not None:
+        return exact
+    tl = t.lower()
+    if tl == "hxxp":
+        return "http"
+    if tl == "fxp":
+        return "ftp"
+    return t  # unreachable: every alternative is covered above
+
 
 def fang_text(text: str) -> str:
     """Refang defanged IOCs (``hxxp``→``http``, ``[.]``→``.`` …)."""
-    for rx, repl in _FANG_COMPILED:
-        text = rx.sub(repl, text)
-    return text
+    return _FANG_ONE.sub(_fang_repl, text)
 
 
 # ---------------------------------------------------------------------------
