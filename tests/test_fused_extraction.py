@@ -63,6 +63,19 @@ class TestFusedEqualsDeclarative:
         e2 = sorted(key(r) for r in eo.collect())
         assert e1 == e2 and len(e1) > 20
 
+    def test_input_pregrouped_equals_default_on_colocated_input(
+        self, spark, transcripts
+    ):
+        """input_pregrouped=True (no exchange) must equal the default
+        path when each conversation is already co-located within one
+        input partition (bucketed-ingest layout)."""
+        colocated = transcripts.repartition(4, "conv_id")
+        base = extract_graph_records_fused(transcripts, num_partitions=6)
+        pre = extract_graph_records_fused(colocated, input_pregrouped=True)
+        t1 = {(r.subj, r.pred, r.obj) for r in _tables(base)[2].collect()}
+        t2 = {(r.subj, r.pred, r.obj) for r in _tables(pre)[2].collect()}
+        assert t1 == t2 and len(t1) > 20
+
     def test_partition_count_does_not_change_results(self, spark, transcripts):
         a = extract_graph_records_fused(transcripts, num_partitions=1)
         b = extract_graph_records_fused(transcripts, num_partitions=13)

@@ -79,6 +79,7 @@ def extract_graph_records_fused(
     turn_separator: str = "\n",
     include_context: bool = False,
     emit: str = "all",
+    input_pregrouped: bool = False,
 ) -> DataFrame:
     """Fused reassembly+extraction: turns → extraction records in ONE
     shuffle and ONE Arrow pass.
@@ -101,6 +102,17 @@ def extract_graph_records_fused(
     bench, edge-only incremental loads), node rows are ~3/4 of the output
     and carry the MapType properties column, the most expensive part of
     the Arrow encode. Edge records are identical to ``emit='all'``.
+
+    ``input_pregrouped=True`` skips the conv_id repartition — the ONE
+    exchange in this plan — and maps directly over the input partitions.
+    Only valid when every conversation's turns are co-located within a
+    single input partition: an Iceberg ``bucket(conv_id)`` table, a
+    clustered/bucketed write, or any ingest that emits whole
+    conversations per file read at one-file-per-partition granularity
+    (tests assert equality with the default path on such input). A
+    conversation split across partitions would silently reassemble as
+    two documents — enable this only when the ingest layout guarantees
+    co-location.
     """
     if emit not in ("all", "edges"):
         raise ValueError("emit must be 'all' or 'edges'")
@@ -111,8 +123,10 @@ def extract_graph_records_fused(
         if not parts:
             return
         full = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        # Sort once per partition: conv_id then turn_idx; groupby(sort=False)
-        # then yields contiguous, turn-ordered groups.
+        # Sort once per partition: conv_id then turn_idx. Groups are then
+        # contiguous runs; boundaries come from one numpy comparison —
+        # pandas groupby iteration would build a sub-DataFrame per
+        # conversation (~20× the cost of the sort itself, measured).
         full = full.sort_values(["conv_id", "turn_idx"], kind="stable")
         # Partition-local pre-aggregation (map-side combine in Python):
         # hot entities (common CVEs/domains) recur across conversations, so
@@ -121,8 +135,19 @@ def extract_graph_records_fused(
         # conv_id order → "last" = max conv_id, matching build_nodes).
         node_acc: dict[tuple[str, str], tuple[str, dict]] = {}
         edge_acc: dict[tuple[str, str, str], tuple] = {}
-        for conv_id, group in full.groupby("conv_id", sort=False):
-            text = turn_separator.join(group["text"].tolist())
+        conv_arr = full["conv_id"].values
+        text_arr = full["text"].values
+        if len(conv_arr):
+            import numpy as np
+
+            change = np.flatnonzero(conv_arr[1:] != conv_arr[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(conv_arr)]))
+        else:
+            starts = ends = ()
+        for s, e in zip(starts, ends):
+            conv_id = conv_arr[s]
+            text = turn_separator.join(text_arr[s:e])
             graph = extract_document(text)
             for label, node_id, props in (
                 () if edges_only else finalize_nodes(graph)
@@ -162,11 +187,10 @@ def extract_graph_records_fused(
         yield pd.DataFrame(out, columns=_COLS)
 
     n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism * 2
-    return (
-        # NULL turn text pinned to '' (same contract as reassemble()).
-        transcripts.select(
-            "conv_id", "turn_idx", F.coalesce("text", F.lit("")).alias("text")
-        )
-        .repartition(n, "conv_id")
-        .mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
+    # NULL turn text pinned to '' (same contract as reassemble()).
+    selected = transcripts.select(
+        "conv_id", "turn_idx", F.coalesce("text", F.lit("")).alias("text")
     )
+    if not input_pregrouped:
+        selected = selected.repartition(n, "conv_id")
+    return selected.mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
