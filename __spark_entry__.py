@@ -261,6 +261,55 @@ def q_kg_endpoint_semijoin(spark, sf_dir):
     )
 
 
+def _constructed_triples(spark, sf_dir):
+    """Deterministic triple table from orders: customer -PLACED-> order
+    -HANDLED-> priority-class node (two typed hops per order row)."""
+    o = _t(spark, sf_dir, "orders")
+    placed = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("PLACED").alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("obj"),
+    )
+    handled = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("HANDLED").alias("pred"),
+        F.concat(F.lit("p_"), F.col("o_orderpriority")).alias("obj"),
+    )
+    return placed.unionByName(handled)
+
+
+_CONSTRUCTED_TRIPLES_SQL = """
+    SELECT 'c' || cast(o_custkey AS varchar) AS subj,
+           'PLACED' AS pred,
+           'o' || cast(o_orderkey AS varchar) AS obj
+    FROM orders
+    UNION ALL
+    SELECT 'o' || cast(o_orderkey AS varchar) AS subj,
+           'HANDLED' AS pred,
+           'p_' || o_orderpriority AS obj
+    FROM orders
+"""
+
+
+def q_kg_degrees(spark, sf_dir):
+    """The graph-query interface (SURVEY §2 op 30) against a constructed
+    triple view — per-node in/out/total degree via the real `degrees`
+    function the Cypher-degree pattern maps to."""
+    from threat_intelligence_knowledge_graph_spark.plans.graph_queries import degrees
+
+    _constructed_triples(spark, sf_dir).createOrReplaceTempView("triples")
+    return degrees(spark)
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """Cypher `(a)-[PLACED]->(b)-[HANDLED]->(c)` via the real `two_hop`
+    self-join over the constructed triple view."""
+    from threat_intelligence_knowledge_graph_spark.plans.graph_queries import two_hop
+
+    _constructed_triples(spark, sf_dir).createOrReplaceTempView("triples")
+    return two_hop(spark, "PLACED", "HANDLED")
+
+
 def q_kg_metrics_rollup(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy(F.col("event_type").alias("stage")).agg(
@@ -498,14 +547,17 @@ def q_latest_event_per_user(spark, sf_dir):
 # brute-force pair join / exact top-k), making each entry an
 # "approximate == exact on this corpus" equivalence check.
 
-def _planted_near_dup_docs(spark, sf_dir):
+def _planted_near_dup_docs(spark, sf_dir, every: int | None = None):
     """Two docs per orderkey: cyclic 4-word texts repeated 5× and 7×.
 
     Same word cycle ⇒ identical word-3-shingle sets ⇒ jaccard exactly 1.0
     and guaranteed LSH candidacy. For o_orderkey % 3 == 0 the second doc
     swaps the 4th word, dropping jaccard to 1/7 — a below-threshold
-    family the verifier must exclude."""
+    family the verifier must exclude. ``every`` keeps only orderkeys
+    divisible by it (smaller corpora for O(n²) oracles)."""
     o = _t(spark, sf_dir, "orders")
+    if every is not None:
+        o = o.filter(F.col("o_orderkey") % every == 0)
     pairs = o.select(
         F.col("o_orderkey").alias("k"),
         F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
@@ -526,6 +578,35 @@ def q_minhash_near_dup_docs(spark, sf_dir):
     docs = _planted_near_dup_docs(spark, sf_dir)
     return minhash_near_duplicates(docs, jaccard_threshold=0.8).select(
         "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_minhash_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: exact pre-pass → LSH pairs → connected
+    components → min-id survivor per cluster. On the planted corpus the
+    expected keep-set is analytic: drop doc 2k+1 exactly when k%3 != 0
+    (jaccard-1.0 families merge; the 1/7 families survive whole)."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    docs = _planted_near_dup_docs(spark, sf_dir)
+    return minhash_dedup(docs, jaccard_threshold=0.8).select("doc_id")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup PAIRS on a planted sub-corpus. Sound to oracle
+    exactly: signatures are SQL-reproducible (md5 token hash) and the
+    pigeonhole banding (max_hamming+1 bands) is deterministically
+    COMPLETE — every pair within the distance budget must share a full
+    band — so the operator's output equals the O(n²) brute-force SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs = _planted_near_dup_docs(spark, sf_dir, every=97)
+    return simhash_near_duplicates(docs, max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
@@ -629,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_from_kernel": q_kg_nodes_from_kernel,
         "kg_edge_dedup": q_kg_edge_dedup,
         "kg_endpoint_semijoin": q_kg_endpoint_semijoin,
+        "kg_degrees": q_kg_degrees,
+        "kg_two_hop": q_kg_two_hop,
         "kg_metrics_rollup": q_kg_metrics_rollup,
         "tpch_q1": q_tpch_q1,
         "join_customer_orders": q_join_customer_orders,
@@ -649,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "similarity_topk": q_similarity_topk,
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
+        "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "simhash_near_dups": q_simhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -767,6 +852,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.src_id, e.dst_id FROM edges e
             WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.node_id = e.src_id)
               AND EXISTS (SELECT 1 FROM nodes n WHERE n.node_id = e.dst_id)
+        """,
+        "kg_degrees": f"""
+            WITH triples AS ({_CONSTRUCTED_TRIPLES_SQL}),
+            outs AS (SELECT subj AS node_id, count(*) AS out_degree
+                     FROM triples GROUP BY subj),
+            ins  AS (SELECT obj AS node_id, count(*) AS in_degree
+                     FROM triples GROUP BY obj)
+            SELECT coalesce(outs.node_id, ins.node_id) AS node_id,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+            FROM outs FULL OUTER JOIN ins ON outs.node_id = ins.node_id
+        """,
+        "kg_two_hop": f"""
+            WITH triples AS ({_CONSTRUCTED_TRIPLES_SQL})
+            SELECT t1.subj AS a, t1.pred AS pred1, t1.obj AS b,
+                   t2.pred AS pred2, t2.obj AS c
+            FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+            WHERE t1.pred = 'PLACED' AND t2.pred = 'HANDLED'
         """,
         "kg_metrics_rollup": """
             SELECT event_type AS stage, count(*) AS n_rows,
@@ -956,6 +1060,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(1.0 AS double) AS jaccard
             FROM orders
             WHERE o_orderkey % 3 <> 0
+        """,
+        # Survivors after exact-pass + LSH + connected components: in a
+        # jaccard-1.0 family the min id (2k) survives and 2k+1 drops;
+        # 1/7 families are below threshold and survive whole.
+        "minhash_dedup_survivors": """
+            SELECT 2 * o_orderkey + j.j AS doc_id
+            FROM orders, (SELECT unnest([0, 1]) AS j) j
+            WHERE NOT (j.j = 1 AND o_orderkey % 3 <> 0)
+        """,
+        # Brute-force simhash pair join over the planted sub-corpus:
+        # rebuild each doc's token multiset analytically (reps × 4-word
+        # cycle), recompute the 64-bit signature with the shared md5
+        # token hash, and emit every pair with hamming <= 3 — the
+        # pigeonhole-banded operator is complete for that budget, so the
+        # outputs must be identical.
+        "simhash_near_dups": """
+            WITH d AS (
+              SELECT 2 * o_orderkey + j.j AS doc_id,
+                     o_orderkey AS k, j.j AS j
+              FROM orders, (SELECT unnest([0, 1]) AS j) j
+              WHERE o_orderkey % 97 = 0
+            ), toks AS (
+              SELECT d.doc_id, t.tok
+              FROM d
+              CROSS JOIN (SELECT unnest(range(0, 7)) AS rep) r
+              CROSS JOIN LATERAL (
+                SELECT unnest([
+                  'wa' || cast(d.k AS varchar),
+                  'wb' || cast(d.k AS varchar),
+                  'wc' || cast(d.k AS varchar),
+                  CASE WHEN d.j = 1 AND d.k % 3 = 0
+                       THEN 'we' || cast(d.k AS varchar)
+                       ELSE 'wd' || cast(d.k AS varchar) END
+                ]) AS tok
+              ) t
+              WHERE r.rep < 5 + 2 * d.j
+            ), bal AS (
+              SELECT doc_id, b.bit AS bit,
+                     sum(CASE WHEN (md5_number_upper(tok) >> b.bit) & 1 = 1
+                              THEN 1 ELSE -1 END) AS balance
+              FROM toks, (SELECT unnest(range(0, 64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sig AS (
+              SELECT doc_id,
+                     cast(sum(CASE WHEN balance > 0 THEN
+                       CASE WHEN bit = 63 THEN -9223372036854775808
+                            ELSE (cast(1 AS bigint) << cast(bit AS int)) END
+                       ELSE 0 END) AS bigint) AS s
+              FROM bal GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   cast(bit_count(xor(x.s, y.s)) AS int) AS hamming
+            FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.s, y.s)) <= 3
         """,
         # Independent simhash recomputation: md5_number_upper(token) is
         # bit-identical to the kernel's md5-derived 64-bit token hash
