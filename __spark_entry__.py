@@ -82,6 +82,28 @@ _CTI_TEXT_SQL = """
 _IPV4_SIMPLE = r"(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _CVE_RX = r"CVE-[0-9]{4}-[0-9]{4,7}"
 
+def _html_to_text_oracle_sql() -> str:
+    from threat_intelligence_knowledge_graph_spark.sources.html import (
+        html_to_text_sql,
+    )
+
+    html_expr = (
+        "'<html><head><style>body{color:red}</style></head><body>'"
+        " || '<script>var x = 1 < 2;</script>'"
+        " || '<article><h1>Report ' || cast(o_orderkey AS varchar) || '</h1>'"
+        " || '<p>Priority &amp; status: ' || o_orderpriority"
+        " || '</p><!-- hidden --><p>Customer &lt;'"
+        " || cast(o_custkey AS varchar)"
+        " || '&gt;</p></article>'"
+        " || '<footer>ignored? no — body fallback only</footer></body></html>'"
+    )
+    return f"""
+        SELECT o_orderkey AS doc_id,
+               {html_to_text_sql(f"({html_expr})")} AS text
+        FROM orders
+    """
+
+
 _KERNEL_TRIPLES_SQL = """
     SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS subj,
            'RESOLVES_TO' AS pred,
@@ -409,6 +431,31 @@ def q_top_parts_by_revenue(spark, sf_dir):
     )
 
 
+def q_html_to_text(spark, sf_dir):
+    """URL/report ingestion path (reference main.py:136-142): extract
+    readable text from constructed HTML — article-region pick, script
+    strip, entity decode — as a pure Catalyst chain; the oracle runs the
+    identical pinned spec in DuckDB SQL."""
+    from threat_intelligence_knowledge_graph_spark.sources.html import html_to_text
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    html = F.concat(
+        F.lit("<html><head><style>body{color:red}</style></head><body>"),
+        F.lit("<script>var x = 1 < 2;</script>"),
+        F.lit("<article><h1>Report "), k, F.lit("</h1>"),
+        F.lit("<p>Priority &amp; status: "), F.col("o_orderpriority"),
+        F.lit("</p><!-- hidden --><p>Customer &lt;"),
+        F.col("o_custkey").cast("string"),
+        F.lit("&gt;</p></article>"),
+        F.lit("<footer>ignored? no — body fallback only</footer></body></html>"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        html_to_text(html).alias("text"),
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -726,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "latest_event_per_user": q_latest_event_per_user,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "html_to_text": q_html_to_text,
         "text_token_counts": q_text_token_counts,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
@@ -981,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
             GROUP BY e.user_id, l.last_ts
         """,
+        "html_to_text": _html_to_text_oracle_sql(),
         "dedup_exact_docs": """
             SELECT md5(text) AS content_hash, count(*) AS n_copies,
                    min(doc_id) AS keep_id
