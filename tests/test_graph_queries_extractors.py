@@ -220,3 +220,55 @@ class TestAnalystQueries:
         # the query itself must run and respect ordering.
         counts = [r["count"] for r in rows]
         assert counts == sorted(counts, reverse=True)
+
+
+class TestRateLimitedBackend:
+    def test_paces_calls_with_min_interval(self):
+        """Op 6 twin: second call within the window waits exactly the
+        remainder; calls after the window don't wait (reference
+        main.py:259-281 semantics), with an injected clock (no sleeps)."""
+        from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+            MockKernelBackend,
+            RateLimitedBackend,
+        )
+
+        t = {"now": 100.0}
+        slept = []
+
+        def clock():
+            return t["now"]
+
+        def sleeper(s):
+            slept.append(round(s, 3))
+            t["now"] += s
+
+        rl = RateLimitedBackend(
+            MockKernelBackend(), min_interval_sec=13.0, clock=clock, sleeper=sleeper
+        )
+        rl.infer(["one."])           # first call: no wait
+        assert slept == []
+        t["now"] += 3.0
+        rl.infer(["two."])           # 3s elapsed -> wait 10s
+        assert slept == [10.0]
+        t["now"] += 20.0
+        rl.infer(["three."])         # window passed -> no wait
+        assert slept == [10.0]
+
+    def test_picklable_and_transparent(self, spark):
+        import pickle
+
+        from threat_intelligence_knowledge_graph_spark.operators.extractors import (
+            LlmExtractor,
+            MockKernelBackend,
+            RateLimitedBackend,
+        )
+
+        rl = pickle.loads(pickle.dumps(
+            RateLimitedBackend(MockKernelBackend(), min_interval_sec=0.0)
+        ))
+        docs = spark.createDataFrame(
+            [("c1", "The domain evil.example.net resolves to 10.0.0.1 now.")],
+            ["conv_id", "doc_text"],
+        )
+        out = LlmExtractor("default", backend=rl).extract(docs)
+        assert out.filter("kind='edge'").count() == 1

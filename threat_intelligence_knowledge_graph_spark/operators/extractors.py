@@ -161,6 +161,47 @@ def _kg_payload_to_rows(conv_id: str, payload: str) -> list[tuple]:
     return rows
 
 
+class RateLimitedBackend:
+    """Min-interval rate limiting for a ``BatchInferenceBackend``
+    (SURVEY.md §2 op 6; reference main.py:259-281 enforces a 13 s
+    min-interval — 5 RPM + buffer — before each Gemini/Claude call).
+
+    The reference paces per chunk inside its serial loop; here one
+    limiter instance lives inside each Spark worker and paces that
+    worker's *batch* calls — per-executor pacing, the correct unit when
+    an inference service is fronted by per-connection limits. The clock
+    is injectable so tests never sleep.
+    """
+
+    def __init__(self, inner: BatchInferenceBackend, min_interval_sec: float = 13.0,
+                 clock=None, sleeper=None):
+        import time as _time
+
+        self.inner = inner
+        self.min_interval_sec = min_interval_sec
+        self._clock = clock or _time.time
+        self._sleep = sleeper or _time.sleep
+        self._last_call = None
+
+    def infer(self, texts: list[str]) -> list[str]:
+        now = self._clock()
+        if self._last_call is not None:
+            elapsed = now - self._last_call
+            if elapsed < self.min_interval_sec:
+                self._sleep(self.min_interval_sec - elapsed)
+        # record BEFORE the call, like the reference (main.py:269,280)
+        self._last_call = self._clock()
+        return self.inner.infer(texts)
+
+    def __getstate__(self):
+        # pickled to workers: drop the (possibly unpicklable) injected
+        # clock/sleeper and per-process call state; workers re-init.
+        return {"inner": self.inner, "min_interval_sec": self.min_interval_sec}
+
+    def __setstate__(self, state):
+        self.__init__(state["inner"], state["min_interval_sec"])
+
+
 class LlmExtractor:
     """The reference's LLM extractor seam (openai/claude/gemini
     function-calling, reference openai_extractor.py:71-238 et al),
