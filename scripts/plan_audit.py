@@ -87,6 +87,61 @@ def main(sf_dir: str) -> int:
         ["posexplode"],
         must_not=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
     )
+
+    # round 2 shapes -------------------------------------------------------
+    from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+        lsh_band_keys,
+        word_shingles,
+    )
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    band_plan = plan_of(lsh_band_keys(word_shingles(raw_docs, "doc_id", "text")))
+    # one distinct (partial+final) + ONE wide min-agg (partial+final); the
+    # old seed-join + collect_list path added a third aggregation pair.
+    n_aggs = band_plan.count("HashAggregate") + band_plan.count("ObjectHashAggregate")
+    if n_aggs <= 4 and "Generate" in band_plan:
+        print("PASS minhash_band_keys_single_agg")
+    else:
+        failures.append(("minhash_band_keys_single_agg", f"aggs={n_aggs}"))
+        print(f"FAIL minhash_band_keys_single_agg: aggregate pairs={n_aggs}")
+
+    from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+        extract_graph_records_fused,
+    )
+
+    from threat_intelligence_knowledge_graph_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "a", "The domain evil.example.net resolves to 10.0.0.1.", None, None)],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+    import re as _re
+
+    fused_plan = plan_of(extract_graph_records_fused(tr, num_partitions=4, emit="edges"))
+    # formatted mode prints each node in the tree AND a details header
+    # "(n) Exchange" — count only the details headers.
+    n_exchanges = len(_re.findall(r"^\(\d+\) Exchange", fused_plan, _re.MULTILINE))
+    if n_exchanges == 1:
+        print("PASS fused_single_exchange")
+    else:
+        failures.append(("fused_single_exchange", n_exchanges))
+        print(f"FAIL fused_single_exchange: exchanges={n_exchanges}")
+
+    # single-scan banded near-dup: after execution AQE must reuse the
+    # signature exchange for the self-join (one signature computation).
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nd = embedding_near_duplicates(emb, threshold=0.99, dim=int(emb.select(F.size("embedding")).first()[0]))
+    nd.collect()
+    executed = nd._jdf.queryExecution().executedPlan().toString()
+    if "ReusedExchange" in executed:
+        print("PASS neardup_reused_exchange")
+    else:
+        failures.append(("neardup_reused_exchange", "no ReusedExchange"))
+        print("FAIL neardup_reused_exchange: signature self-join not reused")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
