@@ -456,6 +456,33 @@ def q_html_to_text(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal binary-column plumbing end-to-end: pack a 16-byte-header
+    payload per orderkey (arithmetic dims), ship the binary column through
+    Arrow, decode with the real mapInPandas kernel, emit typed metadata.
+    The oracle recomputes the header fields analytically."""
+    from threat_intelligence_knowledge_graph_spark.operators.multimodal import (
+        decode_assets,
+        pack_assets,
+    )
+
+    ids = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("asset_id")
+    )
+    decoded = decode_assets(pack_assets(ids), fake=True)
+    return decoded.select("asset_id", "kind", "width", "height", "n_frames")
+
+
+def q_skew_hot_entities(spark, sf_dir):
+    """Salted two-phase rollup (value-independent salt) over the
+    constructed triple table — must equal a plain GROUP BY count."""
+    from threat_intelligence_knowledge_graph_spark.operators.skew import (
+        hot_entity_counts,
+    )
+
+    return hot_entity_counts(_constructed_triples(spark, sf_dir), n_salts=32)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -774,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "dedup_exact_docs": q_dedup_exact_docs,
         "html_to_text": q_html_to_text,
+        "multimodal_decode": q_multimodal_decode,
+        "skew_hot_entities": q_skew_hot_entities,
         "text_token_counts": q_text_token_counts,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
@@ -1030,6 +1059,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.user_id, l.last_ts
         """,
         "html_to_text": _html_to_text_oracle_sql(),
+        "multimodal_decode": """
+            SELECT o_orderkey AS asset_id,
+                   (['image','audio','video'])[cast(o_orderkey % 3 AS int) + 1] AS kind,
+                   cast(8 + o_orderkey % 56 AS int) AS width,
+                   cast(8 + (o_orderkey * 7) % 56 AS int) AS height,
+                   cast(CASE WHEN o_orderkey % 3 = 2 THEN 1 + o_orderkey % 29
+                             ELSE 1 END AS int) AS n_frames
+            FROM orders
+        """,
+        "skew_hot_entities": f"""
+            WITH triples AS ({_CONSTRUCTED_TRIPLES_SQL}),
+            m AS (
+              SELECT subj AS entity FROM triples
+              UNION ALL
+              SELECT obj AS entity FROM triples
+            )
+            SELECT entity, count(*) AS count FROM m GROUP BY entity
+        """,
         "dedup_exact_docs": """
             SELECT md5(text) AS content_hash, count(*) AS n_copies,
                    min(doc_id) AS keep_id

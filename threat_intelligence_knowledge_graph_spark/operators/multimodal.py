@@ -80,6 +80,37 @@ def synth_assets(spark, n: int, partitions: int | None = None) -> DataFrame:
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, ASSETS_SCHEMA)
 
 
+def pack_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Pack a payload per id with ARITHMETIC dims (width = 8 + id%56,
+    height = 8 + (id·7)%56, frames = 1 + id%29 for video) — the
+    SQL-predictable twin of ``synth_assets``'s RNG dims, so the full
+    pack → binary column → Arrow → decode round trip is verifiable
+    against an analytic oracle (driver entry ``multimodal_decode``)."""
+    kinds = ["image", "audio", "video"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                kind = kinds[i % 3]
+                w, h = 8 + i % 56, 8 + (i * 7) % 56
+                frames = 1 + i % 29 if kind == "video" else 1
+                header = b"TIKG" + struct.pack("<BHHH5x", _KIND_CODE[kind], w, h, frames)
+                body = (np.arange(min(w * h, 512), dtype=np.int64) * 31 + i) % 256
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "kind": kind,
+                        "payload": header + body.astype(np.uint8).tobytes(),
+                        "meta": {"source": f"synth://{i}", "codec": "tikg-fake"},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(gen, ASSETS_SCHEMA)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
