@@ -134,11 +134,14 @@ def main() -> None:
                 # a sampled efficiency DOWN, never up. Per-sample spread
                 # above is the noise evidence; min-of-samples estimates
                 # each level's uncontended floor.
-                "hardware_ceiling_8to32": 0.87,
-                "efficiency_vs_ceiling": round(
-                    (t_low / t_high) / (high / low) / 0.87, 3
-                ),
             }
+            if (low, high) == (8, 32):
+                # The ceiling calibration was measured for exactly the
+                # 8→32 transition — don't attach it to other levels.
+                result["scaling"]["hardware_ceiling_8to32"] = 0.87
+                result["scaling"]["efficiency_vs_ceiling"] = round(
+                    (t_low / t_high) / (high / low) / 0.87, 3
+                )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 

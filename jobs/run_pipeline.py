@@ -56,11 +56,15 @@ def main() -> None:
 
     if args.model != "ner":
         raise SystemExit("only the deterministic 'ner' extractor is productionized")
-    if "://" in args.warehouse and not args.warehouse.startswith("file://"):
+    if "://" in args.warehouse:
+        # Reject file:// too: LocalTableCatalog's os/json side would treat
+        # the URI as a literal relative path while Spark writers resolve
+        # it, silently splitting the warehouse across two locations.
         raise SystemExit(
-            "--warehouse must be a local filesystem path: LocalTableCatalog "
-            "keeps its snapshot log via os/json; plug an Iceberg catalog "
-            "into the TableIO seam for object-store warehouses"
+            "--warehouse must be a plain local filesystem path (no URI "
+            "scheme): LocalTableCatalog keeps its snapshot log via "
+            "os/json; plug an Iceberg catalog into the TableIO seam for "
+            "object-store warehouses"
         )
 
     spark = build_session("tikg-pipeline")

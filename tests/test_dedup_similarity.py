@@ -169,3 +169,40 @@ class TestDedupProperties:
 
     def test_dedup_never_invents_rows(self, spark, docs):
         assert exact_dedup(docs).count() <= docs.count()
+
+
+class TestReviewRegressionsR2:
+    def test_simhash_max_hamming_zero(self, spark):
+        """max_hamming=0 means exact-signature duplicates; must not
+        overflow a 64-bit band mask (review finding r2)."""
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            simhash_near_duplicates,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "same text here"), (2, "same text here"), (3, "totally different words")],
+            ["doc_id", "text"],
+        )
+        got = {(r.a, r.b) for r in simhash_near_duplicates(df, max_hamming=0).collect()}
+        assert (1, 2) in got and all(3 not in p for p in got)
+
+    def test_band_keys_more_bands_than_hashes(self, spark):
+        """bands > num_hashes: seedless tail bands are skipped (the old
+        narrow path produced no rows for them; a zero-arg hash threw)."""
+        from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+            lsh_band_keys,
+            word_shingles,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+        )
+        sh = word_shingles(df, "doc_id", "text")
+        banded = lsh_band_keys(sh, num_hashes=8, bands=16)
+        assert banded.select("band").distinct().count() == 8
+        from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+            lsh_candidate_pairs,
+        )
+
+        pairs, _ = lsh_candidate_pairs(banded)
+        assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}

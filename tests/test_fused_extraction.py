@@ -63,6 +63,27 @@ class TestFusedEqualsDeclarative:
         e2 = sorted(key(r) for r in eo.collect())
         assert e1 == e2 and len(e1) > 20
 
+    def test_null_conv_id_group_matches_declarative(self, spark):
+        """Spark's JVM groupBy keeps a single NULL-key group; the fused
+        kernel's numpy boundary scan must coalesce null conv_id rows into
+        the same single merged document (sorted nulls are contiguous and
+        None != None is elementwise False), keeping fused ≡ declarative
+        on this edge too."""
+        rows = [
+            (None, 0, "u", "The domain evil.example.net resolves", None, None),
+            ("c9", 0, "u", "to nothing here at all", None, None),
+            (None, 1, "u", "to 10.0.0.9 now.", None, None),
+        ]
+        tr = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+        declarative = extract_graph_records(reassemble(tr))
+        fused = extract_graph_records_fused(tr, num_partitions=2)
+        t1 = {(r.subj, r.pred, r.obj) for r in _tables(declarative)[2].collect()}
+        t2 = {(r.subj, r.pred, r.obj) for r in _tables(fused)[2].collect()}
+        # the two null turns form ONE doc => the cross-turn sentence
+        # yields the RESOLVES_TO edge in both paths
+        assert t1 == t2
+        assert ("Domain_Evil_Example_Net", "RESOLVES_TO", "Ipv4_10_0_0_9") in t2
+
     def test_input_pregrouped_equals_default_on_colocated_input(
         self, spark, transcripts
     ):

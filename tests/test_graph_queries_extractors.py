@@ -243,7 +243,8 @@ class TestRateLimitedBackend:
             t["now"] += s
 
         rl = RateLimitedBackend(
-            MockKernelBackend(), min_interval_sec=13.0, clock=clock, sleeper=sleeper
+            MockKernelBackend(), min_interval_sec=13.0, key="t-paces",
+            clock=clock, sleeper=sleeper,
         )
         rl.infer(["one."])           # first call: no wait
         assert slept == []
@@ -253,6 +254,15 @@ class TestRateLimitedBackend:
         t["now"] += 20.0
         rl.infer(["three."])         # window passed -> no wait
         assert slept == [10.0]
+        # pacing state must survive instance re-creation (Spark re-pickles
+        # the backend per task; only the worker process persists)
+        t["now"] += 2.0
+        rl2 = RateLimitedBackend(
+            MockKernelBackend(), min_interval_sec=13.0, key="t-paces",
+            clock=clock, sleeper=sleeper,
+        )
+        rl2.infer(["four."])         # 2s since rl's last call -> wait 11s
+        assert slept == [10.0, 11.0]
 
     def test_picklable_and_transparent(self, spark):
         import pickle

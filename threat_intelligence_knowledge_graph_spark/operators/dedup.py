@@ -179,7 +179,10 @@ def simhash_near_duplicates(
     bigger buckets — keep it small (≤ 7, i.e. ≥ 8-bit bands) on large
     corpora.
     """
-    nbands = max_hamming + 1
+    # ≥2 bands always: max_hamming=0 still means "identical signature",
+    # which two 32-bit bands detect completely — and a single 64-bit band
+    # would need a (1<<64)-1 literal that overflows LongType.
+    nbands = max(max_hamming + 1, 2)
     if nbands > 32:
         raise ValueError("max_hamming must be ≤ 31 (bands need ≥2 bits)")
     bounds = [64 * i // nbands for i in range(nbands + 1)]

@@ -168,6 +168,11 @@ def extract_graph_records_fused(
         # Columnar construction (dict-of-lists → one DataFrame) — cheaper
         # than a list of 11-wide tuples at millions of output rows.
         n_nodes, n_edges = len(node_acc), len(edge_acc)
+        if n_nodes + n_edges == 0:
+            # A partition of record-less docs must yield NOTHING: empty
+            # python lists become float64 pandas columns, which Arrow
+            # cannot convert to the MapType properties field.
+            return
         none_nodes = [None] * n_nodes
         none_edges = [None] * n_edges
         out = {

@@ -161,45 +161,59 @@ def _kg_payload_to_rows(conv_id: str, payload: str) -> list[tuple]:
     return rows
 
 
+# Per-PROCESS pacing state for RateLimitedBackend, keyed by limiter key.
+# Backends are re-pickled per Spark task, but the Python worker process
+# is reused across tasks — instance state would silently reset on every
+# task and never pace anything; this module-level map survives.
+_RATE_LIMIT_LAST_CALL: dict[str, float] = {}
+
+
 class RateLimitedBackend:
     """Min-interval rate limiting for a ``BatchInferenceBackend``
     (SURVEY.md §2 op 6; reference main.py:259-281 enforces a 13 s
     min-interval — 5 RPM + buffer — before each Gemini/Claude call).
 
-    The reference paces per chunk inside its serial loop; here one
-    limiter instance lives inside each Spark worker and paces that
-    worker's *batch* calls — per-executor pacing, the correct unit when
-    an inference service is fronted by per-connection limits. The clock
-    is injectable so tests never sleep.
+    The reference paces per chunk inside its serial loop; here the
+    pacing unit is the Spark WORKER PROCESS: last-call state lives in a
+    module-level map (keyed by ``key``) so it survives task-boundary
+    re-pickling — each reused worker paces all its batch calls across
+    tasks. Cross-worker concurrency is NOT throttled here (N workers ⇒
+    up to N in-flight calls); a global budget needs a service-side
+    limiter or ``spark.executor.cores``-level sizing — documented, not
+    hidden. The clock is injectable so tests never sleep.
     """
 
     def __init__(self, inner: BatchInferenceBackend, min_interval_sec: float = 13.0,
-                 clock=None, sleeper=None):
+                 key: str = "default", clock=None, sleeper=None):
         import time as _time
 
         self.inner = inner
         self.min_interval_sec = min_interval_sec
+        self.key = key
         self._clock = clock or _time.time
         self._sleep = sleeper or _time.sleep
-        self._last_call = None
 
     def infer(self, texts: list[str]) -> list[str]:
-        now = self._clock()
-        if self._last_call is not None:
-            elapsed = now - self._last_call
+        last = _RATE_LIMIT_LAST_CALL.get(self.key)
+        if last is not None:
+            elapsed = self._clock() - last
             if elapsed < self.min_interval_sec:
                 self._sleep(self.min_interval_sec - elapsed)
         # record BEFORE the call, like the reference (main.py:269,280)
-        self._last_call = self._clock()
+        _RATE_LIMIT_LAST_CALL[self.key] = self._clock()
         return self.inner.infer(texts)
 
     def __getstate__(self):
-        # pickled to workers: drop the (possibly unpicklable) injected
-        # clock/sleeper and per-process call state; workers re-init.
-        return {"inner": self.inner, "min_interval_sec": self.min_interval_sec}
+        # injected clock/sleeper may be unpicklable; workers re-init with
+        # real time functions (pacing state is process-global, not here).
+        return {
+            "inner": self.inner,
+            "min_interval_sec": self.min_interval_sec,
+            "key": self.key,
+        }
 
     def __setstate__(self, state):
-        self.__init__(state["inner"], state["min_interval_sec"])
+        self.__init__(state["inner"], state["min_interval_sec"], state["key"])
 
 
 class LlmExtractor:

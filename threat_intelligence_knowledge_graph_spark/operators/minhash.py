@@ -84,6 +84,9 @@ def lsh_band_keys(
     and their second shuffle+collect_list aggregation (the dominant cost
     at corpus scale)."""
     wide = _wide_signatures(shingles, num_hashes)
+    # band b holds seeds ≡ b (mod bands); with bands > num_hashes the
+    # tail bands are seedless — skip them (the narrow path simply
+    # produced no rows for them; a zero-arg hash() would throw).
     structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -91,7 +94,7 @@ def lsh_band_keys(
                 *[F.col(f"_mh{s}") for s in range(num_hashes) if s % bands == b]
             ).alias("band_key"),
         )
-        for b in range(bands)
+        for b in range(min(bands, num_hashes))
     ]
     return wide.select(
         "_id", F.explode(F.array(*structs)).alias("_x")

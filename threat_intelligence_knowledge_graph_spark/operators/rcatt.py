@@ -106,8 +106,16 @@ class RcattClassifier:
             binary = feats.withColumn(
                 "label", F.array_contains("_codes", code).cast("double")
             )
+            # Per-code output column names so scoring can CHAIN every
+            # model's transform over one featurized frame (a single pass)
+            # instead of re-running TF-IDF once per code.
             lr = LogisticRegression(
-                featuresCol="features", labelCol="label", regParam=reg_param
+                featuresCol="features",
+                labelCol="label",
+                regParam=reg_param,
+                probabilityCol=f"_prob_{code}",
+                rawPredictionCol=f"_raw_{code}",
+                predictionCol=f"_pred_{code}",
             )
             models[code] = lr.fit(binary)
         feats.unpersist()
@@ -122,9 +130,11 @@ class RcattClassifier:
     ) -> DataFrame:
         """(id, code, confidence) — one row per detected label.
 
-        Each per-code model appends its probability column; detection =
-        P(label) ≥ threshold (the reference consumes predict() == 1,
-        which is the same 0.5 cut for sklearn linear models)."""
+        Scoring is ONE pass: every per-code model's transform chains over
+        the same featurized frame (each writes its own ``_prob_<code>``
+        column), then an explode over per-code structs stacks detections.
+        Detection = P(label) ≥ threshold (the reference consumes
+        predict() == 1, the same 0.5 cut for sklearn linear models)."""
         from pyspark.ml.functions import vector_to_array
 
         if self._featurizer is None or not self._models:
@@ -132,19 +142,30 @@ class RcattClassifier:
         prepared = documents.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
         ).withColumn("_clean", preprocess_for_rcatt(F.col("_text")))
-        feats = self._featurizer.transform(prepared)
-        per_code = []
-        for code, model in self._models.items():
-            scored = model.transform(feats).select(
-                "_id",
-                F.lit(code).alias("code"),
-                F.element_at(vector_to_array("probability"), 2).alias("confidence"),
-            )
-            per_code.append(scored.filter(F.col("confidence") >= threshold))
-        out = per_code[0]
-        for df in per_code[1:]:
-            out = out.unionByName(df)
-        return out.select(F.col("_id").alias(id_col), "code", "confidence")
+        scored = self._featurizer.transform(prepared)
+        for model in self._models.values():
+            scored = model.transform(scored)
+        stacked = scored.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(code).alias("code"),
+                            F.element_at(
+                                vector_to_array(f"_prob_{code}"), 2
+                            ).alias("confidence"),
+                        )
+                        for code in self._models
+                    ]
+                )
+            ).alias("_d"),
+        )
+        return stacked.filter(F.col("_d.confidence") >= threshold).select(
+            F.col("_id").alias(id_col),
+            F.col("_d.code").alias("code"),
+            F.col("_d.confidence").alias("confidence"),
+        )
 
 
 def attack_nodes(detections: DataFrame, node_type: str) -> DataFrame:

@@ -157,13 +157,15 @@ def run_pipeline(
             catalog.overwrite(alias, "canonical_map", run_id, "canonicalize")
         alias = catalog.read(spark, "canonical_map")
         if not stage_done("edges_canonical", "canonicalize"):
-            catalog.merge(
-                spark,
+            # edges_canonical is DERIVED (current edges × current alias
+            # map), so it is recomputed and overwritten whole — a MERGE
+            # would keep rows rewritten under superseded alias mappings
+            # forever when the dictionary changes across runs.
+            catalog.overwrite(
                 apply_canonicalization(edges, alias),
                 "edges_canonical",
-                keys=["src_id", "rel_type", "dst_id"],
-                run_id=run_id,
-                stage="canonicalize",
+                run_id,
+                "canonicalize",
             )
         edges = catalog.read(spark, "edges_canonical")
 
