@@ -483,6 +483,31 @@ def q_skew_hot_entities(spark, sf_dir):
     return hot_entity_counts(_constructed_triples(spark, sf_dir), n_salts=32)
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing for pretraining batches: documents → fixed-token
+    packs via the deterministic bin-by-prefix-sum operator (one window
+    cumsum — exactly SQL-reproducible, unlike greedy first-fit)."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        pack_documents,
+    )
+
+    d = token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_documents(d, token_budget=500)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val assignment by engine-portable md5 hash —
+    reproducible across engines/runs/partitionings, no RNG."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        split_by_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_by_hash(d, "doc_id", train_frac=0.9)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -803,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_to_text": q_html_to_text,
         "multimodal_decode": q_multimodal_decode,
         "skew_hot_entities": q_skew_hot_entities,
+        "pack_documents": q_pack_documents,
+        "train_val_split": q_train_val_split,
         "text_token_counts": q_text_token_counts,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
@@ -1067,6 +1094,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(CASE WHEN o_orderkey % 3 = 2 THEN 1 + o_orderkey % 29
                              ELSE 1 END AS int) AS n_frames
             FROM orders
+        """,
+        "pack_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   cast(floor(coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 500) AS bigint) AS pack_id
+            FROM t
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_upper('split:' || cast(doc_id AS varchar))
+                             % 1000000 < 900000
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         "skew_hot_entities": f"""
             WITH triples AS ({_CONSTRUCTED_TRIPLES_SQL}),

@@ -1,0 +1,76 @@
+"""Sequence packing + deterministic split operators."""
+
+import hashlib
+
+from threat_intelligence_knowledge_graph_spark.operators.packing import (
+    pack_documents,
+    pack_stats,
+    split_by_hash,
+)
+
+import pytest
+
+
+class TestPackDocuments:
+    def test_bin_by_prefix_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, 30), (2, 40), (3, 50), (4, 10), (5, 100)],
+            ["doc_id", "n_tokens"],
+        )
+        got = {r.doc_id: r.pack_id for r in pack_documents(df, 100).collect()}
+        # preceding cumsums: 0, 30, 70, 120, 130 → packs 0,0,0,1,1
+        assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+
+    def test_oversized_doc_own_pack_region(self, spark):
+        df = spark.createDataFrame([(1, 500), (2, 10)], ["doc_id", "n_tokens"])
+        got = {r.doc_id: r.pack_id for r in pack_documents(df, 100).collect()}
+        assert got[1] == 0 and got[2] == 5  # next doc starts past the big one
+
+    def test_stats_cover_all_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(i, 37 + i % 11) for i in range(200)], ["doc_id", "n_tokens"]
+        )
+        packed = pack_documents(df, 256)
+        stats = pack_stats(packed)
+        total = stats.groupBy().sum("total_tokens").first()[0]
+        assert total == sum(37 + i % 11 for i in range(200))
+        # every pack except possibly the last holds >= budget-worth of
+        # start offsets → fills are near budget, never double
+        assert all(r.total_tokens < 2 * 256 for r in stats.collect())
+
+    def test_invalid_budget(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["doc_id", "n_tokens"])
+        with pytest.raises(ValueError):
+            pack_documents(df, 0)
+
+
+class TestSplitByHash:
+    def test_matches_python_md5(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+        got = {r.k: r.split for r in split_by_hash(df, "k", 0.7).collect()}
+        for i in range(50):
+            h = int.from_bytes(
+                hashlib.md5(f"split:{i}".encode()).digest()[:8], "little"
+            )
+            assert got[i] == ("train" if h % 1_000_000 < 700_000 else "val")
+
+    def test_deterministic_and_salt_redraws(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+        a = {r.k: r.split for r in split_by_hash(df, "k", 0.5).collect()}
+        b = {r.k: r.split for r in split_by_hash(df, "k", 0.5).collect()}
+        assert a == b  # stable across runs
+        c = {r.k: r.split for r in split_by_hash(df, "k", 0.5, salt="v2").collect()}
+        assert a != c  # a new salt re-draws the assignment
+        frac = sum(v == "train" for v in a.values()) / 300
+        assert 0.4 < frac < 0.6
+
+    def test_boundary_fracs(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(20)], ["k"])
+        assert all(
+            r.split == "train" for r in split_by_hash(df, "k", 1.0).collect()
+        )
+        assert all(
+            r.split == "val" for r in split_by_hash(df, "k", 0.0).collect()
+        )
+        with pytest.raises(ValueError):
+            split_by_hash(df, "k", 1.5)

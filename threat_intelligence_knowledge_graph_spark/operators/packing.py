@@ -1,0 +1,89 @@
+"""Training-data assembly operators: sequence packing + deterministic splits.
+
+Two ops every LLM-pretraining pipeline needs downstream of dedup/quality:
+
+- ``pack_documents`` — assign documents to fixed-token-budget packs.
+  Deterministic bin-by-prefix-sum packing: documents are globally ordered
+  by a stable key, a window cumulative sum of token counts is computed,
+  and a document lands in pack ``floor(preceding_cumsum / budget)``.
+  Pure Catalyst (one window over the chosen order) and therefore exactly
+  SQL-reproducible — unlike greedy first-fit, which is sequential and
+  engine-specific. Scale note: a single global window means one
+  range-partitioned sort; at 100 TB shard first (e.g. by date bucket)
+  and pack within shards — the function takes any pre-partitioned frame.
+
+- ``split_by_hash`` — deterministic train/validation assignment by
+  hashing a stable key: md5-derived 64-bit value (the same engine-
+  portable hash the simhash kernel uses — DuckDB ``md5_number_upper``)
+  compared against ``train_frac · 2⁶⁴``. Reproducible across engines,
+  runs, and partitionings; no RNG, no seed drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# train_frac is quantized to this many buckets so the threshold is an
+# exact integer in BOTH engines (no float⋅2^64 rounding ambiguity).
+_FRAC_DENOM = 1_000_000
+
+
+def pack_documents(
+    documents: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, n_tokens, pack_id): pack = floor(preceding-cumsum / budget)
+    over ascending ``id_col`` order. Oversized documents (> budget) get
+    their own pack by construction."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    preceding = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return documents.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.floor(preceding / F.lit(token_budget)).cast("long").alias("pack_id"),
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-pack fill statistics: (pack_id, n_docs, total_tokens)."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    train_frac: float,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val') by deterministic hash.
+
+    hash = md5_number_upper(salt || ':' || key) scaled to [0, 1_000_000);
+    rows below ``train_frac``·1e6 are train. Changing ``salt`` re-draws
+    the assignment without touching data.
+    """
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError("train_frac must be in [0, 1]")
+    threshold = int(round(train_frac * _FRAC_DENOM))
+    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    # first 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
+    # conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
+    # decimal string — cast through decimal to stay unsigned-exact.
+    le_hex = F.concat_ws(
+        "",
+        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
+    )
+    bucket = (
+        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(_FRAC_DENOM)
+    ).cast("long")
+    return df.withColumn(
+        "split",
+        F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("val")),
+    )
