@@ -97,11 +97,16 @@ def main() -> None:
         if not skip_scaling:
             # Adaptive resampling of the noisier high level (see EXTRA_HIGH
             # note above): stop early once the target efficiency is met.
-            for _ in range(EXTRA_HIGH):
+            # Every second extra high sample also adds a LOW sample so the
+            # min estimator stays symmetric — extra lows can only lower
+            # the reported efficiency, never inflate it.
+            for i in range(EXTRA_HIGH):
                 eff = (min(times[low]) / min(times[high])) / (high / low)
                 if eff >= EFF_TARGET:
                     break
                 times[high].append(_pinned_run(high, corpus_path)["sec"])
+                if i % 2 == 1:
+                    times[low].append(_pinned_run(low, corpus_path)["sec"])
 
         t_high = min(times[high])
         n_turns, n_triples = info["n_turns"], info["n_triples"]
