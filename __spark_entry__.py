@@ -787,6 +787,31 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_survivors(spark, sf_dir):
+    """Embedding near-dup dedup end-to-end (banded LSH pairs → connected
+    components → min-id survivor). On the planted basis vectors every
+    same-direction family collapses to its min id — analytic keep-set."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        embedding_dedup,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 199 == 0)
+    rows = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    )
+    idx = ((F.col("k") / 199).cast("long") % 64).cast("int")
+    scale = (F.col("j") + 1).cast("double")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i == idx, scale).otherwise(F.lit(0.0)),
+    )
+    emb = rows.select(
+        (F.col("k") * 2 + F.col("j")).alias("vec_id"), vec.alias("embedding")
+    )
+    return embedding_dedup(emb, threshold=0.9, dim=64).select("vec_id")
+
+
 def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
@@ -842,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
     }
 
 
@@ -1311,6 +1337,17 @@ def oracle_sql() -> dict[str, str]:
         # Exact brute-force pair join over the planted basis vectors;
         # the banded-LSH operator must reproduce it exactly (cosines are
         # exactly 1.0 within a direction, exactly 0.0 across).
+        # Clusters are exactly the same-direction families (all pairwise
+        # cosine 1.0) → survivor = min vec_id per direction class.
+        "embedding_dedup_survivors": """
+            WITH v AS (
+              SELECT 2 * o_orderkey + j.j AS vec_id,
+                     (o_orderkey // 199) % 64 AS dir
+              FROM orders, (SELECT unnest([0, 1]) AS j) j
+              WHERE o_orderkey % 199 = 0
+            )
+            SELECT min(vec_id) AS vec_id FROM v GROUP BY dir
+        """,
         "embedding_near_dups": """
             WITH v AS (
               SELECT 2 * o_orderkey + j.j AS vec_id,

@@ -206,3 +206,20 @@ class TestReviewRegressionsR2:
 
         pairs, _ = lsh_candidate_pairs(banded)
         assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
+
+    def test_embedding_dedup_survivors(self, spark):
+        """Near-identical vectors collapse to min id; distinct directions
+        survive whole (same survivor policy as minhash_dedup)."""
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            embedding_dedup,
+        )
+
+        v = [float(x) for x in np.random.RandomState(3).randn(16)]
+        rows = [
+            (1, v),
+            (2, [x * 2.0 for x in v]),           # exact multiple of 1
+            (3, [float(x) for x in np.random.RandomState(8).randn(16)]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        kept = {r.vec_id for r in embedding_dedup(df, threshold=0.99, dim=16).collect()}
+        assert kept == {1, 3}

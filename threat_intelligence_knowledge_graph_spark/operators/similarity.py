@@ -198,6 +198,31 @@ def _band_bucket_expr(dim: int, n_planes: int, seed: int, vec_col: str):
     return bucket
 
 
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Remove embedding near-duplicates: cluster verified pairs with
+    connected components, keep the min id per cluster (the same survivor
+    policy as ``minhash_dedup`` — deterministic and join-free)."""
+    from .minhash import connected_components
+
+    pairs = embedding_near_duplicates(
+        embeddings, threshold, n_planes, bands, seed, id_col, vec_col, dim
+    )
+    components = connected_components(pairs.select("a", "b"))
+    drop = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return embeddings.join(drop, id_col, "left_anti")
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
