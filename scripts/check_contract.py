@@ -30,6 +30,19 @@ def _type_kind(t: str) -> str:
     bigint is flagged — the driver's value hash is type-sensitive, and
     this replica must be too (pivot_order_status regression, round 1)."""
     t = t.lower()
+    # Containers FIRST (ADVICE r2): spark 'array<string>' / duckdb
+    # 'varchar[]' must classify as a list of their element kind, not fall
+    # through to the scalar substring branches — otherwise a scalar vs
+    # array-of-same-kind mismatch would pass the type gate.
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        inner = t
+        if t.endswith("[]"):
+            inner = t[:-2]
+        elif "<" in t:
+            inner = t[t.index("<") + 1 : t.rindex(">")]
+        elif "(" in t:
+            inner = t[t.index("(") + 1 : t.rindex(")")]
+        return f"list<{_type_kind(inner)}>" if inner != t else "list"
     if "decimal" in t or "hugeint" in t:
         return "decimal"
     if any(k in t for k in ("tinyint", "smallint", "int", "long", "short", "byte")):
@@ -42,8 +55,6 @@ def _type_kind(t: str) -> str:
         return "str"
     if "timestamp" in t or "date" in t:
         return "ts"
-    if "array" in t or "list" in t or t.endswith("[]"):
-        return "list"
     return t
 
 
@@ -62,7 +73,7 @@ def rows_to_multiset(cols, rows):
     )
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     spark = build_session("contract-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -71,6 +82,8 @@ def main(sf_dir: str) -> int:
         )
 
     queries = entry_mod.queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
@@ -129,4 +142,6 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    # Optional 2nd arg: comma-separated entry names to check (default all).
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    raise SystemExit(main(sf, only))
