@@ -52,7 +52,7 @@ _URL_HOST_RX = re.compile(r"(?:https?|ftp|sftp)://([^:/]+)")
 _SPLITTER = None
 
 
-def _split_sentences(text: str) -> list[str]:
+def _resolve_splitter():
     global _SPLITTER
     if _SPLITTER is None:
         import os
@@ -67,7 +67,11 @@ def _split_sentences(text: str) -> list[str]:
             except Exception:
                 pass
         _SPLITTER = fn
-    return _SPLITTER(text)
+    return _SPLITTER
+
+
+def _split_sentences(text: str) -> list[str]:
+    return _resolve_splitter()(text)
 
 
 # Bounded memos: pure string→string maps; IOC values repeat heavily both
@@ -188,7 +192,6 @@ def _extract_relations(
         # scan for single-IOC documents (the common filler-doc fast path).
         # Semantics identical: with <2 entities no sentence group can pair.
         return []
-    sentences = _split_sentences(raw_text)
 
     # (id, type, value, stix) tuples, entity order preserved.
     ents: list[tuple[str, str, str, str]] = []
@@ -199,19 +202,66 @@ def _extract_relations(
 
     # Group entities by sentence (substring containment, case-sensitive) —
     # reference stix_relation_extractor.py:151-176.
-    by_sentence: dict[int, list[tuple[str, str, str, str]]] = {}
-    for ent in ents:
-        value = ent[2]
-        for i, sentence in enumerate(sentences):
-            if value in sentence:
-                by_sentence.setdefault(i, []).append(ent)
+    splitter = _resolve_splitter()
+    # NB: `splitter is _SENT_RX.split` would always be False — attribute
+    # access mints a fresh bound-method object; compare the bound target.
+    if getattr(splitter, "__self__", None) is _SENT_RX:
+        # Fast path for the pinned regex splitter: ONE separator pass
+        # yields sentence [start, end) spans, then each entity value is
+        # located with str.find over the whole text and mapped to its
+        # sentence by bisect — replacing the O(entities × sentences)
+        # per-sentence containment scans. A value occurrence counts iff
+        # it lies wholly inside one span, which is exactly `value in
+        # sentence` (sentences are contiguous substrings of raw_text).
+        # Exact-equality with the containment path is pytest-asserted.
+        from bisect import bisect_right
+
+        spans: list[tuple[int, int]] = []
+        starts: list[int] = []
+        pos = 0
+        for m in _SENT_RX.finditer(raw_text):
+            spans.append((pos, m.start()))
+            starts.append(pos)
+            pos = m.end()
+        spans.append((pos, len(raw_text)))
+        starts.append(pos)
+
+        sentences = None  # sliced lazily from spans below
+        by_sentence: dict[int, list[tuple[str, str, str, str]]] = {}
+        find = raw_text.find
+        for ent in ents:
+            value = ent[2]
+            vlen = len(value)
+            p = find(value)
+            hit: set[int] = set()
+            while p != -1:
+                si = bisect_right(starts, p) - 1
+                if p + vlen <= spans[si][1] and si not in hit:
+                    hit.add(si)
+                    by_sentence.setdefault(si, []).append(ent)
+                p = find(value, p + 1)
+    else:
+        # Punkt (or any opt-in splitter): sentences need not be
+        # contiguous substrings of raw_text, so keep the reference's
+        # literal containment scan.
+        sentences = splitter(raw_text)
+        by_sentence = {}
+        for ent in ents:
+            value = ent[2]
+            for i, sentence in enumerate(sentences):
+                if value in sentence:
+                    by_sentence.setdefault(i, []).append(ent)
 
     relationships: list[tuple[str, str, str, str, str, str]] = []
     url_host_memo: dict[str, str | None] = {}
     for sent_idx, sent_entities in by_sentence.items():
         if len(sent_entities) < 2:
             continue
-        sentence = sentences[sent_idx]
+        if sentences is None:
+            s0, s1 = spans[sent_idx]
+            sentence = raw_text[s0:s1]
+        else:
+            sentence = sentences[sent_idx]
         sentence_lower = sentence.lower()
         sel_memo: dict[tuple[str, ...], str | None] = {}
         for i, e1 in enumerate(sent_entities):

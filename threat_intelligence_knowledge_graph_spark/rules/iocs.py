@@ -19,6 +19,14 @@ from __future__ import annotations
 
 import re
 
+try:  # The third-party `regex` module (PyPI "regex") is a drop-in
+    # re-compatible engine with far better literal/charclass prefix
+    # scanning for most of our IOC patterns (measured per-class below).
+    # It is optional: absent, everything compiles under stdlib `re`.
+    import regex as _rx
+except ImportError:  # pragma: no cover - regex is baked into this env
+    _rx = re
+
 # ---------------------------------------------------------------------------
 # Refang ("fanging") rules — reference ner_extractor.py:447 prepare_text.
 # Applied before IOC detection only; relation/location extraction runs on the
@@ -43,7 +51,7 @@ _FANG_COMPILED = [(re.compile(p), r) for p, r in FANG_RULES]
 # sequential sub() passes (asserted by the parity suite + a dedicated
 # equivalence test). Note [dot]/[at] are case-SENSITIVE in the rules;
 # only hxxp/fxp are case-insensitive.
-_FANG_ONE = re.compile(
+_FANG_ONE = _rx.compile(
     r"(?i:hxxp)|(?i:fxp)|\[\.\]|\(\.\)|\[dot\]|\(dot\)|\[:\]|\[@\]|\[at\]|\(at\)|\[/\]"
 )
 _FANG_EXACT = {
@@ -130,8 +138,22 @@ IOC_PATTERNS: list[tuple[str, str]] = [
 
 IOC_CLASS_ORDER: list[str] = [c for c, _ in IOC_PATTERNS]
 
+# Engine choice per class. The PATTERN STRINGS above are the contract
+# (shared with the DuckDB oracle); only the scanning engine differs, and
+# engines are interchangeable for these patterns — asserted by
+# tests/test_ioc_engines.py (findall equality, parity corpus + fuzz).
+# Membership below = `regex` beat stdlib `re` on the kernel microbench
+# (it wins wherever a literal/charclass prefix lets it skip; `re` wins
+# on `domains`/`email` whose prefix classes are too dense to skip).
+_REGEX_ENGINE_CLASSES = {
+    "ipv6s", "urls", "ssdeeps", "imphashes", "authentihashes", "cves",
+    "file_paths", "registry_key_paths", "asns", "bitcoin_addresses",
+    "monero_addresses", "ipv4_cidrs", "credit_cards", "user_agents",
+}
+
 COMPILED_IOC_PATTERNS: list[tuple[str, re.Pattern]] = [
-    (c, re.compile(p)) for c, p in IOC_PATTERNS
+    (c, (_rx if c in _REGEX_ENGINE_CLASSES else re).compile(p))
+    for c, p in IOC_PATTERNS
 ]
 
 _MAC_FULL = re.compile(r"^(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}$")
@@ -153,10 +175,20 @@ _HASH_CLASSES = set(_HEX_LEN_TO_CLASS.values())
 # the cidr branch only forbids a digit continuation; the ipv4 branch also
 # forbids '.d' and '/d' continuations. A shared trailing lookahead would
 # reject CIDRs like '1.2.3.4/24.5' that the per-class pattern accepts.
-_IPV4_OR_CIDR = re.compile(
+# Compiled under the `regex` engine (~5× on the microbench, identical
+# pattern string; equality asserted by tests/test_ioc_engines.py).
+_IPV4_OR_CIDR = _rx.compile(
     rf"(?<![\d.])({IPV4_CORE})"
     rf"(?:(/(?:3[0-2]|[12]?\d))(?!\d)|(?!\d)(?!\.\d)(?!/\d))"
 )
+
+# MAC fast path: the per-class alternation `(hh:){5}hh|(hh-){5}hh` scans
+# both branches at every hex position; the backreference form tries one
+# branch and pins the separator — ~2× faster under stdlib `re`, same
+# match set (uniform-separator 6-groups either way; fuzz-asserted by
+# tests/test_ioc_engines.py). Backrefs are Python-side only — the
+# RE2-compatible contract string in IOC_PATTERNS is what SQL oracles use.
+_MAC_FAST = re.compile(r"\b([0-9A-Fa-f]{2}([:-])(?:[0-9A-Fa-f]{2}\2){4}[0-9A-Fa-f]{2})\b")
 
 # class → substring that must be present for the regex to possibly match.
 # Gate literals mirror the regex's case sensitivity exactly.
@@ -167,6 +199,7 @@ _CLASS_GATES: dict[str, tuple[str, ...]] = {
     "xmpp_addresses": ("jabber", "xmpp"),  # lowercase literals in regex
     "urls": ("://",),
     "user_agents": ("Mozilla/",),
+    "email_addresses": ("@",),           # regex requires a literal '@'
 }
 # gates checked against text.lower() — for (?i) regexes.
 _CLASS_GATES_LOWER: dict[str, tuple[str, ...]] = {
@@ -231,6 +264,8 @@ def find_iocs_doc(fanged_text: str) -> dict[str, list[str]]:
             vals = hex_hits[cls]
         elif cls in ip_hits:
             vals = ip_hits[cls]
+        elif cls == "mac_addresses":
+            vals = [m[0] for m in _MAC_FAST.findall(fanged_text)]
         else:
             gates = _CLASS_GATES.get(cls)
             if gates and not any(g in fanged_text for g in gates):
