@@ -165,7 +165,65 @@ class TestReviewRegressions:
             [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["a", "b"]
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(edges, max_iterations=3)
+            connected_components(edges, max_iterations=3, algorithm="propagation")
+
+    def test_cc_auto_falls_back_to_star_past_cap(self, spark):
+        # Same diameter-3-iterations-won't-do chain: auto must return the
+        # correct single component via star contraction, not raise.
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["a", "b"]
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(edges, max_iterations=3).collect()
+        }
+        assert set(got.values()) == {"n00"}
+        assert len(got) == 13
+
+
+class TestStarContraction:
+    def test_pathological_path_graph(self, spark):
+        """10k-node path graph: diameter 10k defeats propagation's
+        50-iteration budget; star contraction converges in O(log² n)
+        rounds with the exact same labeling."""
+        from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+            connected_components_star,
+        )
+
+        n = 10_000
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+        ).repartition(8)
+        got = connected_components_star(edges)
+        assert got.count() == n
+        assert got.select("component").distinct().collect()[0][0] == 0
+        # spot-check the far end reaches the root
+        assert got.filter("id = 9999").first().component == 0
+
+    def test_star_equals_propagation_on_random_graphs(self, spark):
+        import random
+
+        from threat_intelligence_knowledge_graph_spark.operators.minhash import (
+            connected_components_star,
+        )
+
+        rng = random.Random(5)
+        pairs = set()
+        for _ in range(300):
+            a, b = rng.randrange(150), rng.randrange(150)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        edges = spark.createDataFrame(sorted(pairs), ["a", "b"])
+        prop = {
+            r.id: r.component
+            for r in connected_components(
+                edges, algorithm="propagation"
+            ).collect()
+        }
+        star = {
+            r.id: r.component for r in connected_components_star(edges).collect()
+        }
+        assert prop == star
 
     def test_cross_type_hard_guard_long_values(self, spark):
         # Long shared value dilutes the label-prefix shingles — the hard

@@ -197,19 +197,112 @@ def jaccard_verify(
     )
 
 
+def _star_round(sym: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14). Input/output are
+    SYMMETRIC distinct edge lists (x, y); output is the contracted graph.
+
+    - large-star(u): hang every neighbor v > u onto m = min(Γ(u) ∪ {u})
+    - small-star(u): hang every neighbor v < u, and u itself, onto the
+      minimum of the ≤-neighborhood
+
+    Each round is 2 aggregations + 2 joins on the current edge list —
+    no per-node Python, no diameter dependence (O(log² n) rounds).
+    """
+    x, y = F.col("x"), F.col("y")
+    # Large-star.
+    mins = sym.groupBy("x").agg(F.min("y").alias("mn"))
+    mins = mins.select("x", F.least(F.col("mn"), x).alias("m"))
+    large = (
+        sym.join(mins, "x")
+        .filter(y > x)
+        .select(y.alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym2 = (
+        large.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(large.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    # Small-star over the ≤-neighborhood (no self-loops, so strictly <).
+    dn = sym2.filter(y < x)
+    dmin = dn.groupBy("x").agg(F.min("y").alias("mn"))
+    hang_nbrs = (
+        dn.join(dmin, "x")
+        .select(y.alias("a"), F.col("mn").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    hang_self = dmin.select(F.col("x").alias("a"), F.col("mn").alias("b"))
+    small = hang_nbrs.union(hang_self).distinct()
+    return (
+        small.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(small.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star contraction.
+
+    Diameter-independent: converges in O(log² n) rounds even on a path
+    graph that defeats min-label propagation's O(diameter) bound. At
+    convergence the edge set is a union of stars rooted at each
+    component's minimum id.
+    """
+    sym = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new_sym = _star_round(sym).localCheckpoint(eager=True)
+        changed = (
+            new_sym.exceptAll(sym).limit(1).count()
+            + sym.exceptAll(new_sym).limit(1).count()
+        )
+        old = sym
+        sym = new_sym
+        if changed == 0:
+            # Terminal star graph: every edge points (member → root).
+            members = sym.filter(F.col("x") > F.col("y")).select(
+                F.col("x").alias("id"), F.col("y").alias("component")
+            )
+            roots = (
+                sym.select(F.col("y").alias("id"))
+                .subtract(members.select("id"))
+                .withColumn("component", F.col("id"))
+            )
+            return members.union(roots)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50, algorithm: str = "auto"
 ) -> DataFrame:
     """(id, component) with component = min id in the component.
 
-    Min-label propagation over the undirected edge list; converges in
-    O(component diameter) joins. ``localCheckpoint`` per iteration keeps
-    the plan from growing unboundedly. Raises if the iteration cap is hit
-    before convergence — silently returning split components would make
-    dedup keep duplicate survivors and the canonicalizer emit
-    inconsistent ids (fail loud; raise the cap or switch to
-    large-star/small-star for adversarial diameters).
+    ``algorithm``:
+    - ``"propagation"`` — min-label propagation; O(component diameter)
+      joins. Raises at the iteration cap (silently returning split
+      components would make dedup keep duplicate survivors).
+    - ``"star"`` — large-star/small-star contraction
+      (``connected_components_star``); O(log² n) rounds regardless of
+      diameter.
+    - ``"auto"`` (default) — propagation (cheapest on the short-diameter
+      clusters dedup actually produces), falling back to star
+      contraction if the cap is hit instead of raising.
+
+    ``localCheckpoint`` per iteration keeps the plan from growing
+    unboundedly.
     """
+    if algorithm == "star":
+        return connected_components_star(edges)
     sym = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -250,9 +343,14 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # Diameter exceeded the propagation budget — switch to the
+            # diameter-independent star contraction (correct answer, more
+            # rounds of small shuffles) rather than failing the job.
+            return connected_components_star(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (component diameter too large) — raise "
-            "max_iterations or use a star-contraction variant"
+            "max_iterations or use algorithm='star'"
         )
     return labels
