@@ -147,6 +147,45 @@ class TestSimilarity:
         pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4).collect()
         assert {(r.a, r.b) for r in pairs} == {(1, 2)}
 
+    def test_embedding_bucket_cap_engages_and_reports(self, spark):
+        """Degenerate corpus: many identical-direction vectors land in one
+        (band, bucket) per band. The cap must (a) exclude those buckets
+        from the self-join and report them, (b) never admit a false pair,
+        and (c) keep pairs discoverable when the cap is loose."""
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            embedding_candidate_pairs,
+        )
+
+        base = [float(x) for x in np.random.RandomState(3).randn(16)]
+        n = 60
+        rows = [(i, [x * (1.0 + 0.0001 * i) for x in base]) for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        # Tight cap: every band's single mega-bucket is dropped.
+        capped = embedding_near_duplicates(
+            df, threshold=0.99, n_planes=4, max_bucket_size=10
+        )
+        assert capped.count() == 0
+        # Dropped-bucket report is non-empty with the same tight cap.
+        banded = df.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.lit(0).alias("bucket"))
+                        for b in range(2)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", "bb.band", "bb.bucket")
+        _pairs, dropped = embedding_candidate_pairs(banded, max_bucket_size=10)
+        report = dropped.collect()
+        assert report and all(r.bucket_size == n for r in report)
+
+        # Loose cap (default): all identical-direction pairs found.
+        loose = embedding_near_duplicates(df, threshold=0.99, n_planes=4)
+        assert loose.count() == n * (n - 1) // 2
+
 
 class TestDedupProperties:
     def test_exact_dedup_idempotent(self, spark):

@@ -223,6 +223,34 @@ def embedding_dedup(
     return embeddings.join(drop, id_col, "left_anti")
 
 
+def embedding_candidate_pairs(
+    banded: DataFrame, id_col: str = "vec_id", max_bucket_size: int = 1024
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join within (band, bucket) → candidate pairs (a < b).
+
+    Returns (pairs, dropped_buckets). A degenerate bucket — a mass of
+    near-identical or all-zero vectors, exactly what a real embedding
+    corpus contains — would otherwise create O(n²) rows on one key; the
+    same cap + dropped-bucket reporting as the MinHash path
+    (minhash.lsh_candidate_pairs). Dropping a band's bucket only reduces
+    RECALL for pairs seen in no other band; it never admits a false pair
+    (verification is exact cosine downstream).
+    """
+    sized = banded.groupBy("band", "bucket").agg(F.count("*").alias("bucket_size"))
+    ok = sized.filter(F.col("bucket_size") <= max_bucket_size)
+    dropped = sized.filter(F.col("bucket_size") > max_bucket_size)
+    bucketed = banded.join(ok.select("band", "bucket"), ["band", "bucket"])
+    left = bucketed.select("band", "bucket", F.col(id_col).alias("a"))
+    right = bucketed.select("band", "bucket", F.col(id_col).alias("b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -232,6 +260,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold.
 
@@ -244,9 +273,10 @@ def embedding_near_duplicates(
     Scale shape: ONE scan of the input computes every band's bucket in a
     single projection (an ``explode`` over per-band structs), so the only
     per-band cost is the (band, bucket)-keyed self-join on skinny
-    (band, bucket, id) rows; verification joins the sparse candidate
-    pairs back to the vectors. Pass ``dim`` when known to skip the
-    driver-side dimension probe job.
+    (band, bucket, id) rows — capped at ``max_bucket_size`` per bucket
+    (see ``embedding_candidate_pairs``); verification joins the sparse
+    candidate pairs back to the vectors. Pass ``dim`` when known to skip
+    the driver-side dimension probe job.
     """
     if dim is None:
         dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
@@ -266,14 +296,7 @@ def embedding_near_duplicates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.select("band", "bucket", F.col(id_col).alias("a"))
-    right = banded.select("band", "bucket", F.col(id_col).alias("b"))
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    candidates, _dropped = embedding_candidate_pairs(banded, id_col, max_bucket_size)
     va_df = embeddings.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
