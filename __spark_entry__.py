@@ -492,9 +492,14 @@ def q_pack_documents(spark, sf_dir):
     )
 
     d = token_counts(_t(spark, sf_dir, "documents")).select(
-        "doc_id", F.col("ws_tokens").cast("long").alias("n_tokens")
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("long").alias("shard"),
     )
-    return pack_documents(d, token_budget=500)
+    # Sharded packing (the 100 TB shape): the cumsum window partitions by
+    # shard so no single task sees the whole corpus; (shard, pack_id) is
+    # the global pack key.
+    return pack_documents(d, token_budget=500, shard_col="shard")
 
 
 def q_train_val_split(spark, sf_dir):
@@ -1124,11 +1129,13 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": r"""
             WITH t AS (
               SELECT doc_id,
-                     cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS n_tokens
+                     cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS n_tokens,
+                     cast(doc_id % 4 AS bigint) AS shard
               FROM documents
             )
-            SELECT doc_id, n_tokens,
+            SELECT shard, doc_id, n_tokens,
                    cast(floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard
                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 500) AS bigint) AS pack_id
             FROM t

@@ -43,6 +43,33 @@ class TestPackDocuments:
         with pytest.raises(ValueError):
             pack_documents(df, 0)
 
+    def test_sharded_equals_per_shard_global(self, spark):
+        """shard_col packing == running the global packer on each shard's
+        subset independently (pack ids local to the shard)."""
+        rows = [(i, 17 + (i * 13) % 91, i % 3) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "shard"])
+        sharded = {
+            (r.shard, r.doc_id): r.pack_id
+            for r in pack_documents(df, 200, shard_col="shard").collect()
+        }
+        assert len(sharded) == 300
+        for s in range(3):
+            sub = df.filter(f"shard = {s}").drop("shard")
+            expect = {
+                r.doc_id: r.pack_id for r in pack_documents(sub, 200).collect()
+            }
+            assert {d: p for (sh, d), p in sharded.items() if sh == s} == expect
+
+    def test_sharded_plan_has_no_global_single_partition_sort(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10, i % 4) for i in range(100)], ["doc_id", "n_tokens", "shard"]
+        )
+        plan = pack_documents(df, 100, shard_col="shard")._jdf.queryExecution().executedPlan().toString()
+        # A partitionBy window hash-partitions on the shard key; the
+        # shard-less window would show SinglePartition here.
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(shard" in plan
+
 
 class TestSplitByHash:
     def test_matches_python_md5(self, spark):

@@ -8,9 +8,9 @@ Two ops every LLM-pretraining pipeline needs downstream of dedup/quality:
   and a document lands in pack ``floor(preceding_cumsum / budget)``.
   Pure Catalyst (one window over the chosen order) and therefore exactly
   SQL-reproducible — unlike greedy first-fit, which is sequential and
-  engine-specific. Scale note: a single global window means one
-  range-partitioned sort; at 100 TB shard first (e.g. by date bucket)
-  and pack within shards — the function takes any pre-partitioned frame.
+  engine-specific. Scale note: pass ``shard_col`` (e.g. a date bucket)
+  so the window is ``partitionBy(shard)`` and packing parallelizes;
+  the shard-less global window sorts through a single task.
 
 - ``split_by_hash`` — deterministic train/validation assignment by
   hashing a stable key: md5-derived 64-bit value (the same engine-
@@ -34,15 +34,27 @@ def pack_documents(
     token_budget: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, pack_id): pack = floor(preceding-cumsum / budget)
+    """(…, n_tokens, pack_id): pack = floor(preceding-cumsum / budget)
     over ascending ``id_col`` order. Oversized documents (> budget) get
-    their own pack by construction."""
+    their own pack by construction.
+
+    ``shard_col`` is the scale path: with it, the cumulative sum runs per
+    shard (``Window.partitionBy(shard)``) so packing parallelizes across
+    shards — pack ids are LOCAL to a shard and the shard column is kept
+    in the output ((shard, pack_id) is the global pack key). Without it,
+    the global ``Window.orderBy`` funnels every row through ONE task —
+    fine for a demo, wrong at 100 TB; shard by date/source bucket there.
+    """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    base = Window.partitionBy(shard_col) if shard_col else Window
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     preceding = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    cols = [F.col(shard_col)] if shard_col else []
     return documents.select(
+        *cols,
         F.col(id_col),
         F.col(tokens_col),
         F.floor(preceding / F.lit(token_budget)).cast("long").alias("pack_id"),
