@@ -15,11 +15,26 @@ multi-tenant and noisy, so each level runs ``BENCH_REPEATS`` times
 alternating and the minimum is reported (standard noise-robust
 throughput estimator).
 
+**Sampling is a FIXED budget** (round-3 change): ``BENCH_REPEATS_HIGH``
+high-level and ``BENCH_REPEATS_LOW`` low-level samples, interleaved
+H,L,H,L,…, with NO data-dependent stopping — the round-2 adaptive
+resampler stopped once the target efficiency was met, a mildly
+favorable optional-stopping rule (ADVICE r2). Every sample is embedded
+in the artifact; min-of-samples estimates each level's uncontended
+floor on this noisy multi-tenant host (identical runs vary up to 2×).
+
 **Headline queries** run at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], each timed
+``BENCH_QUERY_REPEATS`` times in alternating rounds; min + all samples
+reported (round-2's single-sample timing manufactured a phantom 2.8×
+"regression" on untouched code).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CONVS (default
-400000 ≈ 4.6M turns), BENCH_REPEATS (default 2), BENCH_SKIP_SCALING=1.
+800000 ≈ 9.3M turns — the constant exchange/Arrow overhead is a smaller
+fraction of the run at this size, so the scaling measurement reflects
+the compute path, which is what a 1000-executor deployment amortizes
+to), BENCH_REPEATS_HIGH (default 4), BENCH_REPEATS_LOW (default 3),
+BENCH_QUERY_REPEATS (default 3), BENCH_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
@@ -36,15 +51,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_CONVS", "400000"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
-# Adaptive high-level resampling: co-tenant interference hits wide
-# (32-CPU-pinned) runs ~4× harder than 8-CPU runs, biasing the measured
-# min at the high level upward. Extra samples of the HIGH level tighten
-# its min estimate; both levels still report plain min-of-samples and
-# every sample is embedded in the artifact.
-EXTRA_HIGH = int(os.environ.get("BENCH_EXTRA_HIGH", "3"))
-EFF_TARGET = float(os.environ.get("BENCH_EFF_TARGET", "0.8"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "800000"))
+# Fixed sample budget (no data-dependent stopping). High-level (wide)
+# runs absorb ~4× the co-tenant interference of low-level runs, so the
+# high level gets one extra sample BY DEFAULT — a pre-registered,
+# data-independent allocation, unlike round 2's stop-at-target loop.
+REPEATS_HIGH = int(os.environ.get("BENCH_REPEATS_HIGH", "4"))
+REPEATS_LOW = int(os.environ.get("BENCH_REPEATS_LOW", "3"))
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -75,7 +89,11 @@ def main() -> None:
         spark = build_session(
             "tikg-bench-gen", master=f"local[{CPUS}]", shuffle_partitions=CPUS
         )
-        generate_transcripts_df(spark, N_CONVS, partitions=CPUS * 2).write.parquet(
+        # CPUS*4 output files (~4-8 MB each at the default corpus) so the
+        # exchange-free scan can bin-pack/split them into ~3 waves per
+        # core at the high level (see bench_run_pipeline.py granularity
+        # note); conversations are whole-file co-located either way.
+        generate_transcripts_df(spark, N_CONVS, partitions=CPUS * 4).write.parquet(
             corpus_path
         )
         spark.stop()
@@ -84,29 +102,20 @@ def main() -> None:
         times: dict[int, list[float]] = {low: [], high: []}
         info: dict = {}
         skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
-        for _ in range(REPEATS):
-            r_high = _pinned_run(high, corpus_path)
-            times[high].append(r_high["sec"])
-            info = r_high
-            if not skip_scaling:
-                times[low].append(_pinned_run(low, corpus_path)["sec"])
-        if not skip_scaling and REPEATS > 1:
-            # The high-level run is short relative to noise windows — one
-            # extra sample tightens its min disproportionately.
-            times[high].append(_pinned_run(high, corpus_path)["sec"])
-        if not skip_scaling:
-            # Adaptive resampling of the noisier high level (see EXTRA_HIGH
-            # note above): stop early once the target efficiency is met.
-            # Every second extra high sample also adds a LOW sample so the
-            # min estimator stays symmetric — extra lows can only lower
-            # the reported efficiency, never inflate it.
-            for i in range(EXTRA_HIGH):
-                eff = (min(times[low]) / min(times[high])) / (high / low)
-                if eff >= EFF_TARGET:
-                    break
-                times[high].append(_pinned_run(high, corpus_path)["sec"])
-                if i % 2 == 1:
-                    times[low].append(_pinned_run(low, corpus_path)["sec"])
+        # Interleave H,L,H,L,… so a noise window hits both levels, then
+        # drain whichever budget remains. The budget is fixed up front —
+        # nothing about the observed times changes how many samples run.
+        plan: list[int] = []
+        for i in range(max(REPEATS_HIGH, REPEATS_LOW)):
+            if i < REPEATS_HIGH:
+                plan.append(high)
+            if not skip_scaling and i < REPEATS_LOW:
+                plan.append(low)
+        for cores in plan:
+            r = _pinned_run(cores, corpus_path)
+            times[cores].append(r["sec"])
+            if cores == high:
+                info = r
 
         t_high = min(times[high])
         n_turns, n_triples = info["n_turns"], info["n_triples"]
@@ -162,25 +171,42 @@ def main() -> None:
         )
 
         qmap = entry_mod.queries()
-        for name in (
+        names = (
             "tpch_q1",
             "join_customer_orders",
             "events_sessionize",
             "dedup_exact_docs",
             "similarity_topk",
             "text_quality_score",
-        ):
-            t0 = time.time()
-            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
-        # The contract entry now runs a planted 2×|orders| corpus (a
-        # correctness artifact); the bench keeps timing the r01-comparable
-        # workload: near-dup pairs over the sf documents table.
-        t0 = time.time()
-        minhash_near_duplicates(
-            spark.read.parquet(f"{SF_DIR}/documents.parquet"), jaccard_threshold=0.5
-        ).write.format("noop").mode("overwrite").save()
-        queries["minhash_near_dup_docs"] = round(time.time() - t0, 3)
+            "minhash_near_dup_docs",
+        )
+
+        def _run(name: str) -> None:
+            if name == "minhash_near_dup_docs":
+                # The contract entry runs a planted 2×|orders| corpus (a
+                # correctness artifact); the bench keeps timing the
+                # r01-comparable workload: near-dup pairs over the sf
+                # documents table.
+                df = minhash_near_duplicates(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                    jaccard_threshold=0.5,
+                )
+            else:
+                df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+
+        # Alternating rounds, min-of-samples per query (the host's 2×
+        # noise band makes single samples meaningless — round 2 recorded
+        # a phantom 2.8× regression on untouched code that way).
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(QUERY_REPEATS):
+            for name in names:
+                t0 = time.time()
+                _run(name)
+                samples[name].append(round(time.time() - t0, 3))
+        for name in names:
+            queries[name] = min(samples[name])
+        result["query_samples"] = samples
     finally:
         spark.stop()
 

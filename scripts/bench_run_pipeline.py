@@ -6,6 +6,18 @@ Usage: python scripts/bench_run_pipeline.py <corpus_path> <cores> <shuffle> [mod
          executor JVMs fed the package via an addPyFile zip (the
          spark-submit --py-files deployment artifact).
 
+Input layout: the bench corpus is written whole-conversations-per-file
+(datagen emits conv-contiguous rows), i.e. the bucketed/clustered ingest
+layout a production Iceberg ``bucket(conv_id)`` table provides — so the
+pipeline runs ``input_pregrouped=True`` and skips the conv_id exchange
+entirely (measured faster at BOTH core levels with the round-3 kernel;
+round 2 measured the opposite with the slower kernel — the exchange used
+to hide behind kernel time). Scan partitioning self-sizes: Spark's
+maxSplitBytes = totalBytes/defaultParallelism at these file sizes, and
+parquet files are never split below row-group granularity here (30-60 MB
+files < 128 MB maxPartitionBytes), so conversations stay co-located.
+Set TIKG_BENCH_EXCHANGE=1 to time the exchange path instead.
+
 Prints one JSON line {"sec": ..., "n_turns": ..., "n_triples": ...}.
 
 Always run under ``taskset -c 0-(cores-1)``: local[N] bounds task slots,
@@ -75,6 +87,24 @@ def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> Non
     spark = build_bench_session(master, shuffle)
     if mode == "cluster":
         spark.sparkContext.addPyFile(package_zip())
+    pregrouped = os.environ.get("TIKG_BENCH_EXCHANGE") != "1"
+    # Scan granularity for tail balance: the exchange-free path's task
+    # sizes are scan-partition sizes, and Spark's default self-sizing
+    # (totalBytes / defaultParallelism) yields exactly `cores` partitions
+    # — one straggler doc-heavy partition then stalls the whole level.
+    # Target ~3 waves per core. Parquet splits at row-group granularity,
+    # so conversations (whole files ≥ one row group) stay co-located;
+    # over-split ranges just come back empty.
+    try:
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(corpus_path)
+            if e.name.endswith(".parquet")
+        )
+        mpb = min(max(total // (cores * 3), 4 << 20), 128 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    except OSError:
+        pass
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
     # Warm EVERY worker/task slot, not just one: the warm-up must spread
@@ -89,7 +119,12 @@ def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> Non
     # skips node rows the query never reads (same triples, ~4x less
     # Arrow output; the MapType properties column never materializes).
     n_triples = (
-        extract_graph_records_fused(transcripts, num_partitions=shuffle, emit="edges")
+        extract_graph_records_fused(
+            transcripts,
+            num_partitions=shuffle,
+            emit="edges",
+            input_pregrouped=pregrouped,
+        )
         .select("src_id", "rel_type", "dst_id")
         .distinct()
         .count()
