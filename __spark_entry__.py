@@ -513,6 +513,42 @@ def q_train_val_split(spark, sf_dir):
     return split_by_hash(d, "doc_id", train_frac=0.9)
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: (doc, eval-item) pairs sharing a word
+    3-gram. The eval set is synthesized from the corpus itself (every
+    25th doc's first 12 tokens) so the oracle needs no external data and
+    hits are guaranteed non-vacuous (each eval item at least matches its
+    own source doc)."""
+    from threat_intelligence_knowledge_graph_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ev = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+    )
+    return ngram_contamination(d, ev, n=3).select(
+        "doc_id",
+        "eval_id",
+        F.col("shared_ngrams").cast("long").alias("shared_ngrams"),
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling by engine-portable md5 bucket —
+    per-stratum rates, partition-independent, monotone in the rate."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        sample_by_hash,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return sample_by_hash(
+        o, "o_orderkey", "o_orderstatus", {"O": 0.1, "F": 0.05, "P": 0.5}
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -873,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1368,5 +1406,51 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(va.emb, vb.emb), 3) AS cosine
             FROM v va JOIN v vb ON va.vec_id < vb.vec_id
             WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.9
+        """,
+        "ngram_decontaminate": r"""
+            WITH dtok AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            ev AS (
+              SELECT doc_id AS eval_id,
+                     regexp_split_to_array(
+                       trim(lower(array_to_string(toks[1:12], ' '))), '\s+'
+                     ) AS toks
+              FROM dtok WHERE doc_id % 25 = 0
+            ),
+            didx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM dtok
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+              FROM didx
+            ),
+            eidx AS (
+              SELECT eval_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM ev
+            ),
+            eg AS (
+              SELECT DISTINCT eval_id, array_to_string(toks[i:i+2], ' ') AS gram
+              FROM eidx
+            )
+            SELECT dg.doc_id, eg.eval_id,
+                   cast(count(DISTINCT dg.gram) AS bigint) AS shared_ngrams
+            FROM dg JOIN eg USING (gram)
+            GROUP BY dg.doc_id, eg.eval_id
+        """,
+        "sample_stratified": """
+            SELECT o_orderkey, o_orderstatus
+            FROM orders
+            WHERE md5_number_upper('sample:' || cast(o_orderkey AS varchar))
+                  % 1000000
+                  < CASE o_orderstatus WHEN 'O' THEN 100000
+                                       WHEN 'F' THEN 50000
+                                       WHEN 'P' THEN 500000
+                                       ELSE 0 END
         """,
     }

@@ -5,6 +5,7 @@ import hashlib
 from threat_intelligence_knowledge_graph_spark.operators.packing import (
     pack_documents,
     pack_stats,
+    sample_by_hash,
     split_by_hash,
 )
 
@@ -101,3 +102,47 @@ class TestSplitByHash:
         )
         with pytest.raises(ValueError):
             split_by_hash(df, "k", 1.5)
+
+
+class TestSampleByHash:
+    @staticmethod
+    def _bucket(key, salt="sample"):
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}:{key}".encode()).digest()[:8], "little"
+        )
+        return h % 1_000_000
+
+    def test_matches_python_md5_per_stratum(self, spark):
+        rows = [(i, "ab"[i % 2]) for i in range(200)]
+        df = spark.createDataFrame(rows, ["k", "s"])
+        fr = {"a": 0.3, "b": 0.7}
+        got = {r.k for r in sample_by_hash(df, "k", "s", fr).collect()}
+        want = {
+            k
+            for k, s in rows
+            if self._bucket(k) < int(fr[s] * 1_000_000)
+        }
+        assert got == want
+
+    def test_monotone_nesting_and_missing_stratum_dropped(self, spark):
+        rows = [(i, "xyz"[i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, ["k", "s"])
+        lo = {r.k for r in sample_by_hash(df, "k", "s", {"x": 0.1, "y": 0.2}).collect()}
+        hi = {r.k for r in sample_by_hash(df, "k", "s", {"x": 0.4, "y": 0.2}).collect()}
+        assert lo <= hi  # raising a rate only adds rows (same salt)
+        # stratum 'z' listed in neither → never sampled
+        assert all(k % 3 != 2 for k in hi)
+
+    def test_partition_independent(self, spark):
+        rows = [(i, "ab"[i % 2]) for i in range(400)]
+        one = spark.createDataFrame(rows, ["k", "s"]).coalesce(1)
+        many = spark.createDataFrame(rows, ["k", "s"]).repartition(16)
+        fr = {"a": 0.25, "b": 0.5}
+        assert {r.k for r in sample_by_hash(one, "k", "s", fr).collect()} == {
+            r.k for r in sample_by_hash(many, "k", "s", fr).collect()
+        }
+
+    def test_invalid_fraction(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["k", "s"])
+        with pytest.raises(ValueError):
+            sample_by_hash(df, "k", "s", {"a": 1.5})

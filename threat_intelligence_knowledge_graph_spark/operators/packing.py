@@ -17,6 +17,12 @@ Two ops every LLM-pretraining pipeline needs downstream of dedup/quality:
   portable hash the simhash kernel uses — DuckDB ``md5_number_upper``)
   compared against ``train_frac · 2⁶⁴``. Reproducible across engines,
   runs, and partitionings; no RNG, no seed drift.
+
+- ``sample_by_hash`` — deterministic stratified sampling: per-stratum
+  keep rates applied through the same md5 bucket. Monotone in the rate
+  (raising a stratum's rate only ADDS rows — stable experiment nesting)
+  and partition-independent, unlike ``df.sample``/``sampleBy`` whose
+  draw depends on the RNG stream per partition.
 """
 
 from __future__ import annotations
@@ -69,6 +75,23 @@ def pack_stats(packed: DataFrame) -> DataFrame:
     )
 
 
+def _md5_bucket(key_col: str, salt: str):
+    """md5_number_upper(salt || ':' || key) % 1e6 as a long Column.
+
+    First 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
+    conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
+    decimal string — cast through decimal to stay unsigned-exact.
+    """
+    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    le_hex = F.concat_ws(
+        "",
+        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
+    )
+    return (
+        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(_FRAC_DENOM)
+    ).cast("long")
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,
@@ -84,18 +107,34 @@ def split_by_hash(
     if not 0.0 <= train_frac <= 1.0:
         raise ValueError("train_frac must be in [0, 1]")
     threshold = int(round(train_frac * _FRAC_DENOM))
-    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
-    # first 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
-    # conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
-    # decimal string — cast through decimal to stay unsigned-exact.
-    le_hex = F.concat_ws(
-        "",
-        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
-    )
-    bucket = (
-        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(_FRAC_DENOM)
-    ).cast("long")
+    bucket = _md5_bucket(key_col, salt)
     return df.withColumn(
         "split",
         F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("val")),
     )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its md5 bucket
+    falls below its stratum's ``fractions`` rate (strata not listed are
+    dropped — rate 0). The bucket depends only on (salt, key), so the
+    draw is partition-independent, engine-portable, and MONOTONE in the
+    rate: fractions[s]=0.2 keeps a superset of fractions[s]=0.1 under
+    the same salt, which nests subsamples for ablation ladders.
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    bucket = _md5_bucket(key_col, salt)
+    rate = F.lit(0)
+    for s, frac in fractions.items():
+        rate = F.when(
+            F.col(strata_col) == s, F.lit(int(round(frac * _FRAC_DENOM)))
+        ).otherwise(rate)
+    return df.filter(bucket < rate)
