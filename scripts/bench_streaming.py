@@ -59,7 +59,12 @@ def main(n_convs: int = 50_000, cores: int = 32) -> None:
         q.awaitTermination()
         sec = time.time() - t0
 
-        progress = [json.loads(p) for p in q.recentProgress]
+        # Spark 4 returns StreamingQueryProgress objects (Spark 3 returned
+        # JSON strings) — normalize through each event's .json payload.
+        progress = [
+            json.loads(p if isinstance(p, str) else p.json)
+            for p in q.recentProgress
+        ]
         lat = sorted(
             p["durationMs"].get("triggerExecution", 0) / 1000.0
             for p in progress
