@@ -549,6 +549,34 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (3 synchronous power steps, d=0.85) over a planted
+    30-node graph derived from `nation`: a 25-cycle over n-nodes plus
+    nation→region edges (the 5 r-nodes are dangling sinks, exercising
+    dangling-mass redistribution). With a fixed iteration count the
+    update is a deterministic float recurrence, so the DuckDB oracle
+    unrolls the identical arithmetic; both sides round to 9 decimals
+    (summation-order noise is ~1e-17)."""
+    from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+    )
+    reg = nat.select(
+        nkey.alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+    )
+    ranks = pagerank(cyc.union(reg), iterations=3, damping=0.85)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -911,7 +939,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "ngram_decontaminate": q_ngram_decontaminate,
         "sample_stratified": q_sample_stratified,
+        "graph_pagerank": q_graph_pagerank,
     }
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
+    """Unrolled PageRank recurrence over the planted nation graph
+    (see q_graph_pagerank). Generated per iteration so the SQL mirrors
+    the operator's float arithmetic EXACTLY: contributions use
+    rank * (1.0/out_deg) (not rank/out_deg — different IEEE rounding),
+    the teleport term is (1.0 - d)/n, and the damped term is
+    d * (c + dangling/n)."""
+    d = repr(damping)
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        cnt AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+        outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+        w AS (
+          SELECT e.src, e.dst, 1.0 / outdeg.out_deg AS w
+          FROM e JOIN outdeg USING (src)
+        ),
+        it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        dang{i} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dm
+          FROM it{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+          WHERE o.src IS NULL
+        ),
+        contrib{i} AS (
+          SELECT w.dst AS id, sum(r.rank * w.w) AS c
+          FROM w JOIN it{i - 1} r ON w.src = r.id
+          GROUP BY w.dst
+        ),
+        it{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / cnt.n
+                   + {d} * (coalesce(c.c, 0.0) + dang{i}.dm / cnt.n) AS rank
+          FROM nodes nd
+          CROSS JOIN cnt
+          CROSS JOIN dang{i}
+          LEFT JOIN contrib{i} c ON c.id = nd.id
+        )
+            """
+        )
+    parts.append(
+        f"SELECT id, round(rank, 9) AS rank FROM it{iterations}"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1453,4 +1542,5 @@ def oracle_sql() -> dict[str, str]:
                                        WHEN 'P' THEN 500000
                                        ELSE 0 END
         """,
+        "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
     }

@@ -142,6 +142,23 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("neardup_reused_exchange", "no ReusedExchange"))
         print("FAIL neardup_reused_exchange: signature self-join not reused")
+
+    # round 3 shapes -------------------------------------------------------
+    # Decontamination: the eval-gram side must broadcast (the corpus gram
+    # stream is never shuffled on the gram key).
+    check(
+        "decontaminate_broadcast_eval",
+        em.q_ngram_decontaminate(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["SortMergeJoin"],
+    )
+    # Stratified sampling: a pure scan+filter — no exchange, no Python.
+    check(
+        "stratified_sample_no_shuffle",
+        em.q_sample_stratified(spark, sf_dir),
+        ["Filter"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -1,0 +1,83 @@
+"""PageRank operator: analytic fixtures + exact recurrence parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.pagerank import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_id", "dst_id"])
+
+
+class TestPagerank:
+    def test_cycle_is_uniform(self, spark):
+        # On a directed cycle every node keeps rank 1/n at every step
+        # (uniform start is a fixed point up to float error).
+        n = 12
+        e = _edges(spark, [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)])
+        got = {r.id: r.rank for r in pagerank(e, iterations=5).collect()}
+        assert len(got) == n
+        for v in got.values():
+            assert abs(v - 1.0 / n) < 1e-12
+
+    def test_dangling_mass_conserved(self, spark):
+        # b and c are sinks; total rank must still sum to 1 every run.
+        e = _edges(spark, [("a", "b"), ("a", "c"), ("d", "a")])
+        ranks = pagerank(e, iterations=7).collect()
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+
+    def test_matches_numpy_power_iteration(self, spark):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(17)
+        nodes = [f"n{i}" for i in range(30)]
+        pairs = sorted(
+            {
+                (nodes[rng.randrange(30)], nodes[rng.randrange(30)])
+                for _ in range(120)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        idx = {v: i for i, v in enumerate(nodes)}
+        k, d, n = 6, 0.85, len(nodes)
+
+        outdeg = np.zeros(n)
+        for a, _b in pairs:
+            outdeg[idx[a]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(k):
+            dangling = r[outdeg == 0].sum()
+            c = np.zeros(n)
+            for a, b in pairs:
+                c[idx[b]] += r[idx[a]] * (1.0 / outdeg[idx[a]])
+            r = (1.0 - d) / n + d * (c + dangling / n)
+
+        got = {
+            row.id: row.rank
+            for row in pagerank(
+                _edges(spark, pairs), iterations=k, damping=d
+            ).collect()
+        }
+        # Some nodes may be isolated (never drawn) — pagerank only ranks
+        # nodes that appear in the edge list.
+        for v, i in idx.items():
+            if v in got:
+                assert got[v] == pytest.approx(r[i], abs=1e-9)
+
+    def test_star_orders_hub_first(self, spark):
+        e = _edges(spark, [(f"leaf{i}", "hub") for i in range(8)])
+        got = {r.id: r.rank for r in pagerank(e, iterations=10).collect()}
+        assert got["hub"] == max(got.values())
+        leaf_vals = {v for k, v in got.items() if k != "hub"}
+        assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+
+    def test_validation(self, spark):
+        e = _edges(spark, [("a", "b")])
+        with pytest.raises(ValueError):
+            pagerank(e, iterations=0)
+        with pytest.raises(ValueError):
+            pagerank(e, damping=1.0)

@@ -1,0 +1,94 @@
+"""PageRank over the knowledge graph — iterative DataFrame power method.
+
+Analyst use: rank hot infrastructure (domains/IPs/CVEs with many
+incoming COMMUNICATES_WITH / RESOLVES_TO edges) on the threat graph the
+pipeline materializes; complements the degree/two-hop views in
+``plans/graph_queries.py`` (reference surface: its Cypher query
+interface, main.py:191-210, exposes the stored graph for exactly this
+kind of analysis — the reference itself ships no ranking algorithm).
+
+Scale shape: each iteration is one join of the edge list with the
+current rank vector (both partitioned on the join key), one
+aggregation, and one bounded driver-side scalar (the dangling-mass sum
+— a 1-row collect per iteration, like the IVF centroid pull).
+``localCheckpoint`` per iteration truncates the growing plan/lineage,
+the standard iterative-algorithm discipline on Spark (same as the
+connected-components operators in ``operators/minhash.py``).
+
+Exact update (uniform teleport + dangling-mass redistribution):
+
+    rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/n )
+    dangling = Σ_{u: outdeg(u)=0} rank(u)
+
+With a fixed iteration count this is a deterministic float recurrence
+(IEEE ops are exactly rounded), so it is SQL-reproducible: the contract
+entry's DuckDB oracle unrolls the same recurrence and both sides round
+to 9 decimals (summation-order differences are ~1e-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(id, rank) after ``iterations`` synchronous power steps.
+
+    ``edges`` is a directed edge list; parallel edges are counted once
+    (deduped up front — the KG's edge semantics). Ranks sum to 1 at
+    every step (dangling mass redistributed uniformly).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # Pre-joining the degree onto the edge list once keeps the per-
+    # iteration work to a single (rank ⋈ edges) join + aggregation.
+    weighted = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = outdeg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            weighted.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
