@@ -749,6 +749,26 @@ def q_minhash_near_dup_docs(spark, sf_dir):
     )
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup: even doc_ids are the existing corpus (only
+    their persisted band-key index is reused — never re-shingled), odd
+    doc_ids are the ingest batch. On the planted corpus every near-dup
+    pair straddles old/new, so the incremental result must equal the
+    full self-join entry's pair set (same oracle SQL)."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental_near_duplicates,
+    )
+
+    docs = _planted_near_dup_docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs, _new_idx, _dropped = minhash_incremental_near_duplicates(
+        old, minhash_band_index(old), new, jaccard_threshold=0.8
+    )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_minhash_dedup_survivors(spark, sf_dir):
     """End-to-end near-dup dedup: exact pre-pass → LSH pairs → connected
     components → min-id survivor per cluster. On the planted corpus the
@@ -930,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "similarity_topk": q_similarity_topk,
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
+        "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
@@ -1357,6 +1378,16 @@ def oracle_sql() -> dict[str, str]:
         # o_orderkey % 3 <> 0; the % 3 = 0 families share only 1 of 7
         # shingles (1/7 < 0.8) and must be excluded by the verifier.
         "minhash_near_dup_docs": """
+            SELECT 2 * o_orderkey AS a,
+                   2 * o_orderkey + 1 AS b,
+                   cast(1.0 AS double) AS jaccard
+            FROM orders
+            WHERE o_orderkey % 3 <> 0
+        """,
+        # Incremental (index-reusing) path over the same planted corpus:
+        # every true pair straddles the even/odd = old/new split, so the
+        # expected pair set is identical to the full self-join above.
+        "minhash_incremental": """
             SELECT 2 * o_orderkey AS a,
                    2 * o_orderkey + 1 AS b,
                    cast(1.0 AS double) AS jaccard

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from threat_intelligence_knowledge_graph_spark.operators.dedup import (
     exact_dedup,
     exact_duplicates,
+    minhash_band_index,
     minhash_dedup,
+    minhash_incremental_near_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
@@ -185,6 +187,105 @@ class TestSimilarity:
         # Loose cap (default): all identical-direction pairs found.
         loose = embedding_near_duplicates(df, threshold=0.99, n_planes=4)
         assert loose.count() == n * (n - 1) // 2
+
+
+def _family_docs(n_families: int, variants: int, start_id: int = 0):
+    """Near-dup families: variant v of family f rewrites the last token —
+    long shared prefix keeps intra-family Jaccard high, families disjoint."""
+    rows = []
+    i = start_id
+    for f in range(n_families):
+        base = [f"fam{f}tok{j}" for j in range(10)]
+        for v in range(variants):
+            toks = base[:-1] + [f"fam{f}end{v}"]
+            rows.append((i, " ".join(toks)))
+            i += 1
+    return rows
+
+
+class TestIncrementalMinhash:
+    KW = dict(jaccard_threshold=0.5, max_bucket_size=64)
+
+    def _pairsets(self, df):
+        return {(r.a, r.b, round(r.jaccard, 9)) for r in df.collect()}
+
+    def test_incremental_equals_full_restricted(self, spark):
+        """Batch path over (old ∪ new), restricted to pairs touching a
+        new id, must equal the incremental path that never re-shingles
+        the old corpus."""
+        rows = _family_docs(6, 4)
+        # interleave: every 3rd doc arrives in the new batch
+        old_rows = [r for r in rows if r[0] % 3 != 0]
+        new_rows = [r for r in rows if r[0] % 3 == 0]
+        old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+        new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+        all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        full = minhash_near_duplicates(all_docs, **self.KW)
+        new_ids = {r[0] for r in new_rows}
+        want = {
+            p
+            for p in self._pairsets(full)
+            if p[0] in new_ids or p[1] in new_ids
+        }
+
+        inc, new_idx, dropped = minhash_incremental_near_duplicates(
+            old, minhash_band_index(old), new, **self.KW
+        )
+        assert self._pairsets(inc) == want and want  # non-vacuous
+        assert dropped.count() == 0
+        # index maintenance rows cover exactly the batch ids
+        assert {r.doc_id for r in new_idx.select("doc_id").distinct().collect()} == new_ids
+
+    def test_two_batches_with_index_append(self, spark):
+        rows = _family_docs(4, 3)
+        b0 = [r for r in rows if r[0] % 3 == 0]
+        b1 = [r for r in rows if r[0] % 3 == 1]
+        b2 = [r for r in rows if r[0] % 3 == 2]
+        df0 = spark.createDataFrame(b0, ["doc_id", "text"])
+        df1 = spark.createDataFrame(b1, ["doc_id", "text"])
+        df2 = spark.createDataFrame(b2, ["doc_id", "text"])
+
+        idx0 = minhash_band_index(df0)
+        p1, idx1_rows, _ = minhash_incremental_near_duplicates(
+            df0, idx0, df1, **self.KW
+        )
+        p2, _, _ = minhash_incremental_near_duplicates(
+            df0.union(df1), idx0.union(idx1_rows), df2, **self.KW
+        )
+        # every full-corpus pair is reported exactly once across batches
+        full = minhash_near_duplicates(
+            spark.createDataFrame(rows, ["doc_id", "text"]), **self.KW
+        )
+        ids1 = {r[0] for r in b1}
+        got = self._pairsets(p1) | self._pairsets(p2)
+        want = self._pairsets(full)
+        # pairs entirely within batch 0 are pre-existing (never reported
+        # by the incremental runs) — restrict to pairs touching b1/b2.
+        ids12 = ids1 | {r[0] for r in b2}
+        want = {p for p in want if p[0] in ids12 or p[1] in ids12}
+        assert got == want and want
+        # no double-reporting: a pair touching batch 2 can only appear in
+        # the batch-2 run (its id didn't exist during batch 1).
+        assert not (self._pairsets(p1) & self._pairsets(p2))
+
+    def test_combined_bucket_cap_not_evadable_by_batching(self, spark):
+        # 40 identical docs: 25 old + 15 new. cap=30 would pass either
+        # side alone; the combined bucket (40) must be dropped+reported.
+        text = "same same same same same same"
+        old = spark.createDataFrame(
+            [(i, text) for i in range(25)], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [(100 + i, text) for i in range(15)], ["doc_id", "text"]
+        )
+        pairs, _, dropped = minhash_incremental_near_duplicates(
+            old, minhash_band_index(old), new,
+            jaccard_threshold=0.5, max_bucket_size=30,
+        )
+        assert pairs.count() == 0
+        sizes = {r.bucket_size for r in dropped.collect()}
+        assert sizes == {40}
 
 
 class TestDedupProperties:

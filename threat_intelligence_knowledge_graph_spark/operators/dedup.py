@@ -104,6 +104,118 @@ def minhash_dedup(
     return exact.join(drop, id_col, "left_anti")
 
 
+def minhash_band_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, band_key): the persistable LSH index for incremental
+    dedup — write this to a table once, then dedup each ingest batch
+    against it with ``minhash_incremental_near_duplicates`` instead of
+    re-scanning the corpus."""
+    banded = lsh_band_keys(
+        word_shingles(documents, id_col, text_col, n=shingle_words),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return banded.select(F.col("_id").alias(id_col), "band", "band_key")
+
+
+def minhash_incremental_near_duplicates(
+    corpus: DataFrame,
+    index: DataFrame,
+    new_documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 256,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup pairs touching an ingest batch WITHOUT re-processing the
+    corpus — the 100 TB steady-state shape (the batch-mode self-join
+    re-shingles and re-bands everything every run).
+
+    Inputs: ``corpus`` (id, text) — existing documents, scanned only for
+    the handful of rows that verification touches; ``index`` — their
+    persisted ``minhash_band_index``; ``new_documents`` — the ingest
+    batch (ids must be new).
+
+    Returns ``(pairs, new_index_rows, dropped_buckets)``:
+    - pairs — verified (a, b, jaccard) where at least one side is new
+      (new×new and new×old; old×old pairs were reported when those docs
+      were ingested).
+    - new_index_rows — the batch's band keys; append to the index table
+      to maintain it.
+    - dropped_buckets — combined (band, band_key) buckets over
+      ``max_bucket_size`` (same cap + reporting as the batch path; sized
+      over index ∪ batch so a bucket's cap can't be evaded by splitting
+      arrivals across batches).
+
+    Work per batch: shingle/band the BATCH only; one bucket join
+    restricted to buckets containing a new id; exact-Jaccard verify
+    re-shingles only the touched old docs (left-semi join into
+    ``corpus``). Equivalence with the full self-join (restricted to
+    pairs touching the batch) is pytest-asserted.
+    """
+    new_sh = word_shingles(new_documents, id_col, text_col, n=shingle_words)
+    new_banded = lsh_band_keys(new_sh, num_hashes=num_hashes, bands=bands)
+    all_banded = index.select(
+        F.col(id_col).alias("_id"), "band", "band_key"
+    ).union(new_banded)
+
+    sized = all_banded.groupBy("band", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    ok = sized.filter(F.col("bucket_size") <= max_bucket_size)
+    dropped = sized.filter(F.col("bucket_size") > max_bucket_size)
+    # Only buckets containing at least one NEW id can produce new pairs.
+    hot = ok.join(
+        new_banded.select("band", "band_key").distinct(),
+        ["band", "band_key"],
+        "left_semi",
+    ).select("band", "band_key")
+
+    left = new_banded.join(hot, ["band", "band_key"]).select(
+        "band", "band_key", F.col("_id").alias("x")
+    )
+    right = all_banded.join(hot, ["band", "band_key"]).select(
+        "band", "band_key", F.col("_id").alias("y")
+    )
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+    new_ids = new_documents.select(F.col(id_col).alias("_nid")).distinct()
+    touched = (
+        pairs.select(F.explode(F.array("a", "b")).alias(id_col))
+        .distinct()
+        .join(new_ids.withColumnRenamed("_nid", id_col), id_col, "left_anti")
+    )
+    old_sh = word_shingles(
+        corpus.join(touched, id_col, "left_semi"),
+        id_col,
+        text_col,
+        n=shingle_words,
+    )
+    verified = jaccard_verify(
+        pairs, new_sh.union(old_sh), threshold=jaccard_threshold
+    )
+    new_index_rows = new_banded.select(
+        F.col("_id").alias(id_col), "band", "band_key"
+    )
+    return verified, new_index_rows, dropped
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
