@@ -1,0 +1,88 @@
+"""Composed curation plan: every stage must bite on the planted corpus."""
+
+from __future__ import annotations
+
+from threat_intelligence_knowledge_graph_spark.plans.curation import (
+    curate_documents,
+)
+
+# Three DISTINCT prose bases (high stopword density for quality/lang,
+# near-disjoint shingle sets so only the planted near-dup pair merges).
+PROSE_A = (
+    "the cat and the dog went to the house with a friend and they saw "
+    "the bird in a tree by the water and it was a good day for all of them"
+)
+PROSE_B = (
+    "a ship was in the harbor for the night and the crew held a watch "
+    "on the deck while the captain read from a log of the voyage so far"
+)
+PROSE_C = (
+    "it is a quiet town where the baker opens at dawn and the mill by "
+    "the river turns as the farmers bring in the grain for the market"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, PROSE_A + " extra alpha"),             # survives everything
+        (2, PROSE_A + " extra beta"),              # near-dup of 1 (dropped)
+        (3, "...!!!,,,;;;!!!"),                    # punct soup → quality drop
+        (4, "el la los de que y en un una por con para el la de que y en"),  # es
+        (5, PROSE_B),                              # survives
+        (6, PROSE_B),                              # exact dup of 5 (dropped)
+        (7, PROSE_C + " holdout secret evaluation phrase nine"),  # contaminated
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestCurateDocuments:
+    def test_stage_metrics_and_survivors(self, spark):
+        ev = spark.createDataFrame(
+            [(0, "holdout secret evaluation phrase")], ["eval_id", "text"]
+        )
+        curated, metrics = curate_documents(
+            _corpus(spark),
+            ev,
+            min_quality=0.3,
+            languages=("en",),
+            near_dup_threshold=0.8,
+            decontaminate_n=3,
+            token_budget=40,
+        )
+        m = {r.stage: r.n_docs for r in metrics.collect()}
+        assert m == {
+            "input": 7,
+            "quality": 6,       # -3 (punct soup)
+            "language": 5,      # -4 (spanish)
+            "exact_dedup": 4,   # -6 (exact dup of 5)
+            "near_dedup": 3,    # -2 (near-dup of 1)
+            "decontaminate": 2, # -7 (shares eval 3-grams)
+        }
+        got = {r.doc_id: r for r in curated.collect()}
+        assert set(got) == {1, 5}
+        for r in got.values():
+            assert r.lang_pred == "en"
+            assert r.quality >= 0.3
+            assert r.split in ("train", "val")
+            assert r.n_tokens > 0
+            assert r.pack_id >= 0
+
+    def test_stage_order_in_metrics(self, spark):
+        curated, metrics = curate_documents(
+            _corpus(spark), None, token_budget=None
+        )
+        rows = sorted(metrics.collect(), key=lambda r: r.stage_idx)
+        assert [r.stage for r in rows] == [
+            "input", "quality", "language", "exact_dedup", "near_dedup",
+        ]
+        # counts are monotone non-increasing through the funnel
+        counts = [r.n_docs for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert "pack_id" not in curated.columns  # packing disabled
+
+    def test_packing_is_per_split_sharded(self, spark):
+        curated, _ = curate_documents(
+            _corpus(spark), None, min_quality=0.0, token_budget=10
+        )
+        plan = curated._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan

@@ -221,6 +221,23 @@ class TestAnalystQueries:
         counts = [r["count"] for r in rows]
         assert counts == sorted(counts, reverse=True)
 
+    def test_hot_infrastructure_pagerank(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            hot_infrastructure,
+        )
+
+        rows = hot_infrastructure(spark, k=10, iterations=3).collect()
+        assert rows
+        ranks = [r.rank for r in rows]
+        assert ranks == sorted(ranks, reverse=True)
+        # Edge destinations (infrastructure) out-rank pure sources: the
+        # top-ranked node must have at least one incoming triple.
+        top = rows[0].id
+        assert (
+            spark.table("triples").filter(spark.table("triples").obj == top).count()
+            > 0
+        )
+
 
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):

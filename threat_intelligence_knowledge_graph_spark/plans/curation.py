@@ -1,0 +1,115 @@
+"""Training-data curation plan: the composed document pipeline.
+
+One call chains the individually-oracled operators into the standard
+pretraining-corpus assembly flow:
+
+    quality filter → language filter → exact dedup → near-dup dedup
+    → benchmark decontamination → deterministic split → token counts
+    → sequence packing
+
+Each stage is the already-tested operator (``operators/text_quality``,
+``operators/dedup``, ``operators/decontaminate``, ``operators/packing``)
+— this module adds only composition and per-stage survivor metrics.
+
+Scale notes: every stage is a Catalyst plan over the previous one; the
+whole chain materializes in the caller's single action. The metrics
+frame is LAZY — each stage row is an aggregate over that stage's frame,
+so collecting metrics re-executes lineage unless the caller checkpoints
+intermediate tables (at 100 TB: write each stage to a table and read it
+back, exactly what ``plans/pipeline.py`` does for the KG stages).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.decontaminate import decontaminate
+from ..operators.dedup import exact_dedup, minhash_dedup
+from ..operators.packing import pack_documents, split_by_hash
+from ..operators.text_quality import language_id, quality_score, token_counts
+
+
+def curate_documents(
+    docs: DataFrame,
+    eval_items: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.8,
+    decontaminate_n: int = 8,
+    train_frac: float = 0.9,
+    token_budget: int | None = 2048,
+    shard_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(curated, metrics)``.
+
+    ``curated``: (id, text, quality, lang_pred, split, n_tokens[,
+    pack_id]) — pack ids are local to (split[, shard]) so packing never
+    funnels through one task (see ``pack_documents``).
+    ``metrics``: (stage, n_docs) survivor counts per stage, in order.
+    """
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    q = quality_score(docs, id_col, text_col)
+    d = docs.join(q.filter(F.col("quality") >= min_quality), id_col)
+    stages.append(("quality", d))
+
+    lang = language_id(d, id_col, text_col)
+    d = d.join(lang.filter(F.col("lang_pred").isin(*languages)), id_col)
+    stages.append(("language", d))
+
+    d = exact_dedup(d, id_col, text_col)
+    stages.append(("exact_dedup", d))
+
+    kept = minhash_dedup(
+        d.select(id_col, text_col),
+        id_col,
+        text_col,
+        jaccard_threshold=near_dup_threshold,
+    ).select(id_col)
+    d = d.join(kept, id_col, "left_semi")
+    stages.append(("near_dedup", d))
+
+    if eval_items is not None:
+        d = decontaminate(
+            d, eval_items, n=decontaminate_n, doc_id=id_col, doc_text=text_col
+        )
+        stages.append(("decontaminate", d))
+
+    d = split_by_hash(d, id_col, train_frac)
+    d = d.join(
+        token_counts(d.select(id_col, text_col), id_col, text_col).select(
+            id_col, F.col("ws_tokens").cast("long").alias("n_tokens")
+        ),
+        id_col,
+    )
+
+    if token_budget is not None:
+        pack_shard = F.concat_ws(
+            "|", "split", *( [shard_col] if shard_col else [] )
+        )
+        packed = pack_documents(
+            d.withColumn("_pack_shard", pack_shard),
+            token_budget,
+            id_col=id_col,
+            tokens_col="n_tokens",
+            shard_col="_pack_shard",
+        ).select(id_col, "pack_id")
+        d = d.join(packed, id_col)
+
+    metrics = reduce(
+        DataFrame.union,
+        [
+            frame.agg(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count("*").alias("n_docs"),
+            )
+            for i, (name, frame) in enumerate(stages)
+        ],
+    )
+    return d, metrics

@@ -128,6 +128,24 @@ def cve_hotlist(spark: SparkSession, k: int = 10) -> DataFrame:
     )
 
 
+def hot_infrastructure(spark: SparkSession, k: int = 20, iterations: int = 5) -> DataFrame:
+    """PageRank over the triple view — infrastructure nodes (domains,
+    IPs, URLs, CVEs) that many distinct actors/malware point into rank
+    highest; complements raw degree (``cve_hotlist``) by weighting WHO
+    links, not just how often. Cypher users approximate this with
+    ``CALL gds.pageRank``; here it is ``operators/pagerank.py``."""
+    from ..operators.pagerank import pagerank
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src_id"), F.col("obj").alias("dst_id")
+    )
+    return (
+        pagerank(edges, iterations=iterations)
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
