@@ -749,6 +749,22 @@ def q_minhash_near_dup_docs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """LSH-prefiltered EXACT n-gram Jaccard on the planted corpus.
+    Identical word cycles share their full 4-shingle set (jaccard 1.0,
+    guaranteed LSH candidacy via identical signatures); the swapped
+    families intersect in exactly 1 of 7 shingles (1/7 < 0.5 excluded) —
+    so the expected pair set is analytic."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _planted_near_dup_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup: even doc_ids are the existing corpus (only
     their persisted band-key index is reused — never re-shingled), odd
@@ -950,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "similarity_topk": q_similarity_topk,
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1378,6 +1395,15 @@ def oracle_sql() -> dict[str, str]:
         # o_orderkey % 3 <> 0; the % 3 = 0 families share only 1 of 7
         # shingles (1/7 < 0.8) and must be excluded by the verifier.
         "minhash_near_dup_docs": """
+            SELECT 2 * o_orderkey AS a,
+                   2 * o_orderkey + 1 AS b,
+                   cast(1.0 AS double) AS jaccard
+            FROM orders
+            WHERE o_orderkey % 3 <> 0
+        """,
+        # Exact n-gram Jaccard: identical cycles → jaccard exactly 1.0;
+        # swapped families → 1/7 < 0.5, excluded by the exact verifier.
+        "ngram_jaccard": """
             SELECT 2 * o_orderkey AS a,
                    2 * o_orderkey + 1 AS b,
                    cast(1.0 AS double) AS jaccard
