@@ -50,12 +50,21 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--model", default="ner", help="extractor (only 'ner' is productionized)")
     ap.add_argument("--fused", action="store_true", help="fused reassembly+extraction hot path")
+    ap.add_argument(
+        "--pregrouped",
+        action="store_true",
+        help="input partitions already hold whole conversations (bucketed "
+        "ingest layout) — skip the conv_id exchange (requires --fused)",
+    )
     ap.add_argument("--salt-blocks", type=int, default=None, help="two-phase reassembly block size for skewed convs")
     ap.add_argument("--show-flagship", action="store_true")
     args = ap.parse_args()
 
     if args.model != "ner":
         raise SystemExit("only the deterministic 'ner' extractor is productionized")
+    if args.pregrouped and not args.fused:
+        raise SystemExit("--pregrouped requires --fused (the declarative "
+                         "path materializes its own reassembly)")
     if "://" in args.warehouse:
         # Reject file:// too: LocalTableCatalog's os/json side would treat
         # the URI as a literal relative path while Spark writers resolve
@@ -73,6 +82,7 @@ def main() -> None:
     result = run_pipeline(
         spark, transcripts, catalog, run_id=args.run_id,
         salt_blocks=args.salt_blocks, fused=args.fused,
+        input_pregrouped=args.pregrouped,
     )
     print({"run_id": result.run_id, "counts": result.counts})
     summarize_metrics(spark, catalog).show(50, truncate=False)

@@ -59,6 +59,7 @@ def run_pipeline(
     collect_counts: bool = True,
     fused: bool = False,
     canonicalize: bool = False,
+    input_pregrouped: bool = False,
 ) -> PipelineResult:
     """Execute (or resume) the full pipeline for ``run_id``.
 
@@ -70,6 +71,13 @@ def run_pipeline(
     is NOT: the fused kernel pre-dedups per partition and omits edge
     ``context`` by default, so its row counts/provenance differ from the
     declarative per-conversation records.
+
+    ``input_pregrouped=True`` (fused path only) declares that each input
+    partition already holds whole conversations — the layout an Iceberg
+    ``bucket(conv_id)``-clustered table scan provides — so the fused
+    kernel skips the conv_id exchange entirely (correctness tested in
+    test_bucketing.py; measured faster at both core levels with the
+    round-3 kernel, see BENCH.md).
 
     ``canonicalize=True`` enables stage D's alias layer (MinHash/LSH +
     connected components over node surface forms) and rewrites edge
@@ -110,7 +118,9 @@ def run_pipeline(
     # --- Stage C: extraction (checkpointed once, split by kind after) ------
     if not stage_done("extraction", "extract", with_metrics=True):
         if fused:
-            extraction = extract_graph_records_fused(transcripts)
+            extraction = extract_graph_records_fused(
+                transcripts, input_pregrouped=input_pregrouped
+            )
         else:
             extraction = extract_graph_records(documents)
         catalog.overwrite(extraction, "extraction", run_id, "extract")
