@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -108,6 +110,47 @@ class TestContamination:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_random_corpus_matches_python_oracle(self, spark):
+        """Randomized corpus (small vocab → heavy n-gram collisions) vs a
+        direct pure-Python recomputation of every (doc, eval, count)."""
+
+        def py_grams(text: str, n: int) -> set[str]:
+            toks = text.strip().lower().split()
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        rng = random.Random(23)
+        # 6 words → 216 possible 3-grams: collisions are guaranteed at
+        # this corpus size, so the equality check is non-vacuous.
+        vocab = [f"w{i}" for i in range(6)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for i in range(40)
+        ]
+        evals = [
+            (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8))))
+            for i in range(6)
+        ]
+        n = 3
+        want = {}
+        for did, dtext in docs:
+            dg = py_grams(dtext, n)
+            for eid, etext in evals:
+                shared = dg & py_grams(etext, n)
+                if shared:
+                    want[(did, eid)] = len(shared)
+
+        got = {
+            (r.doc_id, r.eval_id): r.shared_ngrams
+            for r in ngram_contamination(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                spark.createDataFrame(evals, ["eval_id", "text"]),
+                n=n,
+            ).collect()
+        }
+        assert got == want and want  # non-vacuous by construction
 
     def test_entry_matches_analytic_construction(self, spark):
         """The contract entry's eval set is each 25th doc's first 12
