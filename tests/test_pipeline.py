@@ -92,6 +92,47 @@ class TestTableIO:
         got = {(r.k, r.v) for r in catalog.read(spark, "t1").collect()}
         assert got == {("a", 1), ("b", 20), ("c", 3)}  # new wins on match
 
+    def test_compact_rewrites_layout_not_content(self, spark, tmp_path):
+        import os
+
+        catalog = LocalTableCatalog(str(tmp_path / "t"))
+        # Accrete a fragmented table: 32-partition write → many files.
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(2000)], ["k", "v"]
+        ).repartition(32)
+        catalog.overwrite(df, "t1", run_id="r", stage="load")
+        before = {(r.k, r.v) for r in catalog.read(spark, "t1").collect()}
+
+        written = catalog.compact(spark, "t1", target_file_bytes=1 << 30)
+        assert written == 1  # tiny table → single file
+        snap_dir = catalog._snap_dir("t1", catalog.log("t1")[-1]["snapshot"])
+        n_parquet = sum(
+            1 for f in os.listdir(snap_dir) if f.endswith(".parquet")
+        )
+        assert n_parquet == 1
+        # Content bit-identical; commit log records the rewrite; the
+        # original stage commit is still resumable (committed() true).
+        assert {(r.k, r.v) for r in catalog.read(spark, "t1").collect()} == before
+        assert catalog.log("t1")[-1]["operation"] == "compact"
+        assert catalog.committed("t1", "r", "load")
+        # vacuum reclaims the fragmented layout
+        removed = catalog.vacuum("t1", keep_last=1)
+        assert removed and catalog.read(spark, "t1").count() == 2000
+
+    def test_compact_sorted_rewrite(self, spark, tmp_path):
+        catalog = LocalTableCatalog(str(tmp_path / "t"))
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(500)], ["bucket", "v"]
+        ).repartition(16)
+        catalog.overwrite(df, "t1")
+        before = {(r.bucket, r.v) for r in catalog.read(spark, "t1").collect()}
+        catalog.compact(
+            spark, "t1", target_file_bytes=1 << 30, sort_cols=["bucket"]
+        )
+        assert {
+            (r.bucket, r.v) for r in catalog.read(spark, "t1").collect()
+        } == before
+
     def test_snapshot_history(self, spark, tmp_path):
         catalog = LocalTableCatalog(str(tmp_path / "t"))
         df = spark.createDataFrame([(1,)], ["x"])

@@ -147,6 +147,65 @@ class LocalTableCatalog:
             {"snapshot": snap, "run_id": run_id, "stage": stage, "operation": "merge"},
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        sort_cols: list[str] | None = None,
+        run_id: str = "",
+    ) -> int:
+        """Rewrite the current snapshot into ~``target_file_bytes`` files
+        (Iceberg ``rewrite_data_files``). Streaming MERGE commits and
+        incremental loads accrete small files; at scale the resulting
+        per-file scan/open overhead dominates reads. Content is
+        bit-identical (same rows, new layout) and the commit is a normal
+        snapshot — readers never see a half-compacted table and
+        ``vacuum`` reclaims the old layout.
+
+        ``sort_cols`` additionally range-partitions by the given columns
+        before writing (Iceberg's sort-order rewrite) so downstream
+        equality filters prune files. Returns the number of files in the
+        new snapshot.
+        """
+        entries = self.log(name)
+        if not entries:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        cur_dir = self._snap_dir(name, entries[-1]["snapshot"])
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, files in os.walk(cur_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, round(total / target_file_bytes))
+        df = spark.read.parquet(cur_dir)
+        df = (
+            df.repartitionByRange(n_files, *sort_cols)
+            if sort_cols
+            else df.coalesce(n_files)
+            if df.rdd.getNumPartitions() > n_files
+            else df.repartition(n_files)
+        )
+        snap = self._next_snapshot(name)
+        df.write.mode("overwrite").parquet(self._snap_dir(name, snap))
+        self._append_log(
+            name,
+            {
+                "snapshot": snap,
+                "run_id": run_id,
+                "stage": "compact",
+                "operation": "compact",
+            },
+        )
+        written = sum(
+            1
+            for _dp, _dn, files in os.walk(self._snap_dir(name, snap))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return written
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
 
