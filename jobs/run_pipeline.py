@@ -45,7 +45,10 @@ from threat_intelligence_knowledge_graph_spark.sources.tableio import LocalTable
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--input", required=True, help="transcripts path")
+    ap.add_argument("--format", default="parquet", choices=("parquet", "json", "csv"),
+                    help="input format; json/csv parse against the pinned "
+                    "schema with bad-record quarantine")
     ap.add_argument("--warehouse", required=True, help="table catalog root")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--model", default="ner", help="extractor (only 'ner' is productionized)")
@@ -78,7 +81,16 @@ def main() -> None:
 
     spark = build_session("tikg-pipeline")
     catalog = LocalTableCatalog(args.warehouse)
-    transcripts = spark.read.parquet(args.input)
+    from threat_intelligence_knowledge_graph_spark.sources.ingest import (
+        read_transcripts,
+    )
+
+    transcripts, quarantined = read_transcripts(spark, args.input, fmt=args.format)
+    n_bad = quarantined.count()
+    if n_bad:
+        # Quarantine-don't-drop: bad feed rows land in an auditable table.
+        catalog.overwrite(quarantined, "quarantine", args.run_id, "ingest")
+        print({"quarantined_rows": n_bad})
     result = run_pipeline(
         spark, transcripts, catalog, run_id=args.run_id,
         salt_blocks=args.salt_blocks, fused=args.fused,
