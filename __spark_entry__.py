@@ -549,6 +549,31 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_table_checks(spark, sf_dir):
+    """Declarative data-quality suite over orders — 5 constraints in ONE
+    aggregation pass (deequ-style expectations for pipeline outputs)."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return run_checks(
+        o,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0.0, 1e9),
+            matches("o_orderpriority", r"^[1-5]-"),
+        ],
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (3 synchronous power steps, d=0.85) over a planted
     30-node graph derived from `nation`: a 25-cycle over n-nodes plus
@@ -978,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "sample_stratified": q_sample_stratified,
         "graph_pagerank": q_graph_pagerank,
+        "table_checks": q_table_checks,
     }
 
 
@@ -1600,4 +1626,22 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE 0 END
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
+        "table_checks": """
+            WITH a AS (
+              SELECT
+                cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS c0,
+                cast(count(*) - count(DISTINCT coalesce(cast(o_orderkey AS varchar), chr(0) || 'null')) AS bigint) AS c1,
+                cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bigint) AS c2,
+                cast(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000000.0 THEN 1 ELSE 0 END) AS bigint) AS c3,
+                cast(sum(CASE WHEN o_orderpriority IS NULL
+                              OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS bigint) AS c4
+              FROM orders
+            )
+            SELECT 'not_null(o_orderkey)' AS check, c0 AS violations, c0 = 0 AS passed FROM a
+            UNION ALL SELECT 'unique(o_orderkey)', c1, c1 = 0 FROM a
+            UNION ALL SELECT 'in_set(o_orderstatus)', c2, c2 = 0 FROM a
+            UNION ALL SELECT 'in_range(o_totalprice)', c3, c3 = 0 FROM a
+            UNION ALL SELECT 'matches(o_orderpriority)', c4, c4 = 0 FROM a
+        """,
     }
