@@ -36,6 +36,7 @@ from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
     register_graph_views,
 )
 from threat_intelligence_knowledge_graph_spark.plans.pipeline import (
+    audit_graph_tables,
     run_pipeline,
     summarize_metrics,
 )
@@ -97,6 +98,13 @@ def main() -> None:
         input_pregrouped=args.pregrouped,
     )
     print({"run_id": result.run_id, "counts": result.counts})
+    audit = audit_graph_tables(spark, catalog, run_id=args.run_id)
+    failed = [
+        f"{r['table']}:{r['check']}={r['violations']}"
+        for r in audit.collect()
+        if not r["passed"]
+    ]
+    print({"audit": "PASS" if not failed else "FAIL", "failed": failed})
     summarize_metrics(spark, catalog).show(50, truncate=False)
     if args.show_flagship:
         register_graph_views(spark, catalog)

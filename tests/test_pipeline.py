@@ -119,6 +119,42 @@ class TestTableIO:
         removed = catalog.vacuum("t1", keep_last=1)
         assert removed and catalog.read(spark, "t1").count() == 2000
 
+    def test_audit_graph_tables(self, spark, tmp_path):
+        """Clean warehouse passes every invariant; a planted duplicate/
+        null violation is detected and recorded in metrics."""
+        from threat_intelligence_knowledge_graph_spark.datagen import (
+            generate_transcripts_df,
+        )
+        from threat_intelligence_knowledge_graph_spark.plans.pipeline import (
+            audit_graph_tables,
+            run_pipeline,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "wh"))
+        t = generate_transcripts_df(spark, 30)
+        run_pipeline(spark, t, catalog, run_id="a", fused=True)
+        audit = audit_graph_tables(spark, catalog, run_id="a")
+        assert all(r.passed for r in audit.collect())
+        # audit rows merged into metrics as stage='audit'
+        m = catalog.read(spark, "metrics").filter("stage = 'audit'")
+        assert m.count() == audit.count()
+        assert {r.value for r in m.collect()} == {0}
+
+        # Plant a duplicate triple + a null endpoint → audit must fail.
+        bad = catalog.read(spark, "triples").limit(1).union(
+            spark.createDataFrame(
+                [(None, "X", "y")], "subj string, pred string, obj string"
+            )
+        )
+        snap = catalog.read(spark, "triples").union(bad)
+        catalog.overwrite(snap, "triples", run_id="b", stage="tamper")
+        audit2 = {
+            (r["table"], r["check"]): r["passed"]
+            for r in audit_graph_tables(spark, catalog).collect()
+        }
+        assert audit2[("triples", "unique(subj,pred,obj)")] is False
+        assert audit2[("triples", "not_null(subj)")] is False
+
     def test_compact_sorted_rewrite(self, spark, tmp_path):
         catalog = LocalTableCatalog(str(tmp_path / "t"))
         df = spark.createDataFrame(

@@ -234,6 +234,78 @@ def run_incremental(
     return result
 
 
+def audit_graph_tables(
+    spark: SparkSession, catalog: LocalTableCatalog, run_id: str = ""
+) -> DataFrame:
+    """Post-run invariants over the committed graph tables — the MERGE
+    keys must actually be unique and endpoints non-null, or resume/
+    upsert semantics are silently broken. One scan+agg per table
+    (``operators/quality_checks``); returns (table, check, violations,
+    passed) and, when ``run_id`` is given, merges the results into the
+    ``metrics`` table as stage='audit' rows (partition_id −1, value =
+    violations) so audits live next to the lineage they guard."""
+    from ..operators.quality_checks import not_null, run_checks
+
+    suites = {
+        "nodes": [
+            not_null("node_id"),
+            not_null("node_label"),
+            (
+                "unique(node_label,node_id)",
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct("node_label", "node_id")),
+            ),
+        ],
+        "edges": [
+            not_null("src_id"),
+            not_null("rel_type"),
+            not_null("dst_id"),
+            (
+                "unique(src_id,rel_type,dst_id)",
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct("src_id", "rel_type", "dst_id")),
+            ),
+        ],
+        "triples": [
+            not_null("subj"),
+            not_null("pred"),
+            not_null("obj"),
+            (
+                "unique(subj,pred,obj)",
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct("subj", "pred", "obj")),
+            ),
+        ],
+    }
+    results = None
+    for table, checks in suites.items():
+        if not catalog.exists(table):
+            continue
+        r = run_checks(catalog.read(spark, table), checks).select(
+            F.lit(table).alias("table"), "check", "violations", "passed"
+        )
+        results = r if results is None else results.union(r)
+    if results is None:
+        raise FileNotFoundError("no graph tables committed to audit")
+    if run_id:
+        audit_rows = results.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("audit").alias("stage"),
+            F.lit(-1).alias("partition_id"),
+            F.concat(F.col("table"), F.lit(":"), F.col("check")).alias("metric"),
+            F.col("violations").cast("long").alias("value"),
+        )
+        catalog.merge(
+            spark,
+            audit_rows,
+            "metrics",
+            keys=["run_id", "stage", "partition_id", "metric"],
+            run_id=run_id,
+            stage="audit",
+        )
+    return results
+
+
 def summarize_metrics(spark: SparkSession, catalog: LocalTableCatalog) -> DataFrame:
     """Stats aggregation (reference main.py:100-108,326-342 → SURVEY.md §2
     op 31): totals per (run, stage) from the per-partition lineage rows."""
