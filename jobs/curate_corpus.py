@@ -67,6 +67,9 @@ def main() -> None:
         train_frac=args.train_frac,
         token_budget=args.token_budget or None,
         shard_col=args.shard_col,
+        # One-shot job that materializes curated AND metrics: caching
+        # stages stops the metrics rows re-running the dedup chain.
+        cache_stages=True,
     )
     curated.write.mode("overwrite").parquet(
         os.path.join(args.output, "curated.parquet")

@@ -110,6 +110,10 @@ def main() -> None:
         register_graph_views(spark, catalog)
         flagship_query(spark).show(50, truncate=False)
     spark.stop()
+    if failed:
+        # Exit nonzero so orchestrators gate on the invariants the audit
+        # protects (broken MERGE keys = broken resume/upsert semantics).
+        raise SystemExit(f"graph-table audit failed: {failed}")
 
 
 if __name__ == "__main__":

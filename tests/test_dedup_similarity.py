@@ -188,6 +188,30 @@ class TestSimilarity:
         loose = embedding_near_duplicates(df, threshold=0.99, n_planes=4)
         assert loose.count() == n * (n - 1) // 2
 
+        # return_dropped surfaces the capped buckets (no silent caps).
+        pairs2, dropped2 = embedding_near_duplicates(
+            df, threshold=0.99, n_planes=4, max_bucket_size=10,
+            return_dropped=True,
+        )
+        assert pairs2.count() == 0
+        assert dropped2.count() > 0
+        assert all(r.bucket_size == n for r in dropped2.collect())
+
+    def test_minhash_return_dropped(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            minhash_near_duplicates,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(i, text) for i in range(20)], ["doc_id", "text"]
+        )
+        pairs, dropped = minhash_near_duplicates(
+            df, max_bucket_size=5, return_dropped=True
+        )
+        assert pairs.count() == 0
+        assert {r.bucket_size for r in dropped.collect()} == {20}
+
 
 def _family_docs(n_families: int, variants: int, start_id: int = 0):
     """Near-dup families: variant v of family f rewrites the last token —

@@ -1,4 +1,4 @@
-"""neo4j-admin CSV export: layout, headers, content round-trip."""
+"""neo4j-admin CSV export: layout, headers, escaping, content round-trip."""
 
 from __future__ import annotations
 
@@ -12,25 +12,23 @@ from threat_intelligence_knowledge_graph_spark.datagen import (
 from threat_intelligence_knowledge_graph_spark.plans.pipeline import run_pipeline
 from threat_intelligence_knowledge_graph_spark.sources.neo4j_export import (
     export_graph,
+    export_nodes_csv,
 )
 from threat_intelligence_knowledge_graph_spark.sources.tableio import (
     LocalTableCatalog,
 )
 
 
-def _read_csv_set(path):
-    rows, header = [], None
-    for f in sorted(glob.glob(os.path.join(path, "part-*.csv"))):
+def _read_csv_set(data_dir: str):
+    """Header from the sibling single header file; data from headerless
+    parts — exactly how the emitted neo4j-admin command consumes them."""
+    header_file = data_dir.rsplit(".csv", 1)[0] + "_header.csv"
+    with open(header_file, newline="") as fh:
+        header = next(csv.reader(fh))
+    rows = []
+    for f in sorted(glob.glob(os.path.join(data_dir, "part-*.csv"))):
         with open(f, newline="") as fh:
-            r = csv.reader(fh)
-            h = next(r, None)
-            if h is None:
-                continue
-            if header is None:
-                header = h
-            else:
-                assert h == header  # every part carries the same header
-            rows.extend(r)
+            rows.extend(csv.reader(fh))
     return header, rows
 
 
@@ -71,13 +69,47 @@ class TestNeo4jExport:
         # bulk importer hard-fails on dangling refs).
         node_ids = {r[0] for r in nrows}
         assert all(r[0] in node_ids and r[1] in node_ids for r in erows)
-        assert "neo4j-admin database import" in summary["import_command"]
+        # Command consumes header file + headerless parts.
+        assert "nodes_header.csv," in summary["import_command"]
+        assert "edges_header.csv," in summary["import_command"]
+
+    def test_multipart_data_files_carry_no_header(self, spark, tmp_path):
+        """neo4j-admin reads the header from the FIRST matched file only
+        — a header line inside any data part would be ingested as a
+        bogus node row. Force multiple parts and assert none has one."""
+        nodes = spark.createDataFrame(
+            [("L", f"n{i}", {"name": f"v{i}"}) for i in range(60)],
+            "node_label string, node_id string, properties map<string,string>",
+        ).repartition(4)
+        out = str(tmp_path / "n.csv")
+        export_nodes_csv(nodes, out)
+        parts = sorted(glob.glob(os.path.join(out, "part-*.csv")))
+        assert len(parts) > 1
+        all_rows = []
+        for p in parts:
+            with open(p, newline="") as fh:
+                all_rows.extend(csv.reader(fh))
+        assert all(not r or r[0] != "id:ID" for r in all_rows)
+        assert len(all_rows) == 60
+
+    def test_rfc4180_quote_escaping(self, spark, tmp_path):
+        """Values containing quotes/commas must round-trip under the
+        doubled-quote convention neo4j-admin parses (Spark's default
+        backslash escaping would corrupt the row)."""
+        tricky = 'Mozilla/5.0 "compatible; MSIE 9.0", path C:\\x'
+        nodes = spark.createDataFrame(
+            [("UserAgent", "ua1", {"name": tricky})],
+            "node_label string, node_id string, properties map<string,string>",
+        )
+        out = str(tmp_path / "n.csv")
+        export_nodes_csv(nodes, out)
+        _h, rows = _read_csv_set(out)
+        assert rows == [["ua1", "UserAgent", tricky]]
+        raw = open(glob.glob(os.path.join(out, "part-*.csv"))[0]).read()
+        assert '""compatible' in raw  # doubled-quote, not backslash
+        assert '\\"' not in raw
 
     def test_property_columns_flattened(self, spark, tmp_path):
-        from threat_intelligence_knowledge_graph_spark.sources.neo4j_export import (
-            export_nodes_csv,
-        )
-
         nodes = spark.createDataFrame(
             [
                 ("Malware", "m1", {"name": "x", "hash_algorithm": "MD5"}),

@@ -75,6 +75,14 @@ class TestPagerank:
         leaf_vals = {v for k, v in got.items() if k != "hub"}
         assert len(leaf_vals) == 1  # symmetric leaves tie exactly
 
+    def test_empty_graph_returns_empty_frame(self, spark):
+        # e.g. hot_infrastructure over a run that produced no triples —
+        # must not divide by zero on the driver.
+        e = spark.createDataFrame([], "src_id string, dst_id string")
+        got = pagerank(e, iterations=3)
+        assert got.columns == ["id", "rank"]
+        assert got.count() == 0
+
     def test_validation(self, spark):
         e = _edges(spark, [("a", "b")])
         with pytest.raises(ValueError):

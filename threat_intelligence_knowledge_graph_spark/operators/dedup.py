@@ -73,12 +73,20 @@ def minhash_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 256,
+    return_dropped: bool = False,
 ) -> DataFrame:
-    """(a, b, jaccard) verified near-duplicate pairs."""
+    """(a, b, jaccard) verified near-duplicate pairs.
+
+    ``return_dropped=True`` returns ``(pairs, dropped_buckets)`` so the
+    caller can observe recall lost to the bucket cap instead of a
+    silent truncation (the exact pre-pass in ``minhash_dedup`` removes
+    the only unbounded source of over-cap buckets, but raw corpora fed
+    straight to this function may still hit it)."""
     shingles = word_shingles(documents, id_col, text_col, n=shingle_words)
     banded = lsh_band_keys(shingles, num_hashes=num_hashes, bands=bands)
-    pairs, _dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
-    return jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
+    pairs, dropped = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
+    verified = jaccard_verify(pairs, shingles, threshold=jaccard_threshold)
+    return (verified, dropped) if return_dropped else verified
 
 
 def minhash_dedup(

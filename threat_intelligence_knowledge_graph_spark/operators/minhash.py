@@ -264,7 +264,6 @@ def connected_components_star(
             new_sym.exceptAll(sym).limit(1).count()
             + sym.exceptAll(new_sym).limit(1).count()
         )
-        old = sym
         sym = new_sym
         if changed == 0:
             # Terminal star graph: every edge points (member → root).

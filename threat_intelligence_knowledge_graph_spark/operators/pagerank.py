@@ -57,6 +57,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # Empty graph (e.g. a run whose extraction produced no triples):
+        # return an empty (id, rank) frame rather than dividing by zero.
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # Pre-joining the degree onto the edge list once keeps the per-
     # iteration work to a single (rank ⋈ edges) join + aggregation.

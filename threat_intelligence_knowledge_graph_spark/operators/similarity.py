@@ -261,8 +261,15 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket_size: int = 1024,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold.
+
+    ``return_dropped=True`` returns ``(pairs, dropped_buckets)`` so the
+    caller can observe recall lost to the bucket cap (the "no silent
+    caps" rule — a degenerate corpus can exceed ``max_bucket_size`` in
+    every band, and those pairs are then only found if another band
+    catches them).
 
     Banded hyperplane LSH: ``bands`` independent plane sets; a pair is a
     candidate if it agrees on ANY band's full signature. A single
@@ -296,7 +303,7 @@ def embedding_near_duplicates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    candidates, _dropped = embedding_candidate_pairs(banded, id_col, max_bucket_size)
+    candidates, dropped = embedding_candidate_pairs(banded, id_col, max_bucket_size)
     va_df = embeddings.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
@@ -304,10 +311,11 @@ def embedding_near_duplicates(
         F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
     va, vb = F.col("va"), F.col("vb")
-    return (
+    pairs = (
         candidates.join(va_df, "a")
         .join(vb_df, "b")
         .withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+    return (pairs, dropped) if return_dropped else pairs

@@ -14,9 +14,11 @@ Each stage is the already-tested operator (``operators/text_quality``,
 Scale notes: every stage is a Catalyst plan over the previous one; the
 whole chain materializes in the caller's single action. The metrics
 frame is LAZY — each stage row is an aggregate over that stage's frame,
-so collecting metrics re-executes lineage unless the caller checkpoints
-intermediate tables (at 100 TB: write each stage to a table and read it
-back, exactly what ``plans/pipeline.py`` does for the KG stages).
+so collecting metrics re-executes lineage unless stages are retained:
+pass ``cache_stages=True`` for a one-shot job that materializes both
+outputs (``jobs/curate_corpus.py`` does), or checkpoint each stage to a
+table at 100 TB (the ``plans/pipeline.py`` pattern) where cached frames
+would not fit storage memory.
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ def curate_documents(
     train_frac: float = 0.9,
     token_budget: int | None = 2048,
     shard_col: str | None = None,
+    cache_stages: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(curated, metrics)``.
 
@@ -51,18 +54,29 @@ def curate_documents(
     pack_id]) — pack ids are local to (split[, shard]) so packing never
     funnels through one task (see ``pack_documents``).
     ``metrics``: (stage, n_docs) survivor counts per stage, in order.
+
+    ``cache_stages=True`` caches each stage frame so collecting
+    ``metrics`` (and the final write) does not re-execute the upstream
+    chain once per stage row — the right setting for a one-shot job that
+    will materialize both outputs (``jobs/curate_corpus.py``). Leave
+    False when the caller checkpoints stages to tables instead (the
+    100 TB pattern — cached stages must fit cluster storage memory).
     """
-    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    def _stage(frame: DataFrame) -> DataFrame:
+        return frame.cache() if cache_stages else frame
+
+    stages: list[tuple[str, DataFrame]] = [("input", _stage(docs))]
 
     q = quality_score(docs, id_col, text_col)
-    d = docs.join(q.filter(F.col("quality") >= min_quality), id_col)
+    d = _stage(docs.join(q.filter(F.col("quality") >= min_quality), id_col))
     stages.append(("quality", d))
 
     lang = language_id(d, id_col, text_col)
-    d = d.join(lang.filter(F.col("lang_pred").isin(*languages)), id_col)
+    d = _stage(d.join(lang.filter(F.col("lang_pred").isin(*languages)), id_col))
     stages.append(("language", d))
 
-    d = exact_dedup(d, id_col, text_col)
+    d = _stage(exact_dedup(d, id_col, text_col))
     stages.append(("exact_dedup", d))
 
     kept = minhash_dedup(
@@ -71,13 +85,14 @@ def curate_documents(
         text_col,
         jaccard_threshold=near_dup_threshold,
     ).select(id_col)
-    d = d.join(kept, id_col, "left_semi")
+    d = _stage(d.join(kept, id_col, "left_semi"))
     stages.append(("near_dedup", d))
 
     if eval_items is not None:
         d = decontaminate(
             d, eval_items, n=decontaminate_n, doc_id=id_col, doc_text=text_col
         )
+        d = _stage(d)
         stages.append(("decontaminate", d))
 
     d = split_by_hash(d, id_col, train_frac)

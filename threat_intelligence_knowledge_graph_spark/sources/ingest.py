@@ -61,9 +61,13 @@ def read_transcripts(
         if fmt == "csv":
             reader = reader.option("header", "true")
         raw = getattr(reader, fmt)(path)
-        # Spark disallows filtering on only the corrupt column of a raw
-        # file scan (SPARK-21610); materialize the parse once.
-        raw = raw.cache()
+        # NB: SPARK-21610 only forbids queries whose referenced columns
+        # are SOLELY the corrupt-record column; both outputs here filter
+        # on the key fields too, so no materialization is needed — and
+        # caching here would pin the whole parsed corpus in storage
+        # memory for the session's lifetime (each action re-parses the
+        # files instead, which is the cheaper trade for one-shot reads;
+        # callers doing repeated passes should cache or write-and-read).
         corrupt = F.col(_CORRUPT).isNotNull()
     else:
         raise ValueError(f"unsupported format: {fmt}")

@@ -7,14 +7,21 @@ This module renders the committed ``nodes``/``edges`` tables into the
 format: header row with ``:ID``/``:LABEL``/``:START_ID``/``:END_ID``/
 ``:TYPE`` reserved columns, one CSV set per file group):
 
-    <out>/nodes.csv/part-*.csv     header: id:ID,:LABEL,name,<prop cols>
-    <out>/edges.csv/part-*.csv     header: :START_ID,:END_ID,:TYPE
+    <out>/nodes_header.csv          id:ID,:LABEL,name,<prop cols>
+    <out>/nodes.csv/part-*.csv      data rows only
+    <out>/edges_header.csv          :START_ID,:END_ID,:TYPE
+    <out>/edges.csv/part-*.csv      data rows only
 
-Written with Spark's distributed CSV writer (quoted/escaped per RFC
-4180, which neo4j-admin accepts) — no driver-side collect, so the
-export scales with the table. Property maps are flattened to the union
-of observed keys (bulk import needs a fixed column set); at 100 TB pass
-``prop_keys`` explicitly to skip the discovery aggregation.
+neo4j-admin treats only the FIRST line of the first matched file as the
+header, so the header lives in its own single file and the data parts
+carry none (the ``--nodes=<header>,<parts regex>`` comma form the tool
+documents). Data is written by Spark's distributed CSV writer with
+RFC 4180 doubled-quote escaping (``escape='"'`` — Spark's default
+backslash escaping would corrupt quoted fields under neo4j-admin) — no
+driver-side collect, so the export scales with the table. Property maps
+are flattened to the union of observed keys (bulk import needs a fixed
+column set); at 100 TB pass ``prop_keys`` explicitly to skip the
+discovery aggregation.
 """
 
 from __future__ import annotations
@@ -34,28 +41,54 @@ def _prop_keys(nodes: DataFrame) -> list[str]:
     return sorted(row["ks"] or [])
 
 
+def _write_csv_set(df: DataFrame, out_path: str, header_path: str) -> None:
+    """Headerless distributed data parts + ONE driver-written header
+    file (neo4j-admin reads the header from the first matched file
+    only, so per-part headers would be ingested as data rows)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "false")
+        # RFC 4180 doubled-quote escaping; Spark's default escape='\\'
+        # is misread by neo4j-admin and corrupts quoted fields.
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out_path)
+    )
+    with open(header_path, "w") as fh:
+        fh.write(",".join(df.columns) + "\n")
+
+
 def export_nodes_csv(
     nodes: DataFrame, out_path: str, prop_keys: list[str] | None = None
 ) -> list[str]:
-    """Write ``<out_path>`` as a neo4j-admin nodes CSV set; returns the
-    property columns exported."""
+    """Write ``<out_path>`` (+ ``<out_path stem>_header.csv``) as a
+    neo4j-admin nodes CSV set; returns the property columns exported."""
     keys = _prop_keys(nodes) if prop_keys is None else prop_keys
     cols = [
         F.col("node_id").alias("id:ID"),
         F.col("node_label").alias(":LABEL"),
     ] + [F.col("properties").getItem(k).alias(k) for k in keys]
-    nodes.select(*cols).write.mode("overwrite").option("header", "true").csv(
-        out_path
-    )
+    _write_csv_set(nodes.select(*cols), out_path, _header_path(out_path))
     return keys
 
 
+def _header_path(out_path: str) -> str:
+    import os
+
+    base, _ext = os.path.splitext(out_path)
+    return f"{base}_header.csv"
+
+
 def export_edges_csv(edges: DataFrame, out_path: str) -> None:
-    edges.select(
-        F.col("src_id").alias(":START_ID"),
-        F.col("dst_id").alias(":END_ID"),
-        F.col("rel_type").alias(":TYPE"),
-    ).write.mode("overwrite").option("header", "true").csv(out_path)
+    _write_csv_set(
+        edges.select(
+            F.col("src_id").alias(":START_ID"),
+            F.col("dst_id").alias(":END_ID"),
+            F.col("rel_type").alias(":TYPE"),
+        ),
+        out_path,
+        _header_path(out_path),
+    )
 
 
 def export_graph(
@@ -83,7 +116,8 @@ def export_graph(
         "prop_columns": keys,
         "import_command": (
             "neo4j-admin database import full "
-            f"--nodes={nodes_out}/part-.*\\.csv "
-            f"--relationships={edges_out}/part-.*\\.csv neo4j"
+            f"--nodes={_header_path(nodes_out)},{nodes_out}/part-.*\\.csv "
+            f"--relationships={_header_path(edges_out)},{edges_out}/part-.*\\.csv "
+            "neo4j"
         ),
     }
