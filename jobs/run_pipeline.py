@@ -62,6 +62,12 @@ def main() -> None:
     )
     ap.add_argument("--salt-blocks", type=int, default=None, help="two-phase reassembly block size for skewed convs")
     ap.add_argument("--show-flagship", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="rewrite graph tables to ~128 MB files after the run "
+                    "(small-file maintenance for MERGE-accreted tables)")
+    ap.add_argument("--vacuum-keep", type=int, default=0, metavar="N",
+                    help="after the run, reclaim all but the newest N "
+                    "snapshots per graph table (0 = keep everything)")
     args = ap.parse_args()
 
     if args.model != "ner":
@@ -105,6 +111,21 @@ def main() -> None:
         if not r["passed"]
     ]
     print({"audit": "PASS" if not failed else "FAIL", "failed": failed})
+    maintenance_tables = ("nodes", "edges", "triples", "metrics", "extraction")
+    if args.compact:
+        compacted = {
+            t: catalog.compact(spark, t, run_id=args.run_id)
+            for t in maintenance_tables
+            if catalog.exists(t)
+        }
+        print({"compacted_files": compacted})
+    if args.vacuum_keep > 0:
+        vacuumed = {
+            t: catalog.vacuum(t, keep_last=args.vacuum_keep)
+            for t in maintenance_tables
+            if catalog.exists(t)
+        }
+        print({"vacuumed_snapshots": vacuumed})
     summarize_metrics(spark, catalog).show(50, truncate=False)
     if args.show_flagship:
         register_graph_views(spark, catalog)
