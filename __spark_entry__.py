@@ -549,6 +549,72 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def _planted_curation_docs(spark, sf_dir):
+    """Curation-pipeline corpus: the planted near-dup families (every
+    7th orderkey — k % 3 ≠ 0 families carry a jaccard-1.0 pair) plus
+    four crafted extras, one per upstream filter stage:
+
+      -301  punct/caps junk       → dropped by the quality filter
+      -302  Spanish stopword text → dropped by the language filter
+      -200  exact copy of -201    → dropped by exact dedup (min id kept)
+      -201  standalone English    → survives everything
+    """
+    base = _planted_near_dup_docs(spark, sf_dir, every=7)
+    extras = spark.createDataFrame(
+        [
+            (-301, "A. B. C."),
+            (-302, "el la de que y un los se no por el la de que y un los se no por"),
+            (-201, "the and of to in it is was for on the and of to in it is was for on"),
+            (-200, "the and of to in it is was for on the and of to in it is was for on"),
+        ],
+        "doc_id long, text string",
+    )
+    return base.select(F.col("doc_id").cast("long"), "text").unionByName(extras)
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The COMPOSED curation pipeline (plans/curation.py) end-to-end:
+    quality → language → exact dedup → minhash near-dedup →
+    decontamination → split → token counts → packing, over a corpus
+    planted so every stage bites and every stage's survivor set is
+    analytic (the minhash_near_dup_docs soundness argument extends to
+    the composition: same-cycle families are jaccard-1.0 clusters, so
+    the approximate near-dedup provably equals the exact answer).
+
+    Eval items for decontamination are the first 12 tokens of the j=0
+    doc of every k % 5 == 0 family — an 8-gram window of a wd-cycle
+    always contains 'wd<k>', so exactly those source docs (and no
+    we-cycle survivor) are contaminated."""
+    from threat_intelligence_knowledge_graph_spark.plans.curation import (
+        curate_documents,
+    )
+
+    docs = _planted_curation_docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ev = docs.filter((F.col("doc_id") >= 0) & (F.col("doc_id") % 10 == 0)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+    )
+    curated, _metrics = curate_documents(
+        docs,
+        ev,
+        min_quality=0.3,
+        languages=("en",),
+        near_dup_threshold=0.8,
+        decontaminate_n=8,
+        train_frac=0.9,
+        token_budget=64,
+    )
+    return curated.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+        "split",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
 def q_table_checks(spark, sf_dir):
     """Declarative data-quality suite over orders — 5 constraints in ONE
     aggregation pass (deequ-style expectations for pipeline outputs)."""
@@ -1004,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "graph_pagerank": q_graph_pagerank,
         "table_checks": q_table_checks,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -1031,7 +1098,10 @@ def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
         cnt AS (SELECT cast(count(*) AS double) AS n FROM nodes),
         outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
         w AS (
-          SELECT e.src, e.dst, 1.0 / outdeg.out_deg AS w
+          -- cast: bare 1.0 is DECIMAL(2,1) in DuckDB, and decimal
+          -- division would only coincidentally match Spark's IEEE
+          -- double 1.0/out_deg when every reciprocal is exact
+          SELECT e.src, e.dst, cast(1.0 AS double) / outdeg.out_deg AS w
           FROM e JOIN outdeg USING (src)
         ),
         it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
@@ -1625,14 +1695,109 @@ def oracle_sql() -> dict[str, str]:
                                        WHEN 'P' THEN 500000
                                        ELSE 0 END
         """,
+        # Composed curation pipeline over the planted corpus (see
+        # q_curate_corpus): each stage filter is SQL; the near-dedup
+        # stage uses the ANALYTIC survivor set (jaccard-1.0 same-cycle
+        # families, min id kept) that minhash_near_dup_docs proves the
+        # operator computes.
+        "curate_corpus": rf"""
+            WITH pdocs AS (
+              SELECT cast(2 * o_orderkey + j.j AS bigint) AS doc_id,
+                     trim(repeat(
+                       'wa' || cast(o_orderkey AS varchar)
+                       || ' wb' || cast(o_orderkey AS varchar)
+                       || ' wc' || cast(o_orderkey AS varchar) || ' '
+                       || (CASE WHEN j.j = 1 AND o_orderkey % 3 = 0
+                                THEN 'we' ELSE 'wd' END)
+                       || cast(o_orderkey AS varchar) || ' ',
+                       CASE WHEN j.j = 0 THEN 5 ELSE 7 END)) AS text
+              FROM orders CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+              WHERE o_orderkey % 7 = 0
+            ),
+            corpus AS (
+              SELECT * FROM pdocs
+              UNION ALL
+              SELECT cast(doc_id AS bigint), text FROM (VALUES
+                (-301, 'A. B. C.'),
+                (-302, 'el la de que y un los se no por el la de que y un los se no por'),
+                (-201, 'the and of to in it is was for on the and of to in it is was for on'),
+                (-200, 'the and of to in it is was for on the and of to in it is was for on')
+              ) AS extras(doc_id, text)
+            ),
+            feat AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{en}], x))) AS hits_en,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{es}], x))) AS hits_es,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{de}], x))) AS hits_de
+              FROM corpus
+            ),
+            scored AS (
+              SELECT doc_id, text, n_toks,
+                     least(n_toks / 64.0, 1.0) * 0.3
+                       + least((hits_en * 1.0 / n_toks) * 4.0, 1.0) * 0.4
+                       + (1.0 - least((n_punct * 1.0 / n_chars) * 10.0, 1.0)) * 0.2
+                       + (1.0 - least((n_upper * 1.0 / n_chars) * 5.0, 1.0)) * 0.1
+                       AS quality,
+                     CASE WHEN hits_es > hits_en AND hits_es >= hits_de THEN 'es'
+                          WHEN hits_de > hits_en AND hits_de > hits_es THEN 'de'
+                          ELSE 'en' END AS lang_pred
+              FROM feat
+            ),
+            filtered AS (
+              SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred = 'en'
+            ),
+            exact AS (
+              SELECT * FROM filtered
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+            ),
+            neardup AS (
+              -- analytic minhash survivors: j=1 of a same-cycle family
+              -- (k % 3 <> 0) is the non-min member of a jaccard-1.0
+              -- cluster; nothing else has a >= 0.8 partner
+              SELECT * FROM exact
+              WHERE NOT (doc_id >= 0 AND doc_id % 2 = 1
+                         AND ((doc_id - 1) // 2) % 3 <> 0)
+            ),
+            decon AS (
+              -- contaminated = the j=0 source docs of the k % 5 = 0
+              -- eval items (their 8-grams all contain 'wd<k>', absent
+              -- from every other survivor)
+              SELECT * FROM neardup
+              WHERE NOT (doc_id >= 0 AND doc_id % 10 = 0)
+            ),
+            split_tok AS (
+              SELECT doc_id, quality, lang_pred,
+                     cast(n_toks AS bigint) AS n_tokens,
+                     CASE WHEN md5_number_upper('split:' || cast(doc_id AS varchar))
+                               % 1000000 < 900000
+                          THEN 'train' ELSE 'val' END AS split
+              FROM decon
+            )
+            SELECT doc_id, round(quality, 6) AS quality, lang_pred, split,
+                   n_tokens,
+                   cast(floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY split ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 64) AS bigint) AS pack_id
+            FROM split_tok
+        """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
         "table_checks": """
             WITH a AS (
               SELECT
                 cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS c0,
                 cast(count(*) - count(DISTINCT coalesce(cast(o_orderkey AS varchar), chr(0) || 'null')) AS bigint) AS c1,
-                cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bigint) AS c2,
-                cast(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000000.0 THEN 1 ELSE 0 END) AS bigint) AS c3,
+                cast(sum(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bigint) AS c2,
+                cast(sum(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0.0 OR o_totalprice > 1000000000.0 THEN 1 ELSE 0 END) AS bigint) AS c3,
                 cast(sum(CASE WHEN o_orderpriority IS NULL
                               OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
                          THEN 1 ELSE 0 END) AS bigint) AS c4

@@ -29,6 +29,8 @@ import argparse
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
@@ -93,10 +95,17 @@ def main() -> None:
     )
 
     transcripts, quarantined = read_transcripts(spark, args.input, fmt=args.format)
-    n_bad = quarantined.count()
+    # Quarantine-don't-drop: bad feed rows land in an auditable table.
+    # ALWAYS overwrite — a clean run must replace (empty out) any stale
+    # quarantine from a previous run, or post-run audits would blame the
+    # current feed for old rows — and stamp run_id on the rows themselves
+    # so snapshots are attributable even when read outside the catalog.
+    catalog.overwrite(
+        quarantined.withColumn("run_id", F.lit(args.run_id)),
+        "quarantine", args.run_id, "ingest",
+    )
+    n_bad = catalog.read(spark, "quarantine").count()
     if n_bad:
-        # Quarantine-don't-drop: bad feed rows land in an auditable table.
-        catalog.overwrite(quarantined, "quarantine", args.run_id, "ingest")
         print({"quarantined_rows": n_bad})
     result = run_pipeline(
         spark, transcripts, catalog, run_id=args.run_id,

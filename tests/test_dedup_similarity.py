@@ -99,6 +99,36 @@ class TestSimhash:
         got = {(r.a, r.b) for r in pairs}
         assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
 
+    def test_bucket_cap_engages_on_degenerate_corpus(self, spark):
+        """A mass of empty docs all hashes to signature 0 — one O(n²)
+        bucket per band. The cap must drop those buckets (reported, not
+        silent) while pairs in healthy buckets still come through."""
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+        a = " ".join(words)
+        b = " ".join(words[:-1] + ["changed"])
+        rows = [(1, a), (2, b)] + [(100 + i, "") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs, dropped = simhash_near_duplicates(
+            df, max_hamming=8, max_bucket_size=10, return_dropped=True
+        )
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert (1, 2) in got  # healthy bucket unaffected
+        assert not any(x >= 100 and y >= 100 for x, y in got)  # capped, no n² blowup
+        drops = dropped.collect()
+        assert drops and all(r.bucket_size >= 50 for r in drops)  # reported
+
+    def test_cap_default_does_not_bite_small_corpus(self, spark):
+        """Default cap is far above any band bucket a healthy corpus
+        produces — pairs identical with and without the cap path."""
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+        a = " ".join(words)
+        b = " ".join(words[:-1] + ["changed"])
+        df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        _, dropped = simhash_near_duplicates(
+            df, max_hamming=8, return_dropped=True
+        )
+        assert dropped.count() == 0
+
 
 class TestNgramJaccard:
     def test_threshold(self, spark):

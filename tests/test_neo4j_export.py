@@ -105,7 +105,11 @@ class TestNeo4jExport:
         export_nodes_csv(nodes, out)
         _h, rows = _read_csv_set(out)
         assert rows == [["ua1", "UserAgent", tricky]]
-        raw = open(glob.glob(os.path.join(out, "part-*.csv"))[0]).read()
+        # concatenate ALL part files: the shared session's partitioning
+        # can emit empty parts, so a single arbitrary glob hit may be empty
+        raw = "".join(
+            open(p).read() for p in sorted(glob.glob(os.path.join(out, "part-*.csv")))
+        )
         assert '""compatible' in raw  # doubled-quote, not backslash
         assert '\\"' not in raw
 

@@ -47,7 +47,7 @@ class TestChecks:
             "not_null(id)": (0, True),
             "not_null(status)": (1, False),
             "unique(id)": (1, False),
-            "in_set(status)": (0, True),  # nulls: isin yields null → not counted
+            "in_set(status)": (1, False),  # null status is a violation (consistent with matches)
             "in_range(price)": (1, False),
             "matches(prio)": (2, False),  # bad prio + null prio
         }

@@ -288,6 +288,8 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int = 1024,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -298,6 +300,15 @@ def simhash_near_duplicates(
     stage. Scale note: larger ``max_hamming`` ⇒ narrower band keys ⇒
     bigger buckets — keep it small (≤ 7, i.e. ≥ 8-bit bands) on large
     corpora.
+
+    Buckets over ``max_bucket_size`` (a degenerate corpus — e.g. a mass
+    of empty docs, which all hash to signature 0 — puts O(n²) pairs on
+    one (band, band_val) key) are excluded from the join and reported
+    via ``return_dropped=True`` → ``(pairs, dropped_buckets)``: the same
+    cap + no-silent-truncation rule as ``lsh_candidate_pairs`` and
+    ``embedding_candidate_pairs``. Dropping a bucket only loses recall
+    for pairs seen in no other band; it never admits a false pair (the
+    bit_count verify is exact).
     """
     # ≥2 bands always: max_hamming=0 still means "identical signature",
     # which two 32-bit bands detect completely — and a single 64-bit band
@@ -324,13 +335,17 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.band_val")
-    left = banded.select(
+    sized = banded.groupBy("band", "band_val").agg(F.count("*").alias("bucket_size"))
+    ok = sized.filter(F.col("bucket_size") <= max_bucket_size)
+    dropped = sized.filter(F.col("bucket_size") > max_bucket_size)
+    bucketed = banded.join(ok.select("band", "band_val"), ["band", "band_val"])
+    left = bucketed.select(
         "band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a")
     )
-    right = banded.select(
+    right = bucketed.select(
         "band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b")
     )
-    return (
+    pairs = (
         left.join(right, ["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select(
@@ -341,6 +356,7 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return (pairs, dropped) if return_dropped else pairs
 
 
 # ---------------------------------------------------------------------------

@@ -40,16 +40,22 @@ def unique(col: str) -> Check:
 
 
 def in_set(col: str, values: list) -> Check:
+    """Rows whose value is not in ``values`` (nulls are violations —
+    consistent with ``matches``; a null would otherwise slip through the
+    three-valued SUM unnoticed)."""
     return (
         f"in_set({col})",
-        F.sum((~F.col(col).isin(*values)).cast(_L)),
+        F.sum(F.coalesce(~F.col(col).isin(*values), F.lit(True)).cast(_L)),
     )
 
 
 def in_range(col: str, lo, hi) -> Check:
+    """Rows outside [lo, hi] (nulls are violations — see ``in_set``)."""
     return (
         f"in_range({col})",
-        F.sum(((F.col(col) < lo) | (F.col(col) > hi)).cast(_L)),
+        F.sum(
+            F.coalesce((F.col(col) < lo) | (F.col(col) > hi), F.lit(True)).cast(_L)
+        ),
     )
 
 

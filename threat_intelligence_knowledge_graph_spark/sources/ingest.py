@@ -59,7 +59,13 @@ def read_transcripts(
             .option("columnNameOfCorruptRecord", _CORRUPT)
         )
         if fmt == "csv":
-            reader = reader.option("header", "true")
+            # enforceSchema=false makes Spark CHECK header names against
+            # the pinned schema instead of applying it positionally — a
+            # feed with reordered columns fails loudly rather than
+            # silently misassigning same-typed fields.
+            reader = reader.option("header", "true").option(
+                "enforceSchema", "false"
+            )
         raw = getattr(reader, fmt)(path)
         # NB: SPARK-21610 only forbids queries whose referenced columns
         # are SOLELY the corrupt-record column; both outputs here filter

@@ -32,13 +32,17 @@ from .tableio import LocalTableCatalog
 
 
 def _prop_keys(nodes: DataFrame) -> list[str]:
-    """Union of property-map keys across all nodes (one aggregation)."""
-    row = nodes.select(
-        F.array_distinct(
-            F.flatten(F.collect_list(F.map_keys("properties")))
-        ).alias("ks")
-    ).first()
-    return sorted(row["ks"] or [])
+    """Union of property-map keys across all nodes.
+
+    explode → distinct keeps every intermediate bounded by the DISTINCT
+    key count (a collect_list of per-row key arrays would funnel one
+    entry per node into a single aggregate row — unbounded at scale)."""
+    rows = (
+        nodes.select(F.explode(F.map_keys("properties")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
 
 
 def _write_csv_set(df: DataFrame, out_path: str, header_path: str) -> None:
@@ -54,8 +58,18 @@ def _write_csv_set(df: DataFrame, out_path: str, header_path: str) -> None:
         .option("escape", '"')
         .csv(out_path)
     )
-    with open(header_path, "w") as fh:
-        fh.write(",".join(df.columns) + "\n")
+    # Hadoop FileSystem API, not a driver-local open(): the header must
+    # land on the SAME filesystem as the data parts (s3a://, hdfs://,
+    # file://), matching the module's no-driver-side-IO scaling claim.
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(header_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray((",".join(df.columns) + "\n").encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def export_nodes_csv(
