@@ -1,15 +1,21 @@
-"""Streaming throughput/latency bench (VERDICT r2 item 6).
+"""Streaming throughput/latency bench (VERDICT r2 item 6, r3 item 6).
 
-Measures the Structured Streaming path end-to-end: a transcripts corpus
-is written as N parquet files, ``stream_extract`` drains it with
-``availableNow`` (maxFilesPerTrigger bounds each micro-batch), and we
-report sustained rows/s plus per-micro-batch latency from the query's
-own progress events (triggerExecution durations).
+Measures the Structured Streaming path end-to-end at TWO operating
+points of the same pipeline (``stream_extract``):
+
+- **latency mode** — maxFilesPerTrigger=8: small micro-batches bound
+  per-row latency; each batch pays the MERGE + checkpoint commit cost.
+- **throughput mode** — no file cap: ``availableNow`` drains the
+  backlog in the fewest micro-batches, amortizing the commit cost —
+  the backfill/catch-up profile.
+
+Both report sustained rows/s plus per-micro-batch latency from the
+query's own progress events (triggerExecution durations). Output
+semantics are identical (same MERGE keys) — only batching differs.
 
 Usage: python scripts/bench_streaming.py [n_convs] [cores]
 Prints one JSON line:
-  {"n_turns": ..., "sec": ..., "turns_per_sec": ...,
-   "n_batches": ..., "batch_latency_sec": {"p50": ..., "max": ...}}
+  {"n_turns": ..., "latency_mode": {...}, "throughput_mode": {...}}
 """
 
 from __future__ import annotations
@@ -35,6 +41,46 @@ from threat_intelligence_knowledge_graph_spark.streaming.stream_extract import (
 )
 
 
+def _run_mode(
+    spark, inp: str, work: str, tag: str, max_files_per_trigger: int | None
+) -> dict:
+    n_turns = spark.read.parquet(inp).count()
+    catalog = LocalTableCatalog(os.path.join(work, f"wh-{tag}"))
+    t0 = time.time()
+    q = stream_extract(
+        spark,
+        inp,
+        os.path.join(work, f"ckpt-{tag}"),
+        catalog,
+        available_now=True,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q.awaitTermination()
+    sec = time.time() - t0
+
+    # Spark 4 returns StreamingQueryProgress objects (Spark 3 returned
+    # JSON strings) — normalize through each event's .json payload.
+    progress = [
+        json.loads(p if isinstance(p, str) else p.json) for p in q.recentProgress
+    ]
+    lat = sorted(
+        p["durationMs"].get("triggerExecution", 0) / 1000.0
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    )
+    triples = catalog.read(spark, "triples").count()
+    return {
+        "sec": round(sec, 2),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "n_batches": len(lat),
+        "n_triples": triples,
+        "batch_latency_sec": {
+            "p50": round(lat[len(lat) // 2], 2) if lat else None,
+            "max": round(lat[-1], 2) if lat else None,
+        },
+    }
+
+
 def main(n_convs: int = 50_000, cores: int = 32) -> None:
     spark = build_session(
         "tikg-stream-bench", master=f"local[{cores}]", shuffle_partitions=cores
@@ -47,40 +93,15 @@ def main(n_convs: int = 50_000, cores: int = 32) -> None:
         df.write.parquet(inp)
         n_turns = spark.read.parquet(inp).count()
 
-        catalog = LocalTableCatalog(os.path.join(work, "wh"))
-        t0 = time.time()
-        q = stream_extract(
-            spark,
-            inp,
-            os.path.join(work, "ckpt"),
-            catalog,
-            available_now=True,
-        )
-        q.awaitTermination()
-        sec = time.time() - t0
-
-        # Spark 4 returns StreamingQueryProgress objects (Spark 3 returned
-        # JSON strings) — normalize through each event's .json payload.
-        progress = [
-            json.loads(p if isinstance(p, str) else p.json)
-            for p in q.recentProgress
-        ]
-        lat = sorted(
-            p["durationMs"].get("triggerExecution", 0) / 1000.0
-            for p in progress
-            if p.get("numInputRows", 0) > 0
-        )
-        triples = catalog.read(spark, "triples").count()
+        latency = _run_mode(spark, inp, work, "lat", max_files_per_trigger=8)
+        throughput = _run_mode(spark, inp, work, "thr", max_files_per_trigger=None)
         out = {
             "n_turns": n_turns,
-            "sec": round(sec, 2),
-            "turns_per_sec": round(n_turns / sec, 1),
-            "n_batches": len(lat),
-            "n_triples": triples,
-            "batch_latency_sec": {
-                "p50": round(lat[len(lat) // 2], 2) if lat else None,
-                "max": round(lat[-1], 2) if lat else None,
-            },
+            "latency_mode": latency,
+            "throughput_mode": throughput,
+            "throughput_gain": round(
+                throughput["turns_per_sec"] / latency["turns_per_sec"], 2
+            ),
         }
         print(json.dumps(out))
     finally:

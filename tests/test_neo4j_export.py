@@ -129,3 +129,39 @@ class TestNeo4jExport:
         by_id = {r[0]: r for r in rows}
         assert by_id["m1"][2:] == ["MD5", "x"]
         assert by_id["d1"][2] == ""  # absent key → empty cell
+
+class TestByteGolden:
+    """Format-drift guard: the EXACT bytes neo4j-admin would read are
+    pinned for a tricky corpus (commas, doubled quotes, unicode ids,
+    empty vs null props, embedded newlines). Spark config or writer
+    changes that alter quoting/escaping fail here without needing the
+    tool. Regenerate tests/goldens/neo4j_nodes_golden.csv ONLY for an
+    intentional format change (header, then '-----', then data bytes);
+    the input is coalesced to one sorted partition so bytes are stable."""
+
+    def test_nodes_byte_golden(self, spark, tmp_path):
+        rows = [
+            ("Malware", "m,comma", {"name": 'has "quotes" inside', "family": "emotet"}),
+            ("Domain", "d1", {"name": "evil.example.net", "family": None}),
+            ("ThreatActor", "апт28", {"name": "Fancy 🐻", "family": ""}),
+            ("Tool", "t|pipe", {}),
+            ("Url", "u1", {"name": 'http://x.test/a,b?c="d"\ne', "family": "multi\nline"}),
+        ]
+        nodes = spark.createDataFrame(
+            rows, "node_label string, node_id string, properties map<string,string>"
+        )
+        out = str(tmp_path / "nodes.csv")
+        export_nodes_csv(nodes.repartition(1).sortWithinPartitions("node_id"), out)
+        base, _ = os.path.splitext(out)
+        header = open(f"{base}_header.csv", encoding="utf-8").read()
+        data = "".join(
+            open(p, encoding="utf-8").read()
+            for p in sorted(glob.glob(os.path.join(out, "part-*.csv")))
+        )
+        golden = open(
+            os.path.join(os.path.dirname(__file__), "goldens", "neo4j_nodes_golden.csv"),
+            encoding="utf-8",
+        ).read()
+        want_header, want_data = golden.split("-----\n", 1)
+        assert header == want_header
+        assert data == want_data

@@ -239,6 +239,87 @@ class TestVacuum:
         assert len(catalog.log("t")) == 4  # history preserved
 
 
+class TestAppendSnapshots:
+    """Fast append (Iceberg append-manifest analog): per-batch writes,
+    chain-aware reads, compaction materializes, vacuum never tears a
+    live chain."""
+
+    def test_append_accumulates_without_rewrite(self, spark, tmp_path):
+        import os
+
+        catalog = LocalTableCatalog(str(tmp_path / "a"))
+        for i in range(3):
+            catalog.append(
+                spark.createDataFrame([(i, f"v{i}")], ["k", "v"]),
+                "t", run_id=f"b{i}", stage="ingest",
+            )
+        got = {(r.k, r.v) for r in catalog.read(spark, "t").collect()}
+        assert got == {(0, "v0"), (1, "v1"), (2, "v2")}
+        # Each append snapshot dir holds ONLY its batch (no rewrite):
+        # every batch here is 1 row; a rewriting append would put all
+        # accumulated rows in the newest dir.
+        last = catalog.log("t")[-1]
+        assert last["operation"] == "append" and last["parent"] == 1
+        last_dir = catalog._snap_dir("t", last["snapshot"])
+        assert spark.read.parquet(last_dir).count() == 1
+
+    def test_vacuum_preserves_live_append_chain(self, spark, tmp_path):
+        catalog = LocalTableCatalog(str(tmp_path / "a"))
+        for i in range(3):
+            catalog.append(
+                spark.createDataFrame([(i,)], ["x"]), "t", run_id=f"b{i}", stage="s"
+            )
+        # keep_last=1: the head is an append whose chain reaches back to
+        # snapshot 0 — nothing is reclaimable yet.
+        assert catalog.vacuum("t", keep_last=1) == []
+        assert catalog.read(spark, "t").count() == 3
+        # compact materializes; now the old chain is dead and reclaimed
+        catalog.compact(spark, "t", target_file_bytes=1 << 30)
+        removed = catalog.vacuum("t", keep_last=1)
+        assert removed == [0, 1, 2]
+        assert {r.x for r in catalog.read(spark, "t").collect()} == {0, 1, 2}
+
+    def test_compacted_minhash_index_identical_pairs(self, spark, tmp_path):
+        """The ingest-path maintenance story end-to-end: band index
+        appended per batch, compacted, vacuumed — incremental pairs
+        identical before and after compaction."""
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_incremental_near_duplicates,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        b0 = spark.createDataFrame([(1, text), (2, "unrelated words only here")], ["doc_id", "text"])
+        b1 = spark.createDataFrame([(3, text)], ["doc_id", "text"])
+        b2 = spark.createDataFrame([(4, text)], ["doc_id", "text"])
+
+        catalog = LocalTableCatalog(str(tmp_path / "ix"))
+        catalog.append(minhash_band_index(b0), "minhash_index", run_id="b0", stage="index")
+        corpus = b0
+        _p, idx_rows, _d = minhash_incremental_near_duplicates(
+            corpus, catalog.read(spark, "minhash_index"), b1
+        )
+        catalog.append(idx_rows, "minhash_index", run_id="b1", stage="index")
+        corpus = corpus.unionByName(b1)
+
+        before = {
+            (r.a, r.b)
+            for r in minhash_incremental_near_duplicates(
+                corpus, catalog.read(spark, "minhash_index"), b2
+            )[0].collect()
+        }
+        assert before == {(1, 4), (3, 4)}  # new×old pairs only
+        catalog.compact(spark, "minhash_index", target_file_bytes=1 << 30)
+        catalog.vacuum("minhash_index", keep_last=1)
+        after = {
+            (r.a, r.b)
+            for r in minhash_incremental_near_duplicates(
+                corpus, catalog.read(spark, "minhash_index"), b2
+            )[0].collect()
+        }
+        assert after == before
+
+
 class TestCrashWindowResume:
     def test_metrics_gap_recomputed_on_resume(self, spark, transcripts, tmp_path):
         """Crash between a stage's data commit and its metrics commit must

@@ -123,7 +123,14 @@ def minhash_band_index(
     """(id, band, band_key): the persistable LSH index for incremental
     dedup — write this to a table once, then dedup each ingest batch
     against it with ``minhash_incremental_near_duplicates`` instead of
-    re-scanning the corpus."""
+    re-scanning the corpus.
+
+    Maintenance: persist via ``LocalTableCatalog.append`` (each batch's
+    ``new_index_rows`` is an append snapshot — per-batch write cost is
+    the batch, not the table), then ``compact``/``vacuum`` periodically
+    to fold the accreted per-batch files into one snapshot; compaction
+    is content-identical, so incremental pairs are unchanged
+    (test_dedup_similarity.py asserts this end-to-end)."""
     banded = lsh_band_keys(
         word_shingles(documents, id_col, text_col, n=shingle_words),
         num_hashes=num_hashes,

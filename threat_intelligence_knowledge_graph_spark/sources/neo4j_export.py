@@ -129,7 +129,9 @@ def export_graph(
         "edges": edges.count(),
         "prop_columns": keys,
         "import_command": (
-            "neo4j-admin database import full "
+            # --multiline-fields: property values may contain newlines,
+            # which the RFC 4180 writer emits inside quoted fields
+            "neo4j-admin database import full --multiline-fields=true "
             f"--nodes={_header_path(nodes_out)},{nodes_out}/part-.*\\.csv "
             f"--relationships={_header_path(edges_out)},{edges_out}/part-.*\\.csv "
             "neo4j"

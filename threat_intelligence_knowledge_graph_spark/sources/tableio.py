@@ -34,7 +34,7 @@ class CommitRecord:
     snapshot: int
     run_id: str
     stage: str
-    operation: str  # 'overwrite' | 'merge'
+    operation: str  # 'overwrite' | 'merge' | 'append' | 'compact'
 
 
 class LocalTableCatalog:
@@ -80,12 +80,65 @@ class LocalTableCatalog:
     def _snap_dir(self, name: str, snap: int) -> str:
         return os.path.join(self._table_dir(name), f"snap-{snap}")
 
+    def _chain_dirs(self, name: str, entries: list[dict]) -> list[str]:
+        """Data dirs of the HEAD snapshot: an append snapshot's file set
+        is its own dir plus its parent's file set (Iceberg append
+        manifest chain); any other operation materializes fully."""
+        by_snap = {e["snapshot"]: e for e in entries}
+        dirs: list[str] = []
+        e: dict | None = entries[-1]
+        while e is not None:
+            dirs.append(self._snap_dir(name, e["snapshot"]))
+            parent = e.get("parent") if e["operation"] == "append" else None
+            e = by_snap.get(parent) if parent is not None else None
+        return list(reversed(dirs))
+
+    def _live_snapshots(self, name: str, heads: list[dict]) -> set[int]:
+        """Snapshot ids reachable from the given head entries via append
+        parent chains — these must survive vacuum."""
+        entries = self.log(name)
+        by_snap = {e["snapshot"]: e for e in entries}
+        live: set[int] = set()
+        for head in heads:
+            e: dict | None = head
+            while e is not None and e["snapshot"] not in live:
+                live.add(e["snapshot"])
+                parent = e.get("parent") if e["operation"] == "append" else None
+                e = by_snap.get(parent) if parent is not None else None
+        return live
+
     # -- operations ---------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         entries = self.log(name)
         if not entries:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
-        return spark.read.parquet(self._snap_dir(name, entries[-1]["snapshot"]))
+        return spark.read.parquet(*self._chain_dirs(name, entries))
+
+    def append(
+        self, df: DataFrame, name: str, run_id: str = "", stage: str = ""
+    ) -> None:
+        """Fast append (Iceberg append snapshot): writes ONLY the new
+        rows' files; the commit references the parent snapshot instead
+        of rewriting it. This is the right shape for an append-only
+        table (e.g. the incremental-MinHash band index) at 100 TB —
+        per-batch cost is proportional to the BATCH, not the table.
+        Small files accrete across batches; run ``compact`` periodically
+        to materialize the chain into one snapshot, then ``vacuum``."""
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        entries = self.log(name)
+        parent = entries[-1]["snapshot"] if entries else None
+        snap = self._next_snapshot(name)
+        df.write.mode("overwrite").parquet(self._snap_dir(name, snap))
+        self._append_log(
+            name,
+            {
+                "snapshot": snap,
+                "run_id": run_id,
+                "stage": stage,
+                "operation": "append",
+                "parent": parent,
+            },
+        )
 
     def overwrite(
         self, df: DataFrame, name: str, run_id: str = "", stage: str = ""
@@ -171,15 +224,19 @@ class LocalTableCatalog:
         entries = self.log(name)
         if not entries:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
-        cur_dir = self._snap_dir(name, entries[-1]["snapshot"])
+        chain = self._chain_dirs(name, entries)
         total = sum(
             os.path.getsize(os.path.join(dp, f))
+            for cur_dir in chain
             for dp, _dn, files in os.walk(cur_dir)
             for f in files
             if f.endswith(".parquet")
         )
         n_files = max(1, round(total / target_file_bytes))
-        df = spark.read.parquet(cur_dir)
+        # Materializes append chains too: the new snapshot carries the
+        # full content with no parent reference, so vacuum can reclaim
+        # the superseded per-batch files.
+        df = spark.read.parquet(*chain)
         df = (
             df.repartitionByRange(n_files, *sort_cols)
             if sort_cols
@@ -212,16 +269,19 @@ class LocalTableCatalog:
     def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshots' data dirs
         (the commit log keeps every record — history stays auditable,
-        only superseded data files are reclaimed). Returns the snapshot
-        ids removed. Equivalent of Iceberg's expire_snapshots."""
+        only superseded data files are reclaimed). Append snapshots
+        reference their parents' files, so everything REACHABLE from a
+        kept head survives — a vacuum can never tear a live chain.
+        Returns the snapshot ids removed. Equivalent of Iceberg's
+        expire_snapshots."""
         entries = self.log(name)
         if len(entries) <= keep_last:
             return []
-        keep = {e["snapshot"] for e in entries[-keep_last:]}
+        live = self._live_snapshots(name, entries[-keep_last:])
         removed = []
         for e in entries[:-keep_last]:
             snap = e["snapshot"]
-            if snap in keep:
+            if snap in live:
                 continue
             path = self._snap_dir(name, snap)
             if os.path.exists(path):

@@ -35,18 +35,25 @@ def stream_extract(
     catalog: LocalTableCatalog,
     run_id: str = "stream",
     available_now: bool = True,
+    max_files_per_trigger: int | None = 8,
 ):
     """Stream transcripts from ``input_dir`` into nodes/edges/triples.
 
     Returns the started StreamingQuery; with ``available_now`` the query
     drains existing files and stops (test/backfill mode), otherwise it
     runs continuously.
+
+    ``max_files_per_trigger`` picks the latency/throughput point: small
+    micro-batches bound per-row latency but pay the MERGE + checkpoint
+    commit cost per batch (the dominant cost — each commit rewrites the
+    merged tables); ``None`` removes the cap so ``availableNow`` drains
+    the backlog in the fewest batches — the high-throughput/backfill
+    profile (scripts/bench_streaming.py measures both points).
     """
-    stream = (
-        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", "8")
-        .parquet(input_dir)
-    )
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         extraction = extract_graph_records_fused(batch_df)
