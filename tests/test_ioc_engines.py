@@ -99,6 +99,39 @@ def test_mac_backref_equals_alternation(corpus):
         assert strict.findall(t) == [m[0] for m in _MAC_FAST.findall(t)]
 
 
+def test_domains_tld_prescan_equals_scan(corpus):
+    """The '.<tld>' prescan + run-start anchored match must equal the
+    contract pattern's findall — adversarial dot/dash runs included."""
+    from threat_intelligence_knowledge_graph_spark.rules.iocs import _find_domains
+
+    strict = re.compile(_PATTERNS["domains"])
+    for s in _fuzz("abc.-xcomnetru 019", n=8000, seed=3):
+        assert strict.findall(s) == _find_domains(s), s
+    # pathological same-run repetition (the walk-barrier path)
+    for s in [".com" * 50, "a" + ".com" * 30, "x..com", "a-.com", "-a.com",
+              "evil.com.evil2.net", "a.co.uk b.com.c", "." * 40 + "com"]:
+        assert strict.findall(s) == _find_domains(s), s
+    for t in corpus:
+        assert strict.findall(t) == _find_domains(t)
+
+
+def test_hexrun_simple_equals_lookaround(corpus):
+    from threat_intelligence_knowledge_graph_spark.rules.iocs import (
+        _HEX_RUN,
+        _HEX_RUN_SIMPLE,
+    )
+
+    def simple(s):
+        return [r for r in _HEX_RUN_SIMPLE.findall(s) if len(r) <= 128]
+
+    for s in _fuzz("0123456789abcdefABCDEF xg", n=8000, seed=5):
+        assert _HEX_RUN.findall(s) == simple(s), s
+    long = "a" * 129 + " " + "b" * 64 + " " + "c" * 200
+    assert _HEX_RUN.findall(long) == simple(long)
+    for t in corpus:
+        assert _HEX_RUN.findall(t) == simple(t)
+
+
 def test_email_gate_is_necessary_condition():
     # The '@' gate can only skip texts the pattern cannot match.
     assert "@" in _PATTERNS["email_addresses"]
