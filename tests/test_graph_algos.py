@@ -1,0 +1,63 @@
+"""GDS-style graph algorithms: triangle count, node similarity, caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    node_similarity,
+    triangle_count,
+)
+
+
+class TestTriangleCount:
+    def test_clique_and_tail(self, spark):
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5.
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges.append((4, 5))
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.id: r.triangles for r in triangle_count(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 1)], ["src", "dst"]
+        )
+        got = {r.id: r.triangles for r in triangle_count(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}  # one triangle; loop/dups dropped
+
+
+class TestNodeSimilarity:
+    def test_jaccard_values(self, spark):
+        # a:{x,y}, b:{x,y}, c:{y,z} → (a,b)=1.0, (a,c)=(b,c)=1/3.
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "y"), ("c", "z")],
+            ["src", "dst"],
+        )
+        got = {(r.a, r.b): round(r.jaccard, 6) for r in node_similarity(df).collect()}
+        assert got == {("a", "b"): 1.0, ("a", "c"): 0.333333, ("b", "c"): 0.333333}
+
+    def test_threshold_filters(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "y"), ("c", "z")],
+            ["src", "dst"],
+        )
+        got = {(r.a, r.b) for r in node_similarity(df, threshold=0.5).collect()}
+        assert got == {("a", "b")}
+
+    def test_hot_neighbor_cap_engages(self, spark):
+        """A neighbor shared by every node would create O(n²) pairs; the
+        cap removes it from the graph (exact similarity of the filtered
+        graph) and reports it."""
+        rows = [(f"n{i}", "hub") for i in range(50)]
+        rows += [("n0", "p"), ("n1", "p")]
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        sim, dropped = node_similarity(
+            df, max_neighbor_degree=10, return_dropped=True
+        )
+        pairs = {(r.a, r.b): r.jaccard for r in sim.collect()}
+        # hub removed → only the 'p'-sharing pair remains, with degrees
+        # computed on the filtered graph (deg=1 each → jaccard 1.0).
+        assert pairs == {("n0", "n1"): 1.0}
+        drops = dropped.collect()
+        assert len(drops) == 1 and drops[0].nbr == "hub" and drops[0].nbr_deg == 50

@@ -124,3 +124,54 @@ class TestMultimodal:
         except ImportError:
             with _pytest.raises(NotImplementedError):
                 decode_assets(assets, fake=False)
+
+
+class TestScrubPii:
+    def test_typed_placeholders(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            scrub_pii,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail alice.smith+x@corp.example.com or call (555) 123-4567"),
+                (2, "ssn 123-45-6789 card 4111 1111 1111 1111 ok"),
+                (3, "clean text with no pii at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+        assert got[1] == "mail <EMAIL> or call <PHONE>"
+        assert got[2] == "ssn <SSN> card <CARD> ok"
+        assert got[3] == "clean text with no pii at all"
+
+    def test_email_redacted_before_phone_pattern(self, spark):
+        """An email's digit runs must vanish inside <EMAIL>, not be
+        half-matched by the phone pattern (the list-order contract)."""
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            scrub_pii,
+        )
+
+        df = spark.createDataFrame([(1, "x 555-123-4567@evil.example.com y")], ["doc_id", "text"])
+        assert scrub_pii(df).first().text == "x <EMAIL> y"
+
+
+class TestRepetitionRatio:
+    def test_values(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            repetition_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "abcdefgh" * 10),          # pure repetition
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "short"),                  # < shingle chars → 0
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.rep_ratio for r in repetition_ratio(df).collect()}
+        # 80 chars → 73 shingles, 8 distinct (cyclic) → 1 - 8/73
+        assert abs(got[1] - (1 - 8 / 73)) < 1e-9
+        assert got[2] == 0.0  # every 8-gram of a pangram-ish line is novel
+        assert got[3] == 0.0

@@ -1,0 +1,126 @@
+"""Distributed graph algorithms over the edge table (GDS-style).
+
+The reference serves analysts through Neo4j, where triangle counting,
+node similarity, and component analysis come from the Graph Data
+Science library (its Cypher interface is SURVEY.md §2 op 30). This
+module provides those algorithms Spark-side over the same ``edges``
+tables — pure DataFrame joins/aggregations, no per-row Python:
+
+- ``triangle_count`` — per-node triangle membership via the canonical
+  ordered-edge three-way join (each triangle {a<b<c} found exactly
+  once).
+- ``node_similarity`` — neighbor-set Jaccard for node pairs sharing at
+  least one neighbor (the GDS nodeSimilarity shape): one self-join on
+  the shared neighbor, then degree arithmetic — |N(a) ∩ N(b)| comes
+  from the join, |N(a) ∪ N(b)| = deg(a) + deg(b) − |∩|.
+- connected components live in ``operators.minhash`` (propagation +
+  large-star/small-star) — re-exported here for discoverability.
+
+Scale posture: triangles join on edge endpoints (shuffle by key, AQE
+skew-split applies); node similarity explodes around hot neighbors —
+``max_neighbor_degree`` caps the per-neighbor fan-out with the repo's
+no-silent-truncation rule (dropped neighbors are returned for
+reporting, and a dropped SHARED neighbor only lowers recall of the
+pair list, never invents a pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .minhash import connected_components  # noqa: F401  (re-export)
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (a < b) pairs; self-loops dropped."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, triangles): number of triangles each node participates in.
+
+    Canonical three-way join: for ordered edges a<b<c, a triangle is
+    (a,b), (b,c), (a,c) — each counted once, then credited to all three
+    corners. Nodes in no triangle are reported with 0 (GDS parity:
+    every node of the graph gets a row).
+    """
+    e = _canonical_edges(edges, src, dst).cache()
+    e_ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e_bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e_ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e_ab.join(e_bc, "y")
+        .join(e_ac, ["x", "z"])
+        .select("x", "y", "z")
+    )
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    all_nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+
+
+def node_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    threshold: float = 0.0,
+    max_neighbor_degree: int = 10_000,
+    return_dropped: bool = False,
+) -> DataFrame:
+    """(a, b, jaccard) for node pairs (a < b) sharing >= 1 neighbor,
+    with neighbor-set Jaccard >= ``threshold``.
+
+    Neighbors are OUT-neighbors of the directed input (GDS
+    nodeSimilarity on a natural orientation); pass a symmetrized edge
+    frame for undirected semantics. A neighbor shared by d sources
+    creates d·(d−1)/2 candidate rows — neighbors with in-degree over
+    ``max_neighbor_degree`` are removed from the graph before the
+    computation (degrees AND intersections — the result is the EXACT
+    similarity of the degree-filtered graph, not a silently-distorted
+    value on the full one) and returned via ``return_dropped=True``,
+    the same cap + reporting rule as every LSH bucket join here.
+    """
+    nbrs = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).distinct()
+    nbr_deg = nbrs.groupBy("nbr").agg(F.count("*").alias("nbr_deg"))
+    ok = nbr_deg.filter(F.col("nbr_deg") <= max_neighbor_degree)
+    dropped = nbr_deg.filter(F.col("nbr_deg") > max_neighbor_degree)
+    capped = nbrs.join(ok.select("nbr"), "nbr")
+    deg = capped.groupBy("node").agg(F.count("*").alias("deg"))
+    left = capped.select("nbr", F.col("node").alias("a"))
+    right = capped.select("nbr", F.col("node").alias("b"))
+    inter = (
+        left.join(right, "nbr")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sim = (
+        inter.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (sim, dropped) if return_dropped else sim

@@ -119,3 +119,61 @@ def fingerprints(
         F.col(id_col),
         F.slice(F.array_sort(F.array_distinct(hashes)), 1, k).alias("fingerprint"),
     )
+
+
+# PII scrub patterns — portable between Java regex (Spark) and RE2/DuckDB
+# (no lookarounds, no backrefs) so the transform is SQL-oracle-able. The
+# replacement tokens follow the common pretraining-corpus convention of
+# typed placeholders.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before phone-ish digit runs (an email's
+    # digits must not be half-redacted first)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # leading \b only on the digit alternative: '\b(' is never a word
+    # boundary after a space, so a single leading \b would reject
+    # '(555) 123-4567' outright
+    (r"(?:\+?\d{1,3}[ .-])?(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:4\d{3}|5[1-5]\d{2}|3[47]\d{2}|6011)(?:[ -]?\d{4}){3}\b", "<CARD>"),
+]
+
+
+def scrub_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text): PII redacted with typed placeholders — the standard
+    pretraining-corpus cleaning transform (emails, phone numbers, SSNs,
+    card numbers). Pure Catalyst ``regexp_replace`` chain: one
+    projection, zero Python, applied in pattern order (the list order is
+    part of the contract — earlier patterns consume text later ones
+    would otherwise half-match)."""
+    out = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return documents.select(F.col(id_col), out.alias(text_col))
+
+
+def repetition_ratio(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 8,
+) -> DataFrame:
+    """(id, rep_ratio): 1 − distinct/total character shingles — the
+    boilerplate/repetition quality signal (Gopher/RefinedWeb-style rep
+    filters). 0 for fully novel text, → 1 for highly repetitive text;
+    docs shorter than ``shingle`` chars have a single degenerate shingle
+    and score 0. Pure Catalyst (same shingling as ``fingerprints``)."""
+    norm = F.lower(F.col(text_col))
+    offsets = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(shingle - 1), F.lit(1))
+    )
+    shingles = F.transform(offsets, lambda i: norm.substr(i, F.lit(shingle)))
+    total = F.size(shingles)
+    distinct = F.size(F.array_distinct(shingles))
+    return documents.select(
+        F.col(id_col),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(
+            "rep_ratio"
+        ),
+    )
