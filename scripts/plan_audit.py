@@ -159,6 +159,29 @@ def main(sf_dir: str) -> int:
         ["Filter"],
         must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     )
+    check(
+        # Equi-joins only (keyed shuffles); an unkeyed pair blowup would
+        # surface as CartesianProduct/BroadcastNestedLoopJoin. Python
+        # must never appear — these are pure Catalyst ops.
+        "graph_algos_no_cartesian",
+        em.q_graph_triangle_count(spark, sf_dir),
+        ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        "node_similarity_no_cartesian",
+        em.q_graph_node_similarity(spark, sf_dir),
+        ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        # PII scrub is one projection over the scan: no shuffle, no
+        # Python, and column pruning reaches the reader.
+        "scrub_pii_single_projection",
+        em.q_text_scrub_pii(spark, sf_dir),
+        ["Project"],
+        must_not=["Exchange", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
