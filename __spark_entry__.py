@@ -615,6 +615,38 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Exact-proportion corpus mixing (pretraining mixture weights):
+    the largest md5-deterministic sample with per-source composition
+    O:F:P = 5:3:2. P is the binding (smallest/share) source and is taken
+    whole; O and F down-sample to match — the oracle recomputes the
+    water level T and thresholds in the identical double arithmetic."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        mixture_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return mixture_sample(
+        o, "o_orderkey", "o_orderstatus", {"O": 0.5, "F": 0.3, "P": 0.2}
+    )
+
+
+def q_split_oversized_docs(spark, sf_dir):
+    """Oversized-document splitting ahead of packing: docs over 40
+    whitespace tokens become contiguous 40-token pieces (piece_idx
+    preserves order)."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        split_oversized,
+    )
+
+    return split_oversized(_t(spark, sf_dir, "documents"), 40).select(
+        "doc_id",
+        F.col("piece_idx").cast("int").alias("piece_idx"),
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_text_scrub_pii(spark, sf_dir):
     """PII redaction (emails/phones/SSNs/cards → typed placeholders) —
     a pure regexp_replace chain whose pattern strings are shared
@@ -1171,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "text_scrub_pii": q_text_scrub_pii,
         "text_repetition_ratio": q_text_repetition_ratio,
+        "sample_mixture": q_sample_mixture,
+        "split_oversized_docs": q_split_oversized_docs,
         "graph_connected_components": q_graph_connected_components,
         "graph_triangle_count": q_graph_triangle_count,
         "graph_node_similarity": q_graph_node_similarity,
@@ -1903,6 +1937,52 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 64) AS bigint) AS pack_id
             FROM split_tok
+        """,
+        # Water level T = min(count_s / share_s) and per-source
+        # thresholds recomputed in the identical double expression
+        # order: ((1000000 * share) * T) / count. Shares cast to double
+        # (bare 0.5 is DECIMAL in DuckDB).
+        "sample_mixture": """
+            WITH cnt AS (
+              SELECT o_orderstatus AS src, count(*) AS n
+              FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+              GROUP BY o_orderstatus
+            ),
+            tm AS (
+              SELECT min(n / (CASE src WHEN 'O' THEN cast(0.5 AS double)
+                                       WHEN 'F' THEN cast(0.3 AS double)
+                                       ELSE cast(0.2 AS double) END)) AS t
+              FROM cnt
+            )
+            SELECT o_orderkey, o_orderstatus
+            FROM orders o
+            JOIN cnt ON cnt.src = o.o_orderstatus
+            CROSS JOIN tm
+            WHERE md5_number_upper('mixture:' || cast(o_orderkey AS varchar))
+                    % 1000000
+                  < ((1000000 * (CASE o_orderstatus
+                                 WHEN 'O' THEN cast(0.5 AS double)
+                                 WHEN 'F' THEN cast(0.3 AS double)
+                                 ELSE cast(0.2 AS double) END)) * tm.t) / cnt.n
+        """,
+        "split_oversized_docs": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, toks,
+                     unnest(range(cast(ceil(len(toks) / cast(40 AS double))
+                                       AS bigint))) AS i
+              FROM t
+            )
+            SELECT doc_id,
+                   cast(i AS int) AS piece_idx,
+                   array_to_string(toks[(i * 40 + 1):(i * 40 + 40)], ' ') AS text,
+                   cast(len(regexp_split_to_array(
+                     array_to_string(toks[(i * 40 + 1):(i * 40 + 40)], ' '),
+                     '\s+')) AS bigint) AS n_tokens
+            FROM p
         """,
         # Same PII_PATTERNS strings, applied in the same order, under
         # RE2 — the chain is generated from the operator's own pattern

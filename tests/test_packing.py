@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from threat_intelligence_knowledge_graph_spark.operators.packing import (
     pack_documents,
     pack_stats,
@@ -146,3 +148,82 @@ class TestSampleByHash:
         df = spark.createDataFrame([(1, "a")], ["k", "s"])
         with pytest.raises(ValueError):
             sample_by_hash(df, "k", "s", {"a": 1.5})
+
+
+class TestMixtureSample:
+    def _df(self, spark):
+        rows = [(i, "web") for i in range(400)]
+        rows += [(1000 + i, "books") for i in range(100)]
+        rows += [(2000 + i, "code") for i in range(50)]
+        return spark.createDataFrame(rows, ["k", "src"])
+
+    def test_exact_proportions_binding_source_whole(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            mixture_sample,
+        )
+
+        df = self._df(spark)
+        # shares 6:3:1 → T = min(400/0.6, 100/0.3, 50/0.1) = 333.3 (books
+        # binding at 100/0.3) → books whole? no: T=333.3 ⇒ books rate
+        # 0.3·333.3/100 = 1.0 (binding source taken whole).
+        got = mixture_sample(df, "k", "src", {"web": 0.6, "books": 0.3, "code": 0.1})
+        counts = {r.src: r.n for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert counts["books"] == 100  # binding source: taken whole
+        # md5 sampling is binomial around the target; bounds are loose
+        assert 170 <= counts["web"] <= 230      # target 200
+        assert 20 <= counts["code"] <= 46       # target 33
+        # unlisted sources dropped
+        got2 = mixture_sample(df, "k", "src", {"books": 1.0})
+        assert {r.src for r in got2.select("src").distinct().collect()} == {"books"}
+
+    def test_deterministic_and_monotone_free(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            mixture_sample,
+        )
+
+        df = self._df(spark)
+        a = {r.k for r in mixture_sample(df, "k", "src", {"web": 1.0, "books": 1.0}).collect()}
+        b = {r.k for r in mixture_sample(df, "k", "src", {"web": 1.0, "books": 1.0}).collect()}
+        assert a == b  # no RNG anywhere
+
+    def test_missing_source_ignored(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            mixture_sample,
+        )
+
+        df = self._df(spark)
+        got = mixture_sample(df, "k", "src", {"web": 0.5, "absent": 0.5})
+        assert got.filter("src = 'web'").count() == 400  # web binding, whole
+
+
+class TestSplitOversized:
+    def test_pieces_reconstruct_document(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            split_oversized,
+        )
+
+        text = " ".join(f"t{i}" for i in range(95))
+        df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+        got = split_oversized(df, 40).collect()
+        by_doc = {}
+        for r in sorted(got, key=lambda r: (r.doc_id, r.piece_idx)):
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [r.n_tokens for r in by_doc[1]] == [40, 40, 15]
+        assert " ".join(r.text for r in by_doc[1]) == text  # order-preserving
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+
+    def test_feeds_packing_without_oversized_rows(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            pack_documents,
+            split_oversized,
+        )
+
+        text = " ".join(f"t{i}" for i in range(95))
+        df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+        pieces = split_oversized(df, 40).withColumn(
+            "piece_id", F.concat_ws("#", "doc_id", "piece_idx")
+        )
+        packed = pack_documents(pieces, 40, id_col="piece_id", tokens_col="n_tokens")
+        stats = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("tok")).collect()
+        assert all(r.tok <= 80 for r in stats)  # no pack driven over 2x budget
+        assert packed.filter(F.col("n_tokens") > 40).count() == 0  # nothing oversized

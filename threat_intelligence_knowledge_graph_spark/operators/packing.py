@@ -138,3 +138,91 @@ def sample_by_hash(
             F.col(strata_col) == s, F.lit(int(round(frac * _FRAC_DENOM)))
         ).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    shares: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic EXACT-PROPORTION corpus mixing: the largest sample
+    whose per-source composition matches ``shares``, drawn with the same
+    engine-portable md5 bucket as ``sample_by_hash``.
+
+    The binding source (smallest count_s / share_s) is taken whole; every
+    other source is down-sampled to ``share_s · T / count_s`` where
+    ``T = min_s(count_s / share_s)`` is the largest total respecting all
+    proportions without over-sampling any source. This is the standard
+    pretraining-mixture operation (e.g. "books 30% / web 60% / code 10%")
+    made deterministic and partition-independent — no RNG, re-runs and
+    engine ports reproduce the identical row set.
+
+    One count aggregation (rows bounded by the number of sources) picks
+    the rates; the filter itself is one scan. Sources absent from
+    ``shares`` are dropped; shares need not sum to 1 (only ratios
+    matter). Rows whose md5 bucket < rate·1e6 are kept — the comparison
+    is done in double precision on both engines (no rounding step to
+    diverge on).
+    """
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    for s, w in shares.items():
+        if w <= 0:
+            raise ValueError(f"share for source {s!r} must be > 0")
+    counts = {
+        r["src"]: r["n"]
+        for r in df.filter(F.col(source_col).isin(*shares.keys()))
+        .groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    present = {s: w for s, w in shares.items() if counts.get(s)}
+    if not present:
+        return df.filter(F.lit(False))
+    t_max = min(counts[s] / w for s, w in present.items())
+    bucket = _md5_bucket(key_col, salt)
+    rate = F.lit(-1.0)
+    for s, w in present.items():
+        # evaluation order pinned: (1e6 * share) * T / count — the SQL
+        # oracle computes the identical double expression
+        thresh = _FRAC_DENOM * w * t_max / counts[s]
+        rate = F.when(F.col(source_col) == s, F.lit(thresh)).otherwise(rate)
+    return df.filter(bucket.cast("double") < rate)
+
+
+def split_oversized(
+    documents: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, piece_idx, text, n_tokens): documents over ``token_budget``
+    whitespace tokens are split into budget-sized pieces so packing
+    never receives an unpackable row (``pack_documents`` gives oversized
+    docs their own pack; real pipelines split them first).
+
+    Pieces are contiguous token ranges rejoined with single spaces
+    (whitespace-normalizing, documented); ``piece_idx`` preserves order
+    so a consumer can reconstruct the document. Pure Catalyst: tokens
+    array → ceil(n/budget) slices via sequence+transform+posexplode.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_pieces = F.ceil(n / F.lit(token_budget)).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_pieces - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * token_budget + 1, token_budget), " "
+        ),
+    )
+    return documents.select(
+        F.col(id_col),
+        F.posexplode(pieces).alias("piece_idx", text_col),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long"),
+    )
