@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from threat_intelligence_knowledge_graph_spark.plans.curation import (
     curate_documents,
 )
@@ -86,3 +88,87 @@ class TestCurateDocuments:
         )
         plan = curated._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestCurateIncrement:
+    def test_two_batch_reasons_and_equivalence(self, spark, tmp_path):
+        """Batch 2 exercises every reject reason against batch 1's
+        committed corpus; incremental content equals batch-mode
+        curation of the union (monotone-id feeds)."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        ev = spark.createDataFrame(
+            [(900, "holdout secret evaluation phrase nine ten eleven twelve "
+                   "thirteen fourteen fifteen sixteen")],
+            ["eval_id", "text"],
+        )
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+
+        b1 = spark.createDataFrame(
+            [(1, PROSE_A + " extra alpha"), (5, PROSE_B)], ["doc_id", "text"]
+        )
+        acc1, rej1 = curate_increment(spark, b1, catalog, ev, run_id="b1")
+        assert {r.doc_id for r in acc1.collect()} == {1, 5}
+        assert rej1.count() == 0
+
+        b2 = spark.createDataFrame(
+            [
+                (11, PROSE_A + " extra beta"),   # near-dup of committed 1
+                (12, "...!!!,,,;;;!!!"),         # quality
+                (13, "el la los de que y en un una por con para el la de que y en"),
+                (14, PROSE_B),                   # exact dup of committed 5
+                (15, PROSE_C + " holdout secret evaluation phrase nine ten "
+                     "eleven twelve thirteen"),  # contaminated
+                (16, PROSE_C + " fresh tail words here"),  # survives
+            ],
+            ["doc_id", "text"],
+        )
+        acc2, rej2 = curate_increment(spark, b2, catalog, ev, run_id="b2")
+        assert {r.doc_id for r in acc2.collect()} == {16}
+        reasons = {r.doc_id: r.reason for r in rej2.collect()}
+        assert reasons == {
+            11: "near_dup",
+            12: "quality",
+            13: "language",
+            14: "exact_dup",
+            15: "contaminated",
+        }
+
+        # committed corpus + index grew append-only and are readable
+        cur = catalog.read(spark, "curated")
+        assert {r.doc_id for r in cur.collect()} == {1, 5, 16}
+        assert catalog.read(spark, "curated_minhash_index").count() > 0
+
+        # equivalence with batch-mode curation over the union
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_documents,
+        )
+
+        union = b1.unionByName(b2)
+        batch, _m = curate_documents(
+            union, ev.select(F.col("eval_id"), "text"), token_budget=None
+        )
+        assert {r.doc_id for r in batch.collect()} == {1, 5, 16}
+
+    def test_first_batch_internal_dedup(self, spark, tmp_path):
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        b = spark.createDataFrame(
+            [(1, PROSE_A + " one"), (2, PROSE_A + " two"), (3, PROSE_A + " one")],
+            ["doc_id", "text"],
+        )
+        acc, rej = curate_increment(spark, b, catalog, None, run_id="b1")
+        assert {r.doc_id for r in acc.collect()} == {1}
+        reasons = {r.doc_id: r.reason for r in rej.collect()}
+        assert reasons == {2: "near_dup", 3: "exact_dup"}

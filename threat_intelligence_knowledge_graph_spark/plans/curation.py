@@ -128,3 +128,134 @@ def curate_documents(
         ],
     )
     return d, metrics
+
+
+def curate_increment(
+    spark,
+    new_docs: DataFrame,
+    catalog,
+    eval_items: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.8,
+    decontaminate_n: int = 8,
+    run_id: str = "increment",
+    corpus_table: str = "curated",
+    index_table: str = "curated_minhash_index",
+) -> tuple[DataFrame, DataFrame]:
+    """Steady-state ingest curation: admit a NEW batch against the
+    already-curated corpus without re-processing it.
+
+    Per batch the work is O(batch): quality/language filters scan only
+    the batch; exact dedup joins the batch's content hashes against the
+    corpus's (one semi-join); near-dup uses the persisted MinHash band
+    index (``minhash_incremental_near_duplicates`` — the batch is
+    shingled once and joined only into touched buckets); contamination
+    checks the batch against the broadcast eval set. Accepted rows and
+    their band-index rows are APPENDED (``tableio.append`` — per-batch
+    files only) so the next increment sees them.
+
+    Returns ``(accepted, rejected)`` where ``rejected`` carries a
+    ``reason`` column ('quality' | 'language' | 'exact_dup' |
+    'near_dup' | 'contaminated') — reject-don't-drop, the quarantine
+    philosophy of ``sources/ingest.py`` applied to curation.
+
+    Equivalence: when ingest ids are monotone across batches (the
+    append-only feed invariant), incrementally curated content equals
+    batch-mode ``curate_documents`` over the union — asserted by
+    test_curation.py.
+    """
+    from ..operators.dedup import (
+        minhash_band_index,
+        minhash_incremental_near_duplicates,
+    )
+
+    def _tag(df: DataFrame, reason: str) -> DataFrame:
+        return df.select(id_col, text_col).withColumn("reason", F.lit(reason))
+
+    rejects: list[DataFrame] = []
+
+    # The batch is small by definition (one ingest increment), and every
+    # stage frame below feeds BOTH the accept chain and a reject tag.
+    # localCheckpoint (not persist): each stage's plan references the
+    # previous stage's plan several times over, so the LOGICAL plan — and
+    # with it Catalyst analysis time per action — grows multiplicatively;
+    # eager lineage truncation keeps every downstream action's plan flat
+    # (the same reason the CC loop checkpoints per iteration).
+    new_docs = new_docs.localCheckpoint(eager=True)
+    q = quality_score(new_docs, id_col, text_col)
+    ok_q = new_docs.join(q.filter(F.col("quality") >= min_quality), id_col).localCheckpoint(eager=True)
+    rejects.append(_tag(new_docs.join(ok_q.select(id_col), id_col, "left_anti"), "quality"))
+
+    lang = language_id(ok_q, id_col, text_col)
+    d = ok_q.join(
+        lang.filter(F.col("lang_pred").isin(*languages)), id_col
+    ).localCheckpoint(eager=True)
+    rejects.append(_tag(ok_q.join(d.select(id_col), id_col, "left_anti"), "language"))
+
+    # Exact dedup: within-batch (min id per content) AND against the
+    # existing corpus (hash anti-join — never rescans corpus text
+    # beyond one md5 projection); one reject tag covers both.
+    deduped = exact_dedup(d, id_col, text_col)
+    if catalog.exists(corpus_table):
+        corpus = catalog.read(spark, corpus_table)
+        corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+        survivors = deduped.join(
+            corpus_hashes, F.md5(F.col(text_col)) == F.col("_h"), "left_anti"
+        )
+    else:
+        corpus = None
+        survivors = deduped
+    rejects.append(
+        _tag(d.join(survivors.select(id_col), id_col, "left_anti"), "exact_dup")
+    )
+    d = survivors.localCheckpoint(eager=True)
+
+    if corpus is not None:
+        index = catalog.read(spark, index_table)
+        pairs, _idx_rows, _dropped = minhash_incremental_near_duplicates(
+            corpus.select(id_col, text_col),
+            index,
+            d.select(id_col, text_col),
+            id_col,
+            text_col,
+            jaccard_threshold=near_dup_threshold,
+        )
+        new_ids = d.select(F.col(id_col).alias("_nid"))
+        # a new doc is dropped if paired with ANY lower id (existing
+        # corpus doc, or an earlier doc of this batch)
+        drop = (
+            pairs.select(F.greatest("a", "b").alias(id_col))
+            .join(new_ids, F.col(id_col) == F.col("_nid"), "left_semi")
+            .distinct()
+        )
+        kept = d.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+    else:
+        kept = minhash_dedup(
+            d.select(id_col, text_col), id_col, text_col,
+            jaccard_threshold=near_dup_threshold,
+        )
+        kept = d.join(kept.select(id_col), id_col, "left_semi")
+    rejects.append(_tag(d.join(kept.select(id_col), id_col, "left_anti"), "near_dup"))
+    d = kept
+
+    if eval_items is not None:
+        clean = decontaminate(
+            d, eval_items, n=decontaminate_n, doc_id=id_col, doc_text=text_col
+        )
+        rejects.append(_tag(d.join(clean.select(id_col), id_col, "left_anti"), "contaminated"))
+        d = clean
+
+    accepted = d.select(id_col, text_col, "quality", "lang_pred")
+    catalog.append(accepted, corpus_table, run_id=run_id, stage="curate")
+    catalog.append(
+        minhash_band_index(accepted, id_col, text_col),
+        index_table,
+        run_id=run_id,
+        stage="index",
+    )
+    rejected = reduce(DataFrame.union, rejects)
+    return accepted, rejected
