@@ -1889,12 +1889,16 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus
             ),
             scored AS (
+              -- round(…, 6) BEFORE the threshold filter: the operator's
+              -- quality_score returns the rounded value and
+              -- curate_documents filters on THAT, so the oracle must
+              -- compare the same quantity (review finding r4)
               SELECT doc_id, text, n_toks,
-                     least(n_toks / 64.0, 1.0) * 0.3
+                     round(least(n_toks / 64.0, 1.0) * 0.3
                        + least((hits_en * 1.0 / n_toks) * 4.0, 1.0) * 0.4
                        + (1.0 - least((n_punct * 1.0 / n_chars) * 10.0, 1.0)) * 0.2
-                       + (1.0 - least((n_upper * 1.0 / n_chars) * 5.0, 1.0)) * 0.1
-                       AS quality,
+                       + (1.0 - least((n_upper * 1.0 / n_chars) * 5.0, 1.0)) * 0.1,
+                     6) AS quality,
                      CASE WHEN hits_es > hits_en AND hits_es >= hits_de THEN 'es'
                           WHEN hits_de > hits_en AND hits_de > hits_es THEN 'de'
                           ELSE 'en' END AS lang_pred
@@ -1967,7 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "split_oversized_docs": r"""
             WITH t AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
               FROM documents
             ),
             p AS (

@@ -42,9 +42,9 @@ from threat_intelligence_knowledge_graph_spark.streaming.stream_extract import (
 
 
 def _run_mode(
-    spark, inp: str, work: str, tag: str, max_files_per_trigger: int | None
+    spark, inp: str, work: str, tag: str, max_files_per_trigger: int | None,
+    n_turns: int,
 ) -> dict:
-    n_turns = spark.read.parquet(inp).count()
     catalog = LocalTableCatalog(os.path.join(work, f"wh-{tag}"))
     t0 = time.time()
     q = stream_extract(
@@ -93,8 +93,19 @@ def main(n_convs: int = 50_000, cores: int = 32) -> None:
         df.write.parquet(inp)
         n_turns = spark.read.parquet(inp).count()
 
-        latency = _run_mode(spark, inp, work, "lat", max_files_per_trigger=8)
-        throughput = _run_mode(spark, inp, work, "thr", max_files_per_trigger=None)
+        # Warm-up drain over a small slice: without it the FIRST mode
+        # pays class-loading/codegen/shuffle warm-up and the reported
+        # mode ratio conflates batching with cold-start (review r4).
+        warm = os.path.join(work, "warm")
+        generate_transcripts_df(spark, 2_000, partitions=8).write.parquet(warm)
+        _run_mode(spark, warm, work, "warm", max_files_per_trigger=8, n_turns=1)
+
+        latency = _run_mode(
+            spark, inp, work, "lat", max_files_per_trigger=8, n_turns=n_turns
+        )
+        throughput = _run_mode(
+            spark, inp, work, "thr", max_files_per_trigger=None, n_turns=n_turns
+        )
         out = {
             "n_turns": n_turns,
             "latency_mode": latency,

@@ -155,6 +155,44 @@ class TestCurateIncrement:
         )
         assert {r.doc_id for r in batch.collect()} == {1, 5, 16}
 
+    def test_transitive_near_dup_chain_collapses(self, spark, tmp_path):
+        """Near-dup similarity chains (J(a,c), J(b,c) >= t, J(a,b) < t)
+        must collapse to ONE survivor like batch mode — a direct-pair
+        drop would admit the chain's middle member (review finding r4)."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        # 60-word base; c differs from a in the LAST 5 words, b differs
+        # from c in the FIRST 5: J(a,c)=J(b,c)=53/63≈0.84 (>=0.8, and
+        # high enough for certain LSH candidacy) while J(a,b)=43/73≈0.59
+        # (<0.8) — a genuine chain, not a clique.
+        base = [f"w{i}" for i in range(60)]
+        doc_a = " ".join(base)
+        doc_c = " ".join(base[:55] + [f"x{i}" for i in range(5)])
+        doc_b = " ".join([f"y{i}" for i in range(5)] + base[5:55] + [f"x{i}" for i in range(5)])
+        acc1, _ = curate_increment(
+            spark,
+            spark.createDataFrame([(1, doc_a)], ["doc_id", "text"]),
+            catalog, None, run_id="b1", min_quality=0.0,
+        )
+        assert {r.doc_id for r in acc1.collect()} == {1}
+        acc2, rej2 = curate_increment(
+            spark,
+            spark.createDataFrame([(12, doc_b), (13, doc_c)], ["doc_id", "text"]),
+            catalog, None, run_id="b2", min_quality=0.0,
+        )
+        # c chains to corpus doc 1 and to b: the whole component
+        # collapses onto the existing min (1) — NOTHING admitted.
+        assert acc2.count() == 0
+        assert {r.doc_id: r.reason for r in rej2.collect()} == {
+            12: "near_dup", 13: "near_dup"
+        }
+
     def test_first_batch_internal_dedup(self, spark, tmp_path):
         from threat_intelligence_knowledge_graph_spark.plans.curation import (
             curate_increment,

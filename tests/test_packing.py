@@ -212,6 +212,20 @@ class TestSplitOversized:
         assert " ".join(r.text for r in by_doc[1]) == text  # order-preserving
         assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
 
+    def test_null_text_degrades_to_empty_piece(self, spark):
+        """A NULL text must NOT silently vanish from the packing feed
+        (review finding r4): it degrades to one empty piece."""
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            split_oversized,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c")], "doc_id long, text string"
+        )
+        got = {r.doc_id: (r.piece_idx, r.text, r.n_tokens) for r in split_oversized(df, 40).collect()}
+        assert got[1] == (0, "", 1)  # present, empty-piece convention
+        assert got[2] == (0, "a b c", 3)
+
     def test_feeds_packing_without_oversized_rows(self, spark):
         from threat_intelligence_knowledge_graph_spark.operators.packing import (
             pack_documents,

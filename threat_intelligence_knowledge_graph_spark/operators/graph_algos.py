@@ -50,7 +50,11 @@ def triangle_count(
     corners. Nodes in no triangle are reported with 0 (GDS parity:
     every node of the graph gets a row).
     """
-    e = _canonical_edges(edges, src, dst).cache()
+    # No cache: the frame is referenced four times but a function-local
+    # cache() has no unpersist seam and leaks storage memory per call;
+    # recomputing the canonical projection is one cheap scan each, and
+    # a caller looping over edge tables can cache its input itself.
+    e = _canonical_edges(edges, src, dst)
     e_ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e_bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e_ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))

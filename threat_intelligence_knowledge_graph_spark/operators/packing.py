@@ -210,7 +210,10 @@ def split_oversized(
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # coalesce: a NULL text would null the pieces array and posexplode
+    # would silently DROP the document — reject-don't-drop means a null
+    # doc degrades to one empty piece instead of vanishing.
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(toks)
     n_pieces = F.ceil(n / F.lit(token_budget)).cast("int")
     pieces = F.transform(

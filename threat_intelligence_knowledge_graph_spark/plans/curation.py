@@ -224,11 +224,21 @@ def curate_increment(
             text_col,
             jaccard_threshold=near_dup_threshold,
         )
+        from ..operators.minhash import connected_components
+
         new_ids = d.select(F.col(id_col).alias("_nid"))
-        # a new doc is dropped if paired with ANY lower id (existing
-        # corpus doc, or an earlier doc of this batch)
+        # Connected components over the batch-touching pairs, NOT a
+        # direct-pair drop: near-dup similarity is not transitive-free —
+        # J(1,3), J(2,3) >= t with J(1,2) < t chains 1-3-2 into one
+        # cluster, and batch mode keeps only the component min. The
+        # corpus is internally pair-free by induction (every previous
+        # increment removed its near-dups), so pairs here cover ALL
+        # union pairs and CC + min-id reproduces batch-mode semantics
+        # exactly (monotone ids ⇒ old components keep their old min).
+        components = connected_components(pairs.select("a", "b"))
         drop = (
-            pairs.select(F.greatest("a", "b").alias(id_col))
+            components.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
             .join(new_ids, F.col(id_col) == F.col("_nid"), "left_semi")
             .distinct()
         )
