@@ -21,6 +21,16 @@ Writes ``<output>/curated.parquet`` and ``<output>/metrics.parquet``
 ``--eval`` must point to a (eval_id, text) parquet; it is broadcast, so
 keep it benchmark-sized (the operator is built for a small eval set vs
 a huge corpus, not the reverse).
+
+Steady-state mode: ``--increment --warehouse <dir>`` admits the input as
+a NEW batch against the warehouse's already-curated corpus in O(batch)
+(``plans/curation.py::curate_increment``): accepted rows and their
+MinHash band-index rows are APPENDED to the warehouse tables
+(``curated``, ``curated_minhash_index``); rejected rows land in
+``<output>/rejected.parquet`` with a ``reason`` column. Re-running with
+batches of monotone doc ids reproduces batch-mode curation of the
+union. Run ``--compact-index`` periodically to fold the accreted
+per-batch index files (content-identical; incremental pairs unchanged).
 """
 
 from __future__ import annotations
@@ -29,6 +39,8 @@ import argparse
 import json
 import os
 import sys
+
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,11 +64,60 @@ def main() -> None:
                     help="0 disables packing")
     ap.add_argument("--shard-col", default=None,
                     help="extra packing shard column present in the input")
+    ap.add_argument("--increment", action="store_true",
+                    help="admit input as a new batch against --warehouse")
+    ap.add_argument("--warehouse", default=None,
+                    help="curated-corpus warehouse dir (required with --increment)")
+    ap.add_argument("--run-id", default="increment")
+    ap.add_argument("--compact-index", action="store_true",
+                    help="compact+vacuum the warehouse band index after the batch")
     args = ap.parse_args()
 
     spark = build_session("tikg-curate")
     docs = spark.read.parquet(args.input)
     ev = spark.read.parquet(args.eval) if args.eval else None
+
+    if args.increment:
+        if not args.warehouse:
+            raise SystemExit("--increment requires --warehouse")
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        catalog = LocalTableCatalog(args.warehouse)
+        accepted, rejected = curate_increment(
+            spark, docs, catalog, ev,
+            min_quality=args.min_quality,
+            languages=tuple(args.languages.split(",")),
+            near_dup_threshold=args.near_dup_threshold,
+            decontaminate_n=args.decontaminate_n,
+            run_id=args.run_id,
+        )
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(args.output, "rejected.parquet")
+        )
+        rej = spark.read.parquet(os.path.join(args.output, "rejected.parquet"))
+        reasons = {
+            r.reason: r.n
+            for r in rej.groupBy("reason").agg(F.count("*").alias("n")).collect()
+        }
+        summary = {
+            "accepted": accepted.count(),
+            "rejected": reasons,
+            "corpus_total": catalog.read(spark, "curated").count(),
+        }
+        if args.compact_index:
+            files = catalog.compact(spark, "curated_minhash_index")
+            removed = catalog.vacuum("curated_minhash_index", keep_last=1)
+            summary["index_compacted_files"] = files
+            summary["index_vacuumed_snapshots"] = removed
+        print(json.dumps(summary))
+        spark.stop()
+        return
+
     curated, metrics = curate_documents(
         docs,
         ev,
