@@ -745,6 +745,33 @@ def q_graph_node_similarity(spark, sf_dir):
     )
 
 
+def q_graph_bfs_distances(spark, sf_dir):
+    """Directed BFS hop distances from n0 over the planted nation graph
+    (the PageRank topology: 25-cycle over n-nodes + nation→region sink
+    edges). With deterministic topology the min-hop distances are a
+    fixed point the recursive-CTE oracle reaches by enumerating walks
+    (UNION-dedup bounds the recursion on the cycle)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        bfs_distances,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst"),
+    )
+    reg = nat.select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = cyc.unionByName(reg)
+    sources = spark.createDataFrame([("n0",)], ["id"])
+    return bfs_distances(edges, sources, max_hops=30)
+
+
 def q_table_checks(spark, sf_dir):
     """Declarative data-quality suite over orders — 5 constraints in ONE
     aggregation pass (deequ-style expectations for pipeline outputs)."""
@@ -1201,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
+        "graph_bfs_distances": q_graph_bfs_distances,
         "text_scrub_pii": q_text_scrub_pii,
         "text_repetition_ratio": q_text_repetition_ratio,
         "sample_mixture": q_sample_mixture,
@@ -2006,6 +2034,29 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - cast(count(DISTINCT s) AS double) / count(*), 6)
                      AS rep_ratio
             FROM sh GROUP BY doc_id
+        """,
+        # Walk enumeration with UNION dedup (recursion bounded: (id, d)
+        # pairs are finite under the d < 30 guard), min per node — an
+        # independent algorithm from the operator's frontier expansion.
+        "graph_bfs_distances": """
+            WITH RECURSIVE
+            e AS (
+              SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                     'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+              FROM nation
+              UNION ALL
+              SELECT 'n' || cast(n_nationkey AS varchar),
+                     'r' || cast(n_regionkey AS varchar)
+              FROM nation
+            ),
+            walk(id, d) AS (
+              SELECT 'n0', 0
+              UNION
+              SELECT e.dst, walk.d + 1
+              FROM walk JOIN e ON walk.id = e.src
+              WHERE walk.d < 30
+            )
+            SELECT id, cast(min(d) AS int) AS dist FROM walk GROUP BY id
         """,
         # Independent recursive-CTE transitive closure with
         # min-reachable-id labeling (not the analytic chain answer —

@@ -61,3 +61,43 @@ class TestNodeSimilarity:
         assert pairs == {("n0", "n1"): 1.0}
         drops = dropped.collect()
         assert len(drops) == 1 and drops[0].nbr == "hub" and drops[0].nbr_deg == 50
+
+
+class TestBfsDistances:
+    def test_chain_and_unreachable(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            bfs_distances,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("d", "b")],
+            ["src", "dst"],
+        )
+        src = spark.createDataFrame([("a",)], ["id"])
+        got = {r.id: r.dist for r in bfs_distances(edges, src).collect()}
+        # directed: x/y unreachable from a; cycle d->b doesn't shorten b
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_min(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            bfs_distances,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "m"), ("b", "m"), ("m", "z")], ["src", "dst"]
+        )
+        src = spark.createDataFrame([("a",), ("b",)], ["id"])
+        got = {r.id: r.dist for r in bfs_distances(edges, src).collect()}
+        assert got == {"a": 0, "b": 0, "m": 1, "z": 2}
+
+    def test_max_hops_backstop(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            bfs_distances,
+        )
+
+        edges = spark.createDataFrame(
+            [(f"v{i}", f"v{i+1}") for i in range(10)], ["src", "dst"]
+        )
+        src = spark.createDataFrame([("v0",)], ["id"])
+        got = bfs_distances(edges, src, max_hops=3)
+        assert got.agg(F.max("dist")).first()[0] == 3  # truncated at backstop

@@ -128,3 +128,46 @@ def node_similarity(
         .filter(F.col("jaccard") >= threshold)
     )
     return (sim, dropped) if return_dropped else sim
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 30,
+) -> DataFrame:
+    """(id, dist): minimum hop count from any source node, directed
+    (GDS BFS / single-source-shortest-path on unweighted edges).
+    Unreached nodes are absent from the result.
+
+    Frontier expansion: each hop is ONE join (frontier × edges) plus an
+    anti-join against the settled set — work per hop proportional to
+    the frontier, the standard scalable BFS shape. ``localCheckpoint``
+    per hop truncates lineage (the CC/PageRank pattern); the loop stops
+    at the first empty frontier, with ``max_hops`` as the backstop on
+    adversarially deep graphs.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.select("id", F.col("dist").cast("int").alias("dist"))
