@@ -745,6 +745,42 @@ def q_graph_node_similarity(spark, sf_dir):
     )
 
 
+def q_graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous LPA (4 iterations, min-label ties)
+    over planted 4-cliques (every 17th orderkey → nodes 4k..4k+3). With
+    init labels = ids and a fixed iteration count the update is a pure
+    recurrence; the oracle unrolls the identical join + count + argmax
+    per iteration."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    k4 = (F.col("o_orderkey") * 4).alias("k4")
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    e = (
+        o.select(
+            k4,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                        for a, b in pairs
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            (F.col("k4") + F.col("p.a")).alias("src"),
+            (F.col("k4") + F.col("p.b")).alias("dst"),
+        )
+    )
+    return label_propagation(e, iterations=4).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 def q_graph_bfs_distances(spark, sf_dir):
     """Directed BFS hop distances from n0 over the planted nation graph
     (the PageRank topology: 25-cycle over n-nodes + nation→region sink
@@ -1229,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "graph_bfs_distances": q_graph_bfs_distances,
+        "graph_label_propagation": q_graph_label_propagation,
         "text_scrub_pii": q_text_scrub_pii,
         "text_repetition_ratio": q_text_repetition_ratio,
         "sample_mixture": q_sample_mixture,
@@ -1237,6 +1274,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": q_graph_triangle_count,
         "graph_node_similarity": q_graph_node_similarity,
     }
+
+
+def _lpa_oracle_sql(iterations: int) -> str:
+    """Unrolled synchronous LPA over the planted 4-clique forest (see
+    q_graph_label_propagation): per iteration the identical neighbor-
+    label count + (max count, min label) argmax, as a window QUALIFY."""
+    parts = [
+        """
+        WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 = 0),
+        e0 AS (
+          SELECT 4 * k + i.a AS s, 4 * k + i.b AS d
+          FROM ks CROSS JOIN (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) i(a, b)
+        ),
+        sym AS (SELECT s AS u, d AS v FROM e0 UNION SELECT d, s FROM e0),
+        l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        f{i} AS (
+          SELECT sym.u, l{i - 1}.label, count(*) AS cnt
+          FROM sym JOIN l{i - 1} ON sym.v = l{i - 1}.id
+          GROUP BY sym.u, l{i - 1}.label
+        ),
+        l{i} AS (
+          SELECT u AS id, label FROM f{i}
+          QUALIFY row_number() OVER (
+            PARTITION BY u ORDER BY cnt DESC, label ASC) = 1
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT cast(id AS bigint) AS id, cast(label AS bigint) AS label
+        FROM l{iterations}
+        """
+    )
+    return "".join(parts)
 
 
 def _pii_oracle_sql() -> str:
@@ -2035,6 +2111,7 @@ def oracle_sql() -> dict[str, str]:
                      AS rep_ratio
             FROM sh GROUP BY doc_id
         """,
+        "graph_label_propagation": _lpa_oracle_sql(iterations=4),
         # Walk enumeration with UNION dedup (recursion bounded: (id, d)
         # pairs are finite under the d < 30 guard), min per node — an
         # independent algorithm from the operator's frontier expansion.

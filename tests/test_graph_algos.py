@@ -101,3 +101,30 @@ class TestBfsDistances:
         src = spark.createDataFrame([("v0",)], ["id"])
         got = bfs_distances(edges, src, max_hops=3)
         assert got.agg(F.max("dist")).first()[0] == 3  # truncated at backstop
+
+
+class TestLabelPropagation:
+    def test_clique_converges_to_min_label(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)]
+            + [(10, 11), (11, 12), (10, 12)],
+            ["src", "dst"],
+        )
+        got = {r.id: r.label for r in label_propagation(edges, iterations=4).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+    def test_deterministic_across_runs(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 6) for i in range(6)] + [(0, 3)], ["src", "dst"]
+        ).repartition(5)
+        a = sorted((r.id, r.label) for r in label_propagation(edges, iterations=4).collect())
+        b = sorted((r.id, r.label) for r in label_propagation(edges.repartition(2), iterations=4).collect())
+        assert a == b  # partition-independent (min-label tie break, sync updates)

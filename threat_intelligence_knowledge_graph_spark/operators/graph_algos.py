@@ -171,3 +171,56 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, label): synchronous label-propagation community detection
+    (GDS LPA), made DETERMINISTIC: labels initialize to the node id,
+    and each iteration every node adopts the label most frequent among
+    its neighbors' current labels with ties broken by the SMALLEST
+    label. Undirected (edges symmetrized); isolated nodes keep their
+    own label. A fixed iteration count (not convergence detection)
+    keeps the recurrence a deterministic function of the input — which
+    is what lets an unrolled SQL oracle reproduce it exactly — and
+    sidesteps sync-LPA's classic two-coloring oscillation non-halting.
+
+    Per iteration: one join (neighbor label lookup) + one count
+    aggregation + one per-node argmax window — all keyed shuffles;
+    localCheckpoint truncates lineage (the PageRank/CC pattern).
+    """
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        freq = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("id"), "label")
+        )
+        # isolated nodes (no neighbors) keep their current label
+        labels = (
+            labels.select("id", F.col("label").alias("_old"))
+            .join(new, "id", "left")
+            .select("id", F.coalesce("label", "_old").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
