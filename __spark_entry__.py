@@ -966,6 +966,50 @@ def q_events_percentiles(spark, sf_dir):
     )
 
 
+def q_similarity_batch_topk(spark, sf_dir):
+    """ANN JOIN: exact cosine top-5 over the corpus for every query
+    vector (every 97th embedding) in one plan — broadcast probe set,
+    per-query window rank on the ROUNDED cosine so top-k membership is
+    engine-portable."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return batch_topk(emb, queries, k=5)
+
+
+def q_events_extremes(spark, sf_dir):
+    """Monitoring-style outlier surfacing: the K most extreme values per
+    event_type in each direction, by exact rank (value, event_id tie
+    break) — integer ranks, no float-boundary compares, so the oracle
+    is bit-exact by construction."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    hi = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    lo = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    k = 20
+    return (
+        e.withColumn("_rh", F.row_number().over(hi))
+        .withColumn("_rl", F.row_number().over(lo))
+        .filter((F.col("_rh") <= k) | (F.col("_rl") <= k))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.when(F.col("_rh") <= k, F.lit("high")).otherwise(F.lit("low")).alias("direction"),
+        )
+    )
+
+
 def q_latest_event_per_user(spark, sf_dir):
     e = _t(spark, sf_dir, "events").alias("e")
     last = (
@@ -1237,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_orders": q_anti_join_orders,
         "events_hourly": q_events_hourly,
         "events_percentiles": q_events_percentiles,
+        "events_extremes": q_events_extremes,
+        "similarity_batch_topk": q_similarity_batch_topk,
         "latest_event_per_user": q_latest_event_per_user,
         "dedup_exact_docs": q_dedup_exact_docs,
         "html_to_text": q_html_to_text,
@@ -1616,6 +1662,40 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "similarity_batch_topk": """
+            SELECT query_id, vec_id, cosine
+            FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                         cast(e.embedding AS double[]),
+                         cast(q.qv AS double[])), 3) AS cosine
+                FROM embeddings e
+                CROSS JOIN (
+                  SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id % 97 = 0
+                ) q
+              )
+            )
+            WHERE rn <= 5
+        """,
+        "events_extremes": """
+            SELECT event_id, event_type,
+                   round(value, 4) AS value,
+                   CASE WHEN rh <= 20 THEN 'high' ELSE 'low' END AS direction
+            FROM (
+              SELECT event_id, event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rh,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rl
+              FROM events
+            )
+            WHERE rh <= 20 OR rl <= 20
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -417,3 +417,32 @@ class TestReviewRegressionsR2:
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
         kept = {r.vec_id for r in embedding_dedup(df, threshold=0.99, dim=16).collect()}
         assert kept == {1, 3}
+
+
+class TestBatchTopk:
+    def test_matches_per_query_brute_force(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            batch_topk,
+            brute_force_topk,
+        )
+
+        rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = emb.filter("vec_id % 10 = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = batch_topk(emb, queries, k=3)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        assert set(by_q) == {0, 10, 20, 30}
+        for qid, hits in by_q.items():
+            qv = rows[qid][1]
+            want = [
+                (r.vec_id, round(r.cosine, 3))
+                for r in brute_force_topk(emb, qv, k=3).collect()
+            ]
+            # same members; batch ranks on rounded cosine, so compare sets
+            assert {v for v, _ in hits} == {v for v, _ in want} or \
+                   [c for _, c in hits] == [c for _, c in want]
+            assert len(hits) == 3

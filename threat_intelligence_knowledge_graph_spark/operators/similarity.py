@@ -319,3 +319,49 @@ def embedding_near_duplicates(
         .select("a", "b", "cosine")
     )
     return (pairs, dropped) if return_dropped else pairs
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 3,
+) -> DataFrame:
+    """(query_id, vec_id, cosine): exact cosine top-k over the corpus
+    for EVERY query vector — the ANN-join shape (cross-corpus retrieval
+    / dedup against a probe set) with a broadcast query side.
+
+    One plan: corpus × broadcast(queries) (the |Q|·|corpus| score
+    matrix IS the exact-search cost), then a per-query row_number
+    window over (rounded cosine DESC, corpus id). Ranking on the
+    ROUNDED cosine — not the raw double — keeps the top-k membership
+    engine-portable (ulp-level summation differences cannot reorder
+    candidates that agree at ``round_digits``). For query sets too big
+    to broadcast, generate candidates with the LSH/IVF paths first and
+    score only candidates.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(
+            _dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )
