@@ -986,7 +986,10 @@ def q_events_extremes(spark, sf_dir):
     """Monitoring-style outlier surfacing: the K most extreme values per
     event_type in each direction, by exact rank (value, event_id tie
     break) — integer ranks, no float-boundary compares, so the oracle
-    is bit-exact by construction."""
+    is bit-exact by construction. One row PER DIRECTION MEMBERSHIP: in
+    a group smaller than 2K a row can be both a top-K and a bottom-K
+    value and appears twice (a single-label row would silently
+    under-report one side — review finding r4)."""
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events")
@@ -997,15 +1000,17 @@ def q_events_extremes(spark, sf_dir):
         F.asc("value"), F.asc("event_id")
     )
     k = 20
+    ranked = e.withColumn("_rh", F.row_number().over(hi)).withColumn(
+        "_rl", F.row_number().over(lo)
+    )
+    cols = ["event_id", "event_type", F.round("value", 4).alias("value")]
     return (
-        e.withColumn("_rh", F.row_number().over(hi))
-        .withColumn("_rl", F.row_number().over(lo))
-        .filter((F.col("_rh") <= k) | (F.col("_rl") <= k))
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 4).alias("value"),
-            F.when(F.col("_rh") <= k, F.lit("high")).otherwise(F.lit("low")).alias("direction"),
+        ranked.filter(F.col("_rh") <= k)
+        .select(*cols, F.lit("high").alias("direction"))
+        .unionByName(
+            ranked.filter(F.col("_rl") <= k).select(
+                *cols, F.lit("low").alias("direction")
+            )
         )
     )
 
@@ -1684,10 +1689,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 5
         """,
         "events_extremes": """
-            SELECT event_id, event_type,
-                   round(value, 4) AS value,
-                   CASE WHEN rh <= 20 THEN 'high' ELSE 'low' END AS direction
-            FROM (
+            WITH ranked AS (
               SELECT event_id, event_type, value,
                      row_number() OVER (PARTITION BY event_type
                        ORDER BY value DESC, event_id ASC) AS rh,
@@ -1695,7 +1697,12 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY value ASC, event_id ASC) AS rl
               FROM events
             )
-            WHERE rh <= 20 OR rl <= 20
+            SELECT event_id, event_type, round(value, 4) AS value,
+                   'high' AS direction
+            FROM ranked WHERE rh <= 20
+            UNION ALL
+            SELECT event_id, event_type, round(value, 4), 'low'
+            FROM ranked WHERE rl <= 20
         """,
         "events_percentiles": """
             SELECT event_type,

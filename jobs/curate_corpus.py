@@ -59,11 +59,12 @@ def main() -> None:
     ap.add_argument("--languages", default="en", help="comma-separated keep list")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument("--decontaminate-n", type=int, default=8)
-    ap.add_argument("--train-frac", type=float, default=0.9)
-    ap.add_argument("--token-budget", type=int, default=2048,
-                    help="0 disables packing")
+    ap.add_argument("--train-frac", type=float, default=None,
+                    help="train fraction (default 0.9; batch mode only)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="packing budget (default 2048; 0 disables; batch mode only)")
     ap.add_argument("--shard-col", default=None,
-                    help="extra packing shard column present in the input")
+                    help="extra packing shard column present in the input (batch mode only)")
     ap.add_argument("--increment", action="store_true",
                     help="admit input as a new batch against --warehouse")
     ap.add_argument("--warehouse", default=None,
@@ -80,6 +81,22 @@ def main() -> None:
     if args.increment:
         if not args.warehouse:
             raise SystemExit("--increment requires --warehouse")
+        # Split/packing belong to the batch-mode output shape; silently
+        # ignoring them would leave the warehouse corpus unpacked while
+        # the CLI appeared to accept the options (review finding r4).
+        dropped_flags = [
+            n for n, v in [
+                ("--train-frac", args.train_frac),
+                ("--token-budget", args.token_budget),
+                ("--shard-col", args.shard_col),
+            ] if v is not None
+        ]
+        if dropped_flags:
+            raise SystemExit(
+                f"{', '.join(dropped_flags)} do not apply with --increment "
+                "(the warehouse stores curated documents; run batch-mode "
+                "packing/splitting over the corpus when assembling batches)"
+            )
         from threat_intelligence_knowledge_graph_spark.plans.curation import (
             curate_increment,
         )
@@ -125,8 +142,10 @@ def main() -> None:
         languages=tuple(args.languages.split(",")),
         near_dup_threshold=args.near_dup_threshold,
         decontaminate_n=args.decontaminate_n,
-        train_frac=args.train_frac,
-        token_budget=args.token_budget or None,
+        train_frac=0.9 if args.train_frac is None else args.train_frac,
+        token_budget=(
+            2048 if args.token_budget is None else (args.token_budget or None)
+        ),
         shard_col=args.shard_col,
         # One-shot job that materializes curated AND metrics: caching
         # stages stops the metrics rows re-running the dedup chain.

@@ -128,3 +128,34 @@ class TestLabelPropagation:
         a = sorted((r.id, r.label) for r in label_propagation(edges, iterations=4).collect())
         b = sorted((r.id, r.label) for r in label_propagation(edges.repartition(2), iterations=4).collect())
         assert a == b  # partition-independent (min-label tie break, sync updates)
+
+
+class TestReviewFixesR4:
+    def test_lpa_self_loop_only_node_kept(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            label_propagation,
+        )
+
+        # self-loop-only node + a triangle (a 2-path would oscillate
+        # under sync LPA — deterministic, but not converged; the
+        # triangle settles on its min label)
+        edges = spark.createDataFrame(
+            [("a", "a"), ("b", "c"), ("c", "d"), ("b", "d")], ["src", "dst"]
+        )
+        got = {r.id: r.label for r in label_propagation(edges, iterations=4).collect()}
+        assert got["a"] == "a"  # self-loop-only node keeps its label
+        assert got["b"] == got["c"] == got["d"] == "b"
+
+    def test_bfs_truncation_flag(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            bfs_distances,
+        )
+
+        edges = spark.createDataFrame(
+            [(f"v{i}", f"v{i+1}") for i in range(10)], ["src", "dst"]
+        )
+        src = spark.createDataFrame([("v0",)], ["id"])
+        _d, truncated = bfs_distances(edges, src, max_hops=3, return_truncated=True)
+        assert truncated  # backstop fired with a live frontier
+        _d2, t2 = bfs_distances(edges, src, max_hops=30, return_truncated=True)
+        assert not t2  # frontier drained before the cap

@@ -137,6 +137,7 @@ def bfs_distances(
     dst: str = "dst",
     id_col: str = "id",
     max_hops: int = 30,
+    return_truncated: bool = False,
 ) -> DataFrame:
     """(id, dist): minimum hop count from any source node, directed
     (GDS BFS / single-source-shortest-path on unweighted edges).
@@ -148,8 +149,21 @@ def bfs_distances(
     per hop truncates lineage (the CC/PageRank pattern); the loop stops
     at the first empty frontier, with ``max_hops`` as the backstop on
     adversarially deep graphs.
+
+    ``return_truncated=True`` returns ``(dist, truncated)`` where
+    ``truncated`` means the backstop fired with a non-empty frontier —
+    absent nodes may then be DEEP rather than unreachable (no silent
+    truncation: callers using absence as unreachability must check it).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # Checkpoint the deduped edge frame once: every hop joins against
+    # it, and without this each hop re-runs the full O(|E|) scan +
+    # distinct exchange (the same reason label_propagation checkpoints
+    # its symmetrized frame).
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dist = (
         sources.select(F.col(id_col).alias("id"))
         .distinct()
@@ -157,6 +171,7 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    truncated = False
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["u"])
@@ -170,7 +185,11 @@ def bfs_distances(
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return dist.select("id", F.col("dist").cast("int").alias("dist"))
+    else:
+        # backstop exhausted with a live frontier — deeper nodes may exist
+        truncated = True
+    out = dist.select("id", F.col("dist").cast("int").alias("dist"))
+    return (out, truncated) if return_truncated else out
 
 
 def label_propagation(
@@ -202,7 +221,16 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("u").alias("id")).distinct()
+    # Node universe from the ORIGINAL edge list, not the self-loop-free
+    # sym frame: a node whose only edge is a self-loop has no proper
+    # neighbors (self-loops don't vote) but must still appear in the
+    # output with its own label — this is what makes the coalesce
+    # fallback below reachable rather than dead code.
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iterations):

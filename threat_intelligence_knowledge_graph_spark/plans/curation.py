@@ -259,7 +259,12 @@ def curate_increment(
         rejects.append(_tag(d.join(clean.select(id_col), id_col, "left_anti"), "contaminated"))
         d = clean
 
-    accepted = d.select(id_col, text_col, "quality", "lang_pred")
+    # Eager checkpoint: accepted feeds THREE consumers (corpus append,
+    # band-index append, the caller's count/inspection) — without it the
+    # post-dedup tail (incl. decontamination) re-executes per consumer.
+    accepted = d.select(id_col, text_col, "quality", "lang_pred").localCheckpoint(
+        eager=True
+    )
     catalog.append(accepted, corpus_table, run_id=run_id, stage="curate")
     catalog.append(
         minhash_band_index(accepted, id_col, text_col),
