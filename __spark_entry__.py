@@ -386,29 +386,36 @@ def q_events_user_windows(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # One unix_micros conversion per row up front; both windows and the
+    # final agg then work on the bigint (ordering by tsu ≡ ordering by
+    # ts — the conversion is monotone — so the shared partition-local
+    # sort, ONE Exchange + ONE Sort, is unchanged; re-pinned r5).
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    gap = F.col("tsu") - F.lag("tsu").over(w)
     flagged = e.select(
         "user_id",
         "event_id",
-        "ts",
+        "tsu",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
         .otherwise(0)
         .alias("new_session"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    w2 = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = flagged.select(
-        "user_id", "event_id", "ts", F.sum("new_session").over(w2).alias("session_id")
+        "user_id", "event_id", "tsu", F.sum("new_session").over(w2).alias("session_id")
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-            / F.lit(1_000_000)
-        ).cast("long").alias("duration_sec"),
+        ((F.max("tsu") - F.min("tsu")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
     )
 
 
@@ -858,6 +865,37 @@ def q_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
     )
     ranks = pagerank(cyc.union(reg), iterations=3, damping=0.85)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (GDS relationshipWeightProperty analog, 3
+    steps, d=0.85) over the same planted nation graph as
+    q_graph_pagerank, with integer edge weights (cycle edge u→v weighs
+    1 + (n_nationkey % 3); nation→region edges weigh 2). Rank flows in
+    proportion to weight / out-weight-sum; the DuckDB oracle unrolls
+    the identical float recurrence (both sides round to 9 decimals)."""
+    from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+        (F.lit(1) + F.col("n_nationkey") % 3).cast("double").alias("wt"),
+    )
+    reg = nat.select(
+        nkey.alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+        F.lit(2.0).alias("wt"),
+    )
+    ranks = pagerank(
+        cyc.union(reg), iterations=3, damping=0.85, weight="wt"
+    )
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
@@ -1313,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "sample_stratified": q_sample_stratified,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "graph_bfs_distances": q_graph_bfs_distances,
@@ -1379,16 +1418,44 @@ def _pii_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text FROM documents"
 
 
-def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
+def _pagerank_oracle_sql(
+    iterations: int, damping: float, weighted: bool = False
+) -> str:
     """Unrolled PageRank recurrence over the planted nation graph
     (see q_graph_pagerank). Generated per iteration so the SQL mirrors
     the operator's float arithmetic EXACTLY: contributions use
     rank * (1.0/out_deg) (not rank/out_deg — different IEEE rounding),
     the teleport term is (1.0 - d)/n, and the damped term is
-    d * (c + dangling/n)."""
+    d * (c + dangling/n). ``weighted=True`` mirrors the weighted path:
+    per-(src,dst) weight sums, w = ew / out-weight-sum (see
+    q_graph_pagerank_weighted for the planted weights)."""
     d = repr(damping)
-    parts = [
+    if weighted:
+        head = """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst,
+                 cast(1 + n_nationkey % 3 AS double) AS wt
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar),
+                 cast(2.0 AS double)
+          FROM nation
+        ),
+        e AS (SELECT src, dst, sum(wt) AS ew FROM e0
+              WHERE wt > 0 GROUP BY src, dst),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        cnt AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+        outdeg AS (SELECT src, sum(ew) AS out_w FROM e GROUP BY src),
+        w AS (
+          SELECT e.src, e.dst, e.ew / outdeg.out_w AS w
+          FROM e JOIN outdeg USING (src)
+        ),
+        it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
         """
+    else:
+        head = """
         WITH e0 AS (
           SELECT 'n' || cast(n_nationkey AS varchar) AS src,
                  'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
@@ -1411,7 +1478,7 @@ def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
         ),
         it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
         """
-    ]
+    parts = [head]
     for i in range(1, iterations + 1):
         parts.append(
             f""",
@@ -1679,10 +1746,14 @@ def oracle_sql() -> dict[str, str]:
                        round(list_cosine_similarity(
                          cast(e.embedding AS double[]),
                          cast(q.qv AS double[])), 3) AS cosine
-                FROM embeddings e
+                FROM (SELECT * FROM embeddings
+                      WHERE sqrt(list_dot_product(cast(embedding AS double[]),
+                                                  cast(embedding AS double[]))) > 0) e
                 CROSS JOIN (
                   SELECT vec_id AS query_id, embedding AS qv
                   FROM embeddings WHERE vec_id % 97 = 0
+                    AND sqrt(list_dot_product(cast(embedding AS double[]),
+                                              cast(embedding AS double[]))) > 0
                 ) q
               )
             )
@@ -2264,7 +2335,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
               UNION ALL SELECT z FROM tri
             ),
-            nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
+            nodes AS (SELECT s AS id FROM e0 UNION SELECT d AS id FROM e0)
             SELECT cast(n.id AS bigint) AS id,
                    cast(coalesce(c.cnt, 0) AS bigint) AS triangles
             FROM nodes n
@@ -2291,6 +2362,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE cast(n_common AS double) / (da.deg + db.deg - n_common) >= 0.2
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
+        "graph_pagerank_weighted": _pagerank_oracle_sql(
+            iterations=3, damping=0.85, weighted=True
+        ),
         "table_checks": """
             WITH a AS (
               SELECT

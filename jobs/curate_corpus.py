@@ -24,12 +24,17 @@ a huge corpus, not the reverse).
 
 Steady-state mode: ``--increment --warehouse <dir>`` admits the input as
 a NEW batch against the warehouse's already-curated corpus in O(batch)
-(``plans/curation.py::curate_increment``): accepted rows and their
-MinHash band-index rows are APPENDED to the warehouse tables
-(``curated``, ``curated_minhash_index``); rejected rows land in
-``<output>/rejected.parquet`` with a ``reason`` column. Re-running with
-batches of monotone doc ids reproduces batch-mode curation of the
-union. Run ``--compact-index`` periodically to fold the accreted
+(``plans/curation.py::curate_increment``): accepted rows, the batch's
+MinHash band-index rows, dedup-visible rejects (the shadow) and the
+batch's verified near-dup pairs are APPENDED to the warehouse tables
+(``curated``, ``curated_minhash_index``, ``curated_shadow``,
+``curated_pairs``); rejected rows land in ``<output>/rejected.parquet``
+with a ``reason`` column. Re-running with batches of monotone doc ids
+makes every ADMISSION decision equal to batch-mode curation of the
+union (including duplicates-of-contaminated and cross-batch near-dup
+chains); the one append-only caveat is that previously-admitted docs
+are never retroactively revoked when a later bridge doc merges two old
+clusters. Run ``--compact-index`` periodically to fold the accreted
 per-batch index files (content-identical; incremental pairs unchanged).
 """
 

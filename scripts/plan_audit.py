@@ -182,6 +182,29 @@ def main(sf_dir: str) -> int:
         ["Project"],
         must_not=["Exchange", "EvalPython"],
     )
+    # round 5 shapes -------------------------------------------------------
+    # rcATT store normalization must use the Catalyst py_title/node_id
+    # twins, never a per-row Python UDF (the r4 verdict nit).
+    from threat_intelligence_knowledge_graph_spark.operators.rcatt import (
+        attack_nodes,
+        technique_tactic_edges,
+    )
+
+    det = spark.createDataFrame(
+        [("c1", "T1059", 0.9)], ["conv_id", "code", "confidence"]
+    )
+    check(
+        "rcatt_nodes_no_python_udf",
+        attack_nodes(det, "ATT&CK_Technique"),
+        ["Project"],
+        must_not=["EvalPython", "pythonUDF"],
+    )
+    check(
+        "rcatt_edges_no_python_udf",
+        technique_tactic_edges(det, det.select("conv_id", F.lit("TA0002").alias("code"))),
+        ["Join"],
+        must_not=["EvalPython", "pythonUDF"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

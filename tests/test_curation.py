@@ -193,6 +193,87 @@ class TestCurateIncrement:
             12: "near_dup", 13: "near_dup"
         }
 
+    def test_duplicate_of_contaminated_doc_rejected(self, spark, tmp_path):
+        """Batch mode dedups BEFORE decontamination, so a later copy (or
+        near-dup) of a contaminated doc is dropped as a duplicate even
+        though the contaminated doc itself never enters the corpus. The
+        shadow table reproduces that (advisor finding r4: without it the
+        copy was silently admitted)."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_documents,
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        poison = (PROSE_A + " holdout secret evaluation phrase nine ten "
+                  "eleven twelve thirteen")
+        ev = spark.createDataFrame(
+            [(900, "holdout secret evaluation phrase nine ten eleven twelve "
+                   "thirteen fourteen fifteen sixteen")],
+            ["eval_id", "text"],
+        )
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        b1 = spark.createDataFrame([(1, poison)], ["doc_id", "text"])
+        acc1, rej1 = curate_increment(spark, b1, catalog, ev, run_id="b1")
+        assert acc1.count() == 0
+        assert {r.reason for r in rej1.collect()} == {"contaminated"}
+
+        b2 = spark.createDataFrame(
+            [(11, poison),                       # exact copy of rejected 1
+             (12, poison + " slightly longer")], # near-dup of rejected 1
+            ["doc_id", "text"],
+        )
+        acc2, rej2 = curate_increment(spark, b2, catalog, ev, run_id="b2")
+        assert acc2.count() == 0
+        assert {r.doc_id: r.reason for r in rej2.collect()} == {
+            11: "exact_dup", 12: "near_dup"
+        }
+        # matches batch mode over the union: nothing survives
+        batch, _m = curate_documents(
+            b1.unionByName(b2), ev, token_budget=None
+        )
+        assert batch.count() == 0
+
+    def test_chain_through_rejected_doc_across_batches(self, spark, tmp_path):
+        """A near-dup chain 1–3–2 whose middle (3) was rejected in an
+        earlier batch must still collapse doc 2 in a later batch: the
+        pairs table carries the historical duplicate graph, and the
+        shadow keeps 3's bands/text queryable."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_documents,
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        base = [f"w{i}" for i in range(60)]
+        doc_1 = " ".join(base)
+        doc_3 = " ".join(base[:55] + [f"x{i}" for i in range(5)])
+        doc_2 = " ".join([f"y{i}" for i in range(5)] + base[5:55] + [f"x{i}" for i in range(5)])
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        b1 = spark.createDataFrame([(1, doc_1), (3, doc_3)], ["doc_id", "text"])
+        acc1, rej1 = curate_increment(
+            spark, b1, catalog, None, run_id="b1", min_quality=0.0
+        )
+        assert {r.doc_id for r in acc1.collect()} == {1}
+        assert {r.doc_id: r.reason for r in rej1.collect()} == {3: "near_dup"}
+
+        # doc 2 near-dups ONLY the rejected doc 3 (J(1,2) < 0.8): batch
+        # mode puts it in component {1,2,3} and keeps only 1.
+        b2 = spark.createDataFrame([(22, doc_2)], ["doc_id", "text"])
+        acc2, rej2 = curate_increment(
+            spark, b2, catalog, None, run_id="b2", min_quality=0.0
+        )
+        assert acc2.count() == 0
+        assert {r.doc_id: r.reason for r in rej2.collect()} == {22: "near_dup"}
+        batch, _m = curate_documents(
+            b1.unionByName(b2), None, min_quality=0.0, token_budget=None
+        )
+        assert {r.doc_id for r in batch.collect()} == {1}
+
     def test_first_batch_internal_dedup(self, spark, tmp_path):
         from threat_intelligence_knowledge_graph_spark.plans.curation import (
             curate_increment,

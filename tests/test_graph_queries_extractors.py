@@ -3,6 +3,7 @@ fused pipeline mode."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from threat_intelligence_knowledge_graph_spark.datagen import transcripts_rows
 from threat_intelligence_knowledge_graph_spark.operators.extractors import (
@@ -237,6 +238,31 @@ class TestAnalystQueries:
             spark.table("triples").filter(spark.table("triples").obj == top).count()
             > 0
         )
+        # the uniform variant runs too and also ranks descending
+        rows_u = hot_infrastructure(spark, k=10, iterations=3, weighted=False).collect()
+        ranks_u = [r.rank for r in rows_u]
+        assert rows_u and ranks_u == sorted(ranks_u, reverse=True)
+
+    def test_blast_radius(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            blast_radius,
+        )
+
+        # pick a node with outgoing edges so the blast set is non-trivial
+        src = spark.table("triples").select("subj").first().subj
+        rows = blast_radius(spark, src, max_hops=2).collect()
+        by_id = {r.id: r for r in rows}
+        assert by_id[src].dist == 0
+        assert all(0 <= r.dist <= 2 for r in rows)
+        # direct successors are all present at dist <= 1
+        direct = {
+            r.obj
+            for r in spark.table("triples").filter(F.col("subj") == src).collect()
+        }
+        assert all(d in by_id and by_id[d].dist <= 1 for d in direct)
+        # with a generous hop budget the frontier drains: not truncated
+        full = blast_radius(spark, src, max_hops=50).collect()
+        assert all(not r.truncated for r in full)
 
 
 class TestRateLimitedBackend:

@@ -138,6 +138,43 @@ def test_email_gate_is_necessary_condition():
     assert re.compile(_PATTERNS["email_addresses"]).findall("alice a.b.com") == []
 
 
+def test_email_at_prescan_equals_scan(corpus):
+    """The '@'-anchored walk-back fast path must equal the contract
+    pattern's findall — including non-word local-part prefixes where \\b
+    holds mid-run, adjacent '@'s, and runs abutting earlier matches."""
+    from threat_intelligence_knowledge_graph_spark.rules.iocs import _find_emails
+
+    strict = re.compile(_PATTERNS["email_addresses"])
+    for s in _fuzz("ab9._%+-@. comx ", n=8000, seed=13):
+        assert strict.findall(s) == _find_emails(s), s
+    for s in ["-.a@b.com", "..a@b.com", "_a@b.com", "%a@b.com", "a@@b.com",
+              "a@b.com c@d.net", "a@b.comc@d.net", "x a@b@c.com", "@b.com",
+              "a@b", "a@b.c", "9@b.io", "a.b@c.d.com", "+tag@x.org",
+              "a@b.com" * 20, "--@x.com", "a-@x.com", "@@a@x.com@@"]:
+        assert strict.findall(s) == _find_emails(s), s
+    for t in corpus:
+        assert strict.findall(t) == _find_emails(t)
+
+
+def test_ssdeep_rx_gate_is_necessary_condition(corpus):
+    """Every ssdeep match contains a ':<base64ish>{3,}:' substring, so a
+    doc without a gate hit cannot contain a match."""
+    from threat_intelligence_knowledge_graph_spark.rules.iocs import (
+        _RX_GATES,
+        COMPILED_IOC_PATTERNS,
+    )
+
+    gate = _RX_GATES["ssdeeps"]
+    rx_ss = dict(COMPILED_IOC_PATTERNS)["ssdeeps"]
+    for s in _fuzz("0123456789abcAB/+: x", n=8000, seed=17):
+        if gate.search(s) is None:
+            assert rx_ss.findall(s) == [], s
+    assert gate.search("3:AXGBicFlgVNhBGcL6wCrFQEv:AXGHsNhxLsr2C") is not None
+    for t in corpus:
+        if gate.search(t) is None:
+            assert rx_ss.findall(t) == []
+
+
 def _containment_relations(entities, raw_text):
     """Verbatim reimplementation of the pre-optimization containment
     path (reference stix_relation_extractor.py:118-296 semantics): split

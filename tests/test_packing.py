@@ -186,13 +186,23 @@ class TestMixtureSample:
         b = {r.k for r in mixture_sample(df, "k", "src", {"web": 1.0, "books": 1.0}).collect()}
         assert a == b  # no RNG anywhere
 
-    def test_missing_source_ignored(self, spark):
+    def test_missing_source_raises_by_default(self, spark):
+        import pytest
+
         from threat_intelligence_knowledge_graph_spark.operators.packing import (
             mixture_sample,
         )
 
         df = self._df(spark)
-        got = mixture_sample(df, "k", "src", {"web": 0.5, "absent": 0.5})
+        # a requested-but-absent source would silently skew the mixture:
+        # default is to refuse, naming the missing sources
+        with pytest.raises(ValueError, match="absent"):
+            mixture_sample(df, "k", "src", {"web": 0.5, "absent": 0.5})
+        # explicit opt-in renormalizes over the present sources
+        got = mixture_sample(
+            df, "k", "src", {"web": 0.5, "absent": 0.5},
+            on_missing="renormalize",
+        )
         assert got.filter("src = 'web'").count() == 400  # web binding, whole
 
 

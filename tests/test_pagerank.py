@@ -68,6 +68,63 @@ class TestPagerank:
             if v in got:
                 assert got[v] == pytest.approx(r[i], abs=1e-9)
 
+    def test_weighted_matches_numpy_power_iteration(self, spark):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(23)
+        nodes = [f"n{i}" for i in range(25)]
+        triples = sorted(
+            {
+                (nodes[rng.randrange(25)], nodes[rng.randrange(25)],
+                 float(rng.randrange(1, 5)))
+                for _ in range(100)
+            }
+        )
+        triples = [(a, b, w) for a, b, w in triples if a != b]
+        idx = {v: i for i, v in enumerate(nodes)}
+        k, d, n = 5, 0.85, len(nodes)
+
+        # numpy reference: weight-proportional flow, weights summed per
+        # (src, dst) — duplicates possible when rng draws (a,b) twice
+        from collections import defaultdict
+        wsum: dict = defaultdict(float)
+        for a, b, w in triples:
+            wsum[(a, b)] += w
+        outw = np.zeros(n)
+        for (a, _b), w in wsum.items():
+            outw[idx[a]] += w
+        r = np.full(n, 1.0 / n)
+        for _ in range(k):
+            dangling = r[outw == 0].sum()
+            c = np.zeros(n)
+            for (a, b), w in wsum.items():
+                c[idx[b]] += r[idx[a]] * (w / outw[idx[a]])
+            r = (1.0 - d) / n + d * (c + dangling / n)
+
+        df = spark.createDataFrame(triples, ["src_id", "dst_id", "wt"])
+        got = {
+            row.id: row.rank
+            for row in pagerank(
+                df, iterations=k, damping=d, weight="wt"
+            ).collect()
+        }
+        for v, i in idx.items():
+            if v in got:
+                assert got[v] == pytest.approx(r[i], abs=1e-9)
+
+    def test_weighted_drops_nonpositive_and_follows_weight(self, spark):
+        # a→b weight 3, a→c weight 1: b receives 3× c's inflow share;
+        # a zero-weight edge a→d is dropped entirely (d never appears).
+        df = spark.createDataFrame(
+            [("a", "b", 3.0), ("a", "c", 1.0), ("a", "d", 0.0)],
+            ["src_id", "dst_id", "wt"],
+        )
+        got = {r.id: r.rank for r in pagerank(df, iterations=2, weight="wt").collect()}
+        assert "d" not in got
+        assert got["b"] > got["c"]
+
     def test_star_orders_hub_first(self, spark):
         e = _edges(spark, [(f"leaf{i}", "hub") for i in range(8)])
         got = {r.id: r.rank for r in pagerank(e, iterations=10).collect()}

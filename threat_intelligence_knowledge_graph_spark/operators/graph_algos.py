@@ -48,7 +48,11 @@ def triangle_count(
     Canonical three-way join: for ordered edges a<b<c, a triangle is
     (a,b), (b,c), (a,c) — each counted once, then credited to all three
     corners. Nodes in no triangle are reported with 0 (GDS parity:
-    every node of the graph gets a row).
+    every node of the graph gets a row — including nodes whose only
+    incident edge is a self-loop, which can never close a triangle but
+    still belong to the graph; the universe is built from the RAW
+    endpoints, before the self-loop filter, matching
+    ``label_propagation``).
     """
     # No cache: the frame is referenced four times but a function-local
     # cache() has no unpersist seam and leaks storage memory per call;
@@ -66,8 +70,8 @@ def triangle_count(
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
     counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
     all_nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
     return (

@@ -146,6 +146,7 @@ def mixture_sample(
     source_col: str,
     shares: dict[str, float],
     salt: str = "mixture",
+    on_missing: str = "error",
 ) -> DataFrame:
     """Deterministic EXACT-PROPORTION corpus mixing: the largest sample
     whose per-source composition matches ``shares``, drawn with the same
@@ -165,9 +166,16 @@ def mixture_sample(
     matter). Rows whose md5 bucket < rate·1e6 are kept — the comparison
     is done in double precision on both engines (no rounding step to
     diverge on).
+
+    A source named in ``shares`` but absent from the input would silently
+    skew the output composition, so by default (``on_missing="error"``)
+    it raises; pass ``on_missing="renormalize"`` to explicitly accept
+    renormalizing the water level over the sources that are present.
     """
     if not shares:
         raise ValueError("shares must be non-empty")
+    if on_missing not in ("error", "renormalize"):
+        raise ValueError("on_missing must be 'error' or 'renormalize'")
     for s, w in shares.items():
         if w <= 0:
             raise ValueError(f"share for source {s!r} must be > 0")
@@ -179,6 +187,13 @@ def mixture_sample(
         .collect()
     }
     present = {s: w for s, w in shares.items() if counts.get(s)}
+    missing = sorted(set(shares) - set(present))
+    if missing and on_missing == "error":
+        raise ValueError(
+            f"sources {missing} requested in shares have no rows in the "
+            "input; the output composition would silently deviate from "
+            "shares — pass on_missing='renormalize' to accept that"
+        )
     if not present:
         return df.filter(F.lit(False))
     t_max = min(counts[s] / w for s, w in present.items())

@@ -37,19 +37,37 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src_id",
     dst: str = "dst_id",
+    weight: str | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` synchronous power steps.
 
     ``edges`` is a directed edge list; parallel edges are counted once
     (deduped up front — the KG's edge semantics). Ranks sum to 1 at
     every step (dangling mass redistributed uniformly).
+
+    ``weight``: optional positive edge-weight column (GDS
+    ``relationshipWeightProperty`` analog — e.g. mention counts). A
+    node's rank then flows to its out-neighbors in proportion to
+    weight: ``w(u→v) = Σ weight(u,v) / Σ_x weight(u,x)`` (parallel-edge
+    weights are summed per (src, dst)). Non-positive weights are
+    dropped up front — a zero-total source would otherwise be a
+    division by zero masquerading as a dangling node. The unweighted
+    path is exactly the weighted one with weight ≡ 1, but keeps its
+    ``1.0/out_deg`` form so existing oracle arithmetic is untouched.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if weight is None:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    else:
+        e = (
+            edges.filter(F.col(weight) > 0)
+            .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .agg(F.sum(F.col(weight).cast("double")).alias("_ew"))
+        )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -61,14 +79,22 @@ def pagerank(
         # Empty graph (e.g. a run whose extraction produced no triples):
         # return an empty (id, rank) frame rather than dividing by zero.
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # Pre-joining the degree onto the edge list once keeps the per-
-    # iteration work to a single (rank ⋈ edges) join + aggregation.
-    weighted = (
-        e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        # Pre-joining the degree onto the edge list once keeps the per-
+        # iteration work to a single (rank ⋈ edges) join + aggregation.
+        weighted = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("_ew").alias("out_w"))
+        weighted = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.col("_ew") / F.col("out_w")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
     has_out = outdeg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))

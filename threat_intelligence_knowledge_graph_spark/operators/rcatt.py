@@ -28,7 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..kernel.extract import create_node_id, py_title, store_label
+from ..functions.strings import node_id_expr, py_title_expr
+from ..kernel.extract import store_label
 
 # The 12 enterprise tactic codes (reference models/attack_data CODE_TACTICS).
 CODE_TACTICS: list[str] = [
@@ -170,12 +171,14 @@ class RcattClassifier:
 
 def attack_nodes(detections: DataFrame, node_type: str) -> DataFrame:
     """Detected codes → stored-form node records (store normalization =
-    neo4j_store.py:109-135 like every other node)."""
-    make_id = F.udf(lambda c: py_title(create_node_id(node_type, c)))
+    neo4j_store.py:109-135 like every other node). Pure Catalyst: the
+    JVM twins of py_title/create_node_id (property-tested against
+    CPython in test_strings.py) keep this plan Python-free."""
+    make_id = py_title_expr(node_id_expr(F.lit(node_type), F.col("code")))
     label = store_label(node_type)
     return detections.select(
         F.lit(label).alias("node_label"),
-        make_id("code").alias("node_id"),
+        make_id.alias("node_id"),
         F.create_map(
             F.lit("id"), F.col("code"),
             F.lit("confidence"), F.round("confidence", 6).cast("string"),
@@ -192,13 +195,15 @@ def technique_tactic_edges(
     every detected technique to every detected tactic of the same
     document — the reference's pinned per-document cross join (it defers
     the real technique→tactic matrix; so do we, citing the same TODO)."""
-    tech_id = F.udf(lambda c: py_title(create_node_id("ATT&CK_Technique", c)))
-    tac_id = F.udf(lambda c: py_title(create_node_id("ATT&CK_Tactic", c)))
+    tech_id = py_title_expr(
+        node_id_expr(F.lit("ATT&CK_Technique"), F.col("code"))
+    )
+    tac_id = py_title_expr(node_id_expr(F.lit("ATT&CK_Tactic"), F.col("code")))
     t = technique_detections.select(
-        F.col(id_col).alias("_id"), tech_id("code").alias("src_id")
+        F.col(id_col).alias("_id"), tech_id.alias("src_id")
     )
     a = tactic_detections.select(
-        F.col(id_col).alias("_id"), tac_id("code").alias("dst_id")
+        F.col(id_col).alias("_id"), tac_id.alias("dst_id")
     )
     return (
         t.join(a, "_id")

@@ -342,14 +342,20 @@ def batch_topk(
     candidates that agree at ``round_digits``). For query sets too big
     to broadcast, generate candidates with the LSH/IVF paths first and
     score only candidates.
+
+    Zero-norm vectors (all-zero embeddings) have no defined cosine —
+    0/0 is NaN in Spark and NaN/NULL in DuckDB, and NaN sorts LARGEST
+    under DESC, so unguarded they'd occupy top-k slots with
+    engine-divergent ordering. Both sides filter ``norm > 0`` before
+    scoring (mirrored in the SQL oracle).
     """
     from pyspark.sql.window import Window
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
-    )
+    ).filter(_norm(F.col("_qv")) > 0)
     v = F.col(vec_col).cast("array<double>")
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
+    scored = embeddings.filter(_norm(v) > 0).crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
         F.round(

@@ -132,9 +132,14 @@ PII_PATTERNS: list[tuple[str, str]] = [
     # leading \b only on the digit alternative: '\b(' is never a word
     # boundary after a space, so a single leading \b would reject
     # '(555) 123-4567' outright
-    (r"(?:\+?\d{1,3}[ .-])?(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    # separators optional so bare '5551234567' and '(555)123-4567' are
+    # caught too; the trailing \b keeps 10-of-N-digit substrings of
+    # longer runs (card numbers, ids) from half-matching
+    (r"(?:\+?\d{1,3}[ .-])?(?:\(\d{3}\)|\b\d{3})[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\b(?:4\d{3}|5[1-5]\d{2}|3[47]\d{2}|6011)(?:[ -]?\d{4}){3}\b", "<CARD>"),
+    # 15-digit Amex (4-6-5 grouping) alternative alongside the 16-digit
+    # 4-4-4-4 networks; 3[47] prefixes are Amex-only so they moved there
+    (r"\b(?:3[47]\d{2}[ -]?\d{6}[ -]?\d{5}|(?:4\d{3}|5[1-5]\d{2}|6011)(?:[ -]?\d{4}){3})\b", "<CARD>"),
 ]
 
 

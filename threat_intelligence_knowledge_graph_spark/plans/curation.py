@@ -149,14 +149,34 @@ def curate_increment(
     """Steady-state ingest curation: admit a NEW batch against the
     already-curated corpus without re-processing it.
 
-    Per batch the work is O(batch): quality/language filters scan only
-    the batch; exact dedup joins the batch's content hashes against the
-    corpus's (one semi-join); near-dup uses the persisted MinHash band
-    index (``minhash_incremental_near_duplicates`` — the batch is
-    shingled once and joined only into touched buckets); contamination
-    checks the batch against the broadcast eval set. Accepted rows and
-    their band-index rows are APPENDED (``tableio.append`` — per-batch
-    files only) so the next increment sees them.
+    Per batch the work is O(batch) + O(dup-graph): quality/language
+    filters scan only the batch; exact dedup joins the batch's content
+    hashes against the known set (one semi-join); near-dup uses the
+    persisted MinHash band index
+    (``minhash_incremental_near_duplicates`` — the batch is shingled
+    once and joined only into touched buckets); contamination checks
+    the batch against the broadcast eval set. Accepted rows and the
+    batch's band-index rows are APPENDED (``tableio.append`` —
+    per-batch files only) so the next increment sees them.
+
+    Besides the corpus and band index, two small side tables make the
+    admission decision match batch mode exactly:
+
+    - ``<corpus_table>_shadow`` (id, text): docs that REACHED the dedup
+      stage but were rejected by near-dup or decontamination. In batch
+      mode those docs participate in dedup (a contaminated doc absorbs
+      its later duplicates before decon removes it; a dropped near-dup
+      can chain two other docs into one cluster) — so their content
+      hashes stay in the exact-dedup anti-join set, and their band rows
+      stay in the index, with the shadow providing the text that pair
+      verification re-shingles.
+    - ``<corpus_table>_pairs`` (a, b): every verified near-dup pair
+      seen so far — the duplicate graph of all dedup-reaching docs.
+      Connected components run over this graph plus the batch's new
+      pairs, so cross-batch transitive chains (1–3 in batch one, 3–2 in
+      batch two) collapse to the same component min that batch mode
+      finds. CC cost is proportional to the duplicate graph, not the
+      corpus.
 
     Returns ``(accepted, rejected)`` where ``rejected`` carries a
     ``reason`` column ('quality' | 'language' | 'exact_dup' |
@@ -164,9 +184,14 @@ def curate_increment(
     philosophy of ``sources/ingest.py`` applied to curation.
 
     Equivalence: when ingest ids are monotone across batches (the
-    append-only feed invariant), incrementally curated content equals
-    batch-mode ``curate_documents`` over the union — asserted by
-    test_curation.py.
+    append-only feed invariant), every ADMISSION decision matches
+    batch-mode ``curate_documents`` over the union — including the
+    decon/dedup and chained-near-dup cross-batch corners — asserted by
+    test_curation.py. The one inherent divergence of any append-only
+    system remains: a previously-admitted doc is never retroactively
+    revoked when a later bridge doc merges two old clusters (batch mode
+    would keep only the merged component's min); the bridge doc itself
+    is still rejected.
     """
     from ..operators.dedup import (
         minhash_band_index,
@@ -196,60 +221,78 @@ def curate_increment(
     ).localCheckpoint(eager=True)
     rejects.append(_tag(ok_q.join(d.select(id_col), id_col, "left_anti"), "language"))
 
-    # Exact dedup: within-batch (min id per content) AND against the
-    # existing corpus (hash anti-join — never rescans corpus text
-    # beyond one md5 projection); one reject tag covers both.
-    deduped = exact_dedup(d, id_col, text_col)
+    shadow_table = corpus_table + "_shadow"
+    pairs_table = corpus_table + "_pairs"
+
+    # "Known" = every distinct-content doc that has ever reached the
+    # dedup stage: the curated corpus PLUS the shadow of dedup-visible
+    # rejects (near-dup / contaminated). Batch mode dedups against all
+    # of them, so the increment must too.
+    known_parts = []
     if catalog.exists(corpus_table):
-        corpus = catalog.read(spark, corpus_table)
-        corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
-        survivors = deduped.join(
-            corpus_hashes, F.md5(F.col(text_col)) == F.col("_h"), "left_anti"
+        known_parts.append(
+            catalog.read(spark, corpus_table).select(id_col, text_col)
         )
-    else:
-        corpus = None
-        survivors = deduped
+    if catalog.exists(shadow_table):
+        known_parts.append(
+            catalog.read(spark, shadow_table).select(id_col, text_col)
+        )
+    empty_docs = d.select(id_col, text_col).limit(0)
+    known = reduce(DataFrame.union, known_parts) if known_parts else empty_docs
+
+    # Exact dedup: within-batch (min id per content) AND against the
+    # known set (hash anti-join — never rescans stored text beyond one
+    # md5 projection); one reject tag covers both.
+    deduped = exact_dedup(d, id_col, text_col)
+    known_hashes = known.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = deduped.join(
+        known_hashes, F.md5(F.col(text_col)) == F.col("_h"), "left_anti"
+    )
     rejects.append(
         _tag(d.join(survivors.select(id_col), id_col, "left_anti"), "exact_dup")
     )
     d = survivors.localCheckpoint(eager=True)
 
-    if corpus is not None:
-        index = catalog.read(spark, index_table)
-        pairs, _idx_rows, _dropped = minhash_incremental_near_duplicates(
-            corpus.select(id_col, text_col),
-            index,
-            d.select(id_col, text_col),
-            id_col,
-            text_col,
-            jaccard_threshold=near_dup_threshold,
-        )
-        from ..operators.minhash import connected_components
+    from ..operators.minhash import connected_components
 
-        new_ids = d.select(F.col(id_col).alias("_nid"))
-        # Connected components over the batch-touching pairs, NOT a
-        # direct-pair drop: near-dup similarity is not transitive-free —
-        # J(1,3), J(2,3) >= t with J(1,2) < t chains 1-3-2 into one
-        # cluster, and batch mode keeps only the component min. The
-        # corpus is internally pair-free by induction (every previous
-        # increment removed its near-dups), so pairs here cover ALL
-        # union pairs and CC + min-id reproduces batch-mode semantics
-        # exactly (monotone ids ⇒ old components keep their old min).
-        components = connected_components(pairs.select("a", "b"))
-        drop = (
-            components.filter(F.col("id") != F.col("component"))
-            .select(F.col("id").alias(id_col))
-            .join(new_ids, F.col(id_col) == F.col("_nid"), "left_semi")
-            .distinct()
-        )
-        kept = d.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
-    else:
-        kept = minhash_dedup(
-            d.select(id_col, text_col), id_col, text_col,
-            jaccard_threshold=near_dup_threshold,
-        )
-        kept = d.join(kept.select(id_col), id_col, "left_semi")
+    index = (
+        catalog.read(spark, index_table)
+        if catalog.exists(index_table)
+        else minhash_band_index(empty_docs, id_col, text_col)
+    )
+    pairs, idx_rows, _dropped = minhash_incremental_near_duplicates(
+        known,
+        index,
+        d.select(id_col, text_col),
+        id_col,
+        text_col,
+        jaccard_threshold=near_dup_threshold,
+    )
+    pairs = pairs.select("a", "b").localCheckpoint(eager=True)
+    # Connected components over the FULL duplicate graph (all persisted
+    # pairs + the batch's), not just batch-touching pairs: near-dup
+    # similarity is not transitive-free — J(1,3), J(2,3) >= t with
+    # J(1,2) < t chains 1-3-2 into one cluster even when 3 was itself
+    # rejected in an earlier batch, and batch mode keeps only the
+    # component min. The pairs table is the whole history, so CC here
+    # reproduces batch-mode components exactly (monotone ids ⇒ old
+    # components keep their old min).
+    all_pairs = (
+        catalog.read(spark, pairs_table).select("a", "b").union(pairs)
+        if catalog.exists(pairs_table)
+        else pairs
+    )
+    new_ids = d.select(F.col(id_col).alias("_nid"))
+    components = connected_components(all_pairs)
+    drop = (
+        components.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+        .join(new_ids, F.col(id_col) == F.col("_nid"), "left_semi")
+        .distinct()
+    )
+    kept = d.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
     rejects.append(_tag(d.join(kept.select(id_col), id_col, "left_anti"), "near_dup"))
+    dedup_reaching = d  # exact-dedup survivors: accepted ∪ shadow-to-be
     d = kept
 
     if eval_items is not None:
@@ -259,18 +302,22 @@ def curate_increment(
         rejects.append(_tag(d.join(clean.select(id_col), id_col, "left_anti"), "contaminated"))
         d = clean
 
-    # Eager checkpoint: accepted feeds THREE consumers (corpus append,
-    # band-index append, the caller's count/inspection) — without it the
-    # post-dedup tail (incl. decontamination) re-executes per consumer.
+    # Eager checkpoint: accepted feeds several consumers (corpus
+    # append, shadow anti-join, the caller's count/inspection) — without
+    # it the post-dedup tail (incl. decontamination) re-executes per
+    # consumer.
     accepted = d.select(id_col, text_col, "quality", "lang_pred").localCheckpoint(
         eager=True
     )
     catalog.append(accepted, corpus_table, run_id=run_id, stage="curate")
-    catalog.append(
-        minhash_band_index(accepted, id_col, text_col),
-        index_table,
-        run_id=run_id,
-        stage="index",
+    # Band rows for EVERY exact-dedup survivor (accepted AND the
+    # near-dup/decon rejects) — batch mode lets all of them generate
+    # pairs, so future batches must see all of them in the index.
+    catalog.append(idx_rows, index_table, run_id=run_id, stage="index")
+    shadow_new = dedup_reaching.select(id_col, text_col).join(
+        accepted.select(id_col), id_col, "left_anti"
     )
+    catalog.append(shadow_new, shadow_table, run_id=run_id, stage="shadow")
+    catalog.append(pairs, pairs_table, run_id=run_id, stage="pairs")
     rejected = reduce(DataFrame.union, rejects)
     return accepted, rejected

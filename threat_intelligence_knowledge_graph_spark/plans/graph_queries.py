@@ -128,22 +128,61 @@ def cve_hotlist(spark: SparkSession, k: int = 10) -> DataFrame:
     )
 
 
-def hot_infrastructure(spark: SparkSession, k: int = 20, iterations: int = 5) -> DataFrame:
+def hot_infrastructure(
+    spark: SparkSession,
+    k: int = 20,
+    iterations: int = 5,
+    weighted: bool = True,
+) -> DataFrame:
     """PageRank over the triple view — infrastructure nodes (domains,
     IPs, URLs, CVEs) that many distinct actors/malware point into rank
     highest; complements raw degree (``cve_hotlist``) by weighting WHO
     links, not just how often. Cypher users approximate this with
-    ``CALL gds.pageRank``; here it is ``operators/pagerank.py``."""
+    ``CALL gds.pageRank``; here it is ``operators/pagerank.py``.
+
+    ``weighted=True`` (default since r5) weighs each (subj, obj) edge
+    by its predicate multiplicity — a pair linked by RESOLVES_TO and
+    COMMUNICATES_WITH and TARGETS carries 3× the rank flow of a
+    single-relation pair, sharpening the "hot" ranking on skewed
+    infrastructure. ``weighted=False`` is the uniform GDS default."""
     from ..operators.pagerank import pagerank
 
-    edges = spark.table("triples").select(
-        F.col("subj").alias("src_id"), F.col("obj").alias("dst_id")
-    )
-    return (
-        pagerank(edges, iterations=iterations)
-        .orderBy(F.col("rank").desc(), "id")
-        .limit(k)
-    )
+    if weighted:
+        edges = (
+            spark.table("triples")
+            .groupBy(F.col("subj").alias("src_id"), F.col("obj").alias("dst_id"))
+            .agg(F.count("*").alias("wt"))
+        )
+        ranks = pagerank(edges, iterations=iterations, weight="wt")
+    else:
+        edges = spark.table("triples").select(
+            F.col("subj").alias("src_id"), F.col("obj").alias("dst_id")
+        )
+        ranks = pagerank(edges, iterations=iterations)
+    return ranks.orderBy(F.col("rank").desc(), "id").limit(k)
+
+
+def blast_radius(
+    spark: SparkSession, node_id: str, max_hops: int = 3
+) -> DataFrame:
+    """(id, dist, truncated): every node reachable from ``node_id`` in
+    at most ``max_hops`` directed triple-view hops — the incident-
+    response "what can this compromised node touch" query (GDS BFS).
+    ``truncated`` is true on every row when the hop backstop fired with
+    a non-empty frontier: the blast set shown is then a LOWER bound and
+    the analyst must widen ``max_hops`` (no silent truncation — the
+    ``bfs_distances`` reporting contract surfaced to the pack)."""
+    from ..operators.graph_algos import bfs_distances
+
+    src = spark.createDataFrame([(node_id,)], ["id"])
+    return bfs_distances(
+        spark.table("triples").select("subj", "obj"),
+        src,
+        src="subj",
+        dst="obj",
+        max_hops=max_hops,
+        return_truncated=True,
+    ).orderBy("dist", "id")
 
 
 def flagship_query(spark: SparkSession) -> DataFrame:

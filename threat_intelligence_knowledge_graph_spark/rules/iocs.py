@@ -232,6 +232,61 @@ def _find_domains(text: str) -> list[str]:
     return out
 
 
+# Email fast path (~15× on the kernel microbench): the contract scan
+# re-tries `\b[local]+@` at every text position; instead, locate each
+# '@' (C-speed str.find), walk back over the local-part charclass to
+# the run start, then forward to the FIRST position where `\b` holds
+# and anchor-match the contract there. Equivalence: a match's local
+# part is a contiguous run of local chars ending at its '@', so the
+# scanning engine's leftmost start is exactly the leftmost \b-holding
+# position in that run; match success from any such position depends
+# only on the domain side (local chars are all in-class by
+# construction), so the first \b position decides for the whole run.
+# Runs cannot span '@' ('@' is not a local char), so the per-'@'
+# walk-back keeps the whole pass linear. Fuzz+corpus byte-equality with
+# the contract pattern is asserted by tests/test_ioc_engines.py.
+_EMAIL_AT = re.compile(r"[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\.)+[A-Za-z]{2,}\b")
+_LOCAL_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._%+-"
+)
+_WORD_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
+)
+
+
+def _find_emails(text: str) -> list[str]:
+    out: list[str] = []
+    last_end = 0
+    idx = text.find("@")
+    while idx != -1:
+        if idx >= last_end:
+            j = idx
+            while j > last_end and text[j - 1] in _LOCAL_CHARS:
+                j -= 1
+            p = j
+            while p < idx:
+                prev_word = p > 0 and text[p - 1] in _WORD_CHARS
+                if (text[p] in _WORD_CHARS) != prev_word:  # \b holds at p
+                    m = _EMAIL_AT.match(text, p)
+                    if m:
+                        out.append(m.group(0))
+                        last_end = m.end()
+                    break
+                p += 1
+        idx = text.find("@", idx + 1)
+    return out
+
+
+# Regex prescan gates: classes whose substring gate is useless (':' is
+# everywhere) but whose pattern implies a rarer REGEX-findable shape.
+# The gate pattern is a necessary condition of the contract pattern
+# (every match contains a gate match), checked with one skip-friendly
+# search; docs without it (the overwhelming majority) skip the full
+# findall. ssdeep: every match contains ':<base64ish>{3,}:'.
+_RX_GATES: dict[str, re.Pattern] = {
+    "ssdeeps": re.compile(r":[A-Za-z0-9/+]{3,}:"),
+}
+
 # Hash fast path: maximal hex runs via a bare greedy class scan (no
 # lookarounds — ~1.8× on the microbench), then a length filter. A
 # maximal run is exactly what the lookaround form matches (the
@@ -318,6 +373,8 @@ def find_iocs_doc(fanged_text: str) -> dict[str, list[str]]:
             vals = [m[0] for m in _MAC_FAST.findall(fanged_text)]
         elif cls == "domains":
             vals = _find_domains(fanged_text)
+        elif cls == "email_addresses":
+            vals = _find_emails(fanged_text)
         else:
             gates = _CLASS_GATES.get(cls)
             if gates and not any(g in fanged_text for g in gates):
@@ -325,6 +382,10 @@ def find_iocs_doc(fanged_text: str) -> dict[str, list[str]]:
                 continue
             lgates = _CLASS_GATES_LOWER.get(cls)
             if lgates and not any(g in lower_text for g in lgates):
+                iocs[cls] = []
+                continue
+            rgate = _RX_GATES.get(cls)
+            if rgate and rgate.search(fanged_text) is None:
                 iocs[cls] = []
                 continue
             vals = rx.findall(fanged_text)
