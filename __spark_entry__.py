@@ -622,6 +622,99 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_curate_increment(spark, sf_dir):
+    """Steady-state incremental curation (plans/curation.py::
+    curate_increment) — TWO increments against a throwaway warehouse,
+    every admission decision analytic:
+
+    Batch 1 (id 10k per every-7th orderkey k): the 4-word cycle doc
+    'wa<k> wb<k> wc<k> wd<k>' ×5. Eval items are the first 12 tokens of
+    the k%5==0 docs (a 12-word window of a period-4 cycle contains all
+    four 8-gram phases, so exactly those docs are contaminated — the
+    q_curate_corpus argument); everything else is accepted.
+
+    Batch 2 (id 10k + 10^8 — monotone across batches), one doc per k by
+    k%4: 0 → exact copy of batch-1's doc (exact_dup — via the SHADOW
+    hash set when k%5==0, i.e. when the original was itself rejected as
+    contaminated); 1 → same cycle ×7 (jaccard-1.0 near_dup, via the
+    band index incl. shadow rows); 2 → fresh 'xa<k>…' cycle (accepted —
+    disjoint word shingles, eval-clean); 3 → Spanish stopword text
+    (language).
+
+    Output: (batch, doc_id, status) for every input doc; the DuckDB
+    oracle states the same decisions as CASE arithmetic on the keys."""
+    import shutil
+    import tempfile
+
+    from threat_intelligence_knowledge_graph_spark.plans.curation import (
+        curate_increment,
+    )
+    from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+        LocalTableCatalog,
+    )
+
+    ks = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    s = F.col("k").cast("string")
+    cycle = F.concat_ws(
+        " ",
+        F.concat(F.lit("wa"), s), F.concat(F.lit("wb"), s),
+        F.concat(F.lit("wc"), s), F.concat(F.lit("wd"), s),
+    )
+    xcycle = F.concat_ws(
+        " ",
+        F.concat(F.lit("xa"), s), F.concat(F.lit("xb"), s),
+        F.concat(F.lit("xc"), s), F.concat(F.lit("xd"), s),
+    )
+    rep = lambda c, n: F.array_join(F.array_repeat(c, n), " ")  # noqa: E731
+    b1 = ks.select((F.col("k") * 10).alias("doc_id"), rep(cycle, 5).alias("text"))
+    ev = ks.filter(F.col("k") % 5 == 0).select(
+        F.col("k").alias("eval_id"), rep(cycle, 3).alias("text")
+    )
+    spanish = F.concat(
+        F.lit("el la de que y un los se no por el la de que y un los se no por s"),
+        s,
+    )
+    b2_text = (
+        F.when(F.col("k") % 4 == 0, rep(cycle, 5))
+        .when(F.col("k") % 4 == 1, rep(cycle, 7))
+        .when(F.col("k") % 4 == 2, rep(xcycle, 5))
+        .otherwise(spanish)
+    )
+    b2 = ks.select(
+        (F.col("k") * 10 + F.lit(100_000_000)).alias("doc_id"),
+        b2_text.alias("text"),
+    )
+
+    wh = tempfile.mkdtemp(prefix="tikg-contract-incr-")
+    try:
+        catalog = LocalTableCatalog(wh)
+        acc1, rej1 = curate_increment(
+            spark, b1, catalog, ev, run_id="b1", decontaminate_n=8
+        )
+        acc2, rej2 = curate_increment(
+            spark, b2, catalog, ev, run_id="b2", decontaminate_n=8
+        )
+        tag = lambda df, b, st: df.select(  # noqa: E731
+            F.lit(b).alias("batch"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            st.alias("status"),
+        )
+        out = (
+            tag(acc1, 1, F.lit("accepted"))
+            .unionByName(tag(rej1, 1, F.col("reason")))
+            .unionByName(tag(acc2, 2, F.lit("accepted")))
+            .unionByName(tag(rej2, 2, F.col("reason")))
+        )
+        # materialize before the warehouse dir disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def q_sample_mixture(spark, sf_dir):
     """Exact-proportion corpus mixing (pretraining mixture weights):
     the largest md5-deterministic sample with per-source composition
@@ -1156,6 +1249,55 @@ def q_minhash_incremental(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_canonical_map(spark, sf_dir):
+    """Stage-D alias canonicalization dictionary
+    (operators/canonicalize.py::build_alias_dictionary): MinHash/LSH
+    blocking over normalized surfaces → Jaccard verify → connected
+    components → (node_id, canonical_id) for every non-canonical alias.
+
+    Planted so the LSH outcome is ANALYTIC (the minhash_near_dup_docs
+    soundness technique): every 7th orderkey seeds a family of 2-3
+    CASE-variant ids ('GRP-…-X' / 'Grp-…-x' / 'grp-…-x') whose
+    lowercased surfaces are IDENTICAL — identical shingle sets ⇒
+    identical signatures ⇒ certain candidacy in every band ⇒ Jaccard
+    exactly 1.0. Family keys are 8-char md5 prefixes (NOT zero-padded
+    integers: repeated-digit keys like 77 vs 777 have near-NESTED
+    shingle sets, J = 15/16 — found the hard way), so cross-family
+    shingle Jaccard stays ≈ 0.3 and the 0.9 verify threshold rejects
+    every cross-family candidate with wide margin. The dictionary is
+    therefore exactly: family-min id canonicalizes the other members —
+    which is what the DuckDB oracle computes without touching minhash."""
+    from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+        build_alias_dictionary,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    key = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    base = o.select(
+        key.alias("k8"), (F.col("o_orderkey") % 2 == 0).alias("third")
+    )
+    variants = base.select(
+        F.explode(
+            F.when(
+                F.col("third"),
+                F.array(
+                    F.concat(F.lit("GRP-"), F.col("k8"), F.lit("-X")),
+                    F.concat(F.lit("Grp-"), F.col("k8"), F.lit("-x")),
+                    F.concat(F.lit("grp-"), F.col("k8"), F.lit("-x")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.concat(F.lit("GRP-"), F.col("k8"), F.lit("-X")),
+                    F.concat(F.lit("Grp-"), F.col("k8"), F.lit("-x")),
+                )
+            )
+        ).alias("node_id")
+    ).select(F.lit("Group").alias("node_label"), "node_id")
+    return build_alias_dictionary(variants, jaccard_threshold=0.9).orderBy(
+        "node_id"
+    )
+
+
 def q_minhash_dedup_survivors(spark, sf_dir):
     """End-to-end near-dup dedup: exact pre-pass → LSH pairs → connected
     components → min-id survivor per cluster. On the planted corpus the
@@ -1342,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "canonical_map": q_canonical_map,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
         "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1354,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
+        "curate_increment": q_curate_increment,
         "graph_bfs_distances": q_graph_bfs_distances,
         "graph_label_propagation": q_graph_label_propagation,
         "text_scrub_pii": q_text_scrub_pii,
@@ -1931,6 +2075,23 @@ def oracle_sql() -> dict[str, str]:
         # Survivors after exact-pass + LSH + connected components: in a
         # jaccard-1.0 family the min id (2k) survives and 2k+1 drops;
         # 1/7 families are below threshold and survive whole.
+        "canonical_map": """
+            WITH ks AS (
+              SELECT substr(md5(cast(o_orderkey AS varchar)), 1, 8) AS k8,
+                     o_orderkey % 2 = 0 AS third
+              FROM orders WHERE o_orderkey % 7 = 0
+            ),
+            v AS (
+              SELECT k8, 'GRP-' || k8 || '-X' AS node_id FROM ks
+              UNION ALL SELECT k8, 'Grp-' || k8 || '-x' FROM ks
+              UNION ALL SELECT k8, 'grp-' || k8 || '-x' FROM ks WHERE third
+            ),
+            m AS (SELECT k8, min(node_id) AS canon FROM v GROUP BY k8)
+            SELECT v.node_id, m.canon AS canonical_id
+            FROM v JOIN m USING (k8)
+            WHERE v.node_id <> m.canon
+            ORDER BY v.node_id
+        """,
         "minhash_dedup_survivors": """
             SELECT 2 * o_orderkey + j.j AS doc_id
             FROM orders, (SELECT unnest([0, 1]) AS j) j
@@ -2112,6 +2273,22 @@ def oracle_sql() -> dict[str, str]:
         # stage uses the ANALYTIC survivor set (jaccard-1.0 same-cycle
         # families, min id kept) that minhash_near_dup_docs proves the
         # operator computes.
+        "curate_increment": """
+            WITH ks AS (
+              SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0
+            )
+            SELECT 1 AS batch, cast(k * 10 AS bigint) AS doc_id,
+                   CASE WHEN k % 5 = 0 THEN 'contaminated'
+                        ELSE 'accepted' END AS status
+            FROM ks
+            UNION ALL
+            SELECT 2, cast(k * 10 + 100000000 AS bigint),
+                   CASE k % 4 WHEN 0 THEN 'exact_dup'
+                              WHEN 1 THEN 'near_dup'
+                              WHEN 2 THEN 'accepted'
+                              ELSE 'language' END
+            FROM ks
+        """,
         "curate_corpus": rf"""
             WITH pdocs AS (
               SELECT cast(2 * o_orderkey + j.j AS bigint) AS doc_id,
