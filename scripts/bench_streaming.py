@@ -81,6 +81,67 @@ def _run_mode(
     }
 
 
+def _run_stateful(
+    spark, inp: str, work: str, n_turns: int, n_convs: int,
+    idle_timeout_ms: int = 5_000,
+) -> dict:
+    """Throughput + state-store footprint of the CROSS-BATCH stateful
+    reassembly path (applyInPandasWithState), the trickle-feed profile:
+    every conversation's turns buffer in group state and emit after the
+    idle timeout. Wall time necessarily includes one idle-timeout tail
+    after the last input batch (reported separately so the reader can
+    subtract it)."""
+    from threat_intelligence_knowledge_graph_spark.schemas import (
+        TRANSCRIPTS_SCHEMA,
+    )
+    from threat_intelligence_knowledge_graph_spark.streaming.stream_extract import (
+        stateful_reassembly,
+    )
+
+    outp = os.path.join(work, "out-stateful")
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(inp)
+    t0 = time.time()
+    q = (
+        stateful_reassembly(stream, idle_timeout_ms=idle_timeout_ms)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt-stateful"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    state_rows_peak = 0
+    state_mem_peak = 0
+    emitted = 0
+    deadline = time.time() + 1800
+    try:
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp is not None:
+                p = json.loads(lp if isinstance(lp, str) else lp.json)
+                for so in p.get("stateOperators", []):
+                    state_rows_peak = max(state_rows_peak, so.get("numRowsTotal", 0))
+                    state_mem_peak = max(state_mem_peak, so.get("memoryUsedBytes", 0))
+            try:
+                emitted = spark.read.parquet(outp).count()
+            except Exception:
+                emitted = 0
+            if emitted >= n_convs:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    sec = time.time() - t0
+    return {
+        "sec": round(sec, 2),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "n_docs_emitted": emitted,
+        "idle_timeout_tail_sec": idle_timeout_ms / 1000.0,
+        "state_rows_peak": state_rows_peak,
+        "state_memory_peak_mb": round(state_mem_peak / 1e6, 1),
+    }
+
+
 def main(n_convs: int = 50_000, cores: int = 32) -> None:
     spark = build_session(
         "tikg-stream-bench", master=f"local[{cores}]", shuffle_partitions=cores
@@ -106,10 +167,12 @@ def main(n_convs: int = 50_000, cores: int = 32) -> None:
         throughput = _run_mode(
             spark, inp, work, "thr", max_files_per_trigger=None, n_turns=n_turns
         )
+        stateful = _run_stateful(spark, inp, work, n_turns, n_convs)
         out = {
             "n_turns": n_turns,
             "latency_mode": latency,
             "throughput_mode": throughput,
+            "stateful_mode": stateful,
             "throughput_gain": round(
                 throughput["turns_per_sec"] / latency["turns_per_sec"], 2
             ),
