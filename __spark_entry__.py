@@ -633,8 +633,10 @@ def q_curate_increment(spark, sf_dir):
     four 8-gram phases, so exactly those docs are contaminated — the
     q_curate_corpus argument); everything else is accepted.
 
-    Batch 2 (id 10k + 10^8 — monotone across batches), one doc per k by
-    k%4: 0 → exact copy of batch-1's doc (exact_dup — via the SHADOW
+    Batch 2 (id 10k + OFFSET where OFFSET = 10·max(orderkey)+10,
+    computed from the data so the monotone-across-batches invariant
+    holds at ANY scale factor — a fixed 10^8 offset would interleave
+    below batch-1 ids at sf10+), one doc per k by k%4: 0 → exact copy of batch-1's doc (exact_dup — via the SHADOW
     hash set when k%5==0, i.e. when the original was itself rejected as
     contaminated); 1 → same cycle ×7 (jaccard-1.0 near_dup, via the
     band index incl. shadow rows); 2 → fresh 'xa<k>…' cycle (accepted —
@@ -684,8 +686,11 @@ def q_curate_increment(spark, sf_dir):
         .when(F.col("k") % 4 == 2, rep(xcycle, 5))
         .otherwise(spanish)
     )
+    # bounded 1-row collect (the IVF-centroid precedent) to derive the
+    # scale-proof monotone offset from the data itself
+    offset = 10 * ks.agg(F.max("k")).first()[0] + 10
     b2 = ks.select(
-        (F.col("k") * 10 + F.lit(100_000_000)).alias("doc_id"),
+        (F.col("k") * 10 + F.lit(offset)).alias("doc_id"),
         b2_text.alias("text"),
     )
 
@@ -1260,19 +1265,22 @@ def q_canonical_map(spark, sf_dir):
     CASE-variant ids ('GRP-…-X' / 'Grp-…-x' / 'grp-…-x') whose
     lowercased surfaces are IDENTICAL — identical shingle sets ⇒
     identical signatures ⇒ certain candidacy in every band ⇒ Jaccard
-    exactly 1.0. Family keys are 8-char md5 prefixes (NOT zero-padded
-    integers: repeated-digit keys like 77 vs 777 have near-NESTED
-    shingle sets, J = 15/16 — found the hard way), so cross-family
-    shingle Jaccard stays ≈ 0.3 and the 0.9 verify threshold rejects
-    every cross-family candidate with wide margin. The dictionary is
-    therefore exactly: family-min id canonicalizes the other members —
-    which is what the DuckDB oracle computes without touching minhash."""
+    exactly 1.0. Family keys are FULL 32-char md5 digests (NOT
+    zero-padded integers: repeated-digit keys like 77 vs 777 have
+    near-NESTED shingle sets, J = 15/16 — found the hard way; and not
+    8-char prefixes, whose 32-bit space collides with ~5% probability
+    already at sf0.1 key counts), so keys are unique at any SF and
+    cross-family shingle Jaccard stays low — the 0.9 verify threshold
+    rejects every cross-family candidate with wide margin. The
+    dictionary is therefore exactly: family-min id canonicalizes the
+    other members — which is what the DuckDB oracle computes without
+    touching minhash."""
     from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
         build_alias_dictionary,
     )
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
-    key = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    key = F.md5(F.col("o_orderkey").cast("string"))
     base = o.select(
         key.alias("k8"), (F.col("o_orderkey") % 2 == 0).alias("third")
     )
@@ -2077,7 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         # 1/7 families are below threshold and survive whole.
         "canonical_map": """
             WITH ks AS (
-              SELECT substr(md5(cast(o_orderkey AS varchar)), 1, 8) AS k8,
+              SELECT md5(cast(o_orderkey AS varchar)) AS k8,
                      o_orderkey % 2 = 0 AS third
               FROM orders WHERE o_orderkey % 7 = 0
             ),
@@ -2282,7 +2290,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'accepted' END AS status
             FROM ks
             UNION ALL
-            SELECT 2, cast(k * 10 + 100000000 AS bigint),
+            SELECT 2, cast(k * 10 + (SELECT 10 * max(k) + 10 FROM ks) AS bigint),
                    CASE k % 4 WHEN 0 THEN 'exact_dup'
                               WHEN 1 THEN 'near_dup'
                               WHEN 2 THEN 'accepted'

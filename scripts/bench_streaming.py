@@ -113,12 +113,15 @@ def _run_stateful(
     state_rows_peak = 0
     state_mem_peak = 0
     emitted = 0
+    sec = None
     deadline = time.time() + 1800
     try:
         while time.time() < deadline:
-            lp = q.lastProgress
-            if lp is not None:
-                p = json.loads(lp if isinstance(lp, str) else lp.json)
+            # recentProgress (history), not lastProgress: 500 ms
+            # triggers outpace the 2 s poll and the true state peak can
+            # sit in a batch whose event a lastProgress poll never sees.
+            for rp in q.recentProgress:
+                p = json.loads(rp if isinstance(rp, str) else rp.json)
                 for so in p.get("stateOperators", []):
                     state_rows_peak = max(state_rows_peak, so.get("numRowsTotal", 0))
                     state_mem_peak = max(state_mem_peak, so.get("memoryUsedBytes", 0))
@@ -127,11 +130,15 @@ def _run_stateful(
             except Exception:
                 emitted = 0
             if emitted >= n_convs:
+                # clock stops at drain detection, BEFORE q.stop() —
+                # stop latency is not part of the pipeline's throughput
+                sec = time.time() - t0
                 break
             time.sleep(2)
     finally:
         q.stop()
-    sec = time.time() - t0
+    if sec is None:
+        sec = time.time() - t0
     return {
         "sec": round(sec, 2),
         "turns_per_sec": round(n_turns / sec, 1),

@@ -274,6 +274,70 @@ class TestCurateIncrement:
         )
         assert {r.doc_id for r in batch.collect()} == {1}
 
+    def test_crash_between_appends_is_resumable(self, spark, tmp_path):
+        """The four warehouse appends are not atomic: simulate a crash
+        right after the FIRST (corpus) append, then rerun the batch with
+        the same run_id — the rerun must compute against the pre-run
+        state (not its own partial output, which would tag every doc
+        exact_dup) and fill in the missing index/shadow/pairs commits,
+        leaving exactly the state of an uncrashed run."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        b1 = spark.createDataFrame(
+            [(1, PROSE_A + " alpha"), (2, PROSE_B)], ["doc_id", "text"]
+        )
+        curate_increment(spark, b1, catalog, None, run_id="b1")
+
+        b2 = spark.createDataFrame(
+            [(11, PROSE_A + " beta"),            # near-dup of committed 1
+             (12, PROSE_C + " fresh tail")],     # accepted
+            ["doc_id", "text"],
+        )
+
+        class Boom(RuntimeError):
+            pass
+
+        real_append = catalog.append
+        calls = {"n": 0}
+
+        def crashing_append(df, name, run_id="", stage=""):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise Boom("simulated crash after the corpus append")
+            real_append(df, name, run_id=run_id, stage=stage)
+
+        catalog.append = crashing_append
+        import pytest
+
+        with pytest.raises(Boom):
+            curate_increment(spark, b2, catalog, None, run_id="b2")
+        catalog.append = real_append
+        # partial state on disk: corpus committed, the other three not
+        assert catalog.committed("curated", "b2", "curate")
+        assert not catalog.committed("curated_minhash_index", "b2", "index")
+
+        acc, rej = curate_increment(spark, b2, catalog, None, run_id="b2")
+        assert {r.doc_id for r in acc.collect()} == {12}
+        assert {r.doc_id: r.reason for r in rej.collect()} == {11: "near_dup"}
+        # every stage committed exactly once; corpus has no duplicate rows
+        log = catalog.log("curated")
+        assert sum(1 for e in log if e["run_id"] == "b2") == 1
+        cur = catalog.read(spark, "curated")
+        assert sorted(r.doc_id for r in cur.collect()) == [1, 2, 12]
+        assert catalog.committed("curated_minhash_index", "b2", "index")
+        assert catalog.committed("curated_pairs", "b2", "pairs")
+        # a third batch still dedups correctly against the healed index
+        b3 = spark.createDataFrame([(21, PROSE_C + " fresh tail")], ["doc_id", "text"])
+        acc3, rej3 = curate_increment(spark, b3, catalog, None, run_id="b3")
+        assert acc3.count() == 0
+        assert {r.reason for r in rej3.collect()} == {"exact_dup"}
+
     def test_first_batch_internal_dedup(self, spark, tmp_path):
         from threat_intelligence_knowledge_graph_spark.plans.curation import (
             curate_increment,

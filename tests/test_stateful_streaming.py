@@ -88,14 +88,17 @@ class TestStatefulReassembly:
         def start():
             # FILE sink, not memory: the memory sink refuses checkpoint
             # recovery; the parquet sink's commit log is what gives the
-            # restarted query exactly-once output semantics.
+            # restarted query exactly-once output semantics. 30 s idle
+            # timeout (not the other test's 6 s): the kill must land
+            # before any timeout emission even under this host's
+            # documented multi-second co-tenant stalls.
             stream = (
                 spark.readStream.schema(TRANSCRIPTS_SCHEMA)
                 .option("maxFilesPerTrigger", "1")
                 .parquet(inp)
             )
             return (
-                stateful_reassembly(stream, idle_timeout_ms=6000)
+                stateful_reassembly(stream, idle_timeout_ms=30_000)
                 .writeStream.format("parquet")
                 .option("path", outp)
                 .outputMode("append")
@@ -113,7 +116,7 @@ class TestStatefulReassembly:
         q1 = start()
         try:
             # wait until batch 1 is committed (half1 buffered in state),
-            # then kill before the 6 s idle timeout can fire
+            # then kill before the 30 s idle timeout can fire
             deadline = time.time() + 60
             while time.time() < deadline:
                 if any(p.numInputRows > 0 for p in q1.recentProgress):
@@ -132,7 +135,7 @@ class TestStatefulReassembly:
 
         q2 = start()
         try:
-            deadline = time.time() + 90
+            deadline = time.time() + 150
             out = []
             while time.time() < deadline:
                 out = emitted()

@@ -178,7 +178,13 @@ def minhash_incremental_near_duplicates(
     pairs touching the batch) is pytest-asserted.
     """
     new_sh = word_shingles(new_documents, id_col, text_col, n=shingle_words)
-    new_banded = lsh_band_keys(new_sh, num_hashes=num_hashes, bands=bands)
+    # Checkpoint the batch's banding: it feeds the bucket sizing, the
+    # bucket join AND the returned new_index_rows (which callers append
+    # to the index table) — without it the shingle + 64-hash minhash
+    # pass, the heaviest per-batch stage, re-executes per consumer.
+    new_banded = lsh_band_keys(
+        new_sh, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
     all_banded = index.select(
         F.col(id_col).alias("_id"), "band", "band_key"
     ).union(new_banded)

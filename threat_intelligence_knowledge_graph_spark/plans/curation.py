@@ -183,6 +183,13 @@ def curate_increment(
     'near_dup' | 'contaminated') — reject-don't-drop, the quarantine
     philosophy of ``sources/ingest.py`` applied to curation.
 
+    Crash safety: the four table appends are not one atomic commit, so
+    every read excludes this ``run_id``'s own commits and every append
+    is ``committed()``-guarded — rerunning the batch with the same
+    ``run_id`` after a crash anywhere between the appends recomputes
+    the identical decisions against the pre-run state and fills in only
+    the missing commits (the pipeline runner's resume-log discipline).
+
     Equivalence: when ingest ids are monotone across batches (the
     append-only feed invariant), every ADMISSION decision matches
     batch-mode ``curate_documents`` over the union — including the
@@ -228,14 +235,24 @@ def curate_increment(
     # dedup stage: the curated corpus PLUS the shadow of dedup-visible
     # rejects (near-dup / contaminated). Batch mode dedups against all
     # of them, so the increment must too.
+    # All reads exclude this run_id and all appends are committed()-
+    # guarded: a rerun after a crash between the four table appends
+    # recomputes the identical decisions against the PRE-run state and
+    # fills in only the missing commits — without this, a crash after
+    # the corpus append would make the rerun tag its own rows exact_dup
+    # and permanently lose their band-index/pairs rows.
     known_parts = []
-    if catalog.exists(corpus_table):
+    if catalog.exists_before(corpus_table, run_id):
         known_parts.append(
-            catalog.read(spark, corpus_table).select(id_col, text_col)
+            catalog.read(spark, corpus_table, exclude_run_id=run_id).select(
+                id_col, text_col
+            )
         )
-    if catalog.exists(shadow_table):
+    if catalog.exists_before(shadow_table, run_id):
         known_parts.append(
-            catalog.read(spark, shadow_table).select(id_col, text_col)
+            catalog.read(spark, shadow_table, exclude_run_id=run_id).select(
+                id_col, text_col
+            )
         )
     empty_docs = d.select(id_col, text_col).limit(0)
     known = reduce(DataFrame.union, known_parts) if known_parts else empty_docs
@@ -256,8 +273,8 @@ def curate_increment(
     from ..operators.minhash import connected_components
 
     index = (
-        catalog.read(spark, index_table)
-        if catalog.exists(index_table)
+        catalog.read(spark, index_table, exclude_run_id=run_id)
+        if catalog.exists_before(index_table, run_id)
         else minhash_band_index(empty_docs, id_col, text_col)
     )
     pairs, idx_rows, _dropped = minhash_incremental_near_duplicates(
@@ -278,8 +295,10 @@ def curate_increment(
     # reproduces batch-mode components exactly (monotone ids ⇒ old
     # components keep their old min).
     all_pairs = (
-        catalog.read(spark, pairs_table).select("a", "b").union(pairs)
-        if catalog.exists(pairs_table)
+        catalog.read(spark, pairs_table, exclude_run_id=run_id)
+        .select("a", "b")
+        .union(pairs)
+        if catalog.exists_before(pairs_table, run_id)
         else pairs
     )
     new_ids = d.select(F.col(id_col).alias("_nid"))
@@ -309,15 +328,21 @@ def curate_increment(
     accepted = d.select(id_col, text_col, "quality", "lang_pred").localCheckpoint(
         eager=True
     )
-    catalog.append(accepted, corpus_table, run_id=run_id, stage="curate")
+    def _commit(df, table, stage):
+        # idempotent under rerun: a stage that already committed for
+        # this run_id is skipped, the missing ones are filled in
+        if not catalog.committed(table, run_id, stage):
+            catalog.append(df, table, run_id=run_id, stage=stage)
+
+    _commit(accepted, corpus_table, "curate")
     # Band rows for EVERY exact-dedup survivor (accepted AND the
     # near-dup/decon rejects) — batch mode lets all of them generate
     # pairs, so future batches must see all of them in the index.
-    catalog.append(idx_rows, index_table, run_id=run_id, stage="index")
+    _commit(idx_rows, index_table, "index")
     shadow_new = dedup_reaching.select(id_col, text_col).join(
         accepted.select(id_col), id_col, "left_anti"
     )
-    catalog.append(shadow_new, shadow_table, run_id=run_id, stage="shadow")
-    catalog.append(pairs, pairs_table, run_id=run_id, stage="pairs")
+    _commit(shadow_new, shadow_table, "shadow")
+    _commit(pairs, pairs_table, "pairs")
     rejected = reduce(DataFrame.union, rejects)
     return accepted, rejected

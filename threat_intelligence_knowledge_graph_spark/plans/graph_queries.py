@@ -175,14 +175,15 @@ def blast_radius(
     from ..operators.graph_algos import bfs_distances
 
     src = spark.createDataFrame([(node_id,)], ["id"])
-    return bfs_distances(
+    dist, truncated = bfs_distances(
         spark.table("triples").select("subj", "obj"),
         src,
         src="subj",
         dst="obj",
         max_hops=max_hops,
         return_truncated=True,
-    ).orderBy("dist", "id")
+    )
+    return dist.withColumn("truncated", F.lit(truncated)).orderBy("dist", "id")
 
 
 def flagship_query(spark: SparkSession) -> DataFrame:
