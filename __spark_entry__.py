@@ -997,6 +997,36 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (GDS sourceNodes analog, 3 steps, d=0.85)
+    over the same planted nation graph as q_graph_pagerank, teleporting
+    to seeds {n0, n12, r2} (r2 is a dangling sink — dangling mass
+    returns to the seeds, not uniformly). rank⁰ = t; rank'(v) =
+    (1-d)·t(v) + d·(Σ contribs + dangling·t(v)). The DuckDB oracle
+    unrolls the identical float recurrence with the seeded teleport
+    vector; both sides round to 9 decimals."""
+    from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+    )
+    reg = nat.select(
+        nkey.alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+    )
+    ranks = pagerank(
+        cyc.union(reg), iterations=3, damping=0.85, seeds=["n0", "n12", "r2"]
+    )
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1503,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "curate_increment": q_curate_increment,
@@ -1571,7 +1602,10 @@ def _pii_oracle_sql() -> str:
 
 
 def _pagerank_oracle_sql(
-    iterations: int, damping: float, weighted: bool = False
+    iterations: int,
+    damping: float,
+    weighted: bool = False,
+    seeds: tuple[str, ...] | None = None,
 ) -> str:
     """Unrolled PageRank recurrence over the planted nation graph
     (see q_graph_pagerank). Generated per iteration so the SQL mirrors
@@ -1580,7 +1614,12 @@ def _pagerank_oracle_sql(
     the teleport term is (1.0 - d)/n, and the damped term is
     d * (c + dangling/n). ``weighted=True`` mirrors the weighted path:
     per-(src,dst) weight sums, w = ew / out-weight-sum (see
-    q_graph_pagerank_weighted for the planted weights)."""
+    q_graph_pagerank_weighted for the planted weights). ``seeds``
+    mirrors the personalized path: a teleport CTE with 1/|S| on the
+    seeds and 0 elsewhere replaces both the uniform teleport and the
+    uniform dangling redistribution, and it0 starts at t (all planted
+    seeds exist in the nation graph at every SF, so |S| is the literal
+    seed count — the operator counts S∩nodes at runtime)."""
     d = repr(damping)
     if weighted:
         head = """
@@ -1630,8 +1669,41 @@ def _pagerank_oracle_sql(
         ),
         it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
         """
+    if seeds is not None:
+        ids = ", ".join(f"'{s}'" for s in seeds)
+        head = head.replace(
+            "it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)",
+            f"""tele AS (
+          SELECT id,
+                 CASE WHEN id IN ({ids})
+                      THEN cast(1.0 AS double) / {len(seeds)}
+                      ELSE cast(0.0 AS double) END AS t
+          FROM nodes
+        ),
+        it0 AS (SELECT id, t AS rank FROM tele)""",
+        )
     parts = [head]
     for i in range(1, iterations + 1):
+        if seeds is not None:
+            update = f"""it{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) * t.t
+                   + {d} * (coalesce(c.c, 0.0) + dang{i}.dm * t.t) AS rank
+          FROM nodes nd
+          JOIN tele t ON t.id = nd.id
+          CROSS JOIN dang{i}
+          LEFT JOIN contrib{i} c ON c.id = nd.id
+        )"""
+        else:
+            update = f"""it{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / cnt.n
+                   + {d} * (coalesce(c.c, 0.0) + dang{i}.dm / cnt.n) AS rank
+          FROM nodes nd
+          CROSS JOIN cnt
+          CROSS JOIN dang{i}
+          LEFT JOIN contrib{i} c ON c.id = nd.id
+        )"""
         parts.append(
             f""",
         dang{i} AS (
@@ -1644,15 +1716,7 @@ def _pagerank_oracle_sql(
           FROM w JOIN it{i - 1} r ON w.src = r.id
           GROUP BY w.dst
         ),
-        it{i} AS (
-          SELECT nd.id,
-                 (1.0 - {d}) / cnt.n
-                   + {d} * (coalesce(c.c, 0.0) + dang{i}.dm / cnt.n) AS rank
-          FROM nodes nd
-          CROSS JOIN cnt
-          CROSS JOIN dang{i}
-          LEFT JOIN contrib{i} c ON c.id = nd.id
-        )
+        {update}
             """
         )
     parts.append(
@@ -2549,6 +2613,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
         "graph_pagerank_weighted": _pagerank_oracle_sql(
             iterations=3, damping=0.85, weighted=True
+        ),
+        "graph_pagerank_personalized": _pagerank_oracle_sql(
+            iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
         "table_checks": """
             WITH a AS (

@@ -243,6 +243,23 @@ class TestAnalystQueries:
         ranks_u = [r.rank for r in rows_u]
         assert rows_u and ranks_u == sorted(ranks_u, reverse=True)
 
+    def test_influence_from(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            blast_radius,
+            influence_from,
+        )
+
+        src = spark.table("triples").select("subj").first().subj
+        rows = influence_from(spark, [src], k=10, iterations=3).collect()
+        assert rows
+        ranks = [r.rank for r in rows]
+        assert ranks == sorted(ranks, reverse=True)
+        assert all(r.rank > 0 for r in rows)
+        # positive-rank nodes are exactly seed-reachable ones: every
+        # returned node must be in the seed's (uncapped) blast radius
+        reach = {r.id for r in blast_radius(spark, src, max_hops=50).collect()}
+        assert all(r.id in reach for r in rows)
+
     def test_blast_radius(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             blast_radius,

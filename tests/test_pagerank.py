@@ -146,3 +146,57 @@ class TestPagerank:
             pagerank(e, iterations=0)
         with pytest.raises(ValueError):
             pagerank(e, damping=1.0)
+
+    def test_personalized_matches_numpy_power_iteration(self, spark):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(23)
+        nodes = [f"n{i}" for i in range(24)]
+        pairs = sorted(
+            {
+                (nodes[rng.randrange(24)], nodes[rng.randrange(24)])
+                for _ in range(90)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        present = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        idx = {v: i for i, v in enumerate(present)}
+        seeds = [present[0], present[3], "not-in-graph"]
+        sk = 2  # seeds present in the graph
+        k, d, n = 5, 0.85, len(present)
+
+        t = np.zeros(n)
+        for s in seeds:
+            if s in idx:
+                t[idx[s]] = 1.0 / sk
+        outdeg = np.zeros(n)
+        for a, _b in pairs:
+            outdeg[idx[a]] += 1
+        r = t.copy()
+        for _ in range(k):
+            dangling = r[outdeg == 0].sum()
+            c = np.zeros(n)
+            for a, b in pairs:
+                c[idx[b]] += r[idx[a]] * (1.0 / outdeg[idx[a]])
+            r = (1.0 - d) * t + d * (c + dangling * t)
+
+        got = {
+            row.id: row.rank
+            for row in pagerank(
+                _edges(spark, pairs), iterations=k, damping=d, seeds=seeds
+            ).collect()
+        }
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+        for v, i in idx.items():
+            assert got[v] == pytest.approx(r[i], abs=1e-9)
+
+    def test_personalized_unreachable_is_zero_and_seed_validation(self, spark):
+        # two components: a->b and c->d; seeding on a gives c,d rank 0
+        e = _edges(spark, [("a", "b"), ("c", "d")])
+        got = {r.id: r.rank for r in pagerank(e, iterations=4, seeds=["a"]).collect()}
+        assert got["c"] == 0.0 and got["d"] == 0.0
+        assert got["a"] > 0 and got["b"] > 0
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(e, iterations=2, seeds=["zzz"])

@@ -38,6 +38,7 @@ def pagerank(
     src: str = "src_id",
     dst: str = "dst_id",
     weight: str | None = None,
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` synchronous power steps.
 
@@ -54,6 +55,21 @@ def pagerank(
     division by zero masquerading as a dangling node. The unweighted
     path is exactly the weighted one with weight ≡ 1, but keeps its
     ``1.0/out_deg`` form so existing oracle arithmetic is untouched.
+
+    ``seeds``: optional node-id list → PERSONALIZED PageRank (GDS
+    ``sourceNodes`` analog): the teleport vector concentrates on the
+    seeds instead of being uniform — t(v) = 1/|S∩nodes| for seeds, 0
+    elsewhere — and dangling mass returns to the seeds:
+
+        rank'(v) = (1-d)·t(v) + d·( Σ_{u→v} rank(u)·w(u→v) + dangling·t(v) )
+
+    with rank⁰ = t. Ranks still sum to 1 every step; a node unreachable
+    from the seeds converges to 0 — the analyst reading is "importance
+    FROM the seeds' perspective" (e.g. infrastructure proximity to a
+    known-compromised host). Seeds are an analyst-sized id list
+    (broadcast as a literal predicate); raises if none is in the graph.
+    ``seeds=None`` keeps the uniform-teleport arithmetic byte-for-byte
+    (its oracle entries predate this parameter).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -97,7 +113,22 @@ def pagerank(
         )
     has_out = outdeg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    if seeds is not None:
+        k = nodes.filter(F.col("id").isin(list(seeds))).count()
+        if k == 0:
+            raise ValueError("no seed node is present in the graph")
+        # Teleport vector as a column on the node frame: 1/|S∩nodes| on
+        # seeds, 0 elsewhere. The seed list is analyst-sized, so the
+        # membership test is a literal IN predicate (no join/shuffle).
+        nodes = nodes.select(
+            "id",
+            F.when(F.col("id").isin(list(seeds)), F.lit(1.0 / k))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        ).localCheckpoint(eager=True)
+        ranks = nodes.select("id", F.col("t").alias("rank"))
+    else:
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         dangling = (
             ranks.join(has_out, "id", "left_anti")
@@ -105,20 +136,27 @@ def pagerank(
             .first()[0]
         )
         contribs = (
-            weighted.join(ranks.withColumnRenamed("id", "src"), "src")
+            weighted.join(ranks.select("id", "rank").withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
         )
+        if seeds is not None:
+            new_rank = (
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling) * F.col("t"))
+            )
+            cols = ["id", new_rank.alias("rank"), F.col("t").alias("t")]
+        else:
+            new_rank = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+            )
+            cols = ["id", new_rank.alias("rank")]
         ranks = (
             nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
+            .select(*cols)
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank")

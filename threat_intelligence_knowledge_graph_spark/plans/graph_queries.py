@@ -186,6 +186,33 @@ def blast_radius(
     return dist.withColumn("truncated", F.lit(truncated)).orderBy("dist", "id")
 
 
+def influence_from(
+    spark: SparkSession,
+    seed_ids: list[str],
+    k: int = 20,
+    iterations: int = 5,
+) -> DataFrame:
+    """Personalized PageRank from known-compromised seeds — "which
+    infrastructure matters FROM these hosts' perspective". Where
+    ``blast_radius`` answers reachability (hop counts), this ranks the
+    reachable set by proximity-weighted importance: teleport
+    concentrates on the seeds, so rank decays with graph distance and
+    concentrates on nodes the seeds point into through many short
+    paths. GDS analog: ``gds.pageRank`` with ``sourceNodes``. Seeds not
+    in the graph are ignored (raises only if none is present)."""
+    from ..operators.pagerank import pagerank
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src_id"), F.col("obj").alias("dst_id")
+    )
+    ranks = pagerank(edges, iterations=iterations, seeds=seed_ids)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
