@@ -189,6 +189,36 @@ def q_kg_cve_mentions(spark, sf_dir):
     )
 
 
+def q_ioc_first_last_seen(spark, sf_dir):
+    """IOC sighting window (MISP/OpenCTI first_seen/last_seen analog):
+    per CVE value over the deterministic CTI corpus, the earliest and
+    latest sighting date (o_orderdate as the document timestamp) and
+    the distinct-document count. Pure Catalyst: regexp explode →
+    groupBy(min, max, count distinct) — one keyed shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    docs = _cti_docs(spark, sf_dir).join(
+        o.select(
+            F.col("o_orderkey").cast("string").alias("conv_id"), "o_orderdate"
+        ),
+        "conv_id",
+    )
+    return (
+        docs.select(
+            "conv_id",
+            "o_orderdate",
+            F.explode(
+                F.regexp_extract_all("doc_text", F.lit(_CVE_RX), 0)
+            ).alias("value"),
+        )
+        .groupBy("value")
+        .agg(
+            F.min("o_orderdate").alias("first_seen"),
+            F.max("o_orderdate").alias("last_seen"),
+            F.countDistinct("conv_id").alias("n_docs"),
+        )
+    )
+
+
 def q_kg_ipv4_mentions(spark, sf_dir):
     docs = _cti_docs(spark, sf_dir)
     return (
@@ -1027,6 +1057,36 @@ def q_graph_pagerank_personalized(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core membership (k=2) over a planted 30-node graph from
+    `nation`: an open chain n0—n1—…—n24 plus region edges n_i—r_(i%5)
+    for i<10. n24 has degree 1, so synchronous peeling cascades one
+    chain node per round from the n24 end (15 rounds to fixpoint —
+    deep-loop exercise); the surviving core is {n0..n9, r0..r4} with
+    in-core degrees. The peel update is set-valued and deterministic,
+    so the DuckDB oracle unrolls the same recurrence (20 rounds — no-op
+    past the fixpoint) and both sides agree exactly."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        k_core,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    chain = nat.filter(F.col("n_nationkey") < 24).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    reg = nat.filter(F.col("n_nationkey") < 10).select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), (F.col("n_nationkey") % 5).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return k_core(chain.union(reg), k=2, max_iter=20)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1485,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ioc_typing": q_kg_ioc_typing,
         "kg_cve_mentions": q_kg_cve_mentions,
         "kg_ipv4_mentions": q_kg_ipv4_mentions,
+        "ioc_first_last_seen": q_ioc_first_last_seen,
         "kg_triples_from_kernel": q_kg_triples_from_kernel,
         "kg_llm_mock_triples": q_kg_llm_mock_triples,
         "kg_nodes_from_kernel": q_kg_nodes_from_kernel,
@@ -1534,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "graph_kcore": q_graph_kcore,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "curate_increment": q_curate_increment,
@@ -1599,6 +1661,57 @@ def _pii_oracle_sql() -> str:
     for pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def _kcore_oracle_sql(k: int, iterations: int) -> str:
+    """Unrolled synchronous k-core peeling over the planted chain +
+    region graph (see q_graph_kcore). Each round recomputes degrees
+    over the surviving node set and drops nodes with degree < k; the
+    update is set-valued and deterministic, so iterations past the
+    fixpoint are no-ops — the oracle just unrolls enough rounds to
+    cover the planted graph's 15-round peel depth. The final SELECT
+    reads the last round's degree frame (at fixpoint that IS the
+    in-core degree, matching the operator's converged recompute)."""
+    head = """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS x,
+                 'n' || cast(n_nationkey + 1 AS varchar) AS y
+          FROM nation WHERE n_nationkey < 24
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_nationkey % 5 AS varchar)
+          FROM nation WHERE n_nationkey < 10
+        ),
+        e AS (
+          SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+          FROM e0 WHERE x <> y
+        ),
+        sym AS MATERIALIZED (
+          SELECT a AS id, b AS other FROM e
+          UNION ALL
+          SELECT b AS id, a AS other FROM e
+        ),
+        alive0 AS MATERIALIZED (SELECT DISTINCT id FROM sym)
+        """
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        deg{i} AS (
+          SELECT s.id, count(*) AS c
+          FROM sym s
+          JOIN alive{i - 1} p ON s.id = p.id
+          JOIN alive{i - 1} q ON s.other = q.id
+          GROUP BY s.id
+        ),
+        alive{i} AS MATERIALIZED (SELECT id FROM deg{i} WHERE c >= {k})
+            """
+        )
+    parts.append(
+        f"SELECT id, cast(c AS integer) AS degree "
+        f"FROM deg{iterations} WHERE c >= {k}"
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle_sql(
@@ -1776,6 +1889,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_cve_mentions": f"""
             WITH t AS ({_CTI_TEXT_SQL})
             SELECT u.value AS value, count(*) AS n_mentions
+            FROM t, unnest(regexp_extract_all(t.text, '{_CVE_RX}')) AS u(value)
+            GROUP BY u.value
+        """,
+        "ioc_first_last_seen": f"""
+            WITH t0 AS ({_CTI_TEXT_SQL}),
+            t AS (
+              SELECT t0.doc_id, t0.text, o.o_orderdate
+              FROM t0 JOIN orders o
+                ON t0.doc_id = cast(o.o_orderkey AS varchar)
+            )
+            SELECT u.value AS value,
+                   min(t.o_orderdate) AS first_seen,
+                   max(t.o_orderdate) AS last_seen,
+                   count(DISTINCT t.doc_id) AS n_docs
             FROM t, unnest(regexp_extract_all(t.text, '{_CVE_RX}')) AS u(value)
             GROUP BY u.value
         """,
@@ -2617,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_personalized": _pagerank_oracle_sql(
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
+        "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
         "table_checks": """
             WITH a AS (
               SELECT

@@ -111,29 +111,30 @@ def _host_busy_sec() -> float:
         return -1.0
 
 
-def _child_cpu_sec() -> float:
-    """Cumulative user+sys CPU-seconds of reaped child processes."""
-    import resource
-
-    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
-    return ru.ru_utime + ru.ru_stime
-
-
 def _cotenant_cpu_pct(
-    host_before: float, host_after: float,
-    child_before: float, child_after: float,
-    wall: float,
+    host_before: float, host_after: float, own_cpu: float, wall: float
 ) -> float:
     """CPU consumed by processes OTHER than the benchmarked subprocess
     during the sample, as % of total host capacity: (host busy CPU-sec
-    − our child's CPU-sec) / (wall × ncpu). This is the pure co-tenant
-    signal on a fully-masked box (the pinned mask covers all 32 CPUs at
-    the high level, so an off-mask idle check is impossible, and
-    loadavg's 1-min decay smears our own previous sample into the
-    reading). ~0 = clean window; tens of percent = contended sample."""
-    if min(host_before, host_after) < 0 or wall <= 0:
+    − the subprocess tree's own CPU-sec) / (wall × ncpu). This is the
+    pure co-tenant signal on a fully-masked box (the pinned mask covers
+    all 32 CPUs at the high level, so an off-mask idle check is
+    impossible, and loadavg's 1-min decay smears our own previous
+    sample into the reading). ~0 = clean window; tens of percent =
+    contended sample.
+
+    ``own_cpu`` is reported BY the subprocess from a /proc walk of its
+    own live tree (scripts/bench_run_pipeline.py::_tree_cpu_sec) —
+    driver-side RUSAGE_CHILDREN cannot see it, because the JVM and the
+    pyspark worker daemons are reaped by intermediate processes, never
+    by this driver; the first r5 artifact mis-scored our own footprint
+    as co-tenant load that way (21% at 8/32 cores, ~75% at 32/32).
+    Residual overcount: the subprocess's last ~1 s (after the /proc
+    walk: spark.stop + interpreter teardown) is attributed to
+    co-tenants — small and identical at both levels."""
+    if min(host_before, host_after) < 0 or own_cpu < 0 or wall <= 0:
         return -1.0
-    other = (host_after - host_before) - (child_after - child_before)
+    other = (host_after - host_before) - own_cpu
     ncpu = os.cpu_count() or 1
     return round(max(0.0, 100.0 * other / (wall * ncpu)), 1)
 
@@ -146,7 +147,7 @@ def _pinned_run(cores: int, corpus_path: str) -> dict:
         corpus_path, str(cores), str(cores * 2),
     ]
     load_before = _loadavg()
-    host_before, child_before = _host_busy_sec(), _child_cpu_sec()
+    host_before = _host_busy_sec()
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     wall = time.time() - t0
@@ -154,7 +155,7 @@ def _pinned_run(cores: int, corpus_path: str) -> dict:
     r = json.loads(line)
     r["loadavg"] = [load_before, _loadavg()]
     r["cotenant_cpu_pct"] = _cotenant_cpu_pct(
-        host_before, _host_busy_sec(), child_before, _child_cpu_sec(), wall
+        host_before, _host_busy_sec(), r.get("own_cpu_sec", -1.0), wall
     )
     return r
 

@@ -143,11 +143,57 @@ def main(corpus_path: str, cores: int, shuffle: int, mode: str = "local") -> Non
             .count()
         )
         passes.append(round(time.time() - t0, 3))
+    # Own process-tree CPU, read while the JVM is STILL ALIVE: the
+    # parent bench's RUSAGE_CHILDREN only accumulates what IT reaps, and
+    # the JVM/worker grandchildren are reaped by intermediate processes,
+    # so nearly all of this run's CPU would be misattributed to
+    # "co-tenants" (the r5 first-run artifact showed exactly that:
+    # cotenant≈own-footprint — 21% at 8/32 cores, ~75% at 32/32). Here
+    # every live tree pid contributes utime+stime plus cutime+cstime
+    # (its already-reaped children, e.g. pyspark worker daemons) — no
+    # double count, cutime only covers dead children.
+    own_cpu = _tree_cpu_sec()
     spark.stop()
     print(json.dumps({
         "sec": min(passes), "passes": passes,
         "n_turns": n_turns, "n_triples": n_triples,
+        "own_cpu_sec": own_cpu,
     }))
+
+
+def _tree_cpu_sec() -> float:
+    """user+sys CPU-seconds of this process's whole descendant tree
+    (live pids' utime+stime + each pid's reaped-children cutime+cstime),
+    via one /proc walk."""
+    try:
+        tck = os.sysconf("SC_CLK_TCK")
+        stats: dict[int, tuple[int, float]] = {}
+        for name in os.listdir("/proc"):
+            if not name.isdigit():
+                continue
+            try:
+                with open(f"/proc/{name}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            # comm can contain spaces/parens: parse after the LAST ')'
+            rest = raw[raw.rindex(")") + 2 :].split()
+            ppid = int(rest[1])
+            # rest[11..14] = utime stime cutime cstime
+            cpu = sum(int(x) for x in rest[11:15]) / tck
+            stats[int(name)] = (ppid, cpu)
+        root = os.getpid()
+        total = 0.0
+        for pid, (ppid, cpu) in stats.items():
+            p = pid
+            while p not in (0, 1):
+                if p == root:
+                    total += cpu
+                    break
+                p = stats.get(p, (0, 0.0))[0]
+        return round(total, 2)
+    except Exception:
+        return -1.0
 
 
 if __name__ == "__main__":

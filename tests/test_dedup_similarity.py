@@ -323,6 +323,24 @@ class TestIncrementalMinhash:
         # the batch-2 run (its id didn't exist during batch 1).
         assert not (self._pairsets(p1) & self._pairsets(p2))
 
+    def test_id_type_drift_fails_fast(self, spark):
+        """A batch whose id type differs from the persisted index must
+        raise a clear TypeError at plan-build time (before any index
+        appends), not an opaque least()/greatest() AnalysisException —
+        and never silently coerce, which would flip the a/b orientation
+        and the min-id survivor choice vs batch mode."""
+        import pytest
+
+        rows = _family_docs(3, 3)
+        old = spark.createDataFrame(rows, ["doc_id", "text"])
+        drifted = spark.createDataFrame(
+            [(str(1000 + i), t) for i, t in rows], ["doc_id", "text"]
+        )
+        with pytest.raises(TypeError, match="type drift"):
+            minhash_incremental_near_duplicates(
+                old, minhash_band_index(old), drifted, **self.KW
+            )
+
     def test_combined_bucket_cap_not_evadable_by_batching(self, spark):
         # 40 identical docs: 25 old + 15 new. cap=30 would pass either
         # side alone; the combined bucket (40) must be dropped+reported.

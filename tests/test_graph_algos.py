@@ -159,3 +159,51 @@ class TestReviewFixesR4:
         assert truncated  # backstop fired with a live frontier
         _d2, t2 = bfs_distances(edges, src, max_hops=30, return_truncated=True)
         assert not t2  # frontier drained before the cap
+
+
+class TestKCore:
+    def test_clique_with_tail_peels_to_clique(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_core,
+        )
+
+        # K4 on {1..4} + tail 4-5-6: 3-core is exactly the clique
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.id: r.degree for r in k_core(df, k=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        # 2-core: tail end 6 peels, then 5; clique survives
+        got2 = {r.id: r.degree for r in k_core(df, k=2).collect()}
+        assert got2 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_chain_peels_layer_per_round_and_truncation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_core,
+        )
+
+        # open chain 0-1-...-7: 2-core is empty (peels from both ends,
+        # 4 rounds); direction/duplicates/self-loops ignored
+        chain = [(i, i + 1) for i in range(7)] + [(3, 3), (1, 0)]
+        df = spark.createDataFrame(chain, ["src", "dst"])
+        out, truncated = k_core(df, k=2, max_iter=10, return_truncated=True)
+        assert out.count() == 0 and truncated is False
+
+        # backstop: 1 round is not enough — truncated, and the result
+        # is a SUPERSET of the true (empty) 2-core
+        out1, trunc1 = k_core(df, k=2, max_iter=1, return_truncated=True)
+        assert trunc1 is True
+        ids = {r.id for r in out1.collect()}
+        assert ids == {2, 3, 4, 5}  # ends 0,7 peeled; 1,6 dropped unpropagated
+
+    def test_validation_and_empty(self, spark):
+        import pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_core,
+        )
+
+        df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="k must be"):
+            k_core(df, k=0)
+        assert k_core(df.filter("src > 99"), k=2).count() == 0

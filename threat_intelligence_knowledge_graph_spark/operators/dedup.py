@@ -177,6 +177,21 @@ def minhash_incremental_near_duplicates(
     ``corpus``). Equivalence with the full self-join (restricted to
     pairs touching the batch) is pytest-asserted.
     """
+    # Fail fast on id-type drift between batches: the index/batch union
+    # would implicitly coerce, but least/greatest on the pair columns
+    # has no implicit coercion (opaque AnalysisException), and even if
+    # it did, string-vs-numeric ordering silently changes the a/b
+    # orientation and the min-id survivor choice vs batch mode.
+    for side, df in (("index", index), ("corpus", corpus)):
+        got = df.schema[id_col].dataType
+        want = new_documents.schema[id_col].dataType
+        if got != want:
+            raise TypeError(
+                f"id column {id_col!r} type drift: new_documents has "
+                f"{want.simpleString()} but {side} has "
+                f"{got.simpleString()}; cast the batch ids to the "
+                "corpus/index type before ingesting"
+            )
     new_sh = word_shingles(new_documents, id_col, text_col, n=shingle_words)
     # Checkpoint the batch's banding: it feeds the bucket sizing, the
     # bucket join AND the returned new_index_rows (which callers append

@@ -13,6 +13,9 @@ tables — pure DataFrame joins/aggregations, no per-row Python:
   least one neighbor (the GDS nodeSimilarity shape): one self-join on
   the shared neighbor, then degree arithmetic — |N(a) ∩ N(b)| comes
   from the join, |N(a) ∪ N(b)| = deg(a) + deg(b) − |∩|.
+- ``k_core`` — synchronous peeling to the maximal subgraph of degree
+  ≥ k (GDS k-core membership), with the max_iter/truncated reporting
+  contract of ``bfs_distances``.
 - connected components live in ``operators.minhash`` (propagation +
   large-star/small-star) — re-exported here for discoverability.
 
@@ -256,3 +259,61 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
+    """(id, degree) of the k-core: the maximal subgraph in which every
+    node has undirected degree ≥ k (GDS k-core decomposition membership
+    for a given k; ``degree`` is the node's degree WITHIN the core).
+    Undirected, parallel edges deduped, self-loops dropped — the
+    ``_canonical_edges`` semantics shared with triangle_count.
+
+    Synchronous peeling: every round simultaneously removes ALL nodes
+    whose current degree is < k, then recomputes degrees over the
+    survivors; a chain graph therefore peels one layer per round from
+    the endpoints inward, so rounds-to-fixpoint is the graph's peel
+    depth, not a constant. The update is set-valued and deterministic
+    (no tie-breaking), so early exit at the fixpoint is oracle-safe:
+    extra unrolled oracle iterations are no-ops.
+
+    ``max_iter`` is the lineage/backstop bound (each round is one
+    degree aggregation + two semi-joins + a bounded count scalar,
+    localCheckpoint-truncated — the PageRank/CC discipline). With
+    ``return_truncated=True`` returns ``(df, truncated)``; truncated
+    means the backstop fired while another round would still peel —
+    the returned set is then a SUPERSET of the k-core (no silent
+    truncation, the bfs_distances contract).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    truncated = False
+    deg = None
+    for i in range(max_iter + 1):
+        both = cur.select(F.col("a").alias("id")).union(
+            cur.select(F.col("b").alias("id"))
+        )
+        deg = both.groupBy("id").agg(F.count("*").alias("degree"))
+        doomed = deg.filter(F.col("degree") < k).localCheckpoint(eager=True)
+        n_doomed = doomed.count()
+        if n_doomed == 0:
+            break
+        if i == max_iter:
+            truncated = True
+            break
+        cur = (
+            cur.join(doomed.select(F.col("id").alias("a")), "a", "left_anti")
+            .join(doomed.select(F.col("id").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    out = deg.filter(F.col("degree") >= k).select(
+        "id", F.col("degree").cast("int").alias("degree")
+    )
+    return (out, truncated) if return_truncated else out
