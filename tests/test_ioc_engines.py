@@ -99,6 +99,20 @@ def test_mac_backref_equals_alternation(corpus):
         assert strict.findall(t) == [m[0] for m in _MAC_FAST.findall(t)]
 
 
+def test_mac_sep_anchored_equals_contract(corpus):
+    """The r5 separator-anchored scan (`_find_macs`) must equal the
+    contract alternation — fuzz dense in hex/separator/boundary chars
+    (incl. '_' and 'g': word chars outside the hex set, exercising the
+    Python-side \\b precheck) plus the parity corpus."""
+    from threat_intelligence_knowledge_graph_spark.rules.iocs import _find_macs
+
+    strict = re.compile(_PATTERNS["mac_addresses"])
+    for s in _fuzz("0123456789abcdefABCDEF:- x_g", n=8000, seed=13):
+        assert strict.findall(s) == _find_macs(s), s
+    for t in corpus:
+        assert strict.findall(t) == _find_macs(t)
+
+
 def test_domains_tld_prescan_equals_scan(corpus):
     """The '.<tld>' prescan + run-start anchored match must equal the
     contract pattern's findall — adversarial dot/dash runs included."""
