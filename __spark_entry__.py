@@ -34,6 +34,7 @@ from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
     fingerprints,
     language_id,
     quality_score,
+    tfidf_top_terms,
     token_counts,
 )
 
@@ -1114,6 +1115,29 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by smoothed TF-IDF.
+    Score rounded to 6 decimals BEFORE ranking; ranking key
+    (tfidf DESC, df ASC, term ASC) is fully deterministic — see
+    operators/text_quality.py::tfidf_top_terms."""
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_events_type_cooccurrence(spark, sf_dir):
+    """Behavioral co-occurrence edges from the event log: event types
+    fired by the same user within the same hour, weight = #shared
+    (user, hour) contexts — KG edge construction from observations
+    (operators/graph_algos.py::cooccurrence_edges)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        cooccurrence_edges,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    )
+    return cooccurrence_edges(e, "event_type", ["user_id", "hr"])
+
+
 def q_similarity_topk(spark, sf_dir):
     from threat_intelligence_knowledge_graph_spark.operators.similarity import (
         with_cosine,
@@ -1558,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_orders": q_join_customer_orders,
         "events_user_windows": q_events_user_windows,
         "events_sessionize": q_events_sessionize,
+        "events_type_cooccurrence": q_events_type_cooccurrence,
         "top_parts_by_revenue": q_top_parts_by_revenue,
         "set_ops_nations": q_set_ops_nations,
         "rollup_orders": q_rollup_orders,
@@ -1575,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "train_val_split": q_train_val_split,
         "text_token_counts": q_text_token_counts,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
         "text_fingerprints": q_text_fingerprints,
@@ -2031,6 +2057,17 @@ def oracle_sql() -> dict[str, str]:
                    cast((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS bigint) AS duration_sec
             FROM sessions GROUP BY user_id, session_id
         """,
+        "events_type_cooccurrence": """
+            WITH it AS (
+              SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+              FROM events
+            )
+            SELECT x.event_type AS a, y.event_type AS b, count(*) AS weight
+            FROM it x JOIN it y
+              ON x.user_id = y.user_id AND x.hr = y.hr
+             AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        """,
         "top_parts_by_revenue": """
             WITH rev AS (
               SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2182,6 +2219,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS int) AS ws_tokens,
                    cast(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS int) AS bpe_tokens
             FROM documents
+        """,
+        # tfidf: score rounded to 6 BEFORE ranking; rank key is
+        # (tfidf DESC, df ASC, term ASC) — fully deterministic, so both
+        # engines pick identical rows even among (tf, df) ties (see
+        # operators/text_quality.py::tfidf_top_terms).
+        "text_tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                     round(tf.tf * ln((n.n + 1.0) / (dfr.df + 1.0)), 6) AS tfidf
+              FROM tf JOIN dfr USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf, cast(rk AS int) AS rk FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tfidf DESC, df ASC, term ASC
+              ) AS rk
+              FROM scored
+            ) WHERE rk <= 5
         """,
         "text_quality_score": rf"""
             WITH m AS (

@@ -175,3 +175,93 @@ class TestRepetitionRatio:
         assert abs(got[1] - (1 - 8 / 73)) < 1e-9
         assert got[2] == 0.0  # every 8-gram of a pangram-ish line is novel
         assert got[3] == 0.0
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_ranking(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            tfidf_top_terms,
+        )
+
+        # 3 docs; 'rare' only in doc 1, 'common' in all three.
+        df = spark.createDataFrame(
+            [
+                (1, "rare common common"),
+                (2, "common beta beta beta"),
+                (3, "common beta"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = tfidf_top_terms(df, k=2).collect()
+        got = {(r.doc_id, r.rk): (r.term, r.tf, r.df, r.tfidf) for r in rows}
+        # doc 1: rare tf=1 df=1 → ln(4/2)=0.693147; common tf=2 df=3 → 2·ln(1)=0
+        assert got[(1, 1)] == ("rare", 1, 1, round(math.log(2.0), 6))
+        assert got[(1, 2)] == ("common", 2, 3, 0.0)
+        # doc 2: beta tf=3 df=2 → 3·ln(4/3)
+        assert got[(2, 1)] == ("beta", 3, 2, round(3 * math.log(4.0 / 3.0), 6))
+        # doc 3 tie on tfidf=... beta (tf=1, df=2) vs common (tf=1, df=3):
+        # beta's idf is larger → rank 1
+        assert got[(3, 1)][0] == "beta" and got[(3, 2)][0] == "common"
+
+    def test_tie_breaks_by_df_then_term(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            tfidf_top_terms,
+        )
+
+        # two terms with IDENTICAL (tf, df) in the same doc → identical
+        # rounded score; the (df, term) tiebreak must order them
+        # lexicographically in every engine.
+        df = spark.createDataFrame(
+            [(1, "zz aa"), (2, "zz aa")], ["doc_id", "text"]
+        )
+        rows = tfidf_top_terms(df, k=2).filter("doc_id = 1").collect()
+        assert [r.term for r in sorted(rows, key=lambda r: r.rk)] == ["aa", "zz"]
+
+    def test_min_term_len_and_k(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            tfidf_top_terms,
+        )
+
+        df = spark.createDataFrame([(1, "a bb ccc dddd")], ["doc_id", "text"])
+        rows = tfidf_top_terms(df, k=10, min_term_len=3).collect()
+        assert {r.term for r in rows} == {"ccc", "dddd"}
+
+
+class TestCooccurrenceEdges:
+    def _obs(self, spark):
+        # context (u, h): u1h1 {A,B,C}, u1h2 {A,B}, u2h1 {A,B}, u2h2 {C}
+        rows = [
+            ("u1", "h1", "A"), ("u1", "h1", "B"), ("u1", "h1", "C"),
+            ("u1", "h1", "A"),  # duplicate observation — must not double-count
+            ("u1", "h2", "A"), ("u1", "h2", "B"),
+            ("u2", "h1", "A"), ("u2", "h1", "B"),
+            ("u2", "h2", "C"),
+        ]
+        return spark.createDataFrame(rows, ["u", "h", "item"])
+
+    def test_weights(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            cooccurrence_edges,
+        )
+
+        got = {
+            (r.a, r.b): r.weight
+            for r in cooccurrence_edges(self._obs(spark), "item", ["u", "h"]).collect()
+        }
+        assert got == {("A", "B"): 3, ("A", "C"): 1, ("B", "C"): 1}
+
+    def test_context_cap_reports_dropped(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            cooccurrence_edges,
+        )
+
+        edges, dropped = cooccurrence_edges(
+            self._obs(spark), "item", ["u", "h"], max_context_items=2
+        )
+        # u1h1 (3 items) dropped; remaining contexts still pair
+        got = {(r.a, r.b): r.weight for r in edges.collect()}
+        assert got == {("A", "B"): 2}
+        d = [(r.u, r.h, r.context_size) for r in dropped.collect()]
+        assert d == [("u1", "h1", 3)]

@@ -16,6 +16,10 @@ tables — pure DataFrame joins/aggregations, no per-row Python:
 - ``k_core`` — synchronous peeling to the maximal subgraph of degree
   ≥ k (GDS k-core membership), with the max_iter/truncated reporting
   contract of ``bfs_distances``.
+- ``cooccurrence_edges`` — weighted co-occurrence graph CONSTRUCTION
+  from observation logs (items sharing a context become an edge,
+  weight = #shared contexts) — the standard way a KG gains behavioral
+  edges from event streams; feeds every algorithm above.
 - connected components live in ``operators.minhash`` (propagation +
   large-star/small-star) — re-exported here for discoverability.
 
@@ -259,6 +263,53 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def cooccurrence_edges(
+    observations: DataFrame,
+    item_col: str,
+    context_cols: list[str],
+    max_context_items: int | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Weighted undirected co-occurrence edges from an observation log:
+    ``(a, b, weight)`` where ``a < b`` are distinct ``item_col`` values
+    seen in the same context (the ``context_cols`` tuple — e.g.
+    ``[user_id, hour]`` for event types, ``[doc_id]`` for entities) and
+    ``weight`` is the number of distinct shared contexts.
+
+    This is graph construction, not analysis: the output plugs directly
+    into ``pagerank(weight=...)``, ``triangle_count``, ``k_core`` etc.,
+    turning an event/mention stream into behavioral KG edges.
+
+    Plan: one distinct over (context, item) — the only pass over the
+    log — then a self-equi-join on the context key and a count
+    aggregation; all shuffles are on natural keys, no cartesian. The
+    per-context fan-out is quadratic in that context's distinct item
+    count, so ``max_context_items`` caps it (a hot context — one user
+    firing every event type every hour — is exactly the LSH hot-bucket
+    shape): when set, returns ``(edges, dropped_contexts)`` where
+    ``dropped_contexts`` carries each over-cap context and its size —
+    the repo's no-silent-truncation contract.
+    """
+    items = observations.select(
+        *context_cols, F.col(item_col).alias("_item")
+    ).distinct()
+    dropped = None
+    if max_context_items is not None:
+        sized = items.groupBy(*context_cols).agg(
+            F.count("*").alias("context_size")
+        )
+        dropped = sized.filter(F.col("context_size") > max_context_items)
+        items = items.join(dropped.select(*context_cols), context_cols, "left_anti")
+    a = items.select(*context_cols, F.col("_item").alias("a"))
+    b = items.select(*context_cols, F.col("_item").alias("b"))
+    edges = (
+        a.join(b, context_cols)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("weight"))
+    )
+    return (edges, dropped) if max_context_items is not None else edges
 
 
 def k_core(

@@ -10,7 +10,7 @@ oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql import DataFrame, Column, Window, functions as F
 
 STOPWORDS_EN = [
     "the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
@@ -156,6 +156,77 @@ def scrub_pii(
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return documents.select(F.col(id_col), out.alias(text_col))
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF —
+    the classic keyword-extraction / corpus-exploration primitive
+    (``tfidf = tf · ln((N+1)/(df+1))``, terms = lowercase ``[a-z0-9]``
+    runs of length ≥ ``min_term_len``).
+
+    Cross-engine determinism (the oracle-parity discipline): the score
+    is **rounded to 6 decimals BEFORE ranking**, and the ranking is a
+    ``row_number`` over the fully deterministic key ``(tfidf DESC, df
+    ASC, term ASC)``. Distinct ``(tf, df)`` pairs whose products are
+    mathematically equal (e.g. ``2·ln(10)`` vs ``ln(100)``) can round
+    differently in the last ulp per engine; rounding first collapses
+    them to the same key so the integer tiebreaks decide identically
+    everywhere (ln of a rational is transcendental, so a true value
+    never sits exactly on a rounding boundary).
+
+    100 TB shape: token explode is scan-local; ``tf`` shuffles on
+    ``(doc, term)``, ``df`` is a map-side-combining re-agg of the tf
+    frame on ``term`` (vocabulary-sized, Zipf-bounded); the tf⋈df join
+    and the per-doc window shuffle on their natural keys; N is one
+    bounded count scalar. No Python anywhere."""
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]{{{min_term_len},}}', 0)"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
 
 
 def repetition_ratio(
