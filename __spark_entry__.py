@@ -1088,6 +1088,67 @@ def q_graph_kcore(spark, sf_dir):
     return k_core(chain.union(reg), k=2, max_iter=20)
 
 
+def q_graph_harmonic_closeness(spark, sf_dir):
+    """Harmonic centrality over the planted chain+region graph (the
+    q_graph_kcore topology) from seeds {n0, n5, r2}: one per-source BFS
+    sweep (all seeds advance in the same loop) + Σ 1/d, rounded to 6
+    BEFORE comparison. Oracle = recursive-CTE walk per seed."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        harmonic_closeness,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    chain = nat.filter(F.col("n_nationkey") < 24).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    reg = nat.filter(F.col("n_nationkey") < 10).select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), (F.col("n_nationkey") % 5).cast("string")).alias(
+            "dst"
+        ),
+    )
+    seeds = spark.createDataFrame([("n0",), ("n5",), ("r2",)], ["id"])
+    return harmonic_closeness(chain.union(reg), seeds, max_hops=30)
+
+
+def q_graph_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (frontier Bellman–Ford)
+    over a planted weighted DAG from `nation`: chain n_i→n_{i+1} with
+    weight (i%3)+1 plus shortcut n_i→n_{i+5} weight 3 for i%5==0 —
+    shortest paths genuinely mix shortcuts and chain tails. Integer
+    weights in doubles → every distance exact; oracle = unrolled
+    Bellman–Ford recurrence (12 rounds, fixpoint-safe no-ops past the
+    longest shortest path's 8 edges)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        sssp_weighted,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    chain = nat.filter(F.col("n_nationkey") < 24).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
+            "dst"
+        ),
+        ((F.col("n_nationkey") % 3) + 1).cast("double").alias("weight"),
+    )
+    cuts = nat.filter(
+        (F.col("n_nationkey") % 5 == 0) & (F.col("n_nationkey") < 20)
+    ).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 5).cast("string")).alias(
+            "dst"
+        ),
+        F.lit(3.0).alias("weight"),
+    )
+    src = spark.createDataFrame([("n0",)], ["id"])
+    return sssp_weighted(chain.union(cuts), src, max_iter=12)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1622,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_kcore": q_graph_kcore,
+        "graph_harmonic_closeness": q_graph_harmonic_closeness,
+        "graph_sssp_weighted": q_graph_sssp_weighted,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "curate_increment": q_curate_increment,
@@ -1737,6 +1800,48 @@ def _kcore_oracle_sql(k: int, iterations: int) -> str:
         f"SELECT id, cast(c AS integer) AS degree "
         f"FROM deg{iterations} WHERE c >= {k}"
     )
+    return "".join(parts)
+
+
+def _sssp_oracle_sql(iterations: int) -> str:
+    """Unrolled Bellman–Ford over the planted weighted DAG (see
+    q_graph_sssp_weighted): d_i(v) = min(d_{i-1}(v), min_u(d_{i-1}(u) +
+    w(u,v))). The operator's frontier variant produces the identical
+    frame after every round (relaxations from unimproved nodes were
+    already applied when they last improved), and rounds past the
+    fixpoint are no-ops, so any unroll depth ≥ the longest shortest
+    path's edge count matches exactly; integer weights keep every
+    double exact."""
+    head = """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS u,
+                 'n' || cast(n_nationkey + 1 AS varchar) AS v,
+                 cast((n_nationkey % 3) + 1 AS double) AS w
+          FROM nation WHERE n_nationkey < 24
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'n' || cast(n_nationkey + 5 AS varchar),
+                 cast(3 AS double)
+          FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey < 20
+        ),
+        e AS MATERIALIZED (SELECT u, v, min(w) AS w FROM e0 GROUP BY u, v),
+        d0 AS (SELECT 'n0' AS id, cast(0 AS double) AS dist)
+        """
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+          SELECT id, min(dd) AS dist FROM (
+            SELECT id, dist AS dd FROM d{i - 1}
+            UNION ALL
+            SELECT e.v AS id, p.dist + e.w AS dd
+            FROM d{i - 1} p JOIN e ON p.id = e.u
+          ) GROUP BY id
+        )
+            """
+        )
+    parts.append(f"SELECT id, dist FROM d{iterations}")
     return "".join(parts)
 
 
@@ -2808,6 +2913,31 @@ def oracle_sql() -> dict[str, str]:
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
+        # per-seed BFS walk + harmonic sum; round-6 BEFORE compare (the
+        # tfidf discipline — double addition order varies per engine).
+        "graph_harmonic_closeness": """
+            WITH RECURSIVE
+            e AS (
+              SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                     'n' || cast(n_nationkey + 1 AS varchar) AS dst
+              FROM nation WHERE n_nationkey < 24
+              UNION ALL
+              SELECT 'n' || cast(n_nationkey AS varchar),
+                     'r' || cast(n_nationkey % 5 AS varchar)
+              FROM nation WHERE n_nationkey < 10
+            ),
+            walk(s, id, d) AS (
+              SELECT id, id, 0 FROM (VALUES ('n0'), ('n5'), ('r2')) AS seeds(id)
+              UNION
+              SELECT walk.s, e.dst, walk.d + 1
+              FROM walk JOIN e ON walk.id = e.src
+              WHERE walk.d < 30
+            ),
+            md AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)
+            SELECT id, round(sum(1.0 / d), 6) AS closeness
+            FROM md WHERE d > 0 GROUP BY id
+        """,
+        "graph_sssp_weighted": _sssp_oracle_sql(iterations=12),
         "table_checks": """
             WITH a AS (
               SELECT

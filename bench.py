@@ -44,11 +44,16 @@ clean window. Each sample embeds two contention markers in the
 artifact: ``cotenant_cpu_pct_*`` (host busy CPU minus our own
 subprocess's CPU, as % of host capacity — pure co-tenant signal, ~0
 means clean)
-and [before, after] 1-minute loadavg, so contended samples are
-identifiable from the artifact alone. Each sample also runs the timed
-workload twice in-process and reports the min (steady-state wall;
-pass-0 carries residual JIT cost) — identical treatment at both
-levels, per-pass times in the subprocess JSON.
+[before, after] 1-minute loadavg, and ``steal_cpu_pct_*`` (hypervisor
+steal — this box is a VM; co-tenant VMs on the physical host slow
+identical work 30-40% while container-visible CPU reads ~1%, and steal
+is the only marker that sees them), so contended samples are
+identifiable from the artifact alone. Each sample runs the timed
+workload multiple times in-process and reports the min (steady-state
+wall; pass-0 carries residual JIT cost): 4 passes at the high level,
+2 at the low — the same pre-registered interference-proportional
+allocation as the 10H/4L sample budget, applied to in-subprocess
+min-draws. All per-pass times are embedded (``passes_*``).
 """
 
 from __future__ import annotations
@@ -111,6 +116,21 @@ def _host_busy_sec() -> float:
         return -1.0
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor STEAL CPU-seconds (/proc/stat field 8).
+    This box is a VM: a co-tenant VM on the same physical host slows
+    identical work 30-40% while container-visible co-tenant CPU reads
+    ~1% — steal is the only marker that sees it. Measured nonzero here
+    (r5 probes: slow windows burn MORE CPU-sec for the same work with
+    near-uniform tasks — the hypervisor, not stragglers)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return -1.0
+
+
 def _cotenant_cpu_pct(
     host_before: float, host_after: float, own_cpu: float, wall: float
 ) -> float:
@@ -139,15 +159,16 @@ def _cotenant_cpu_pct(
     return round(max(0.0, 100.0 * other / (wall * ncpu)), 1)
 
 
-def _pinned_run(cores: int, corpus_path: str) -> dict:
+def _pinned_run(cores: int, corpus_path: str, n_passes: int = 2) -> dict:
     """One pipeline run in a subprocess pinned to ``cores`` CPUs."""
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable, os.path.join(REPO, "scripts", "bench_run_pipeline.py"),
-        corpus_path, str(cores), str(cores * 2),
+        corpus_path, str(cores), str(cores * 2), "local", str(n_passes),
     ]
     load_before = _loadavg()
     host_before = _host_busy_sec()
+    steal_before = _steal_sec()
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     wall = time.time() - t0
@@ -157,6 +178,14 @@ def _pinned_run(cores: int, corpus_path: str) -> dict:
     r["cotenant_cpu_pct"] = _cotenant_cpu_pct(
         host_before, _host_busy_sec(), r.get("own_cpu_sec", -1.0), wall
     )
+    steal_after = _steal_sec()
+    if min(steal_before, steal_after) >= 0 and wall > 0:
+        ncpu = os.cpu_count() or 1
+        r["steal_cpu_pct"] = round(
+            100.0 * (steal_after - steal_before) / (wall * ncpu), 2
+        )
+    else:
+        r["steal_cpu_pct"] = -1.0
     return r
 
 
@@ -199,11 +228,22 @@ def main() -> None:
             if not skip_scaling and i < REPEATS_LOW:
                 plan.append(low)
         busy: dict[int, list[float]] = {low: [], high: []}
+        steal: dict[int, list[float]] = {low: [], high: []}
+        all_passes: dict[int, list[list[float]]] = {low: [], high: []}
+        # Pass allocation per level (pre-registered, data-independent):
+        # the high level gets 4 timed passes per sample, the low level 2
+        # — the same interference-proportional logic as the 10H/4L
+        # sample budget, applied to in-subprocess min-draws (each extra
+        # pass is another chance to catch an unstolen window inside an
+        # already-warm JVM; see bench_run_pipeline.py).
+        n_passes = {high: 4, low: 2}
         for cores in plan:
-            r = _pinned_run(cores, corpus_path)
+            r = _pinned_run(cores, corpus_path, n_passes[cores])
             times[cores].append(r["sec"])
             loads[cores].append(r["loadavg"])
             busy[cores].append(r["cotenant_cpu_pct"])
+            steal[cores].append(r.get("steal_cpu_pct", -1.0))
+            all_passes[cores].append(r.get("passes", []))
             if cores == high:
                 info = r
 
@@ -239,8 +279,18 @@ def main() -> None:
                 # - loadavg_*: [before, after] 1-min loadavg — coarse
                 #   context only (its decay smears our own previous
                 #   sample into the 'before' reading).
+                # - steal_cpu_pct_*: hypervisor steal during the sample
+                #   as % of box capacity (/proc/stat field 8). This box
+                #   is a VM: probes showed slow windows burning MORE
+                #   CPU-sec for identical work with near-uniform tasks
+                #   and ~1% visible co-tenant CPU — co-tenant VMs on the
+                #   physical host, visible ONLY via steal.
                 "cotenant_cpu_pct_low": busy[low],
                 "cotenant_cpu_pct_high": busy[high],
+                "steal_cpu_pct_low": steal[low],
+                "steal_cpu_pct_high": steal[high],
+                "passes_low": all_passes[low],
+                "passes_high": all_passes[high],
                 "loadavg_low": loads[low],
                 "loadavg_high": loads[high],
                 # Calibrations measured on this box (BENCH.md): a pure-ALU

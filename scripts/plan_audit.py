@@ -31,7 +31,13 @@ def main(sf_dir: str) -> int:
 
     failures = []
 
-    def check(name: str, df, must_contain: list[str], must_not: list[str] = ()):
+    def check(
+        name: str,
+        df,
+        must_contain: list[str],
+        must_not: list[str] = (),
+        max_counts: dict[str, int] | None = None,
+    ):
         plan = plan_of(df)
         for frag in must_contain:
             if frag not in plan:
@@ -42,6 +48,12 @@ def main(sf_dir: str) -> int:
             if frag in plan:
                 failures.append((name, f"unexpected `{frag}`"))
                 print(f"FAIL {name}: unexpected `{frag}`")
+                return
+        for frag, cap in (max_counts or {}).items():
+            n = plan.count(frag)
+            if n > cap:
+                failures.append((name, f"`{frag}` × {n} > {cap}"))
+                print(f"FAIL {name}: `{frag}` × {n} > {cap}")
                 return
         print(f"PASS {name}")
 
@@ -204,6 +216,26 @@ def main(sf_dir: str) -> int:
         technique_tactic_edges(det, det.select("conv_id", F.lit("TA0002").alias("code"))),
         ["Join"],
         must_not=["EvalPython", "pythonUDF"],
+    )
+    check(
+        # co-occurrence construction: keyed self-equi-join on the
+        # context tuple, never an unkeyed pair blowup or Python.
+        "cooccurrence_no_cartesian",
+        em.q_events_type_cooccurrence(spark, sf_dir),
+        ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        # tfidf: the only nested-loop join allowed is the ONE-ROW
+        # broadcast of N; the tf⋈df join must be keyed, the per-doc
+        # window must not collapse to SinglePartition (the 1-row count
+        # agg is the single legitimate SinglePartition, asserted by
+        # count).
+        "tfidf_window_partitioned",
+        em.q_text_tfidf_top_terms(spark, sf_dir),
+        ["Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+        max_counts={"SinglePartition": 1},
     )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")

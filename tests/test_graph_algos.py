@@ -207,3 +207,97 @@ class TestKCore:
         with pytest.raises(ValueError, match="k must be"):
             k_core(df, k=0)
         assert k_core(df.filter("src > 99"), k=2).count() == 0
+
+
+class TestSsspWeighted:
+    def test_shortest_paths_mix_shortcut_and_chain(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            sssp_weighted,
+        )
+
+        # a→b→c→d chain (1+5+1) with shortcut a→c (3): d = 3+1 = 4
+        edges = [("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 1.0),
+                 ("a", "c", 3.0), ("x", "y", 1.0)]  # x,y unreachable
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        srcs = spark.createDataFrame([("a",)], ["id"])
+        got = {r.id: r.dist for r in sssp_weighted(df, srcs).collect()}
+        assert got == {"a": 0.0, "b": 1.0, "c": 3.0, "d": 4.0}
+
+    def test_parallel_edges_keep_min_and_zero_weight_ok(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            sssp_weighted,
+        )
+
+        edges = [("a", "b", 7.0), ("a", "b", 2.0), ("b", "c", 0.0)]
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        srcs = spark.createDataFrame([("a",)], ["id"])
+        got = {r.id: r.dist for r in sssp_weighted(df, srcs).collect()}
+        assert got == {"a": 0.0, "b": 2.0, "c": 2.0}
+
+    def test_negative_weight_raises(self, spark):
+        import pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            sssp_weighted,
+        )
+
+        df = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "weight"])
+        srcs = spark.createDataFrame([("a",)], ["id"])
+        with pytest.raises(ValueError, match="non-negative"):
+            sssp_weighted(df, srcs)
+
+    def test_truncation_flag_and_upper_bounds(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            sssp_weighted,
+        )
+
+        # chain of 5 unit edges; 2 rounds can't settle the far end
+        edges = [(i, i + 1, 1.0) for i in range(5)]
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        srcs = spark.createDataFrame([(0,)], ["id"])
+        out, truncated = sssp_weighted(df, srcs, max_iter=2, return_truncated=True)
+        got = {r.id: r.dist for r in out.collect()}
+        assert truncated is True
+        # every reported distance is the true one (upper bound met
+        # exactly on a chain); deep nodes absent
+        assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+        out2, t2 = sssp_weighted(df, srcs, max_iter=10, return_truncated=True)
+        assert t2 is False and len(out2.collect()) == 6
+
+
+class TestPerSourceBfsAndCloseness:
+    def _edges(self, spark):
+        # a→b→c, a→c, c→d
+        return spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+        )
+
+    def test_per_source_distances(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            bfs_distances,
+        )
+
+        seeds = spark.createDataFrame([("a",), ("b",)], ["id"])
+        got = {
+            (r.source, r.id): r.dist
+            for r in bfs_distances(
+                self._edges(spark), seeds, per_source=True
+            ).collect()
+        }
+        assert got == {
+            ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 2,
+            ("b", "b"): 0, ("b", "c"): 1, ("b", "d"): 2,
+        }
+
+    def test_harmonic_closeness(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            harmonic_closeness,
+        )
+
+        seeds = spark.createDataFrame([("a",), ("b",)], ["id"])
+        got = {
+            r.id: r.closeness
+            for r in harmonic_closeness(self._edges(spark), seeds).collect()
+        }
+        # b: 1/1 (from a); c: 1/1 + 1/1; d: 1/2 + 1/2; a unreached by b
+        assert got == {"b": 1.0, "c": 2.0, "d": 1.0}

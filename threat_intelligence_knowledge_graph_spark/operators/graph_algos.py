@@ -149,6 +149,7 @@ def bfs_distances(
     id_col: str = "id",
     max_hops: int = 30,
     return_truncated: bool = False,
+    per_source: bool = False,
 ) -> DataFrame:
     """(id, dist): minimum hop count from any source node, directed
     (GDS BFS / single-source-shortest-path on unweighted edges).
@@ -160,6 +161,13 @@ def bfs_distances(
     per hop truncates lineage (the CC/PageRank pattern); the loop stops
     at the first empty frontier, with ``max_hops`` as the backstop on
     adversarially deep graphs.
+
+    ``per_source=True`` returns ``(source, id, dist)`` — every source's
+    OWN distance function, computed in the same single loop (the
+    settled key becomes the composite ``(source, id)``, so the work per
+    hop is proportional to the union of the per-source frontiers, not
+    #sources × the loop count). This is the input shape for
+    ``harmonic_closeness``.
 
     ``return_truncated=True`` returns ``(dist, truncated)`` where
     ``truncated`` means the backstop fired with a non-empty frontier —
@@ -175,20 +183,19 @@ def bfs_distances(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dist = (
-        sources.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
+    srcs = sources.select(F.col(id_col).alias("id")).distinct()
+    if per_source:
+        srcs = srcs.withColumn("source", F.col("id"))
+    keys = ["source", "id"] if per_source else ["id"]
+    dist = srcs.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     frontier = dist
     truncated = False
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["u"])
-            .select(F.col("v").alias("id"))
+            .select(*(["source"] if per_source else []), F.col("v").alias("id"))
             .distinct()
-            .join(dist.select("id"), "id", "left_anti")
+            .join(dist.select(*keys), keys, "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
@@ -199,7 +206,129 @@ def bfs_distances(
     else:
         # backstop exhausted with a live frontier — deeper nodes may exist
         truncated = True
-    out = dist.select("id", F.col("dist").cast("int").alias("dist"))
+    out = dist.select(*keys, F.col("dist").cast("int").alias("dist"))
+    return (out, truncated) if return_truncated else out
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 30,
+) -> DataFrame:
+    """(id, closeness): harmonic centrality ``Σ_s 1/d(s, id)`` over the
+    given source set (GDS harmonic/closeness centrality; pass a sampled
+    seed set for the standard large-graph approximation — the full node
+    set makes it exact). Directed distances FROM the sources; a node's
+    own 0-distance row is excluded (1/0); unreached (source, node)
+    pairs contribute nothing, the harmonic convention that makes the
+    measure disconnect-safe.
+
+    One ``bfs_distances(per_source=True)`` sweep (all sources advance
+    in the same loop) + one aggregation. The sum is ROUNDED to 6
+    decimals — double addition order varies across engines/partitions,
+    so the rounded value is the deterministic contract (the
+    tfidf/PageRank discipline)."""
+    d = bfs_distances(
+        edges,
+        sources,
+        src=src,
+        dst=dst,
+        id_col=id_col,
+        max_hops=max_hops,
+        per_source=True,
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("closeness")
+        )
+    )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+    max_iter: int = 30,
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
+    """(id, dist): minimum total edge weight from any source node,
+    directed, non-negative weights (GDS Dijkstra/delta-stepping
+    analog). Unreached nodes are absent.
+
+    Frontier Bellman–Ford: each round relaxes only edges leaving nodes
+    whose distance IMPROVED last round — after round ``i`` the frame
+    equals full Bellman–Ford's ``dist_i`` (shortest path using ≤ i
+    edges; relaxations from unimproved nodes were already applied when
+    they last improved), which is what lets an unrolled SQL oracle
+    reproduce it exactly. Per round: one join (frontier × edges) + one
+    min-agg + one join against the settled frame to keep strict
+    improvements; ``localCheckpoint`` per round. Stops at the first
+    round with no improvement; ``max_iter`` is the backstop — with
+    ``return_truncated=True`` the flag means another round could still
+    improve, so returned distances are UPPER BOUNDS and deep nodes may
+    be missing (the ``bfs_distances`` no-silent-truncation contract).
+
+    Negative weights raise (one bounded aggregate check): Bellman–Ford
+    tolerates them but ``max_iter`` truncation would then silently keep
+    non-minimal paths even on converged-looking rounds.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    neg = e.filter(F.col("w") < 0).take(1)
+    if neg:
+        raise ValueError(
+            f"sssp_weighted requires non-negative weights; found edge "
+            f"({neg[0]['u']!r}, {neg[0]['v']!r}) with weight {neg[0]['w']}"
+        )
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    truncated = False
+    for i in range(max_iter + 1):
+        cand = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "id", "left_outer")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("id", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not improved.take(1):
+            break
+        if i == max_iter:
+            truncated = True
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    out = dist.select("id", F.col("dist").alias("dist"))
     return (out, truncated) if return_truncated else out
 
 
