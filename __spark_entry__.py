@@ -83,6 +83,40 @@ _CTI_TEXT_SQL = """
 _IPV4_SIMPLE = r"(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _CVE_RX = r"CVE-[0-9]{4}-[0-9]{4,7}"
 
+# Planted 30-node test graph shared by the k-core and harmonic-closeness
+# entries AND their SQL oracles (one definition each side — an edit to
+# the topology desynchronizing operator vs oracle was the r5 review's
+# drift-trap finding): an open chain n0—n1—…—n24 plus region edges
+# n_i—r_(i%5) for i < 10.
+_CHAIN_REGION_EDGES_SQL = """
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast(n_nationkey + 1 AS varchar) AS dst
+          FROM nation WHERE n_nationkey < 24
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_nationkey % 5 AS varchar)
+          FROM nation WHERE n_nationkey < 10
+"""
+
+
+def _chain_region_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_CHAIN_REGION_EDGES_SQL`` (directed src→dst)."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    chain = nat.filter(F.col("n_nationkey") < 24).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    reg = nat.filter(F.col("n_nationkey") < 10).select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), (F.col("n_nationkey") % 5).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return chain.union(reg)
+
 def _html_to_text_oracle_sql() -> str:
     from threat_intelligence_knowledge_graph_spark.sources.html import (
         html_to_text_sql,
@@ -1071,21 +1105,7 @@ def q_graph_kcore(spark, sf_dir):
         k_core,
     )
 
-    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
-    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
-    chain = nat.filter(F.col("n_nationkey") < 24).select(
-        nkey.alias("src"),
-        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
-            "dst"
-        ),
-    )
-    reg = nat.filter(F.col("n_nationkey") < 10).select(
-        nkey.alias("src"),
-        F.concat(F.lit("r"), (F.col("n_nationkey") % 5).cast("string")).alias(
-            "dst"
-        ),
-    )
-    return k_core(chain.union(reg), k=2, max_iter=20)
+    return k_core(_chain_region_edges(spark, sf_dir), k=2, max_iter=20)
 
 
 def q_graph_harmonic_closeness(spark, sf_dir):
@@ -1097,22 +1117,10 @@ def q_graph_harmonic_closeness(spark, sf_dir):
         harmonic_closeness,
     )
 
-    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
-    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
-    chain = nat.filter(F.col("n_nationkey") < 24).select(
-        nkey.alias("src"),
-        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias(
-            "dst"
-        ),
-    )
-    reg = nat.filter(F.col("n_nationkey") < 10).select(
-        nkey.alias("src"),
-        F.concat(F.lit("r"), (F.col("n_nationkey") % 5).cast("string")).alias(
-            "dst"
-        ),
-    )
     seeds = spark.createDataFrame([("n0",), ("n5",), ("r2",)], ["id"])
-    return harmonic_closeness(chain.union(reg), seeds, max_hops=30)
+    return harmonic_closeness(
+        _chain_region_edges(spark, sf_dir), seeds, max_hops=30
+    )
 
 
 def q_graph_sssp_weighted(spark, sf_dir):
@@ -1761,19 +1769,11 @@ def _kcore_oracle_sql(k: int, iterations: int) -> str:
     cover the planted graph's 15-round peel depth. The final SELECT
     reads the last round's degree frame (at fixpoint that IS the
     in-core degree, matching the operator's converged recompute)."""
-    head = """
-        WITH e0 AS (
-          SELECT 'n' || cast(n_nationkey AS varchar) AS x,
-                 'n' || cast(n_nationkey + 1 AS varchar) AS y
-          FROM nation WHERE n_nationkey < 24
-          UNION ALL
-          SELECT 'n' || cast(n_nationkey AS varchar),
-                 'r' || cast(n_nationkey % 5 AS varchar)
-          FROM nation WHERE n_nationkey < 10
-        ),
+    head = f"""
+        WITH e0 AS ({_CHAIN_REGION_EDGES_SQL}),
         e AS (
-          SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-          FROM e0 WHERE x <> y
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst
         ),
         sym AS MATERIALIZED (
           SELECT a AS id, b AS other FROM e
@@ -2915,17 +2915,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
         # per-seed BFS walk + harmonic sum; round-6 BEFORE compare (the
         # tfidf discipline — double addition order varies per engine).
-        "graph_harmonic_closeness": """
+        "graph_harmonic_closeness": f"""
             WITH RECURSIVE
-            e AS (
-              SELECT 'n' || cast(n_nationkey AS varchar) AS src,
-                     'n' || cast(n_nationkey + 1 AS varchar) AS dst
-              FROM nation WHERE n_nationkey < 24
-              UNION ALL
-              SELECT 'n' || cast(n_nationkey AS varchar),
-                     'r' || cast(n_nationkey % 5 AS varchar)
-              FROM nation WHERE n_nationkey < 10
-            ),
+            e AS ({_CHAIN_REGION_EDGES_SQL}),
             walk(s, id, d) AS (
               SELECT id, id, 0 FROM (VALUES ('n0'), ('n5'), ('r2')) AS seeds(id)
               UNION

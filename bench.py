@@ -268,6 +268,22 @@ def main() -> None:
                 "throughput_high_turns_per_sec": round(n_turns / t_high, 1),
                 "speedup": round(t_low / t_high, 2),
                 "efficiency": round((t_low / t_high) / (high / low), 3),
+                # Companion metric with IDENTICAL draw counts per
+                # sample (first 2 passes only, both levels): the
+                # headline min-of-all-draws benefits from the high
+                # side's extra passes, which on a perfectly clean box
+                # would bias the ratio up — this one cannot. Both are
+                # pre-registered; a clean window makes them agree.
+                "efficiency_first2": round(
+                    (
+                        min(min(p[:2]) for p in all_passes[low])
+                        / min(min(p[:2]) for p in all_passes[high])
+                    )
+                    / (high / low),
+                    3,
+                )
+                if all(all_passes[low]) and all(all_passes[high])
+                else -1.0,
                 "runs_low_sec": times[low],
                 "runs_high_sec": times[high],
                 # Per-sample contention markers, same order as

@@ -301,3 +301,22 @@ class TestPerSourceBfsAndCloseness:
         }
         # b: 1/1 (from a); c: 1/1 + 1/1; d: 1/2 + 1/2; a unreached by b
         assert got == {"b": 1.0, "c": 2.0, "d": 1.0}
+
+    def test_harmonic_truncation_propagates(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            harmonic_closeness,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(0,)], ["id"])
+        out, truncated = harmonic_closeness(
+            chain, seeds, max_hops=3, return_truncated=True
+        )
+        assert truncated is True  # nodes 4..6 beyond the cap
+        assert {r.id for r in out.collect()} == {1, 2, 3}
+        _o2, t2 = harmonic_closeness(
+            chain, seeds, max_hops=10, return_truncated=True
+        )
+        assert t2 is False

@@ -109,6 +109,13 @@ def test_mac_sep_anchored_equals_contract(corpus):
     strict = re.compile(_PATTERNS["mac_addresses"])
     for s in _fuzz("0123456789abcdefABCDEF:- x_g", n=8000, seed=13):
         assert strict.findall(s) == _find_macs(s), s
+    # Unicode \b (r5 fix): non-ASCII word chars abutting a MAC must
+    # block the match exactly as the contract pattern does.
+    for s in _fuzz("0123456789abcdef:- é²x", n=6000, seed=15):
+        assert strict.findall(s) == _find_macs(s), s
+    for s in ["é00:11:22:33:44:55", "²00:11:22:33:44:55 x",
+              "00:11:22:33:44:55é", "weird é 00:11:22:33:44:55"]:
+        assert strict.findall(s) == _find_macs(s), s
     for t in corpus:
         assert strict.findall(t) == _find_macs(t)
 
@@ -160,6 +167,12 @@ def test_email_at_prescan_equals_scan(corpus):
 
     strict = re.compile(_PATTERNS["email_addresses"])
     for s in _fuzz("ab9._%+-@. comx ", n=8000, seed=13):
+        assert strict.findall(s) == _find_emails(s), s
+    # Unicode \b: 'é'/'²' are \w to the contract pattern but outside
+    # every ASCII set — the manual boundary test must agree (r5 fix).
+    for s in _fuzz("ab9._%+-@. comé² ", n=6000, seed=14):
+        assert strict.findall(s) == _find_emails(s), s
+    for s in ["éa@b.com", "²x@y.org", "é.a@b.com", "aé@b.com x@y.io"]:
         assert strict.findall(s) == _find_emails(s), s
     for s in ["-.a@b.com", "..a@b.com", "_a@b.com", "%a@b.com", "a@@b.com",
               "a@b.com c@d.net", "a@b.comc@d.net", "x a@b@c.com", "@b.com",

@@ -217,7 +217,8 @@ def harmonic_closeness(
     dst: str = "dst",
     id_col: str = "id",
     max_hops: int = 30,
-) -> DataFrame:
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
     """(id, closeness): harmonic centrality ``Σ_s 1/d(s, id)`` over the
     given source set (GDS harmonic/closeness centrality; pass a sampled
     seed set for the standard large-graph approximation — the full node
@@ -230,8 +231,14 @@ def harmonic_closeness(
     in the same loop) + one aggregation. The sum is ROUNDED to 6
     decimals — double addition order varies across engines/partitions,
     so the rounded value is the deterministic contract (the
-    tfidf/PageRank discipline)."""
-    d = bfs_distances(
+    tfidf/PageRank discipline).
+
+    ``return_truncated=True`` returns ``(df, truncated)``; truncated
+    means the BFS backstop fired with a live frontier, so closeness
+    values are LOWER BOUNDS (contributions deeper than ``max_hops`` are
+    missing) and deep-only nodes may be absent — the ``bfs_distances``
+    no-silent-truncation contract propagated (r5 review fix)."""
+    d, truncated = bfs_distances(
         edges,
         sources,
         src=src,
@@ -239,14 +246,16 @@ def harmonic_closeness(
         id_col=id_col,
         max_hops=max_hops,
         per_source=True,
+        return_truncated=True,
     )
-    return (
+    out = (
         d.filter(F.col("dist") > 0)
         .groupBy("id")
         .agg(
             F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("closeness")
         )
     )
+    return (out, truncated) if return_truncated else out
 
 
 def sssp_weighted(

@@ -210,9 +210,21 @@ _MAC_AT = re.compile(
     r"([0-9A-Fa-f]{2}([:-])(?:[0-9A-Fa-f]{2}\2){4}[0-9A-Fa-f]{2})\b"
 )
 _HEX_CHARS = frozenset("0123456789abcdefABCDEF")
-_WORD_CHARS = frozenset(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
-)
+# `\b` twin for the manual fast paths (MAC, email): Python's \b is
+# UNICODE — 'é' or '²' are word chars — so an ASCII-set test alone
+# silently diverges from the contract pattern on non-ASCII neighbors
+# (r5 review catch, byte-equality fuzz now draws non-ASCII too). The
+# ASCII set answers the common case in O(1); anything non-ASCII defers
+# to the regex engine's own \w, exact by construction.
+_WB_RX = re.compile(r"\w")
+
+
+def _is_word_char(ch: str) -> bool:
+    if ch in _WORD_CHARS:
+        return True
+    if ord(ch) < 128:
+        return False
+    return _WB_RX.match(ch) is not None
 
 
 def _find_macs(text: str) -> list[str]:
@@ -224,7 +236,8 @@ def _find_macs(text: str) -> list[str]:
             continue
         if text[s] not in _HEX_CHARS or text[s + 1] not in _HEX_CHARS:
             continue
-        if s > 0 and text[s - 1] in _WORD_CHARS:
+        # text[s] is hex (a word char), so \b at s ⟺ prev not \w.
+        if s > 0 and _is_word_char(text[s - 1]):
             continue
         mm = _MAC_AT.match(text, s)
         if mm:
@@ -307,7 +320,12 @@ def _find_emails(text: str) -> list[str]:
                 j -= 1
             p = j
             while p < idx:
-                prev_word = p > 0 and text[p - 1] in _WORD_CHARS
+                # text[p] is ASCII (a _LOCAL_CHARS member), so the
+                # in-set test is exact for it; the PRECEDING char can
+                # be non-ASCII, where \b is Unicode — _is_word_char
+                # defers those to the regex engine (r5 review catch,
+                # same divergence as the MAC path).
+                prev_word = p > 0 and _is_word_char(text[p - 1])
                 if (text[p] in _WORD_CHARS) != prev_word:  # \b holds at p
                     m = _EMAIL_AT.match(text, p)
                     if m:
