@@ -1157,6 +1157,40 @@ def q_graph_sssp_weighted(spark, sf_dir):
     return sssp_weighted(chain.union(cuts), src, max_iter=12)
 
 
+def q_graph_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness over a planted directed graph from
+    `nation`: chain n0→…→n11, parallel rails n_i→p_i→n_{i+2} at
+    i∈{2,6} (σ doubles past each rail — exercises path counting), and
+    region sinks n_i→r_(i%3) for i<6; sources {n0, n4}. Oracle =
+    the same forward-σ/backward-δ recurrence unrolled level by level
+    (13 levels, fixpoint-safe empties past the 11-deep chain)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        betweenness,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    chain = nat.filter(F.col("n_nationkey") < 11).select(
+        nkey.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1).cast("string")).alias("dst"),
+    )
+    rail_out = nat.filter(F.col("n_nationkey").isin(2, 6)).select(
+        nkey.alias("src"),
+        F.concat(F.lit("p"), F.col("n_nationkey").cast("string")).alias("dst"),
+    )
+    rail_in = nat.filter(F.col("n_nationkey").isin(2, 6)).select(
+        F.concat(F.lit("p"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 2).cast("string")).alias("dst"),
+    )
+    sinks = nat.filter(F.col("n_nationkey") < 6).select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), (F.col("n_nationkey") % 3).cast("string")).alias("dst"),
+    )
+    edges = chain.union(rail_out).union(rail_in).union(sinks)
+    srcs = spark.createDataFrame([("n0",), ("n4",)], ["id"])
+    return betweenness(edges, srcs, max_hops=13)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1693,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
+        "graph_betweenness": q_graph_betweenness,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
         "curate_increment": q_curate_increment,
@@ -1799,6 +1834,98 @@ def _kcore_oracle_sql(k: int, iterations: int) -> str:
     parts.append(
         f"SELECT id, cast(c AS integer) AS degree "
         f"FROM deg{iterations} WHERE c >= {k}"
+    )
+    return "".join(parts)
+
+
+def _betweenness_oracle_sql(levels: int) -> str:
+    """Unrolled Brandes over the planted graph (see
+    q_graph_betweenness): forward level frames ``l_k`` carry
+    shortest-path counts σ (sum over level-(k-1) predecessors, with a
+    settled anti-join), backward frames ``d_k`` carry the dependency
+    δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) over level-(k+1) successors. Levels
+    past the true depth are empty, making a fixed unroll fixpoint-safe;
+    σ are integer-exact doubles and the final score is rounded to 6
+    (matching the operator's round-before-compare). Every frame is
+    MATERIALIZED — each is referenced by several later frames and
+    un-materialized CTE re-evaluation would blow up exponentially."""
+    head = """
+        WITH e AS MATERIALIZED (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS u,
+                 'n' || cast(n_nationkey + 1 AS varchar) AS v
+          FROM nation WHERE n_nationkey < 11
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'p' || cast(n_nationkey AS varchar)
+          FROM nation WHERE n_nationkey IN (2, 6)
+          UNION ALL
+          SELECT 'p' || cast(n_nationkey AS varchar),
+                 'n' || cast(n_nationkey + 2 AS varchar)
+          FROM nation WHERE n_nationkey IN (2, 6)
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_nationkey % 3 AS varchar)
+          FROM nation WHERE n_nationkey < 6
+        ),
+        srcs AS (SELECT 'n0' AS s UNION ALL SELECT 'n4'),
+        l0 AS MATERIALIZED (
+          SELECT s, s AS id, cast(1 AS double) AS sigma FROM srcs
+        ),
+        st0 AS MATERIALIZED (SELECT s, id FROM l0)
+        """
+    parts = [head]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+        l{k} AS MATERIALIZED (
+          SELECT p.s, e.v AS id, sum(p.sigma) AS sigma
+          FROM l{k - 1} p
+          JOIN e ON p.id = e.u
+          LEFT JOIN st{k - 1} st ON p.s = st.s AND e.v = st.id
+          WHERE st.id IS NULL
+          GROUP BY p.s, e.v
+        ),
+        st{k} AS MATERIALIZED (
+          SELECT s, id FROM st{k - 1} UNION ALL SELECT s, id FROM l{k}
+        )
+            """
+        )
+    parts.append(
+        f""",
+        d{levels} AS MATERIALIZED (
+          SELECT s, id, cast(0 AS double) AS delta FROM l{levels}
+        )
+        """
+    )
+    for k in range(levels - 1, 0, -1):
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (
+          SELECT lv.s, lv.id, coalesce(c.delta, 0) AS delta
+          FROM l{k} lv LEFT JOIN (
+            SELECT a.s, a.id,
+                   sum(a.sigma / w.sigma * (1 + w.delta)) AS delta
+            FROM l{k} a
+            JOIN e ON a.id = e.u
+            JOIN (
+              SELECT dn.s, dn.id, dn.delta, ln.sigma
+              FROM d{k + 1} dn JOIN l{k + 1} ln
+                ON dn.s = ln.s AND dn.id = ln.id
+            ) w ON a.s = w.s AND e.v = w.id
+            GROUP BY a.s, a.id
+          ) c ON lv.s = c.s AND lv.id = c.id
+        )
+            """
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{k}" for k in range(1, levels + 1)
+    )
+    parts.append(
+        f"""
+        SELECT id, round(sum(delta), 6) AS betweenness
+        FROM ({union}) WHERE delta > 0
+        GROUP BY id HAVING round(sum(delta), 6) > 0
+        """
     )
     return "".join(parts)
 
@@ -2930,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
             FROM md WHERE d > 0 GROUP BY id
         """,
         "graph_sssp_weighted": _sssp_oracle_sql(iterations=12),
+        "graph_betweenness": _betweenness_oracle_sql(levels=13),
         "table_checks": """
             WITH a AS (
               SELECT

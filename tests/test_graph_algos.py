@@ -320,3 +320,66 @@ class TestPerSourceBfsAndCloseness:
             chain, seeds, max_hops=10, return_truncated=True
         )
         assert t2 is False
+
+
+class TestBetweenness:
+    def test_diamond_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            betweenness,
+        )
+
+        # a→{b,d}→c→e diamond: from source a, σ(c)=2 and the
+        # dependencies are b=1, d=1, c=1 (Brandes by hand).
+        edges = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("c", "e")]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        one = spark.createDataFrame([("a",)], ["id"])
+        got = {r.id: r.betweenness for r in betweenness(df, one).collect()}
+        assert got == {"b": 1.0, "d": 1.0, "c": 1.0}
+
+        # adding source b contributes 1 more to c (path b→c→e)
+        two = spark.createDataFrame([("a",), ("b",)], ["id"])
+        got2 = {r.id: r.betweenness for r in betweenness(df, two).collect()}
+        assert got2 == {"b": 1.0, "d": 1.0, "c": 2.0}
+
+    def test_chain_interior_counts(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            betweenness,
+        )
+
+        # directed chain 0→1→2→3→4, source 0: δ(k) = #targets beyond k
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(4)], ["src", "dst"]
+        )
+        srcs = spark.createDataFrame([(0,)], ["id"])
+        got = {r.id: r.betweenness for r in betweenness(chain, srcs).collect()}
+        assert got == {1: 3.0, 2: 2.0, 3: 1.0}
+
+    def test_truncation_lower_bounds(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            betweenness,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], ["src", "dst"]
+        )
+        srcs = spark.createDataFrame([(0,)], ["id"])
+        out, truncated = betweenness(
+            chain, srcs, max_hops=2, return_truncated=True
+        )
+        got = {r.id: r.betweenness for r in out.collect()}
+        assert truncated is True
+        # only paths of length ≤ 2 seen: node 1 carries one through-path
+        assert got == {1: 1.0}
+        full, t2 = betweenness(chain, srcs, max_hops=10, return_truncated=True)
+        assert t2 is False and {r.id: r.betweenness for r in full.collect()} == {
+            1: 4.0, 2: 3.0, 3: 2.0, 4: 1.0
+        }
+
+    def test_source_with_no_edges_and_empty(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            betweenness,
+        )
+
+        df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        lone = spark.createDataFrame([("z",)], ["id"])
+        assert betweenness(df, lone).count() == 0

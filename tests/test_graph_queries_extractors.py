@@ -281,6 +281,47 @@ class TestAnalystQueries:
         full = blast_radius(spark, src, max_hops=50).collect()
         assert all(not r.truncated for r in full)
 
+    def test_central_infrastructure(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            central_infrastructure,
+        )
+
+        rows = central_infrastructure(spark, k=10, max_hops=10).collect()
+        assert rows
+        scores = [r.closeness for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.closeness > 0 for r in rows)
+        # seeded variant: scores can only shrink when the seed
+        # population shrinks to one node (fewer 1/d contributions)
+        one_seed = spark.table("triples").select("subj").first().subj
+        seeded = {
+            r.id: r.closeness
+            for r in central_infrastructure(
+                spark, seed_ids=[one_seed], k=50, max_hops=10
+            ).collect()
+        }
+        full = {r.id: r.closeness for r in rows}
+        assert all(
+            seeded[i] <= full[i] + 1e-9 for i in seeded if i in full
+        )
+
+    def test_choke_points(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            choke_points,
+        )
+
+        rows = choke_points(spark, k=10, max_hops=10).collect()
+        scores = [r.betweenness for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.betweenness > 0 for r in rows)
+        # a choke point must actually sit on a path: it has at least
+        # one incoming AND one outgoing triple
+        if rows:
+            t = spark.table("triples")
+            top = rows[0].id
+            assert t.filter(F.col("obj") == top).count() > 0
+            assert t.filter(F.col("subj") == top).count() > 0
+
 
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):

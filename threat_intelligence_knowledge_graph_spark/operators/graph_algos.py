@@ -20,6 +20,12 @@ tables — pure DataFrame joins/aggregations, no per-row Python:
   from observation logs (items sharing a context become an edge,
   weight = #shared contexts) — the standard way a KG gains behavioral
   edges from event streams; feeds every algorithm above.
+- ``betweenness`` — sampled Brandes betweenness centrality (forward
+  σ-counting + backward δ-accumulation as level-synchronous keyed
+  joins; GDS betweenness with samplingSize).
+- ``sssp_weighted`` / ``harmonic_closeness`` — weighted shortest
+  paths (frontier Bellman–Ford) and closeness centrality over the
+  per-source BFS sweep.
 - connected components live in ``operators.minhash`` (propagation +
   large-star/small-star) — re-exported here for discoverability.
 
@@ -255,6 +261,122 @@ def harmonic_closeness(
             F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("closeness")
         )
     )
+    return (out, truncated) if return_truncated else out
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 30,
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
+    """(id, betweenness): Brandes betweenness centrality over DIRECTED
+    edges, restricted to the given source set — the standard sampled
+    approximation (GDS betweenness with ``samplingSize``; pass every
+    node for the exact value). ``betweenness(v) = Σ_{s∈S} δ_s(v)``
+    where ``δ_s(v)`` is the dependency of ``s`` on ``v`` — the fraction
+    of shortest s→t paths through ``v``, summed over targets. Sources
+    score 0 for their own sweeps; nodes on no shortest path are absent.
+
+    Two level-synchronous sweeps, ALL sources advancing together on
+    composite ``(source, id)`` keys (the ``bfs_distances(per_source)``
+    shape):
+
+    - forward: per hop one (frontier ⋈ edges) join + an anti-join
+      against the settled set + a sum-agg — ``σ(v) = Σ σ(u)`` over
+      same-hop predecessors (shortest-path counts);
+    - backward, deepest level first: one three-way keyed join per level
+      — ``δ(v) = Σ_w σ(v)/σ(w) · (1 + δ(w))`` over successors ``w``
+      one level deeper (the shortest-path DAG edges are exactly the
+      level-k → level-k+1 edges, so no DAG materialization is needed).
+
+    Every per-level frame is ``localCheckpoint``-truncated; the final
+    score is ROUNDED to 6 decimals (cross-engine sum order — the
+    harmonic/tfidf discipline; σ are exact integers in doubles).
+
+    ``return_truncated=True``: the flag means the forward backstop
+    fired with a live frontier — scores are then LOWER bounds (paths
+    deeper than ``max_hops`` contribute nothing), the
+    ``bfs_distances`` no-silent-truncation contract."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lvl = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select(F.col("id").alias("s"), "id", F.lit(1.0).alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    settled = lvl
+    levels = [lvl]
+    truncated = False
+    for _hop in range(1, max_hops + 1):
+        nxt = (
+            lvl.join(e, lvl["id"] == e["u"])
+            .select("s", F.col("v").alias("id"), "sigma")
+            .join(settled.select("s", "id"), ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        levels.append(nxt)
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        lvl = nxt
+    else:
+        truncated = True
+
+    acc = None
+    delta = levels[-1].select("s", "id", F.lit(0.0).alias("delta"))
+    for k in range(len(levels) - 2, -1, -1):
+        succ = delta.select(
+            F.col("s"),
+            F.col("id").alias("_w"),
+            F.col("delta").alias("_dw"),
+        ).join(
+            levels[k + 1].select(
+                "s", F.col("id").alias("_w"), F.col("sigma").alias("_sw")
+            ),
+            ["s", "_w"],
+        )
+        contrib = (
+            levels[k]
+            .join(e, levels[k]["id"] == e["u"])
+            .select("s", "id", "sigma", F.col("v").alias("_w"))
+            .join(succ, ["s", "_w"])
+            .groupBy("s", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))
+                ).alias("delta")
+            )
+        )
+        delta = (
+            levels[k]
+            .select("s", "id")
+            .join(contrib, ["s", "id"], "left_outer")
+            .select("s", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if k >= 1:  # level 0 is the source itself — its own sweep scores 0
+            part = delta.filter(F.col("delta") > 0)
+            acc = part if acc is None else acc.unionByName(part)
+    if acc is None:
+        out = delta.filter(F.lit(False)).select(
+            "id", F.col("delta").alias("betweenness")
+        )
+    else:
+        out = (
+            acc.groupBy("id")
+            .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+            .filter(F.col("betweenness") > 0)
+        )
     return (out, truncated) if return_truncated else out
 
 

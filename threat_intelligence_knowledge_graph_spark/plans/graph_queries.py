@@ -213,6 +213,84 @@ def influence_from(
     )
 
 
+def central_infrastructure(
+    spark: SparkSession,
+    seed_ids: list[str] | None = None,
+    k: int = 20,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Harmonic-closeness ranking of the triple view — "which nodes sit
+    closest to everything" (GDS closeness/harmonic centrality). Where
+    ``hot_infrastructure`` ranks by link mass (PageRank) and
+    ``blast_radius`` answers one node's reach, this ranks nodes by how
+    NEAR they are to the seed population: high closeness = reachable
+    from many seeds in few hops = choke-point infrastructure.
+
+    ``seed_ids=None`` seeds from EVERY subject node (exact centrality
+    on the analyst graph); pass a sampled/curated seed list for the
+    standard large-graph approximation. Rows carry a ``truncated``
+    column (the hop backstop's no-silent-truncation contract: values
+    are lower bounds when true)."""
+    from ..operators.graph_algos import harmonic_closeness
+
+    edges = spark.table("triples").select("subj", "obj")
+    seeds = (
+        spark.createDataFrame([(s,) for s in seed_ids], ["id"])
+        if seed_ids is not None
+        else edges.select(F.col("subj").alias("id")).distinct()
+    )
+    scores, truncated = harmonic_closeness(
+        edges,
+        seeds,
+        src="subj",
+        dst="obj",
+        max_hops=max_hops,
+        return_truncated=True,
+    )
+    return (
+        scores.withColumn("truncated", F.lit(truncated))
+        .orderBy(F.col("closeness").desc(), "id")
+        .limit(k)
+    )
+
+
+def choke_points(
+    spark: SparkSession,
+    seed_ids: list[str] | None = None,
+    k: int = 20,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Brandes betweenness over the triple view — nodes that shortest
+    attack paths FUNNEL THROUGH (GDS betweenness; ``seed_ids`` is the
+    sampled-source approximation, ``None`` = exact from every subject).
+    High betweenness = cut-point infrastructure: taking it down (or
+    monitoring it) intersects the most shortest s→t paths — the
+    complement of ``hot_infrastructure`` (rank mass) and
+    ``central_infrastructure`` (proximity). Rows carry ``truncated``
+    (lower bounds when the hop backstop fired)."""
+    from ..operators.graph_algos import betweenness
+
+    edges = spark.table("triples").select("subj", "obj")
+    seeds = (
+        spark.createDataFrame([(s,) for s in seed_ids], ["id"])
+        if seed_ids is not None
+        else edges.select(F.col("subj").alias("id")).distinct()
+    )
+    scores, truncated = betweenness(
+        edges,
+        seeds,
+        src="subj",
+        dst="obj",
+        max_hops=max_hops,
+        return_truncated=True,
+    )
+    return (
+        scores.withColumn("truncated", F.lit(truncated))
+        .orderBy(F.col("betweenness").desc(), "id")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
