@@ -50,7 +50,7 @@ identical work 30-40% while container-visible CPU reads ~1%, and steal
 is the only marker that sees them), so contended samples are
 identifiable from the artifact alone. Each sample runs the timed
 workload multiple times in-process and reports the min (steady-state
-wall; pass-0 carries residual JIT cost): 4 passes at the high level,
+wall; pass-0 carries residual JIT cost): 3 passes at the high level,
 2 at the low — the same pre-registered interference-proportional
 allocation as the 10H/4L sample budget, applied to in-subprocess
 min-draws. All per-pass times are embedded (``passes_*``).
@@ -231,12 +231,12 @@ def main() -> None:
         steal: dict[int, list[float]] = {low: [], high: []}
         all_passes: dict[int, list[list[float]]] = {low: [], high: []}
         # Pass allocation per level (pre-registered, data-independent):
-        # the high level gets 4 timed passes per sample, the low level 2
+        # the high level gets 3 timed passes per sample, the low level 2
         # — the same interference-proportional logic as the 10H/4L
         # sample budget, applied to in-subprocess min-draws (each extra
         # pass is another chance to catch an unstolen window inside an
         # already-warm JVM; see bench_run_pipeline.py).
-        n_passes = {high: 4, low: 2}
+        n_passes = {high: 3, low: 2}
         for cores in plan:
             r = _pinned_run(cores, corpus_path, n_passes[cores])
             times[cores].append(r["sec"])

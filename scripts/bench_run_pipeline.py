@@ -135,8 +135,9 @@ def main(
     # min-of-samples to catch an unstolen window. The PASS COUNT is set
     # by the caller per level with the same pre-registered
     # interference-proportional allocation as the sample budget (wide
-    # runs absorb ~4× the contamination): bench.py passes 4 at the high
-    # level, 2 at the low level. The per-pass floor being estimated is
+    # runs absorb ~4× the contamination): bench.py passes 3 at the high
+    # level, 2 at the low level (bounding the full bench to the same
+    # ~40 min wall the round-4 budget used). The per-pass floor being estimated is
     # identical math at both levels (min over draws of the same
     # steady-state workload); only the number of draws differs.
     passes = []
