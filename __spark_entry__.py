@@ -1388,6 +1388,75 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_asof_join_events_orders(spark, sf_dir):
+    """Point-in-time enrichment: every event gets the customer's most
+    recent order at-or-before the event timestamp (ties on o_orderdate
+    broken by max o_orderkey on both engines). Union-merge plan: one
+    Exchange on the key, no range-join blowup."""
+    from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+        asof_join,
+    )
+
+    out = asof_join(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "orders"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.round("asof_o_totalprice", 4).alias("asof_totalprice"),
+    )
+
+
+def q_interval_join_events(spark, sf_dir):
+    """Keyless range join: events against planted 2-day incident
+    windows (derived from o_orderkey inside the events' time range on
+    BOTH engines), aggregated per window. The bucketized equi-join
+    replaces the cartesian inequality join; the oracle runs DuckDB's
+    native inequality join — an independent plan for the same
+    semantics."""
+    from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+        interval_join,
+    )
+
+    wins = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.expr(
+                "timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+                " cast(o_orderkey % 28 as int),"
+                " cast(o_orderkey % 24 as int), 0, 0)"
+            ).alias("ws"),
+        )
+        .withColumn("we", F.expr("ws + INTERVAL 2 DAYS"))
+    )
+    joined = interval_join(
+        _t(spark, sf_dir, "events"),
+        wins,
+        fact_time="ts",
+        win_start="ws",
+        win_end="we",
+        bucket_seconds=86400,
+        broadcast_windows=True,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 # --- dedup / ANN entries over PLANTED corpora -------------------------------
 # The sf tables carry random text/vectors, where approximate operators'
 # outputs aren't SQL-predictable. These entries plant deterministic
@@ -1696,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_extremes": q_events_extremes,
         "similarity_batch_topk": q_similarity_batch_topk,
         "latest_event_per_user": q_latest_event_per_user,
+        "asof_join_events_orders": q_asof_join_events_orders,
+        "interval_join_events": q_interval_join_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "html_to_text": q_html_to_text,
         "multimodal_decode": q_multimodal_decode,
@@ -2400,6 +2471,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, min(e.event_id) AS event_id
             FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
             GROUP BY e.user_id, l.last_ts
+        """,
+        "asof_join_events_orders": """
+            WITH cand AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   c.o_orderkey AS asof_orderkey,
+                   round(c.o_totalprice, 4) AS asof_totalprice
+            FROM events e
+            LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+        """,
+        "interval_join_events": """
+            WITH wins AS (
+              SELECT o_orderkey AS window_id,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + (o_orderkey % 28) * INTERVAL 1 DAY
+                       + (o_orderkey % 24) * INTERVAL 1 HOUR AS ws
+              FROM orders WHERE o_orderkey % 40 = 0
+            )
+            SELECT w.window_id,
+                   count(*) AS n_events,
+                   round(sum(e.value), 2) AS sum_value,
+                   min(e.event_id) AS first_event,
+                   max(e.event_id) AS last_event
+            FROM wins w
+            JOIN events e
+              ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 2 DAY
+            GROUP BY w.window_id
         """,
         "html_to_text": _html_to_text_oracle_sql(),
         "multimodal_decode": """

@@ -237,6 +237,31 @@ def main(sf_dir: str) -> int:
         must_not=["CartesianProduct", "EvalPython"],
         max_counts={"SinglePartition": 1},
     )
+    check(
+        # as-of join is the union-merge plan: exactly ONE key exchange,
+        # one partition-local sort + running window — never a join
+        # operator at all (a range SortMergeJoin or nested loop would
+        # mean the merge trick regressed).
+        "asof_join_single_exchange",
+        em.q_asof_join_events_orders(spark, sf_dir),
+        ["Window"],
+        must_not=[
+            "SortMergeJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "EvalPython",
+        ],
+        max_counts={"Exchange hashpartitioning": 1},
+    )
+    check(
+        # keyless interval join must resolve to the bucketized
+        # equi-join (hash join on _bucket with the containment as a
+        # residual filter), never a nested-loop/cartesian pair blowup.
+        "interval_join_bucketed_equi",
+        em.q_interval_join_events(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

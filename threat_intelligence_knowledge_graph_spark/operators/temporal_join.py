@@ -1,0 +1,174 @@
+"""Temporal joins: as-of (point-in-time) and interval (range) joins.
+
+The reference pipeline timestamps every IOC sighting and graph edge
+(first_seen/last_seen properties on nodes; see the sink contract in
+SURVEY.md §2 ops 27-28) but queries them only through Cypher
+equality predicates. A training-data / enrichment pipeline over the
+same tables needs the two temporal join shapes Spark lacks as
+built-ins:
+
+- ``asof_join`` — for every left row, the most recent right row for
+  the same key at-or-before the left timestamp ("what was the latest
+  indicator/config/price when this event happened"). Implemented as
+  the union-merge plan: tag both sides, union, ONE hash exchange on
+  the key, one partition-local sort, and a running ``last(payload,
+  ignorenulls=True)`` window — no range-join explosion, no per-key
+  collect. At 100 TB this is a single shuffle of left+right sized
+  rows; the window is pipelined inside the sorted partition.
+- ``interval_join`` — facts against (start, end] windows WITHOUT an
+  equi-key (incident windows, maintenance windows, ad campaigns).
+  A naive inequality join is a cartesian product; this bucketizes
+  time (windows explode to the fixed-width buckets they cover, facts
+  map to exactly one bucket), equi-joins on the bucket, and applies
+  the exact containment filter as a residual. Each (fact, window)
+  match is found in exactly one bucket — the fact's — so no
+  post-join dedup is needed. Bucket width trades explode factor
+  (long windows / small buckets) against join fan-in (short buckets
+  / many facts per bucket); windows much longer than the bucket
+  should use a wider bucket.
+
+Both operators are pure Catalyst (no Python UDFs) and deterministic:
+``asof_join`` requires an explicit ``tie_break`` column so equal
+right timestamps resolve identically on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    tie_break: str,
+    tolerance: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: latest right row per key at-or-before left time.
+
+    Every left row is preserved (left-outer semantics); the matched
+    right columns come back as ``{prefix}{col}``, NULL when no right
+    row for the key is old enough. Among right rows sharing the
+    maximal eligible ``right_time``, the one with the greatest
+    ``tie_break`` wins — pass the right table's unique id.
+
+    ``tolerance`` (an SQL interval string like ``'3 days'``) turns
+    matches older than ``left_time - tolerance`` back into NULLs
+    without a second shuffle — the match's own timestamp rides along
+    in the payload struct.
+
+    Plan shape (audited): one Exchange hashpartitioning(key), one
+    partition-local Sort, one running-window pass. The union carries
+    left rows with a NULL payload and right rows with NULL left
+    columns; ``last(_p, ignorenulls=True)`` over rows-unbounded-
+    preceding is the merge. Right rows sort BEFORE left rows at an
+    equal timestamp (side 0 < 1), which is what makes the join
+    inclusive (right_time == left_time matches).
+    """
+    lcols = list(left.columns)
+    key_t = left.schema[left_key].dataType
+    payload = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(c) for c in right_cols],
+    )
+    r2 = right.select(
+        F.col(right_key).cast(key_t).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tie_break).alias("_tb"),
+        payload.alias("_p"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+        ],
+    )
+    l2 = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tie_break].dataType).alias("_tb"),
+        F.lit(None).cast(r2.schema["_p"].dataType).alias("_p"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r2.unionByName(l2)
+        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    match: Column = F.col("_m")
+    if tolerance is not None:
+        fresh = F.col("_m._rt") >= F.col("_t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        match = F.when(fresh, match)
+    return merged.select(
+        *lcols,
+        *[match.getField(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    windows: DataFrame,
+    *,
+    fact_time: str,
+    win_start: str,
+    win_end: str,
+    bucket_seconds: int = 86400,
+    keys: list[tuple[str, str]] | None = None,
+    broadcast_windows: bool = False,
+) -> DataFrame:
+    """Inner-join facts to every window with start <= t < end.
+
+    ``keys`` optionally adds (fact_col, window_col) equi-conditions on
+    top of the containment. ``broadcast_windows=True`` hints the
+    exploded window side as a broadcast build (right when the window
+    table is dimension-sized — the common case); otherwise AQE picks.
+
+    Bucket cover is computed on second-truncated timestamps and is a
+    SUPERSET of the true cover (one extra trailing bucket when the
+    end has sub-second or mid-bucket precision) — the exact residual
+    filter restores precision, and a fact's single bucket assignment
+    guarantees no duplicate pairs. Output keeps all fact columns plus
+    all window columns.
+    """
+    b = int(bucket_seconds)
+    if b <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    wb = windows.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(win_start)) / b),
+                F.floor(F.unix_timestamp(F.col(win_end)) / b),
+            )
+        ),
+    )
+    if broadcast_windows:
+        wb = F.broadcast(wb)
+    fb = facts.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(fact_time)) / b)
+    )
+    cond = fb["_bucket"] == wb["_bucket"]
+    for fc, wc in keys or []:
+        cond = cond & (fb[fc] == wb[wc])
+    contained = (F.col(fact_time) >= F.col(win_start)) & (
+        F.col(fact_time) < F.col(win_end)
+    )
+    return (
+        fb.join(wb, cond, "inner")
+        .filter(contained)
+        .drop("_bucket")
+    )
