@@ -1191,6 +1191,63 @@ def q_graph_betweenness(spark, sf_dir):
     return betweenness(edges, srcs, max_hops=13)
 
 
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components over a planted directed motif per
+    sampled orderkey (10 nodes: a 3-cycle feeding a chain into a
+    2-cycle, plus a diamond whose sink node's forward color class root
+    is NOT backward-reachable — that node resolves only in coloring
+    round 2, so the outer loop is genuinely exercised). The oracle
+    computes mutual reachability independently via a recursive-CTE
+    transitive closure; scc_id = min node id of the component on both
+    sides."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    pairs = [
+        (0, 1), (1, 2), (2, 0),          # 3-cycle
+        (2, 3), (3, 4), (4, 5), (5, 4),  # chain into a 2-cycle
+        (6, 8), (6, 9), (8, 7), (9, 7),  # diamond: 7 needs round 2
+    ]
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in pairs
+            ]
+        )
+    )
+    edges = (
+        o.select((F.col("o_orderkey") * 10).alias("base"), offs.alias("p"))
+        .select(
+            (F.col("base") + F.col("p.a")).alias("src"),
+            (F.col("base") + F.col("p.b")).alias("dst"),
+        )
+    )
+    return strongly_connected_components(edges)
+
+
+def q_graph_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded random walks (node2vec/DeepWalk
+    sampling) over the symmetrized chain+region graph: 2 walks per
+    node, 4 steps, next hop = argmin md5(walk_id|step|neighbor). The
+    hash draw makes the 'random' choice a pure function both engines
+    compute identically — the oracle unrolls the 4 steps with DuckDB's
+    arg_min over the same md5 key."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        random_walks,
+    )
+
+    e0 = _chain_region_edges(spark, sf_dir)
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(e, walk_length=4, walks_per_node=2).select(
+        "walk_id", F.col("start").alias("start_id"), "step", "node"
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1811,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "graph_triangle_count": q_graph_triangle_count,
         "graph_node_similarity": q_graph_node_similarity,
+        "graph_scc": q_graph_scc,
+        "graph_random_walks": q_graph_random_walks,
     }
 
 
@@ -2471,6 +2530,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, min(e.event_id) AS event_id
             FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
             GROUP BY e.user_id, l.last_ts
+        """,
+        "graph_scc": """
+            WITH RECURSIVE ks AS (
+              SELECT o_orderkey * 10 AS base FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            e AS (
+              SELECT base + p.a AS src, base + p.b AS dst
+              FROM ks CROSS JOIN (VALUES
+                (0,1),(1,2),(2,0),(2,3),(3,4),(4,5),(5,4),
+                (6,8),(6,9),(8,7),(9,7)) p(a, b)
+            ),
+            reach(s, d) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+            ),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            mut AS (
+              SELECT r1.s AS a, r1.d AS b
+              FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+            )
+            SELECT id, min(m) AS scc_id FROM (
+              SELECT id, id AS m FROM nodes
+              UNION ALL
+              SELECT a, b FROM mut
+            ) t GROUP BY id
+        """,
+        "graph_random_walks": f"""
+            WITH e0 AS ({_CHAIN_REGION_EDGES_SQL}),
+            e AS (
+              SELECT src AS u, dst AS v FROM e0
+              UNION
+              SELECT dst, src FROM e0
+            ),
+            nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+            w AS (
+              SELECT id || '#' || cast(j AS varchar) AS walk_id,
+                     id AS start_id, id AS node
+              FROM nodes CROSS JOIN (VALUES (0),(1)) t(j)
+            ),
+            s1 AS (
+              SELECT walk_id, start_id,
+                     arg_min(v, md5(walk_id || '|1|' || v)) AS node
+              FROM w JOIN e ON e.u = w.node GROUP BY walk_id, start_id
+            ),
+            s2 AS (
+              SELECT walk_id, start_id,
+                     arg_min(v, md5(walk_id || '|2|' || v)) AS node
+              FROM s1 JOIN e ON e.u = s1.node GROUP BY walk_id, start_id
+            ),
+            s3 AS (
+              SELECT walk_id, start_id,
+                     arg_min(v, md5(walk_id || '|3|' || v)) AS node
+              FROM s2 JOIN e ON e.u = s2.node GROUP BY walk_id, start_id
+            ),
+            s4 AS (
+              SELECT walk_id, start_id,
+                     arg_min(v, md5(walk_id || '|4|' || v)) AS node
+              FROM s3 JOIN e ON e.u = s3.node GROUP BY walk_id, start_id
+            )
+            SELECT walk_id, start_id, 0 AS step, node FROM w
+            UNION ALL SELECT walk_id, start_id, 1 AS step, node FROM s1
+            UNION ALL SELECT walk_id, start_id, 2 AS step, node FROM s2
+            UNION ALL SELECT walk_id, start_id, 3 AS step, node FROM s3
+            UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "asof_join_events_orders": """
             WITH cand AS (

@@ -383,3 +383,128 @@ class TestBetweenness:
         df = spark.createDataFrame([("a", "b")], ["src", "dst"])
         lone = spark.createDataFrame([("z",)], ["id"])
         assert betweenness(df, lone).count() == 0
+
+
+def _brute_scc(edges):
+    """Min-id SCC labels via Python transitive closure."""
+    nodes = {n for e in edges for n in e}
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in edges:
+            new = reach[v] - reach[u]
+            if new:
+                reach[u] |= new
+                changed = True
+    return {
+        n: min(m for m in nodes if n in reach[m] and m in reach[n])
+        for n in nodes
+    }
+
+
+class TestStronglyConnectedComponents:
+    def _run(self, spark, edges):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            strongly_connected_components,
+        )
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got, trunc = strongly_connected_components(df, return_truncated=True)
+        assert trunc is False
+        return {r.id: r.scc_id for r in got.collect()}
+
+    def test_two_cycles_one_way_bridge(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # SCC {a,b,c}
+            ("c", "x"),                            # bridge, one-way
+            ("x", "y"), ("y", "x"),                # SCC {x,y}
+            ("y", "z"),                            # sink singleton
+        ]
+        assert self._run(spark, edges) == _brute_scc(edges)
+
+    def test_nested_color_classes_need_second_round(self, spark):
+        # 2→1, 3→1, 0→2, 0→3: node 1's color class root (3) is not
+        # backward-reachable from 1, so 1 resolves only in round 2.
+        edges = [("n2", "n1"), ("n3", "n1"), ("n0", "n2"), ("n0", "n3")]
+        got = self._run(spark, edges)
+        assert got == _brute_scc(edges)
+        assert len(set(got.values())) == 4  # all singletons
+
+    def test_self_loop_only_node_kept(self, spark):
+        edges = [("a", "a"), ("b", "c"), ("c", "b")]
+        got = self._run(spark, edges)
+        assert got["a"] == "a" and got["b"] == "b" and got["c"] == "b"
+
+    def test_chain_all_singletons(self, spark):
+        edges = [(f"v{i}", f"v{i+1}") for i in range(6)]
+        got = self._run(spark, edges)
+        assert got == {f"v{i}": f"v{i}" for i in range(7)}
+
+    def test_random_digraph_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"k{i}" for i in range(18)]
+        edges = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(45)
+            }
+        )
+        assert self._run(spark, edges) == _brute_scc(edges)
+
+
+class TestRandomWalks:
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+        ("c", "a"), ("c", "d"),  # d is a sink
+    ]
+
+    def _walks(self, spark, **kw):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            random_walks,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        return random_walks(df, **kw)
+
+    def test_matches_manual_argmin_md5(self, spark):
+        import hashlib
+
+        adj = {}
+        for u, v in self.EDGES:
+            adj.setdefault(u, []).append(v)
+        got = self._walks(spark, walk_length=3, walks_per_node=2).collect()
+        walks = {}
+        for r in got:
+            walks.setdefault(r.walk_id, {})[r.step] = (r.start, r.node)
+        for wid, steps in walks.items():
+            start = wid.split("#")[0]
+            assert steps[0] == (start, start)
+            cur = start
+            for i in range(1, 4):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    assert i not in steps  # sink: walk stopped
+                    break
+                exp = min(
+                    nbrs,
+                    key=lambda w: hashlib.md5(
+                        f"{wid}|{i}|{w}".encode()
+                    ).hexdigest(),
+                )
+                assert steps[i] == (start, exp), (wid, i)
+                cur = exp
+
+    def test_deterministic_across_runs(self, spark):
+        a = sorted(map(tuple, self._walks(spark, walk_length=4).collect()))
+        b = sorted(map(tuple, self._walks(spark, walk_length=4).collect()))
+        assert a == b
+
+    def test_walk_count(self, spark):
+        got = self._walks(spark, walk_length=2, walks_per_node=3)
+        n_starts = 4  # a,b,c,d
+        assert (
+            got.filter("step = 0").count() == n_starts * 3
+        )

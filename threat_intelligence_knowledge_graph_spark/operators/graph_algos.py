@@ -26,6 +26,12 @@ tables — pure DataFrame joins/aggregations, no per-row Python:
 - ``sssp_weighted`` / ``harmonic_closeness`` — weighted shortest
   paths (frontier Bellman–Ford) and closeness centrality over the
   per-source BFS sweep.
+- ``strongly_connected_components`` — directed SCC via Orzan's
+  coloring (forward max-propagation fixpoint + backward root sweep
+  per round), every step a keyed equi-join.
+- ``random_walks`` — deterministic hash-seeded node2vec/DeepWalk
+  sampling: next hop = argmin md5(walk|step|neighbor), one keyed
+  join + min_by per step, reproducible across engines/partitionings.
 - connected components live in ``operators.minhash`` (propagation +
   large-star/small-star) — re-exported here for discoverability.
 
@@ -628,3 +634,191 @@ def k_core(
         "id", F.col("degree").cast("int").alias("degree")
     )
     return (out, truncated) if return_truncated else out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
+    """(id, scc_id): strongly connected components of the DIRECTED
+    graph, ``scc_id`` = min node id in the component (GDS scc).
+
+    Coloring algorithm (Orzan's, the standard distributed SCC shape):
+    per round, (1) a forward max-propagation fixpoint colors every
+    remaining node with the largest id that can reach it — keyed
+    join + max-agg per step, the connected-components recurrence on a
+    directed graph; (2) nodes whose color is themselves are roots, and
+    a backward reachability sweep from each root CONSTRAINED to its
+    own color class marks exactly the root's SCC (color(v) = c proves
+    c→v, the backward sweep proves v→c); (3) marked nodes retire, the
+    round repeats on the rest. Every step is a keyed equi-join — no
+    cartesian, no driver-side graph. Rounds needed = depth of the
+    color-class nesting, typically small; ``max_iter`` bounds both the
+    outer rounds and each inner fixpoint, and ``return_truncated``
+    reports a fired backstop (remaining nodes are then assigned their
+    forward color as a best-effort component — a REFINEMENT-pending
+    answer, never silently dropped).
+
+    Self-loops don't affect membership and are dropped from
+    propagation, but self-loop-only nodes keep their (singleton)
+    output row — the node universe is the raw src/dst columns (the
+    triangle_count review lesson).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    e_all = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = nodes.localCheckpoint(eager=True)
+    assigned = None  # (id, root)
+    truncated = False
+    for _round in range(max_iter):
+        if not remaining.take(1):
+            break
+        er = (
+            e_all.join(
+                remaining.select(F.col("id").alias("u")), "u", "left_semi"
+            )
+            .join(remaining.select(F.col("id").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # (1) forward fixpoint: color(v) = max id with a path to v.
+        color = remaining.select("id", F.col("id").alias("color"))
+        color = color.localCheckpoint(eager=True)
+        for _step in range(max_iter):
+            incoming = er.join(
+                color.withColumnRenamed("id", "u"), "u"
+            ).select(F.col("v").alias("id"), "color")
+            newc = (
+                color.unionByName(incoming)
+                .groupBy("id")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                newc.alias("n")
+                .join(color.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+            )
+            color = newc
+            if not changed.take(1):
+                break
+        else:
+            truncated = True
+        # (2) backward sweep from roots, within each color class.
+        reached = color.filter(F.col("id") == F.col("color")).localCheckpoint(
+            eager=True
+        )
+        for _step in range(max_iter):
+            preds = (
+                er.join(
+                    reached.select(
+                        F.col("id").alias("v"), F.col("color").alias("rcolor")
+                    ),
+                    "v",
+                )
+                .select(F.col("u").alias("id"), F.col("rcolor").alias("color"))
+                .distinct()
+                .join(color.withColumnRenamed("color", "own"), "id")
+                .filter(F.col("color") == F.col("own"))
+                .select("id", "color")
+                .join(reached.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not preds.take(1):
+                break
+            reached = reached.unionByName(preds).localCheckpoint(eager=True)
+        else:
+            truncated = True
+        part = reached.select("id", F.col("color").alias("root"))
+        assigned = part if assigned is None else assigned.unionByName(part)
+        assigned = assigned.localCheckpoint(eager=True)
+        remaining = remaining.join(
+            reached.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+    if remaining.take(1):
+        # outer backstop fired: best-effort color assignment, flagged.
+        truncated = True
+        leftover = remaining.select(
+            "id", F.col("id").alias("root")
+        )
+        assigned = (
+            leftover if assigned is None else assigned.unionByName(leftover)
+        )
+    scc_min = assigned.groupBy("root").agg(F.min("id").alias("scc_id"))
+    out = assigned.join(scc_min, "root").select("id", "scc_id")
+    return (out, truncated) if return_truncated else out
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    start_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, start, step, node): deterministic hash-seeded walks —
+    the sampling stage of node2vec/DeepWalk-style graph embedding
+    pipelines, reproducible across engines, partitionings, and reruns.
+
+    The next hop from node c on walk w at step i is the out-neighbor
+    minimizing ``md5(walk_id || '|i|' || neighbor)`` — a per-(walk,
+    step) uniform draw with no RNG state: the hash key includes the
+    candidate, so the argmin is collision-free and identical on any
+    engine with md5. Each step is ONE keyed join (frontier × edges)
+    plus a min_by agg — work proportional to live walks, never the
+    pair count. Walks that reach a sink stop early (their remaining
+    steps emit no rows). Step 0 is the start node itself.
+    """
+    if walk_length < 0 or walks_per_node < 1:
+        raise ValueError("walk_length >= 0 and walks_per_node >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    starts = start_nodes or (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    js = F.array(*[F.lit(j) for j in range(walks_per_node)])
+    frontier = (
+        starts.select("id", F.explode(js).alias("_j"))
+        .select(
+            F.concat(
+                F.col("id").cast("string"),
+                F.lit("#"),
+                F.col("_j").cast("string"),
+            ).alias("walk_id"),
+            F.col("id").alias("start"),
+            F.col("id").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = frontier.withColumn("step", F.lit(0))
+    for i in range(1, walk_length + 1):
+        h = F.md5(
+            F.concat(F.col("walk_id"), F.lit(f"|{i}|"), F.col("v").cast("string"))
+        )
+        frontier = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("walk_id", "start", F.col("v"), h.alias("h"))
+            .groupBy("walk_id", "start")
+            .agg(F.min_by("v", "h").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        out = out.unionByName(frontier.withColumn("step", F.lit(i)))
+    return out.select("walk_id", "start", "step", "node")
