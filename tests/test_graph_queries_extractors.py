@@ -323,6 +323,61 @@ class TestAnalystQueries:
             assert t.filter(F.col("subj") == top).count() > 0
 
 
+class TestRingAndWalkQueries:
+    def test_infrastructure_rings(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            infrastructure_rings,
+        )
+
+        orig = spark.table("triples")
+        crafted = spark.createDataFrame(
+            [
+                ("a", "REDIRECTS_TO", "b"),
+                ("b", "REDIRECTS_TO", "c"),
+                ("c", "REDIRECTS_TO", "a"),  # 3-ring
+                ("c", "RESOLVES_TO", "d"),   # spoke, not in a ring
+                ("e", "RESOLVES_TO", "d"),   # hub-and-spoke, no ring
+            ],
+            ["subj", "pred", "obj"],
+        )
+        crafted.createOrReplaceTempView("triples")
+        try:
+            rows = infrastructure_rings(spark).collect()
+            assert {(r.scc_id, r.id) for r in rows} == {
+                ("a", "a"), ("a", "b"), ("a", "c")
+            }
+            assert all(r.ring_size == 3 and not r.truncated for r in rows)
+            # min_size=1 surfaces the singletons too
+            allrows = infrastructure_rings(spark, min_size=1).collect()
+            assert len(allrows) == 5
+        finally:
+            orig.createOrReplaceTempView("triples")
+
+    def test_infrastructure_rings_on_warehouse_dag(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            infrastructure_rings,
+        )
+
+        # the KG's RESOLVES_TO/CONTAINS triples are acyclic by
+        # construction: no ring of size >= 2 exists
+        assert infrastructure_rings(spark, min_size=2).count() == 0
+
+    def test_related_entities(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            related_entities,
+        )
+
+        src = spark.table("triples").select("subj").first().subj
+        a = related_entities(spark, src, walks_per_node=4).collect()
+        assert a
+        assert all(r.node != src and r.visits > 0 for r in a)
+        visits = [r.visits for r in a]
+        assert visits == sorted(visits, reverse=True)
+        # deterministic: same question, same answer
+        b = related_entities(spark, src, walks_per_node=4).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):
         """Op 6 twin: second call within the window waits exactly the

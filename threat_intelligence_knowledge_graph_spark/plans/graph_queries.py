@@ -291,6 +291,68 @@ def choke_points(
     )
 
 
+def infrastructure_rings(
+    spark: SparkSession, min_size: int = 2, max_iter: int = 50
+) -> DataFrame:
+    """Mutually-connected infrastructure rings: strongly connected
+    components of the DIRECTED triple view (GDS scc). A ring is a set
+    of nodes that all reach each other — redirect loops, fast-flux
+    rotation sets, C2 relays pointing at one another — which plain
+    (undirected) connected components can't distinguish from a benign
+    hub-and-spoke. Returns one row per node in a ring of ≥ min_size
+    with the ring id (min node id) and ring size, largest rings
+    first."""
+    from ..operators.graph_algos import strongly_connected_components
+
+    edges = spark.table("triples").select("subj", "obj")
+    scc, truncated = strongly_connected_components(
+        edges, src="subj", dst="obj", max_iter=max_iter,
+        return_truncated=True,
+    )
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("ring_size"))
+    return (
+        scc.join(sizes.filter(F.col("ring_size") >= min_size), "scc_id")
+        .withColumn("truncated", F.lit(truncated))
+        .select("scc_id", "id", "ring_size", "truncated")
+        .orderBy(F.col("ring_size").desc(), "scc_id", "id")
+    )
+
+
+def related_entities(
+    spark: SparkSession,
+    node_id: str,
+    walk_length: int = 4,
+    walks_per_node: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Walk-based relatedness: launch deterministic random walks from
+    one node over the UNDIRECTED triple view and rank co-visited nodes
+    by visit count (the DeepWalk/Pixie neighborhood-sampling idea —
+    multi-hop affinity that plain neighbor listing misses, without
+    materializing the k-hop ball). Deterministic hash-seeded draws, so
+    the same question always returns the same answer."""
+    from ..operators.graph_algos import random_walks
+
+    e = spark.table("triples").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    start = spark.createDataFrame([(node_id,)], ["id"])
+    walks = random_walks(
+        sym,
+        walk_length=walk_length,
+        walks_per_node=walks_per_node,
+        start_nodes=start,
+    )
+    return (
+        walks.filter((F.col("step") > 0) & (F.col("node") != node_id))
+        .groupBy("node")
+        .agg(F.count("*").alias("visits"))
+        .orderBy(F.col("visits").desc(), "node")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
