@@ -1191,6 +1191,38 @@ def q_graph_betweenness(spark, sf_dir):
     return betweenness(edges, srcs, max_hops=13)
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality signal (CCNet/Gopher perplexity-proxy): mean
+    ln p(token) per document under the corpus's own MLE unigram model.
+    Same tokenizer as tfidf_top_terms; rounded post-mean."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch end-to-end: build a deliberately tight 3×32
+    sketch over events.user_id (collisions guaranteed at sf0.01), then
+    point-estimate every distinct user and pair with the exact count.
+    The md5_number_upper hash family makes every cell bit-identical on
+    both engines, so collisions — the interesting part — match too;
+    est ≥ exact always (pytest asserts the guarantee)."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(e, "user_id", depth=3, width=32)
+    est = cms_estimate(sketch, e.distinct(), "user_id", depth=3, width=32)
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id", "cms_count", "exact_count"
+    )
+
+
 def q_graph_scc(spark, sf_dir):
     """Strongly connected components over a planted directed motif per
     sampled orderkey (10 nodes: a 3-cycle feeding a chain into a
@@ -1868,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "graph_triangle_count": q_graph_triangle_count,
         "graph_node_similarity": q_graph_node_similarity,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "cms_user_counts": q_cms_user_counts,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
     }
@@ -2530,6 +2564,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, min(e.event_id) AS event_id
             FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
             GROUP BY e.user_id, l.last_ts
+        """,
+        "cms_user_counts": """
+            WITH cells AS (
+              SELECT r.i AS row,
+                     cast(md5_number_upper('cms' || r.i || ':'
+                          || cast(user_id AS varchar)) % 32 AS bigint) AS bucket,
+                     count(*) AS n
+              FROM events CROSS JOIN (VALUES (0),(1),(2)) r(i)
+              GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT DISTINCT user_id, r.i AS row,
+                     cast(md5_number_upper('cms' || r.i || ':'
+                          || cast(user_id AS varchar)) % 32 AS bigint) AS bucket
+              FROM events CROSS JOIN (VALUES (0),(1),(2)) r(i)
+            ),
+            est AS (
+              SELECT p.user_id, min(c.n) AS cms_count
+              FROM probes p JOIN cells c USING (row, bucket)
+              GROUP BY 1
+            ),
+            exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+            SELECT est.user_id, cms_count, exact_count
+            FROM est JOIN exact USING (user_id)
+        """,
+        "text_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            cts AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY 1),
+            tot AS (SELECT sum(tf) AS total FROM tf)
+            SELECT tf.doc_id,
+                   cast(sum(tf.tf) AS bigint) AS n_tokens,
+                   round(sum(tf.tf * ln(cts.ct / tot.total)) / sum(tf.tf), 6)
+                     AS avg_logprob
+            FROM tf JOIN cts USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
         """,
         "graph_scc": """
             WITH RECURSIVE ks AS (

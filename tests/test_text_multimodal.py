@@ -265,3 +265,43 @@ class TestCooccurrenceEdges:
         assert got == {("A", "B"): 2}
         d = [(r.u, r.h, r.context_size) for r in dropped.collect()]
         assert d == [("u1", "h1", 3)]
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            unigram_logprob,
+        )
+
+        # corpus: 6 tokens total — 'aa'×3, 'bb'×2, 'cc'×1
+        df = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, "bb cc"), (3, "aa")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+        p = {"aa": 3 / 6, "bb": 2 / 6, "cc": 1 / 6}
+        exp = {
+            1: (2 * math.log(p["aa"]) + math.log(p["bb"])) / 3,
+            2: (math.log(p["bb"]) + math.log(p["cc"])) / 2,
+            3: math.log(p["aa"]),
+        }
+        for d, e in exp.items():
+            assert got[d].avg_logprob == round(e, 6), d
+        assert got[1].n_tokens == 3 and got[3].n_tokens == 1
+        # typicality ordering: the all-common-token doc beats the
+        # rare-token doc
+        assert got[3].avg_logprob > got[2].avg_logprob
+
+    def test_empty_doc_absent_and_tokenizer_match(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            unigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x? !"), (2, "hello world")], ["doc_id", "text"]
+        )
+        # 'x' is below min_term_len, '? !' are not tokens → doc 1 absent
+        got = {r.doc_id for r in unigram_logprob(df).collect()}
+        assert got == {2}

@@ -75,8 +75,8 @@ def pack_stats(packed: DataFrame) -> DataFrame:
     )
 
 
-def _md5_bucket(key_col: str, salt: str):
-    """md5_number_upper(salt || ':' || key) % 1e6 as a long Column.
+def _md5_bucket(key_col: str, salt: str, denom: int = _FRAC_DENOM):
+    """md5_number_upper(salt || ':' || key) % denom as a long Column.
 
     First 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
     conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
@@ -88,7 +88,7 @@ def _md5_bucket(key_col: str, salt: str):
         *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
     )
     return (
-        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(_FRAC_DENOM)
+        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(denom)
     ).cast("long")
 
 

@@ -1,0 +1,104 @@
+"""Mergeable frequency sketches — bounded state over unbounded keys.
+
+At 100 TB an exact per-key count table can itself be huge (URL or
+user-agent cardinality rivals the row count); monitoring, heavy-hitter
+triage, and join-skew detection only need frequencies within an ε·N
+overestimate. A count-min sketch bounds the state to depth × width
+cells no matter the key cardinality, and — because cells are plain
+counts — the whole build is ONE map-side-combining aggregation whose
+partial states merge associatively across executors, exactly Spark's
+partial-agg model.
+
+Hashing uses the repo's engine-portable md5 bucket (the
+``md5_number_upper`` twin from ``operators.packing``), so a sketch
+built here is bit-identical to one built by the DuckDB oracle — the
+'random' hash functions are pure functions of (salt, row, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .packing import _md5_bucket
+
+
+def _projections(key_col: str, depth: int, width: int, salt: str):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _md5_bucket(key_col, f"{salt}{i}", width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, bucket, n): count-min sketch cells over ``key_col``.
+
+    One scan: each input row explodes to its ``depth`` (row, bucket)
+    cells, then a single groupBy counts them — partial aggregation
+    keeps the shuffle at ≤ depth × width rows per map task regardless
+    of input size. Only touched cells appear (absent cell ≡ 0).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    return (
+        df.select(F.explode(_projections(key_col, depth, width, salt)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """(key, cms_count): point-frequency estimates, ``min`` over the
+    key's ``depth`` cells — the count-min guarantee: never below the
+    true count, above it only through hash collisions (w.p. bounded by
+    (1/width)^depth per colliding mass unit). (depth, width, salt)
+    must match the build. The sketch is dimension-sized (≤ depth ×
+    width rows), so it broadcasts.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_projections(key_col, depth, width, salt)).alias("c"),
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .na.fill({"n": 0})
+        .groupBy(key_col)
+        .agg(F.min("n").alias("cms_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """(key, cms_count): distinct keys whose estimate ≥ min_count —
+    no-false-negative heavy-hitter triage (overestimates can only ADD
+    candidates, never hide one); re-verify candidates exactly if the
+    use needs it. One extra distinct over the keys vs the build scan.
+    """
+    sketch = cms_build(df, key_col, depth, width, salt)
+    keys = df.select(key_col).distinct()
+    return cms_estimate(sketch, keys, key_col, depth, width, salt).filter(
+        F.col("cms_count") >= min_count
+    )

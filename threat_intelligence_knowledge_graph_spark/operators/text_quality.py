@@ -253,3 +253,57 @@ def repetition_ratio(
             "rep_ratio"
         ),
     )
+
+
+def unigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): mean ln p(token) under the
+    corpus's OWN unigram LM — the cheap in-engine stand-in for the
+    CCNet/Gopher LM-perplexity quality signal. Corpus-typical docs
+    score high (closer to 0); OOV-heavy, garbled, or boilerplate-coded
+    docs score low. ``p(t) = count(t) / total_tokens`` (MLE — every
+    scored token is in the vocabulary by construction, so no smoothing
+    is needed); docs with zero tokens are absent from the result.
+
+    Determinism: ``avg_logprob`` is rounded to 6 decimals AFTER the
+    per-doc mean (the tfidf_top_terms discipline — ln of a rational is
+    transcendental, so true values never sit on rounding boundaries;
+    only last-ulp sum-order noise is collapsed).
+
+    100 TB shape: one scan-local token explode → (doc, term) tf agg →
+    vocabulary-sized term re-agg (map-side combining, Zipf-bounded) →
+    tf⋈counts keyed join + ONE-ROW broadcast total → per-doc agg. The
+    same plan skeleton as tfidf_top_terms; no Python anywhere.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]{{{min_term_len},}}', 0)"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = tf.select(F.sum("tf").alias("_total"))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("ct") / F.col("_total").cast("double"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
