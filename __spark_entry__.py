@@ -1202,6 +1202,43 @@ def q_text_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_ip_cidr_enrich(spark, sf_dir):
+    """IP→CIDR block enrichment with longest-prefix match: the IOC
+    corpus's 10.a.b.c addresses against 25 /16 blocks (from nation)
+    plus a covering 10.0.0.0/8 — every IP matches the /8, a < 25 also
+    matches its /16 and the routing rule must pick it. The bucketized
+    containment join runs Spark-side; the oracle is DuckDB's native
+    inequality join + window — an independent plan."""
+    from threat_intelligence_knowledge_graph_spark.operators.enrich import (
+        ip_cidr_enrich,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ips = o.select(
+        F.col("o_orderkey").alias("ip_id"),
+        F.concat(
+            F.lit("10."),
+            (F.col("o_orderkey") % 250).cast("string"),
+            F.lit("."),
+            ((F.col("o_orderkey") * 7) % 250).cast("string"),
+            F.lit("."),
+            ((F.col("o_orderkey") % 249) + 1).cast("string"),
+        ).alias("ip"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.0/16")
+        ).alias("cidr"),
+        F.concat(F.lit("net-"), F.col("n_nationkey").cast("string")).alias(
+            "label"
+        ),
+    )
+    corp = spark.createDataFrame([("10.0.0.0/8", "corp")], ["cidr", "label"])
+    return ip_cidr_enrich(ips, nat.union(corp)).select(
+        "ip_id", "ip", "cidr", "label"
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-min sketch end-to-end: build a deliberately tight 3×32
     sketch over events.user_id (collisions guaranteed at sf0.01), then
@@ -1902,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_similarity": q_graph_node_similarity,
         "text_unigram_logprob": q_text_unigram_logprob,
         "cms_user_counts": q_cms_user_counts,
+        "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
     }
@@ -2564,6 +2602,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, min(e.event_id) AS event_id
             FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
             GROUP BY e.user_id, l.last_ts
+        """,
+        "ip_cidr_enrich": """
+            WITH ips AS (
+              SELECT o_orderkey AS ip_id,
+                     '10.' || (o_orderkey % 250) || '.'
+                       || ((o_orderkey * 7) % 250) || '.'
+                       || ((o_orderkey % 249) + 1) AS ip,
+                     167772160 + 65536 * (o_orderkey % 250)
+                       + 256 * ((o_orderkey * 7) % 250)
+                       + ((o_orderkey % 249) + 1) AS ipn
+              FROM orders
+            ),
+            cidrs AS (
+              SELECT '10.' || n_nationkey || '.0.0/16' AS cidr,
+                     'net-' || n_nationkey AS label,
+                     167772160 + 65536 * n_nationkey AS start,
+                     65536 AS sz, 16 AS prefix
+              FROM nation
+              UNION ALL
+              SELECT '10.0.0.0/8', 'corp', 167772160, 16777216, 8
+            ),
+            m AS (
+              SELECT ip_id, ip, cidr, label,
+                     row_number() OVER (
+                       PARTITION BY ip_id ORDER BY prefix DESC
+                     ) AS rn
+              FROM ips JOIN cidrs ON ipn >= start AND ipn < start + sz
+            )
+            SELECT ip_id, ip, cidr, label FROM m WHERE rn = 1
         """,
         "cms_user_counts": """
             WITH cells AS (

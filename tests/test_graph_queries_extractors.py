@@ -362,6 +362,27 @@ class TestRingAndWalkQueries:
         # construction: no ring of size >= 2 exists
         assert infrastructure_rings(spark, min_size=2).count() == 0
 
+    def test_infrastructure_by_block(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            infrastructure_by_block,
+        )
+
+        blocks = spark.createDataFrame(
+            [("10.0.0.0/8", "corp"), ("0.0.0.0/0", "internet")],
+            ["cidr", "label"],
+        )
+        rows = infrastructure_by_block(spark, blocks).collect()
+        n_ipv4 = (
+            spark.table("nodes")
+            .filter(F.col("node_id").startswith("Ipv4_"))
+            .count()
+        )
+        assert n_ipv4 > 0
+        # the kernel's planted IPs are all 10.x → longest-prefix puts
+        # every one of them in corp, none fall through to 0.0.0.0/0
+        by_label = {r.label: r.n_ips for r in rows}
+        assert by_label == {"corp": n_ipv4}
+
     def test_related_entities(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             related_entities,

@@ -353,6 +353,36 @@ def related_entities(
     )
 
 
+def infrastructure_by_block(
+    spark: SparkSession, blocks: DataFrame, min_ips: int = 1
+) -> DataFrame:
+    """Roll the graph's observed IPv4 infrastructure up to network
+    blocks: every IPv4 node (store ids are ``Ipv4_a_b_c_d``) enriched
+    with its longest-prefix CIDR block, counted per block — "which
+    networks is this campaign actually coming from", the ASN/geo view
+    analysts pivot to after per-IP triage. ``blocks`` is a (cidr,
+    label) dimension table (distinct cidrs)."""
+    from ..operators.enrich import ip_cidr_enrich
+
+    ips = (
+        spark.table("nodes")
+        .filter(F.col("node_id").startswith("Ipv4_"))
+        .select(
+            F.col("node_id"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("node_id"), "^Ipv4_", ""), "_", "."
+            ).alias("ip"),
+        )
+    )
+    enriched = ip_cidr_enrich(ips, blocks)
+    return (
+        enriched.groupBy("cidr", "label")
+        .agg(F.count("*").alias("n_ips"))
+        .filter(F.col("n_ips") >= min_ips)
+        .orderBy(F.col("n_ips").desc(), "cidr")
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
