@@ -1239,6 +1239,30 @@ def q_ip_cidr_enrich(spark, sf_dir):
     )
 
 
+def q_domain_registrable(spark, sf_dir):
+    """eTLD+1 rollup over constructed hostnames covering every PSL
+    branch (depth-2 suffix, depth-1, PSL'd platform subdomain,
+    unlisted TLD → NULLs, bare suffix → NULL registrable). The Spark
+    side runs the real longest-suffix operator; the oracle derives the
+    answer analytically per case — independent, not a replay."""
+    from threat_intelligence_knowledge_graph_spark.operators.domains import (
+        registrable_domain,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    m = F.col("o_orderkey") % 5
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.evil-"), k, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("cdn.evil-"), k, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("u"), k, F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("evil-"), k, F.lit(".zz")))
+        .otherwise(F.lit("github.io"))
+    )
+    hosts = o.select(F.col("o_orderkey").alias("host_id"), host.alias("host"))
+    return registrable_domain(hosts)
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-min sketch end-to-end: build a deliberately tight 3×32
     sketch over events.user_id (collisions guaranteed at sf0.01), then
@@ -1939,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_similarity": q_graph_node_similarity,
         "text_unigram_logprob": q_text_unigram_logprob,
         "cms_user_counts": q_cms_user_counts,
+        "domain_registrable": q_domain_registrable,
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
@@ -2631,6 +2656,27 @@ def oracle_sql() -> dict[str, str]:
               FROM ips JOIN cidrs ON ipn >= start AND ipn < start + sz
             )
             SELECT ip_id, ip, cidr, label FROM m WHERE rn = 1
+        """,
+        "domain_registrable": """
+            SELECT o_orderkey AS host_id,
+                   CASE cast(o_orderkey % 5 AS int)
+                     WHEN 0 THEN 'www.evil-' || o_orderkey || '.co.uk'
+                     WHEN 1 THEN 'cdn.evil-' || o_orderkey || '.com'
+                     WHEN 2 THEN 'u' || o_orderkey || '.github.io'
+                     WHEN 3 THEN 'evil-' || o_orderkey || '.zz'
+                     ELSE 'github.io' END AS host,
+                   CASE cast(o_orderkey % 5 AS int)
+                     WHEN 0 THEN 'co.uk'
+                     WHEN 1 THEN 'com'
+                     WHEN 2 THEN 'github.io'
+                     WHEN 3 THEN NULL
+                     ELSE 'github.io' END AS suffix,
+                   CASE cast(o_orderkey % 5 AS int)
+                     WHEN 0 THEN 'evil-' || o_orderkey || '.co.uk'
+                     WHEN 1 THEN 'evil-' || o_orderkey || '.com'
+                     WHEN 2 THEN 'u' || o_orderkey || '.github.io'
+                     ELSE NULL END AS registrable
+            FROM orders
         """,
         "cms_user_counts": """
             WITH cells AS (

@@ -383,6 +383,28 @@ class TestRingAndWalkQueries:
         by_label = {r.label: r.n_ips for r in rows}
         assert by_label == {"corp": n_ipv4}
 
+    def test_campaign_domains(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            campaign_domains,
+        )
+
+        rows = campaign_domains(spark).collect()
+        n_domains = (
+            spark.table("nodes")
+            .filter(F.col("node_id").startswith("Domain_"))
+            .count()
+        )
+        assert n_domains > 0
+        # the rollup partitions ALL hostname nodes (NULL-registrable
+        # bucket included) and the many evil-K.example.net hosts
+        # collapse into the single example.net asset
+        assert sum(r.n_hosts for r in rows) == n_domains
+        by_reg = {r.registrable: (r.suffix, r.n_hosts) for r in rows}
+        assert by_reg["example.net"][0] == "net"
+        assert by_reg["example.net"][1] > 1  # genuinely collapsed
+        counts = [r.n_hosts for r in rows]
+        assert counts == sorted(counts, reverse=True)
+
     def test_related_entities(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             related_entities,

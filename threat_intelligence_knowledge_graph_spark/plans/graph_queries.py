@@ -383,6 +383,34 @@ def infrastructure_by_block(
     )
 
 
+def campaign_domains(spark: SparkSession, min_hosts: int = 1) -> DataFrame:
+    """Roll the graph's Domain nodes up to registrable domains
+    (eTLD+1): hostname-level nodes that share a registrant collapse to
+    one campaign asset, while PSL'd platform subdomains (github.io,
+    blogspot.com tenants) correctly stay separate. Store ids are
+    ``Domain_<labels-joined-by-_>``; unlisted TLDs land in the NULL
+    registrable bucket for triage rather than vanishing."""
+    from ..operators.domains import registrable_domain
+
+    hosts = (
+        spark.table("nodes")
+        .filter(F.col("node_id").startswith("Domain_"))
+        .select(
+            F.col("node_id"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("node_id"), "^Domain_", ""), "_", "."
+            ).alias("host"),
+        )
+    )
+    return (
+        registrable_domain(hosts)
+        .groupBy("registrable", "suffix")
+        .agg(F.count("*").alias("n_hosts"))
+        .filter(F.col("n_hosts") >= min_hosts)
+        .orderBy(F.col("n_hosts").desc(), "registrable")
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
