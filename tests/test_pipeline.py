@@ -119,6 +119,52 @@ class TestTableIO:
         removed = catalog.vacuum("t1", keep_last=1)
         assert removed and catalog.read(spark, "t1").count() == 2000
 
+    def test_time_travel_read(self, spark, tmp_path):
+        catalog = LocalTableCatalog(str(tmp_path / "tt"))
+        catalog.overwrite(
+            spark.createDataFrame([("a", 1)], ["k", "v"]), "t", run_id="r0"
+        )
+        catalog.append(
+            spark.createDataFrame([("b", 2)], ["k", "v"]), "t", run_id="r1"
+        )
+        catalog.merge(
+            spark,
+            spark.createDataFrame([("a", 10)], ["k", "v"]),
+            "t",
+            keys=["k"],
+            run_id="r2",
+        )
+        states = {
+            0: {("a", 1)},
+            1: {("a", 1), ("b", 2)},
+            2: {("a", 10), ("b", 2)},
+        }
+        for snap, exp in states.items():
+            got = {
+                (r.k, r.v)
+                for r in catalog.read(spark, "t", as_of_snapshot=snap).collect()
+            }
+            assert got == exp, snap
+        # as-of between commits resolves to the newest not-newer snapshot
+        assert catalog.read(spark, "t", as_of_snapshot=99).count() == 2
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            catalog.read(spark, "t", as_of_snapshot=-1)
+
+    def test_time_travel_bounded_by_vacuum(self, spark, tmp_path):
+        import pytest as _pytest
+
+        catalog = LocalTableCatalog(str(tmp_path / "ttv"))
+        for i in range(4):
+            catalog.overwrite(
+                spark.createDataFrame([(i,)], ["v"]), "t", run_id=f"r{i}"
+            )
+        catalog.vacuum("t", keep_last=1)
+        assert catalog.read(spark, "t", as_of_snapshot=3).collect()[0].v == 3
+        with _pytest.raises(FileNotFoundError, match="vacuum"):
+            catalog.read(spark, "t", as_of_snapshot=1)
+
     def test_audit_graph_tables(self, spark, tmp_path):
         """Clean warehouse passes every invariant; a planted duplicate/
         null violation is detected and recorded in metrics."""

@@ -109,7 +109,11 @@ class LocalTableCatalog:
 
     # -- operations ---------------------------------------------------------
     def read(
-        self, spark: SparkSession, name: str, exclude_run_id: str | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        exclude_run_id: str | None = None,
+        as_of_snapshot: int | None = None,
     ) -> DataFrame:
         """Read the table head; with ``exclude_run_id``, read the state
         as of BEFORE that run's commits — the resume primitive for
@@ -117,10 +121,31 @@ class LocalTableCatalog:
         against the pre-run state, not its own partial output). Only
         valid when the excluded run exclusively APPENDED at the head
         (curate_increment's shape); its entries are dropped and the
-        chain resolves from the remaining head."""
+        chain resolves from the remaining head.
+
+        ``as_of_snapshot`` is time travel (Iceberg ``VERSION AS OF``):
+        read the state as of that commit — the newest entry with
+        ``snapshot <= as_of_snapshot`` becomes the head and its chain
+        resolves normally. History older than the vacuum horizon raises
+        ``FileNotFoundError`` naming the reclaimed snapshot (the log
+        keeps every record, only data files are reclaimed — a silent
+        partial read would be worse than failing)."""
         entries = self.log(name)
         if exclude_run_id is not None:
             entries = [e for e in entries if e["run_id"] != exclude_run_id]
+        if as_of_snapshot is not None:
+            entries = [e for e in entries if e["snapshot"] <= as_of_snapshot]
+            if not entries:
+                raise FileNotFoundError(
+                    f"table {name} has no snapshot <= {as_of_snapshot}"
+                )
+            for d in self._chain_dirs(name, entries):
+                if not os.path.isdir(d):
+                    raise FileNotFoundError(
+                        f"table {name} snapshot {as_of_snapshot} needs "
+                        f"vacuumed data ({d}); time travel is bounded by "
+                        "the vacuum horizon (keep_last)"
+                    )
         if not entries:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
         return spark.read.parquet(*self._chain_dirs(name, entries))
