@@ -1239,6 +1239,31 @@ def q_ip_cidr_enrich(spark, sf_dir):
     )
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join pruning end-to-end: build a deliberately
+    tight 4096-bit / 3-hash filter over the o_orderkey%7 member set,
+    probe EVERY orderkey. The md5 hash family is engine-portable, so
+    the false positives — the probabilistic part — match bit-for-bit;
+    members are always True (no false negatives, pytest-asserted)."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    members = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    bloom = bloom_build(members, "k", m_bits=4096, k=3)
+    probes = o.select(
+        F.col("o_orderkey").alias("key_id"),
+        F.col("o_orderkey").cast("string").alias("k"),
+    )
+    return bloom_might_contain(probes, bloom, "k", m_bits=4096, k=3).select(
+        "key_id", "might_contain"
+    )
+
+
 def q_domain_registrable(spark, sf_dir):
     """eTLD+1 rollup over constructed hostnames covering every PSL
     branch (depth-2 suffix, depth-1, PSL'd platform subdomain,
@@ -1964,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "cms_user_counts": q_cms_user_counts,
         "domain_registrable": q_domain_registrable,
+        "bloom_prefilter": q_bloom_prefilter,
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
@@ -2656,6 +2682,38 @@ def oracle_sql() -> dict[str, str]:
               FROM ips JOIN cidrs ON ipn >= start AND ipn < start + sz
             )
             SELECT ip_id, ip, cidr, label FROM m WHERE rn = 1
+        """,
+        "bloom_prefilter": """
+            WITH members AS (
+              SELECT cast(o_orderkey AS varchar) AS k
+              FROM orders WHERE o_orderkey % 7 = 0
+            ),
+            pos AS (
+              SELECT cast(md5_number_upper('bloom' || r.i || ':' || k)
+                          % 4096 AS bigint) AS pos
+              FROM members CROSS JOIN (VALUES (0),(1),(2)) r(i)
+            ),
+            bloom AS (
+              SELECT pos // 32 AS word,
+                     bit_or(1::BIGINT << cast(pos % 32 AS int)) AS bits
+              FROM pos GROUP BY 1
+            ),
+            probes AS (
+              SELECT o_orderkey AS key_id,
+                     cast(md5_number_upper('bloom' || r.i || ':'
+                          || cast(o_orderkey AS varchar)) % 4096 AS bigint) AS pos
+              FROM orders CROSS JOIN (VALUES (0),(1),(2)) r(i)
+            ),
+            checked AS (
+              SELECT p.key_id,
+                     sum(CASE WHEN coalesce(b.bits, 0)
+                              & (1::BIGINT << cast(p.pos % 32 AS int)) <> 0
+                         THEN 1 ELSE 0 END) AS hits,
+                     count(*) AS n
+              FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 32
+              GROUP BY 1
+            )
+            SELECT key_id, hits = n AS might_contain FROM checked
         """,
         "domain_registrable": """
             SELECT o_orderkey AS host_id,

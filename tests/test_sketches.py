@@ -3,6 +3,8 @@
 from pyspark.sql import functions as F
 
 from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
     cms_build,
     cms_estimate,
     cms_heavy_hitters,
@@ -65,3 +67,50 @@ def test_salt_redraws_hashes(spark):
     s1 = {(r.row, r.bucket): r.n for r in cms_build(df, "k", 3, 8, salt="a").collect()}
     s2 = {(r.row, r.bucket): r.n for r in cms_build(df, "k", 3, 8, salt="b").collect()}
     assert s1 != s2
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self, spark):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        members = spark.range(0, 500).select(
+            F.col("id").cast("string").alias("k")
+        )
+        probes = spark.range(0, 2000).select(
+            F.col("id").cast("string").alias("k")
+        )
+        bloom = bloom_build(members, "k", m_bits=1 << 14, k=5)
+        got = {
+            r.k: r.might_contain
+            for r in bloom_might_contain(
+                probes, bloom, "k", m_bits=1 << 14, k=5
+            ).collect()
+        }
+        # every member answers True (the Bloom guarantee)
+        assert all(got[str(i)] for i in range(500))
+        # non-members mostly False; fp rate bounded generously
+        fps = sum(1 for i in range(500, 2000) if got[str(i)])
+        assert fps / 1500 < 0.05, fps
+
+    def test_word_packing_bounds(self, spark):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        members = spark.range(0, 100).select(
+            F.col("id").cast("string").alias("k")
+        )
+        bloom = bloom_build(members, "k", m_bits=1 << 10, k=3)
+        rows = bloom.collect()
+        assert len(rows) <= (1 << 10) // 32
+        # 32-bit packing: every word fits in an unsigned 32-bit value
+        assert all(0 < r.bits <= 0xFFFFFFFF for r in rows)
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        members = spark.range(0, 50).select(
+            F.col("id").cast("string").alias("k")
+        )
+        a = {(r.word, r.bits) for r in bloom_build(members, "k", 1 << 10, 3).collect()}
+        b = {(r.word, r.bits) for r in bloom_build(members, "k", 1 << 10, 3).collect()}
+        c = {(r.word, r.bits) for r in bloom_build(members, "k", 1 << 10, 3, salt="x").collect()}
+        assert a == b and a != c

@@ -102,3 +102,83 @@ def cms_heavy_hitters(
     return cms_estimate(sketch, keys, key_col, depth, width, salt).filter(
         F.col("cms_count") >= min_count
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """(word, bits): Bloom filter over ``key_col`` as sparse packed
+    words — the semi-join pruning structure for key sets too big to
+    broadcast exactly but small enough as bits (Spark's own runtime
+    `InjectRuntimeFilter` idea, here as an explicit, persistable op).
+
+    Each key sets ``k`` bit positions (the engine-portable md5 family;
+    position = md5_number_upper('{salt}{i}:'||key) % m_bits), packed
+    32 bits per word (32, not 64: a 1<<63 mask overflows signed SQL
+    bigints on some engines). Only touched words materialize — output
+    ≤ m_bits/32 rows regardless of key count, built by one explode +
+    one bit_or aggregation (associative → map-side combining, same
+    merge story as the count-min cells).
+    """
+    if m_bits < 32 or k < 1:
+        raise ValueError("m_bits >= 32 and k >= 1")
+    pos = F.explode(
+        F.array(
+            *[_md5_bucket(key_col, f"{salt}{i}", m_bits) for i in range(k)]
+        )
+    ).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            F.floor(F.col("pos") / 32).alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 32 AS int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    facts: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Adds ``result_col``: False = key definitely NOT in the built
+    set (safe to drop before an expensive join); True = present or a
+    false positive (rate ≈ (1-e^{-kn/m})^k — re-verify with the exact
+    join on the survivors). (m_bits, k, salt) must match the build.
+
+    Shape: the fact side explodes to its k probe words, LEFT-joins the
+    broadcast sparse bloom (≤ m_bits/32 rows), and the verdict is one
+    count-agg — all keyed equi-joins, no exact key set shuffled.
+    """
+    probe = F.explode(
+        F.array(
+            *[_md5_bucket(key_col, f"{salt}{i}", m_bits) for i in range(k)]
+        )
+    ).alias("pos")
+    fkeys = facts.select(key_col).distinct()
+    probes = fkeys.select(key_col, probe).select(
+        key_col,
+        F.floor(F.col("pos") / 32).alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 32 AS int))").alias("mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+             ).cast("int"),
+        )
+        .groupBy(key_col)
+        .agg((F.sum("_hit") == F.count("*")).alias(result_col))
+    )
+    return facts.join(hits, key_col, "left")
