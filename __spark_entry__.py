@@ -1239,6 +1239,19 @@ def q_ip_cidr_enrich(spark, sf_dir):
     )
 
 
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization of the documents table: sparse
+    (doc, idx, weight) at dim=1024 with a ±1 sign hash — vocabulary-
+    free classifier features, bit-reproducible across engines via the
+    md5_number_upper family (collisions and sign cancellations match
+    exactly)."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        feature_hash,
+    )
+
+    return feature_hash(_t(spark, sf_dir, "documents"), dim=1024)
+
+
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-filter semi-join pruning end-to-end: build a deliberately
     tight 4096-bit / 3-hash filter over the o_orderkey%7 member set,
@@ -1990,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "domain_registrable": q_domain_registrable,
         "bloom_prefilter": q_bloom_prefilter,
+        "feature_hash": q_feature_hash,
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
@@ -2682,6 +2696,21 @@ def oracle_sql() -> dict[str, str]:
               FROM ips JOIN cidrs ON ipn >= start AND ipn < start + sz
             )
             SELECT ip_id, ip, cidr, label FROM m WHERE rn = 1
+        """,
+        "feature_hash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     cast(md5_number_upper('fh:' || term) % 1024 AS bigint) AS idx,
+                     cast(md5_number_upper('fhs:' || term) % 2 AS bigint) * 2 - 1 AS sign
+              FROM toks
+            )
+            SELECT doc_id, idx, cast(sum(sign) AS bigint) AS weight
+            FROM hashed GROUP BY 1, 2 HAVING sum(sign) <> 0
         """,
         "bloom_prefilter": """
             WITH members AS (

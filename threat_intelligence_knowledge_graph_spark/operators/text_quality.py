@@ -307,3 +307,48 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def feature_hash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(doc_id, idx, weight): hashing-trick featurization (Weinberger
+    et al.) — terms hash to ``idx = h(term) % dim`` with a ±1 sign
+    hash, weights sum per (doc, idx). The fixed-dimension, vocabulary-
+    free featurizer for corpus-scale quality/topic classifiers: no
+    dictionary to build, broadcast, or version — new terms at ingest
+    time just hash. Sign-cancelled cells (weight 0) are dropped, so
+    the output is the sparse representation.
+
+    Hashes are the engine-portable md5 family (``operators.packing``),
+    so feature vectors are reproducible across engines, runs, and
+    partitionings — a model trained on yesterday's features scores
+    today's batch. One explode + two aggs, no Python.
+    """
+    from .packing import _md5_bucket
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]{{{min_term_len},}}', 0)"
+            )
+        ).alias("term"),
+    )
+    hashed = toks.select(
+        id_col,
+        _md5_bucket("term", "fh", dim).alias("idx"),
+        (_md5_bucket("term", "fhs", 2) * 2 - 1).alias("sign"),
+    )
+    return (
+        hashed.groupBy(id_col, "idx")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
