@@ -100,3 +100,59 @@ class TestWindowedMentions:
         assert {c for c in ("window_start", "cve", "n_mentions")} <= set(
             spark.table("cve_windows").columns
         )
+
+
+class TestSessionWindows:
+    def test_sessions_match_batch_gap_rule(self, spark, tmp_path):
+        import datetime as dt
+
+        from threat_intelligence_knowledge_graph_spark.streaming.stream_extract import (
+            sessionized_event_counts,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # user 1: burst of 3 (gaps 5m), 40m silence, burst of 2
+            (1, t0), (1, t0 + 5 * m), (1, t0 + 10 * m),
+            (1, t0 + 50 * m), (1, t0 + 55 * m),
+            # user 2: single event
+            (2, t0 + 7 * m),
+            # sentinel far in the future so the watermark passes every
+            # real session's end and append mode emits them all
+            (99, t0 + dt.timedelta(days=2)),
+        ]
+        src = tmp_path / "events"
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(
+            str(src)
+        )
+        q = (
+            sessionized_event_counts(
+                spark, str(src), "user_id long, ts timestamp",
+                gap="30 minutes", watermark="10 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM sessions WHERE user_id != 99"
+            ).collect()
+        }
+        assert got == {
+            (1, t0, 3),
+            (1, t0 + 50 * m, 2),
+            (2, t0 + 7 * m, 1),
+        }
+        # session_end extends gap past the last event (spark semantics)
+        ends = {
+            (r.user_id, r.session_start): r.session_end
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+        assert ends[(1, t0)] == t0 + 10 * m + 30 * m

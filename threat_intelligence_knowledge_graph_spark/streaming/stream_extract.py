@@ -205,3 +205,35 @@ def windowed_mention_counts(
             F.col("n_mentions"),
         )
     )
+
+
+def sessionized_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-sessionization (the streaming twin of the batch
+    ``events_sessionize`` contract entry): per-user sessions via
+    ``session_window`` — consecutive events closer than ``gap`` merge
+    into one growing window, state is per-OPEN-session (bounded by
+    concurrent users, not history), and the watermark both admits late
+    events inside ``watermark`` and lets closed sessions emit and
+    evict. Same session boundaries as the batch gap rule: a new
+    session starts exactly when the gap to the previous event exceeds
+    ``gap``."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
