@@ -1379,6 +1379,35 @@ def q_graph_random_walks(spark, sf_dir):
     )
 
 
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (3 synchronous L2-normalized steps,
+    GDS gds.hits analog) over the planted directed nation graph of
+    q_graph_pagerank (25-cycle over n-nodes + nation→region edges; the
+    5 r-nodes have no out-edges → hub 0, exercising the zero-row
+    coalesce). With a fixed iteration count the update is a
+    deterministic float recurrence (sum, divide, sqrt are all exactly
+    rounded), so the DuckDB oracle unrolls the identical arithmetic;
+    both sides round to 9 decimals (summation-order noise ~1e-16)."""
+    from threat_intelligence_knowledge_graph_spark.operators.hits import hits
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+    )
+    reg = nat.select(
+        nkey.alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+    )
+    scores = hits(cyc.union(reg), iterations=3)
+    return scores.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2007,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
+        "graph_hits": q_graph_hits,
     }
 
 
@@ -2044,6 +2074,70 @@ def _lpa_oracle_sql(iterations: int) -> str:
         f"""
         SELECT cast(id AS bigint) AS id, cast(label AS bigint) AS label
         FROM l{iterations}
+        """
+    )
+    return "".join(parts)
+
+
+def _hits_oracle_sql(iterations: int) -> str:
+    """Unrolled HITS recurrence over the planted nation graph (see
+    q_graph_hits). Mirrors operators/hits.py exactly: per iteration an
+    authority half-step (sum of PREVIOUS hubs along in-edges, zero-
+    coalesced over the full node set, L2-normalized), then a hub
+    half-step reading the JUST-normalized authority vector. sqrt and /
+    are exactly-rounded IEEE ops, so 9-decimal rounding absorbs the
+    only divergence (summation order, ~1e-16)."""
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        h0 AS (SELECT id, cast(1.0 AS double) AS hub FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        ar{i} AS (
+          SELECT e.dst AS id, sum(h.hub) AS a
+          FROM e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst
+        ),
+        af{i} AS (
+          SELECT nd.id, coalesce(ar.a, cast(0.0 AS double)) AS a
+          FROM nodes nd LEFT JOIN ar{i} ar ON ar.id = nd.id
+        ),
+        an{i} AS (SELECT sqrt(sum(a * a)) AS nrm FROM af{i}),
+        a{i} AS (
+          SELECT af.id, af.a / an.nrm AS auth
+          FROM af{i} af CROSS JOIN an{i} an
+        ),
+        hr{i} AS (
+          SELECT e.src AS id, sum(a.auth) AS h
+          FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+        ),
+        hf{i} AS (
+          SELECT nd.id, coalesce(hr.h, cast(0.0 AS double)) AS h
+          FROM nodes nd LEFT JOIN hr{i} hr ON hr.id = nd.id
+        ),
+        hn{i} AS (SELECT sqrt(sum(h * h)) AS nrm FROM hf{i}),
+        h{i} AS (
+          SELECT hf.id, hf.h / hn.nrm AS hub
+          FROM hf{i} hf CROSS JOIN hn{i} hn
+        )
+            """
+        )
+    parts.append(
+        f"""
+        SELECT h.id, round(h.hub, 9) AS hub, round(a.auth, 9) AS auth
+        FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id
         """
     )
     return "".join(parts)
@@ -2870,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 3 AS step, node FROM s3
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
+        "graph_hits": _hits_oracle_sql(3),
         "asof_join_events_orders": """
             WITH cand AS (
               SELECT e.event_id, o.o_orderkey, o.o_totalprice,
