@@ -1408,6 +1408,36 @@ def q_graph_hits(spark, sf_dir):
     )
 
 
+def q_span_dup_stats(spark, sf_dir):
+    """Substring-level duplication profile (Lee et al. 2021 at 6-token
+    granularity): per document the count of positional 6-grams whose
+    md5 occurs >= 2 times corpus-wide, the distinct token positions
+    they cover, and the covered ratio. The near-dup families planted in
+    `documents` make the coverage non-trivial; the oracle recomputes
+    the identical positional-gram arithmetic in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.span_dedup import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(
+        _t(spark, sf_dir, "documents"), n=6, min_occurrences=2
+    )
+
+
+def q_span_scrub(spark, sf_dir):
+    """Duplicated-span removal (Lee et al. substring dedup at 6-token
+    granularity): every token covered by a corpus-duplicated 6-gram is
+    dropped; output is the normalized token stream re-joined with
+    single spaces. Wholly-boilerplate docs scrub to ''."""
+    from threat_intelligence_knowledge_graph_spark.operators.span_dedup import (
+        scrub_duplicated_spans,
+    )
+
+    return scrub_duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=6, min_occurrences=2
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2037,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
         "graph_hits": q_graph_hits,
+        "span_dup_stats": q_span_dup_stats,
+        "span_scrub": q_span_scrub,
     }
 
 
@@ -2077,6 +2109,32 @@ def _lpa_oracle_sql(iterations: int) -> str:
         """
     )
     return "".join(parts)
+
+
+# Shared head for the span-dedup oracles: positional 6-gram md5s over
+# the engine-portable tokenization, corpus-duplicated (occ >= 2) gram
+# occurrences as (doc_id, pos). Mirrors operators/span_dedup.py exactly
+# (1-based positions, within-doc repeats count).
+_SPAN_PG_SQL = r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents
+            ),
+            b2 AS (SELECT doc_id, t, len(t) AS n_tokens FROM base),
+            pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, cast(n_tokens AS int) - 5)) AS pos
+              FROM b2
+            ),
+            pg AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(t[pos:pos+5], ' ')) AS g
+              FROM pos
+            ),
+            occ AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+            dup AS (SELECT pg.doc_id, pg.pos FROM pg JOIN occ USING (g))
+"""
 
 
 def _hits_oracle_sql(iterations: int) -> str:
@@ -2965,6 +3023,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "span_dup_stats": _SPAN_PG_SQL + """,
+            covx AS (
+              SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS tp
+              FROM dup
+            ),
+            cov AS (
+              SELECT doc_id, count(DISTINCT tp) AS dup_tokens
+              FROM covx GROUP BY doc_id
+            ),
+            nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM dup GROUP BY doc_id)
+            SELECT b2.doc_id, n_tokens,
+                   greatest(n_tokens - 5, 0) AS n_grams,
+                   coalesce(nd.n_dup_grams, 0) AS n_dup_grams,
+                   coalesce(cov.dup_tokens, 0) AS dup_tokens,
+                   round(cast(coalesce(cov.dup_tokens, 0) AS double) / n_tokens,
+                         6) AS dup_ratio
+            FROM b2 LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "span_scrub": _SPAN_PG_SQL + """,
+            covl AS (
+              SELECT doc_id, list(DISTINCT tp) AS cov
+              FROM (SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS tp
+                    FROM dup)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   -- array_to_string of an EMPTY list is NULL in DuckDB
+                   -- (Spark array_join gives ''): coalesce to match.
+                   coalesce(array_to_string(
+                     [b.t[i] FOR i IN generate_series(1, cast(len(b.t) AS int))
+                      IF NOT list_contains(
+                           coalesce(covl.cov, CAST([] AS BIGINT[])), i)],
+                     ' '), '') AS clean_text
+            FROM base b LEFT JOIN covl USING (doc_id)
+        """,
         "asof_join_events_orders": """
             WITH cand AS (
               SELECT e.event_id, o.o_orderkey, o.o_totalprice,
