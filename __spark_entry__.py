@@ -1438,6 +1438,21 @@ def q_span_scrub(spark, sf_dir):
     )
 
 
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (k=256) over events.user_id: the k
+    smallest md5-family hashes of the distinct keys + the classic
+    (k-1)·2^64/h_(k) estimate. The md5 hash family is bit-identical
+    across engines, so the sketch contents AND the estimate (double
+    division of the same two exact values) match the oracle exactly."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return kmv_estimate(kmv_build(ev, "user_id", k=256), k=256)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2069,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "span_dup_stats": q_span_dup_stats,
         "span_scrub": q_span_scrub,
+        "kmv_distinct_users": q_kmv_distinct_users,
     }
 
 
@@ -3023,6 +3039,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "kmv_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT
+                     md5_number_upper('kmv:' || cast(user_id AS varchar)) AS hu
+              FROM events
+            ),
+            topk AS (SELECT hu FROM h ORDER BY hu LIMIT 256),
+            agg AS (
+              SELECT count(*) AS n_hashes, max(cast(hu AS double)) AS hk
+              FROM topk
+            )
+            SELECT n_hashes,
+                   round(CASE WHEN n_hashes < 256
+                              THEN cast(n_hashes AS double)
+                              ELSE cast(4703919738795935662080 AS double) / hk
+                         END, 3) AS est_distinct
+            FROM agg
+        """,
         "span_dup_stats": _SPAN_PG_SQL + """,
             covx AS (
               SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS tp

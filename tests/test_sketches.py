@@ -3,6 +3,8 @@
 from pyspark.sql import functions as F
 
 from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+    kmv_build,
+    kmv_estimate,
     bloom_build,
     bloom_might_contain,
     cms_build,
@@ -114,3 +116,52 @@ class TestBloom:
         b = {(r.word, r.bits) for r in bloom_build(members, "k", 1 << 10, 3).collect()}
         c = {(r.word, r.bits) for r in bloom_build(members, "k", 1 << 10, 3, salt="x").collect()}
         assert a == b and a != c
+
+
+class TestKmv:
+    def test_small_set_is_exact(self, spark):
+        keys = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+        sk = kmv_build(keys, "k", k=256)
+        got = kmv_estimate(sk, k=256).collect()[0]
+        assert got.n_hashes == 100
+        assert got.est_distinct == 100.0
+
+    def test_estimate_within_error_bound(self, spark):
+        # 10k distinct keys, k=256: relative error ~1/sqrt(254) ≈ 6.3%;
+        # assert a generous 4-sigma band (deterministic draw — this is
+        # a fixed property of the md5 family, not a flaky sample).
+        n = 10_000
+        keys = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+        got = kmv_estimate(kmv_build(keys, "k", k=256), k=256).collect()[0]
+        assert got.n_hashes == 256
+        assert abs(got.est_distinct - n) / n < 0.25
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+        dup = base.union(base).union(base)
+        e1 = kmv_estimate(kmv_build(base, "k", k=64), k=64).collect()[0]
+        e3 = kmv_estimate(kmv_build(dup, "k", k=64), k=64).collect()[0]
+        assert e1 == e3
+
+    def test_union_merge_equals_sketch_of_union(self, spark):
+        a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("k"))
+        k = 128
+        merged = (
+            kmv_build(a, "k", k=k).select("h")
+            .union(kmv_build(b, "k", k=k).select("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        direct = kmv_build(a.union(b), "k", k=k).select("h").collect()
+        assert sorted(r.h for r in merged) == sorted(r.h for r in direct)
+
+    def test_rejects_bad_k(self, spark):
+        keys = spark.range(0, 5).select(F.col("id").cast("string").alias("k"))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            kmv_build(keys, "k", k=1)
+        with _pytest.raises(ValueError):
+            kmv_estimate(kmv_build(keys, "k"), k=0)

@@ -17,7 +17,7 @@ built here is bit-identical to one built by the DuckDB oracle — the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .packing import _md5_bucket
 
@@ -101,6 +101,76 @@ def cms_heavy_hitters(
     keys = df.select(key_col).distinct()
     return cms_estimate(sketch, keys, key_col, depth, width, salt).filter(
         F.col("cms_count") >= min_count
+    )
+
+
+def _md5_u64(key_col: str, salt: str):
+    """Full 64-bit md5_number_upper(salt || ':' || key) as an exact
+    decimal(20,0) Column (the un-modded form of ``_md5_bucket``)."""
+    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    le_hex = F.concat_ws(
+        "",
+        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
+    )
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def kmv_build(
+    keys: DataFrame,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """(rank, h): the ``k`` smallest DISTINCT 64-bit key hashes — a
+    K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002),
+    the order-statistics sibling of HyperLogLog. At 100 TB an exact
+    count-distinct over a high-cardinality key shuffles every distinct
+    value; KMV bounds the state to k rows with relative error
+    ~1/sqrt(k-2), and two sketches MERGE by re-taking the k smallest
+    of their union — so per-partition/per-day sketches compose.
+
+    Shape: hash projection → distinct → ``orderBy(h).limit(k)``, which
+    Spark executes as TakeOrderedAndProject (per-partition top-k, then
+    a k·partitions-row merge) — no global sort materializes. The hash
+    is the engine-portable md5 family, so the sketch — and therefore
+    the estimate, collisions and all — is bit-identical to the DuckDB
+    oracle's.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = (
+        keys.select(_md5_u64(key_col, salt).alias("h")).distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")
+    return hashes.select(F.row_number().over(w).alias("rank"), "h")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """One row (n_hashes, est_distinct) from a ``kmv_build`` sketch.
+
+    If the sketch holds fewer than ``k`` hashes the key set was small
+    enough to count exactly (every distinct hash is present):
+    ``est_distinct`` = n_hashes. Otherwise the classic unbiased KMV
+    estimator (k-1) · 2^64 / h_(k) — the k-th smallest of a uniform
+    draw estimates the density. Hash collisions only ever merge values
+    (an under-count of ~n²/2^65, negligible), and both engines see the
+    SAME collisions, so the estimate matches bit-for-bit.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    agg = sketch.agg(
+        F.count("*").alias("n_hashes"),
+        F.max(F.col("h").cast("double")).alias("_hk"),
+    )
+    return agg.select(
+        "n_hashes",
+        F.round(
+            F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+            .otherwise(F.lit(float((k - 1) * 2 ** 64)) / F.col("_hk")),
+            3,
+        ).alias("est_distinct"),
     )
 
 
