@@ -243,6 +243,24 @@ class TestAnalystQueries:
         ranks_u = [r.rank for r in rows_u]
         assert rows_u and ranks_u == sorted(ranks_u, reverse=True)
 
+    def test_report_hubs_hits(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            report_hubs,
+        )
+
+        rows = report_hubs(spark, k=10, iterations=3).collect()
+        hubs = [r for r in rows if r.role == "hub"]
+        auths = [r for r in rows if r.role == "authority"]
+        assert hubs and auths
+        for part in (hubs, auths):
+            scores = [r.score for r in part]
+            assert scores == sorted(scores, reverse=True)
+        # The top authority must be a triple destination; the top hub
+        # must be a triple source (HITS role semantics).
+        t = spark.table("triples")
+        assert t.filter(t.obj == auths[0].id).count() > 0
+        assert t.filter(t.subj == hubs[0].id).count() > 0
+
     def test_influence_from(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             blast_radius,

@@ -186,6 +186,37 @@ def blast_radius(
     return dist.withColumn("truncated", F.lit(truncated)).orderBy("dist", "id")
 
 
+def report_hubs(
+    spark: SparkSession, k: int = 20, iterations: int = 5
+) -> DataFrame:
+    """HITS over the triple view — top-k *hubs* (nodes that point at
+    many well-referenced targets: aggregation-style entities like
+    threat actors or campaign nodes linking broad infrastructure) and
+    the top-k *authorities* (the infrastructure those hubs agree on),
+    returned as one frame with a ``role`` column. Where PageRank's
+    ``hot_infrastructure`` measures global rank mass, HITS separates
+    "who curates" from "what is curated" — the classic triage split
+    for deciding whether a node is a source or a target of linkage.
+    GDS analog: ``gds.hits``. (operators/hits.py)"""
+    from ..operators.hits import hits
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src_id"), F.col("obj").alias("dst_id")
+    )
+    scores = hits(edges, iterations=iterations)
+    top_h = (
+        scores.select("id", F.lit("hub").alias("role"), F.col("hub").alias("score"))
+        .orderBy(F.col("score").desc(), "id")
+        .limit(k)
+    )
+    top_a = (
+        scores.select("id", F.lit("authority").alias("role"), F.col("auth").alias("score"))
+        .orderBy(F.col("score").desc(), "id")
+        .limit(k)
+    )
+    return top_h.union(top_a)
+
+
 def influence_from(
     spark: SparkSession,
     seed_ids: list[str],
