@@ -237,3 +237,39 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    key_cols: tuple[str, ...] = ("content_hash",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedup_exact_docs`` entry: the first row per ``key_cols`` passes,
+    later duplicates are dropped, via ``dropDuplicatesWithinWatermark``.
+
+    State discipline at 100 TB/day: plain streaming ``dropDuplicates``
+    keys state on every key EVER seen (unbounded); the within-watermark
+    variant evicts a key's state once the watermark passes its event
+    time, so state is bounded by the duplicate-arrival horizon (how far
+    apart duplicates can arrive), not stream history. Duplicates
+    arriving further apart than ``watermark`` are NOT caught — that is
+    the documented contract; the periodic batch dedup over the
+    materialized table (``operators/dedup.py``) is the backstop,
+    exactly the lambda split the curation pipeline uses.
+
+    ``max_files_per_trigger`` throttles file ingestion so tests can
+    force duplicates into DIFFERENT micro-batches (proving the dedup is
+    stateful across batches, not batch-local).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
