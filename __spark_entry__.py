@@ -1453,6 +1453,19 @@ def q_kmv_distinct_users(spark, sf_dir):
     return kmv_estimate(kmv_build(ev, "user_id", k=256), k=256)
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Top-20 group-relative z-score outliers over the event log (per
+    event_type population moments, broadcast back, scan-local scoring).
+    z is ROUNDED to 3 before ranking and tie-broken by event_id, so the
+    rank set is engine-deterministic despite ~1e-12 variance-
+    accumulation differences between engines."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        zscore_outliers,
+    )
+
+    return zscore_outliers(_t(spark, sf_dir, "events"), k=20)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2085,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "span_scrub": q_span_scrub,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "events_anomaly": q_events_anomaly,
     }
 
 
@@ -3039,6 +3053,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "events_anomaly": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu,
+                     stddev_pop(value) AS sigma
+              FROM events GROUP BY event_type
+            ),
+            sc AS (
+              SELECT e.event_id, e.event_type, e.value,
+                     round(CASE WHEN s.sigma > 0
+                                THEN (e.value - s.mu) / s.sigma
+                                ELSE 0.0 END, 3) AS z
+              FROM events e JOIN s USING (event_type)
+            )
+            SELECT event_id, event_type, value, z FROM sc
+            ORDER BY abs(z) DESC, event_id ASC LIMIT 20
+        """,
         "kmv_distinct_users": """
             WITH h AS (
               SELECT DISTINCT

@@ -1,0 +1,44 @@
+"""z-score outlier scoring: hand-computed fixtures."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.anomaly import zscore_outliers
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+
+
+class TestZscoreOutliers:
+    def test_group_relative_scoring(self, spark):
+        # 1000.0 is normal for 'big' but a huge outlier for 'small'.
+        rows = [(i, "small", 1.0 + (i % 3)) for i in range(9)]
+        rows += [(100, "small", 1000.0)]
+        rows += [(200 + i, "big", 1000.0 + (i % 5)) for i in range(10)]
+        got = zscore_outliers(_events(spark, rows), k=3).collect()
+        assert got[0].event_id == 100
+        mu = statistics.mean([r[2] for r in rows if r[1] == "small"])
+        sigma = statistics.pstdev([r[2] for r in rows if r[1] == "small"])
+        assert got[0].z == pytest.approx(round((1000.0 - mu) / sigma, 3), abs=1e-9)
+
+    def test_constant_group_scores_zero(self, spark):
+        rows = [(i, "const", 5.0) for i in range(5)] + [(10, "varied", 1.0), (11, "varied", 9.0)]
+        got = zscore_outliers(_events(spark, rows), k=10).collect()
+        z = {r.event_id: r.z for r in got}
+        for i in range(5):
+            assert z[i] == 0.0
+        assert abs(z[10]) == abs(z[11]) == 1.0
+
+    def test_deterministic_tiebreak_by_id(self, spark):
+        rows = [(3, "t", 0.0), (1, "t", 10.0), (2, "t", 10.0), (4, "t", 0.0)]
+        got = zscore_outliers(_events(spark, rows), k=4).collect()
+        # |z| equal for all four (symmetric values): ids ascend.
+        assert [r.event_id for r in got] == [1, 2, 3, 4]
+
+    def test_rejects_bad_k(self, spark):
+        with pytest.raises(ValueError):
+            zscore_outliers(_events(spark, [(1, "t", 1.0)]), k=0)
