@@ -1466,6 +1466,22 @@ def q_events_anomaly(spark, sf_dir):
     return zscore_outliers(_t(spark, sf_dir, "events"), k=20)
 
 
+def q_similarity_sq_topk(spark, sf_dir):
+    """int8 scalar-quantization ANN (FAISS SQ8 analog): integer-dot
+    candidate scoring over clamp(floor(x·127/s + 0.5)) vectors (s =
+    corpus max |component| — an order-free max, engine-exact), top-40
+    candidates by (int score DESC, id), exact cosine rerank to top-10.
+    Every step is exactly-rounded IEEE or integer arithmetic, so the
+    candidate set AND the final ranking match the oracle exactly."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        sq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return sq_topk(emb, qvec, k=10, rerank_factor=4)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2099,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "kmv_distinct_users": q_kmv_distinct_users,
         "events_anomaly": q_events_anomaly,
+        "similarity_sq_topk": q_similarity_sq_topk,
     }
 
 
@@ -3053,6 +3070,50 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "similarity_sq_topk": """
+            WITH p AS (
+              SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+            ),
+            nz AS (
+              SELECT vec_id, v FROM p
+              WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+            ),
+            s AS (
+              SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s
+              FROM nz
+            ),
+            rr AS (SELECT cast(127.0 AS double) / s AS r FROM s),
+            q AS (
+              SELECT cast(embedding AS double[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            qq AS (
+              SELECT list_transform(
+                       qv,
+                       x -> greatest(-127.0, least(127.0,
+                              floor(x * rr.r + 0.5)))) AS qq
+              FROM q CROSS JOIN rr
+            ),
+            scored AS (
+              SELECT vec_id, v,
+                     list_inner_product(
+                       list_transform(
+                         v,
+                         x -> greatest(-127.0, least(127.0,
+                                floor(x * rr.r + 0.5)))),
+                       qq.qq) AS aq
+              FROM nz CROSS JOIN rr CROSS JOIN qq
+            ),
+            cand AS (
+              SELECT vec_id, v FROM scored ORDER BY aq DESC, vec_id LIMIT 40
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, (SELECT qv FROM q)), 3)
+                     AS cosine
+            FROM cand
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
         "events_anomaly": """
             WITH s AS (
               SELECT event_type, avg(value) AS mu,

@@ -464,3 +464,78 @@ class TestBatchTopk:
             assert {v for v, _ in hits} == {v for v, _ in want} or \
                    [c for _, c in hits] == [c for _, c in want]
             assert len(hits) == 3
+
+
+class TestSqTopk:
+    def _emb(self, spark, n=200, dim=16, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, dim)).astype("float32")
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            mat.astype("float64"),
+        )
+
+    def test_top1_matches_brute_force(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            brute_force_topk,
+            sq_topk,
+        )
+
+        emb, mat = self._emb(spark)
+        q = [float(x) for x in mat[7]]
+        exact = brute_force_topk(emb, q, k=1).collect()[0]
+        approx = sq_topk(emb, q, k=1).collect()[0]
+        assert approx.vec_id == exact.vec_id == 7
+
+    def test_recall_at_10(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            brute_force_topk,
+            sq_topk,
+        )
+
+        emb, mat = self._emb(spark)
+        q = [float(x) for x in mat[0]]
+        exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {r.vec_id for r in sq_topk(emb, q, k=10, rerank_factor=4).collect()}
+        # int8 quantization at 16 dims keeps most of the neighborhood;
+        # deterministic fixture, so this is a fixed property not a flake.
+        assert len(exact & approx) >= 7
+
+    def test_quantization_clamps_and_is_integer(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [10.0, -10.0, 0.5, 0.0])], ["vec_id", "embedding"]
+        )
+        got = quantize_embeddings(df, scale=1.0).collect()[0]
+        assert got.qvec == [127, -127, 64, 0]
+
+    def test_zero_norm_vectors_excluded(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            sq_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+            ["vec_id", "embedding"],
+        )
+        got = sq_topk(df, [1.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in got] == [2, 3]
+
+    def test_rejects_bad_params(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            quantize_embeddings,
+            sq_topk,
+        )
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            sq_topk(df, [1.0], k=0)
+        with _pytest.raises(ValueError):
+            quantize_embeddings(df, scale=0.0)
