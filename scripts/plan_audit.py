@@ -262,6 +262,34 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    check(
+        # anomaly scoring: per-group moments BROADCAST back onto the
+        # event scan (groups are dimension-sized), top-k via
+        # TakeOrderedAndProject — no sort-merge shuffle join, no
+        # global sort, no Python.
+        "anomaly_broadcast_moments_topk",
+        em.q_events_anomaly(spark, sf_dir),
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        must_not=["SortMergeJoin", "CartesianProduct", "EvalPython"],
+    )
+    check(
+        # int8-SQ ANN: candidate scan ends in TakeOrderedAndProject
+        # (per-partition top-k) — a global Sort for the candidate cut
+        # would defeat the whole point; no Python in the scoring path.
+        "sq_topk_take_ordered",
+        em.q_similarity_sq_topk(spark, sf_dir),
+        ["TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        # span dedup: the duplicated-gram set joins back by its md5
+        # hash — keyed equi-joins only, no Python; the gram-count
+        # shuffle is the one irreducible exchange.
+        "span_dedup_keyed_joins_only",
+        em.q_span_dup_stats(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
