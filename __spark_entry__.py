@@ -1482,6 +1482,38 @@ def q_similarity_sq_topk(spark, sf_dir):
     return sq_topk(emb, qvec, k=10, rerank_factor=4)
 
 
+def q_graph_louvain(spark, sf_dir):
+    """Synchronous Louvain-style modularity communities (GDS
+    gds.louvain's local-move phase, 4 directional-alternation rounds)
+    over a planted barbell from `nation`: two 12-cliques (keys 0-11,
+    12-23) joined by the single bridge n11—n12. Every score is integer
+    arithmetic + one exactly-rounded division, and the move gating is a
+    pure function of round parity, so the DuckDB oracle unrolls the
+    identical recurrence (operators/louvain.py)."""
+    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+        louvain_communities,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .filter(F.col("k") < 24)
+    )
+    a, b = nat.alias("a"), nat.alias("b")
+    cliques = a.join(
+        b,
+        (F.col("a.k") < F.col("b.k"))
+        & (F.floor(F.col("a.k") / 12) == F.floor(F.col("b.k") / 12)),
+    ).select(
+        F.concat(F.lit("n"), F.col("a.k").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("b.k").cast("string")).alias("dst"),
+    )
+    bridge = nat.filter(F.col("k") == 11).select(
+        F.lit("n11").alias("src"), F.lit("n12").alias("dst")
+    )
+    return louvain_communities(cliques.union(bridge), iterations=4)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2116,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
+        "graph_louvain": q_graph_louvain,
     }
 
 
@@ -2245,6 +2278,94 @@ def _hits_oracle_sql(iterations: int) -> str:
         FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id
         """
     )
+    return "".join(parts)
+
+
+def _louvain_oracle_sql(iterations: int) -> str:
+    """Unrolled synchronous-Louvain recurrence over the planted nation
+    barbell (see q_graph_louvain). Mirrors operators/louvain.py
+    exactly per round: community volumes, per-(node, community) edge
+    counts with the own-community kin-0 floor, the ΔQ-numerator score
+    (integer arithmetic + one exactly-rounded division, rounded to 9),
+    the round-parity direction gate (even round index: smaller ids
+    only; odd: larger only), argmax (score DESC, comm ASC), and the
+    strict-improvement move condition (NULL best → stay, matching
+    Spark's when/otherwise)."""
+    parts = [
+        """
+        WITH nk AS (
+          SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 24
+        ),
+        e0 AS (
+          SELECT 'n' || cast(a.k AS varchar) AS s,
+                 'n' || cast(b.k AS varchar) AS d
+          FROM nk a JOIN nk b
+            ON a.k < b.k AND floor(a.k / 12) = floor(b.k / 12)
+          UNION ALL
+          SELECT 'n11', 'n12' FROM nk WHERE k = 11
+        ),
+        sym AS MATERIALIZED (
+          SELECT s AS u, d AS v FROM e0 WHERE s <> d
+          UNION
+          SELECT d, s FROM e0 WHERE s <> d
+        ),
+        nodes AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0),
+        m2 AS (SELECT cast(count(*) AS double) AS m2 FROM sym),
+        degs AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+        c0 AS MATERIALIZED (SELECT id, id AS c FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        gate = "<" if (i - 1) % 2 == 0 else ">"
+        parts.append(
+            f""",
+        vol{i} AS MATERIALIZED (
+          SELECT c.c AS comm, sum(coalesce(d.deg, 0)) AS vol
+          FROM c{i - 1} c LEFT JOIN degs d ON d.id = c.id GROUP BY c.c
+        ),
+        kin{i} AS MATERIALIZED (
+          SELECT s.u, cv.c AS comm, count(*) AS kin
+          FROM sym s JOIN c{i - 1} cv ON s.v = cv.id GROUP BY s.u, cv.c
+        ),
+        own{i} AS MATERIALIZED (
+          SELECT c.id AS u, c.c AS own_c, coalesce(d.deg, 0) AS deg
+          FROM c{i - 1} c LEFT JOIN degs d ON d.id = c.id
+        ),
+        cand{i} AS MATERIALIZED (
+          SELECT u, comm, max(kin) AS kin FROM (
+            SELECT u, comm, kin FROM kin{i}
+            UNION ALL
+            SELECT u, own_c AS comm, 0 AS kin FROM own{i}
+          ) GROUP BY u, comm
+        ),
+        sc{i} AS MATERIALIZED (
+          SELECT cand.u, cand.comm, own.own_c,
+                 round(cand.kin
+                       - own.deg * (vol.vol - CASE WHEN cand.comm = own.own_c
+                                                   THEN own.deg ELSE 0 END)
+                         / m2.m2, 9) AS score
+          FROM cand{i} cand
+          JOIN own{i} own ON own.u = cand.u
+          JOIN vol{i} vol ON vol.comm = cand.comm
+          CROSS JOIN m2
+        ),
+        best{i} AS MATERIALIZED (
+          SELECT u, comm AS best, score AS bscore FROM sc{i}
+          WHERE comm {gate} own_c
+          QUALIFY row_number() OVER (
+            PARTITION BY u ORDER BY score DESC, comm ASC) = 1
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT o.u AS id,
+                 CASE WHEN b.bscore > so.score THEN b.best
+                      ELSE o.own_c END AS c
+          FROM own{i} o
+          LEFT JOIN best{i} b ON b.u = o.u
+          LEFT JOIN sc{i} so ON so.u = o.u AND so.comm = o.own_c
+        )
+            """
+        )
+    parts.append(f"SELECT id, c AS community FROM c{iterations}")
     return "".join(parts)
 
 
@@ -3070,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "graph_louvain": _louvain_oracle_sql(4),
         "similarity_sq_topk": """
             WITH p AS (
               SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
