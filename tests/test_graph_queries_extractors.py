@@ -261,6 +261,20 @@ class TestAnalystQueries:
         assert t.filter(t.obj == auths[0].id).count() > 0
         assert t.filter(t.subj == hubs[0].id).count() > 0
 
+    def test_campaign_communities(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            campaign_communities,
+        )
+
+        rows = campaign_communities(spark, iterations=4, min_size=2).collect()
+        assert rows
+        sizes = [r.n_members for r in rows]
+        assert sizes == sorted(sizes, reverse=True)
+        for r in rows:
+            assert r.n_members >= 2
+            assert 1 <= len(r.sample) <= 10
+            assert list(r.sample) == sorted(r.sample)
+
     def test_influence_from(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             blast_radius,

@@ -217,6 +217,33 @@ def report_hubs(
     return top_h.union(top_a)
 
 
+def campaign_communities(
+    spark: SparkSession, iterations: int = 4, min_size: int = 2
+) -> DataFrame:
+    """Modularity communities over the (undirected) triple view —
+    campaign clustering: actors, malware, and infrastructure that
+    interlink more densely with each other than with the rest of the
+    graph land in one community (the working definition of a campaign
+    in CTI triage). Returns (community, n_members, member sample) for
+    communities of at least ``min_size``, largest first. GDS analog:
+    ``gds.louvain``. (operators/louvain.py)"""
+    from ..operators.louvain import louvain_communities
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    comm = louvain_communities(edges, iterations=iterations)
+    return (
+        comm.groupBy("community")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.slice(F.sort_array(F.collect_list("id")), 1, 10).alias("sample"),
+        )
+        .filter(F.col("n_members") >= min_size)
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
 def influence_from(
     spark: SparkSession,
     seed_ids: list[str],
