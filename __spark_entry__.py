@@ -1514,6 +1514,40 @@ def q_graph_louvain(spark, sf_dir):
     return louvain_communities(cliques.union(bridge), iterations=4)
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the 4-round Louvain partition on the
+    planted nation barbell (see q_graph_louvain) — the partition-
+    quality gauge (GDS modularity analog). One row; converged barbell
+    partition gives Q just under 0.5. Oracle: the same unrolled
+    recurrence with the Q tail (integer counts + exactly-rounded
+    double ops, rounded to 9)."""
+    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+        louvain_communities,
+        modularity,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .filter(F.col("k") < 24)
+    )
+    a, b = nat.alias("a"), nat.alias("b")
+    cliques = a.join(
+        b,
+        (F.col("a.k") < F.col("b.k"))
+        & (F.floor(F.col("a.k") / 12) == F.floor(F.col("b.k") / 12)),
+    ).select(
+        F.concat(F.lit("n"), F.col("a.k").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("b.k").cast("string")).alias("dst"),
+    )
+    bridge = nat.filter(F.col("k") == 11).select(
+        F.lit("n11").alias("src"), F.lit("n12").alias("dst")
+    )
+    edges = cliques.union(bridge)
+    part = louvain_communities(edges, iterations=4)
+    return modularity(edges, part)
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2149,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
         "graph_louvain": q_graph_louvain,
+        "graph_modularity": q_graph_modularity,
     }
 
 
@@ -2367,6 +2402,34 @@ def _louvain_oracle_sql(iterations: int) -> str:
         )
     parts.append(f"SELECT id, c AS community FROM c{iterations}")
     return "".join(parts)
+
+
+def _modularity_oracle_sql(iterations: int) -> str:
+    """Newman modularity Q of the unrolled Louvain partition (see
+    _louvain_oracle_sql): Q = Σ_C (dp_C/2m − (vol_C/2m)²) with
+    dp_C the directed intra-community pair count — the exact float
+    expression of operators/louvain.py::modularity, rounded to 9."""
+    chain = _louvain_oracle_sql(iterations)
+    head = chain[: chain.rindex("SELECT id, c AS community")]
+    return (
+        head
+        + f""",
+        dpq AS MATERIALIZED (
+          SELECT cu.c, count(*) AS dp
+          FROM sym s
+          JOIN c{iterations} cu ON s.u = cu.id
+          JOIN c{iterations} cv ON s.v = cv.id
+          WHERE cu.c = cv.c GROUP BY cu.c
+        ),
+        volq AS MATERIALIZED (
+          SELECT c.c, sum(coalesce(d.deg, 0)) AS vol
+          FROM c{iterations} c LEFT JOIN degs d ON d.id = c.id GROUP BY c.c
+        )
+        SELECT round(sum(coalesce(dp, 0) / m2.m2
+                         - (vol / m2.m2) * (vol / m2.m2)), 9) AS modularity
+        FROM volq LEFT JOIN dpq USING (c) CROSS JOIN m2
+        """
+    )
 
 
 def _pii_oracle_sql() -> str:
@@ -3192,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_hits": _hits_oracle_sql(3),
         "graph_louvain": _louvain_oracle_sql(4),
+        "graph_modularity": _modularity_oracle_sql(4),
         "similarity_sq_topk": """
             WITH p AS (
               SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings

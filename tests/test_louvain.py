@@ -60,3 +60,48 @@ class TestLouvain:
     def test_rejects_bad_iterations(self, spark):
         with pytest.raises(ValueError):
             louvain_communities(_edges(spark, [("a", "b")]), iterations=0)
+
+
+class TestModularity:
+    def test_two_triangles_with_bridge_hand_value(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            modularity,
+        )
+
+        pairs = _clique("a", 3) + _clique("b", 3) + [("a0", "b0")]
+        asg = spark.createDataFrame(
+            [(f"a{i}", "A") for i in range(3)] + [(f"b{i}", "B") for i in range(3)],
+            ["id", "community"],
+        )
+        # m = 7; L_C = 3 each; vol_A = vol_B = 2+2+3 = 7;
+        # Q = 2 * (3/7 - (7/14)^2) = 5/14 ≈ 0.357142857
+        got = modularity(_edges(spark, pairs), asg).collect()[0]
+        assert got.modularity == pytest.approx(5.0 / 14.0, abs=1e-9)
+
+    def test_all_one_community_is_zero(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            modularity,
+        )
+
+        pairs = _clique("a", 4)
+        asg = spark.createDataFrame(
+            [(f"a{i}", "X") for i in range(4)], ["id", "community"]
+        )
+        # Single community: Q = m/m - (2m/2m)^2 = 0.
+        got = modularity(_edges(spark, pairs), asg).collect()[0]
+        assert got.modularity == pytest.approx(0.0, abs=1e-12)
+
+    def test_louvain_partition_beats_singletons(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+            modularity,
+        )
+
+        pairs = _clique("a", 5) + _clique("b", 5) + [("a0", "b0")]
+        e = _edges(spark, pairs)
+        part = louvain_communities(e, iterations=4)
+        q_louvain = modularity(e, part).collect()[0].modularity
+        singles = part.select("id", part.id.alias("community"))
+        q_single = modularity(e, singles).collect()[0].modularity
+        assert q_louvain > q_single
+        assert q_louvain > 0.3
