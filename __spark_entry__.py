@@ -1482,18 +1482,11 @@ def q_similarity_sq_topk(spark, sf_dir):
     return sq_topk(emb, qvec, k=10, rerank_factor=4)
 
 
-def q_graph_louvain(spark, sf_dir):
-    """Synchronous Louvain-style modularity communities (GDS
-    gds.louvain's local-move phase, 4 directional-alternation rounds)
-    over a planted barbell from `nation`: two 12-cliques (keys 0-11,
-    12-23) joined by the single bridge n11—n12. Every score is integer
-    arithmetic + one exactly-rounded division, and the move gating is a
-    pure function of round parity, so the DuckDB oracle unrolls the
-    identical recurrence (operators/louvain.py)."""
-    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
-        louvain_communities,
-    )
-
+def _louvain_barbell_edges(spark, sf_dir):
+    """Planted Louvain barbell from `nation`: two 12-cliques (keys
+    0-11, 12-23) joined by the single bridge n11—n12 — shared by
+    q_graph_louvain and q_graph_modularity (the oracle side shares the
+    same way via _louvain_oracle_sql)."""
     nat = (
         _t(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").alias("k"))
@@ -1511,7 +1504,21 @@ def q_graph_louvain(spark, sf_dir):
     bridge = nat.filter(F.col("k") == 11).select(
         F.lit("n11").alias("src"), F.lit("n12").alias("dst")
     )
-    return louvain_communities(cliques.union(bridge), iterations=4)
+    return cliques.union(bridge)
+
+
+def q_graph_louvain(spark, sf_dir):
+    """Synchronous Louvain-style modularity communities (GDS
+    gds.louvain's local-move phase, 4 directional-alternation rounds)
+    over the planted nation barbell (_louvain_barbell_edges). Every
+    score is integer arithmetic + one exactly-rounded division, and
+    the move gating is a pure function of round parity, so the DuckDB
+    oracle unrolls the identical recurrence (operators/louvain.py)."""
+    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+        louvain_communities,
+    )
+
+    return louvain_communities(_louvain_barbell_edges(spark, sf_dir), iterations=4)
 
 
 def q_graph_modularity(spark, sf_dir):
@@ -1526,24 +1533,7 @@ def q_graph_modularity(spark, sf_dir):
         modularity,
     )
 
-    nat = (
-        _t(spark, sf_dir, "nation")
-        .select(F.col("n_nationkey").alias("k"))
-        .filter(F.col("k") < 24)
-    )
-    a, b = nat.alias("a"), nat.alias("b")
-    cliques = a.join(
-        b,
-        (F.col("a.k") < F.col("b.k"))
-        & (F.floor(F.col("a.k") / 12) == F.floor(F.col("b.k") / 12)),
-    ).select(
-        F.concat(F.lit("n"), F.col("a.k").cast("string")).alias("src"),
-        F.concat(F.lit("n"), F.col("b.k").cast("string")).alias("dst"),
-    )
-    bridge = nat.filter(F.col("k") == 11).select(
-        F.lit("n11").alias("src"), F.lit("n12").alias("dst")
-    )
-    edges = cliques.union(bridge)
+    edges = _louvain_barbell_edges(spark, sf_dir)
     part = louvain_communities(edges, iterations=4)
     return modularity(edges, part)
 
@@ -3320,7 +3310,7 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (
               SELECT DISTINCT
                      md5_number_upper('kmv:' || cast(user_id AS varchar)) AS hu
-              FROM events
+              FROM events WHERE user_id IS NOT NULL
             ),
             topk AS (SELECT hu FROM h ORDER BY hu LIMIT 256),
             agg AS (

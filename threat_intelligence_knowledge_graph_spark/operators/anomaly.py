@@ -35,10 +35,17 @@ def zscore_outliers(
     fully deterministic rank key). Groups with zero variance score
     z = 0 (a constant signal has no outliers) rather than dividing by
     zero; population stddev so a 1-row group is also z = 0.
+
+    Rows with a NULL group column have no group to be relative TO and
+    are dropped EXPLICITLY up front (an inner equi-join would drop
+    them silently — NULL never equals NULL); route untyped events
+    through a sentinel group value if they must be scored.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     gcols = list(group_cols)
+    for g in gcols:
+        df = df.filter(F.col(g).isNotNull())
     stats = df.groupBy(*gcols).agg(
         F.avg(value_col).alias("_mu"),
         F.stddev_pop(value_col).alias("_sigma"),

@@ -78,14 +78,20 @@ def hits(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a"))
         )
-        a_full = nodes.join(a_raw, "id", "left").select(
-            "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        # Checkpoint the RAW vector first, then read both the norm and
+        # the normalized frame from the checkpoint — computing the norm
+        # off the un-materialized plan would execute the join+agg twice
+        # per half-step (the pagerank.py scalar-read discipline).
+        a_full = (
+            nodes.join(a_raw, "id", "left")
+            .select("id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
+            .localCheckpoint(eager=True)
         )
         na = a_full.agg(F.sqrt(F.sum(F.col("a") * F.col("a")))).first()[0]
         auth = a_full.select(
             "id",
             (F.col("a") / F.lit(na) if na else F.lit(0.0)).alias("auth"),
-        ).localCheckpoint(eager=True)
+        )
 
         # Hub half-step: pull the fresh authority mass along out-edges.
         h_raw = (
@@ -93,13 +99,15 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("h"))
         )
-        h_full = nodes.join(h_raw, "id", "left").select(
-            "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        h_full = (
+            nodes.join(h_raw, "id", "left")
+            .select("id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
+            .localCheckpoint(eager=True)
         )
         nh = h_full.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))).first()[0]
         hub = h_full.select(
             "id",
             (F.col("h") / F.lit(nh) if nh else F.lit(0.0)).alias("hub"),
-        ).localCheckpoint(eager=True)
+        )
 
     return hub.join(auth, "id").select("id", "hub", "auth")

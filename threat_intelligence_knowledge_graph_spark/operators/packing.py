@@ -75,8 +75,10 @@ def pack_stats(packed: DataFrame) -> DataFrame:
     )
 
 
-def _md5_bucket(key_col: str, salt: str, denom: int = _FRAC_DENOM):
-    """md5_number_upper(salt || ':' || key) % denom as a long Column.
+def _md5_u64(key_col: str, salt: str):
+    """Full 64-bit md5_number_upper(salt || ':' || key) as an exact
+    decimal(20,0) Column — the ONE cross-engine hash primitive every
+    md5-family op derives from (buckets, splits, KMV minima).
 
     First 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
     conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
@@ -87,9 +89,13 @@ def _md5_bucket(key_col: str, salt: str, denom: int = _FRAC_DENOM):
         "",
         *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
     )
-    return (
-        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(denom)
-    ).cast("long")
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def _md5_bucket(key_col: str, salt: str, denom: int = _FRAC_DENOM):
+    """md5_number_upper(salt || ':' || key) % denom as a long Column
+    (``_md5_u64`` reduced to a bucket)."""
+    return (_md5_u64(key_col, salt) % F.lit(denom)).cast("long")
 
 
 def split_by_hash(

@@ -378,6 +378,20 @@ def batch_topk(
 # Scalar quantization (int8) ANN
 # ---------------------------------------------------------------------------
 
+def _quant_expr(arr, r: float):
+    """clamp(floor(x·r + 0.5), ±127) over an array<double> Column —
+    the ONE quantization expression both ``quantize_embeddings`` and
+    ``sq_topk``'s candidate scan derive from (and the DuckDB oracle
+    mirrors); change the scheme here or nowhere."""
+    return F.transform(
+        arr,
+        lambda x: F.greatest(
+            F.lit(-127).cast("bigint"),
+            F.least(F.lit(127).cast("bigint"), F.floor(x * F.lit(r) + F.lit(0.5))),
+        ),
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     scale: float,
@@ -395,14 +409,7 @@ def quantize_embeddings(
         raise ValueError("scale must be > 0")
     r = 127.0 / scale
     v = F.col(vec_col).cast("array<double>")
-    q = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127).cast("bigint"),
-            F.least(F.lit(127).cast("bigint"), F.floor(x * F.lit(r) + F.lit(0.5))),
-        ),
-    )
-    return embeddings.select(F.col(id_col), q.alias("qvec"))
+    return embeddings.select(F.col(id_col), _quant_expr(v, r).alias("qvec"))
 
 
 def corpus_scale(
@@ -415,6 +422,11 @@ def corpus_scale(
     row = embeddings.select(
         F.max(F.array_max(F.transform(v, lambda x: F.abs(x)))).alias("s")
     ).first()
+    if row["s"] is None:
+        raise ValueError(
+            "corpus_scale: no vectors to quantize (empty corpus or all "
+            "rows filtered) — pass an explicit scale or check the input"
+        )
     return float(row["s"])
 
 
@@ -452,15 +464,8 @@ def sq_topk(
         for x in query_vec
     ]
     q_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in qq])
-    quant = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127).cast("bigint"),
-            F.least(F.lit(127).cast("bigint"), F.floor(x * F.lit(r) + F.lit(0.5))),
-        ),
-    )
     approx = F.aggregate(
-        F.zip_with(quant, q_arr, lambda a, b: a * b),
+        F.zip_with(_quant_expr(v, r), q_arr, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )

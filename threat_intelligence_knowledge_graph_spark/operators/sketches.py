@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .packing import _md5_bucket
+from .packing import _md5_bucket, _md5_u64
 
 
 def _projections(key_col: str, depth: int, width: int, salt: str):
@@ -104,17 +104,6 @@ def cms_heavy_hitters(
     )
 
 
-def _md5_u64(key_col: str, salt: str):
-    """Full 64-bit md5_number_upper(salt || ':' || key) as an exact
-    decimal(20,0) Column (the un-modded form of ``_md5_bucket``)."""
-    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
-    le_hex = F.concat_ws(
-        "",
-        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
-    )
-    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
-
-
 def kmv_build(
     keys: DataFrame,
     key_col: str,
@@ -138,8 +127,13 @@ def kmv_build(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    # NULL keys hash to NULL, which Spark's ASC sort puts FIRST (DuckDB
+    # puts it LAST): left unfiltered, a NULL would silently consume a
+    # sketch slot and diverge cross-engine. NULL is "no key" — drop it.
     hashes = (
-        keys.select(_md5_u64(key_col, salt).alias("h")).distinct()
+        keys.filter(F.col(key_col).isNotNull())
+        .select(_md5_u64(key_col, salt).alias("h"))
+        .distinct()
         .orderBy("h")
         .limit(k)
     )
