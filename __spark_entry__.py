@@ -915,6 +915,44 @@ def q_graph_node_similarity(spark, sf_dir):
     )
 
 
+def q_graph_link_prediction(spark, sf_dir):
+    """Shared-neighbor link prediction (GDS alpha linkprediction.*
+    family: commonNeighbors / adamicAdar / resourceAllocation /
+    preferentialAttachment, all four as columns) over planted per-order
+    star gadgets: every 23rd orderkey k gets nodes o{k}_0..o{k}_4 with
+    hub edges 0-{1,2,3,4} plus leaf edge 1-2. The open wedges through
+    the hub are the predicted pairs; (1,2) is adjacent and must be
+    anti-joined away. Fully SQL-expressible: the same through-node
+    self-join + degree arithmetic as the node-similarity oracle."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    node = lambda i: F.concat(  # noqa: E731
+        F.lit("o"), F.col("o_orderkey").cast("string"), F.lit(f"_{i}")
+    )
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    edges = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(node(a).alias("src"), node(b).alias("dst"))
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return link_prediction(edges).select(
+        "a",
+        "b",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment",
+    )
+
+
 def q_graph_label_propagation(spark, sf_dir):
     """Deterministic synchronous LPA (4 iterations, min-label ties)
     over planted 4-cliques (every 17th orderkey → nodes 4k..4k+3). With
@@ -2158,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "graph_triangle_count": q_graph_triangle_count,
         "graph_node_similarity": q_graph_node_similarity,
+        "graph_link_prediction": q_graph_link_prediction,
         "text_unigram_logprob": q_text_unigram_logprob,
         "cms_user_counts": q_cms_user_counts,
         "domain_registrable": q_domain_registrable,
@@ -4024,6 +4063,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.node = inter.a
             JOIN deg db ON db.node = inter.b
             WHERE cast(n_common AS double) / (da.deg + db.deg - n_common) >= 0.2
+        """,
+        # planted star gadgets (see q_graph_link_prediction): the same
+        # through-node self-join + degree arithmetic as the
+        # node-similarity oracle, plus the NOT EXISTS adjacency
+        # anti-join; round-6 BEFORE compare on the double sums (the
+        # tfidf discipline — addition order varies per engine).
+        "graph_link_prediction": """
+            WITH o AS (
+              SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 23 = 0
+            ),
+            e AS (
+              SELECT 'o'||k||'_0' AS a, 'o'||k||'_'||i AS b
+              FROM o CROSS JOIN (VALUES (1),(2),(3),(4)) t(i)
+              UNION ALL
+              SELECT 'o'||k||'_1', 'o'||k||'_2' FROM o
+            ),
+            sym AS (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+            thru AS (
+              SELECT s.nbr AS z, d.deg AS z_deg, s.node AS leaf
+              FROM sym s JOIN deg d ON d.node = s.nbr
+            ),
+            cand AS (
+              SELECT x.leaf AS a, y.leaf AS b,
+                     count(*) AS cn,
+                     sum(1.0/ln(x.z_deg)) AS aa,
+                     sum(1.0/x.z_deg) AS ra
+              FROM thru x JOIN thru y ON x.z = y.z AND x.leaf < y.leaf
+              GROUP BY x.leaf, y.leaf
+            )
+            SELECT c.a, c.b,
+                   cast(cn AS int) AS common_neighbors,
+                   round(aa, 6) AS adamic_adar,
+                   round(ra, 6) AS resource_allocation,
+                   cast(da.deg * db.deg AS bigint) AS preferential_attachment
+            FROM cand c
+            JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b
+            )
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=3, damping=0.85),
         "graph_pagerank_weighted": _pagerank_oracle_sql(

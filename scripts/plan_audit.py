@@ -187,6 +187,15 @@ def main(sf_dir: str) -> int:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
     check(
+        # link prediction: through-node self-join + degree joins + the
+        # adjacency anti-join — ALL keyed equi-joins, no cartesian, no
+        # Python anywhere in the plan.
+        "link_prediction_no_cartesian",
+        em.q_graph_link_prediction(spark, sf_dir),
+        ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
         # PII scrub is one projection over the scan: no shuffle, no
         # Python, and column pruning reaches the reader.
         "scrub_pii_single_projection",

@@ -508,3 +508,114 @@ class TestRandomWalks:
         assert (
             got.filter("step = 0").count() == n_starts * 3
         )
+
+
+class TestLinkPrediction:
+    """gds.alpha.linkprediction.* family, set-wise (graph_algos.link_prediction)."""
+
+    def _base(self, spark):
+        # hub h—{a,b,c}, edge a—b, pendant c—d.
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            link_prediction,
+        )
+
+        df = spark.createDataFrame(
+            [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("c", "d")],
+            ["src", "dst"],
+        )
+        return link_prediction, df
+
+    def test_measures_hand_computed(self, spark):
+        import math
+
+        link_prediction, df = self._base(spark)
+        got = {
+            (r.a, r.b): (
+                r.common_neighbors,
+                round(r.adamic_adar, 6),
+                round(r.resource_allocation, 6),
+                r.preferential_attachment,
+            )
+            for r in link_prediction(df).collect()
+        }
+        ln2, ln3 = math.log(2), math.log(3)
+        assert got == {
+            # (a,c) and (b,c) through h (deg 3); (d,h) through c (deg 2).
+            ("a", "c"): (1, round(1 / ln3, 6), 0.333333, 4),
+            ("b", "c"): (1, round(1 / ln3, 6), 0.333333, 4),
+            ("d", "h"): (1, round(1 / ln2, 6), 0.5, 3),
+        }
+
+    def test_adjacent_pairs_excluded_and_min_score(self, spark):
+        link_prediction, df = self._base(spark)
+        pairs = {(r.a, r.b) for r in link_prediction(df).collect()}
+        # (a,b) shares h but is an existing edge; same for (a,h)/(b,h).
+        assert ("a", "b") not in pairs and ("a", "h") not in pairs
+        strong = {
+            (r.a, r.b)
+            for r in link_prediction(df, min_score=1.0).collect()
+        }
+        assert strong == {("d", "h")}  # adamic_adar 1/ln2 ≈ 1.44 only
+
+    def test_multiple_shared_neighbors_sum(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            link_prediction,
+        )
+
+        # 4-cycle a-b-c-d-a: diagonals share TWO deg-2 neighbors.
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+        )
+        got = {
+            (r.a, r.b): (
+                r.common_neighbors,
+                round(r.adamic_adar, 6),
+                round(r.resource_allocation, 6),
+                r.preferential_attachment,
+            )
+            for r in link_prediction(df).collect()
+        }
+        aa = round(2 / math.log(2), 6)
+        assert got == {("a", "c"): (2, aa, 1.0, 4), ("b", "d"): (2, aa, 1.0, 4)}
+
+    def test_hub_cap_bounds_fanout_but_not_degrees(self, spark):
+        """Over-cap through-nodes generate no candidate pairs (reported,
+        never silent) — but full degrees still weight preferential
+        attachment, the documented measure-definition choice."""
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            link_prediction,
+        )
+        import math
+
+        rows = [("H", f"n{i}") for i in range(20)]
+        rows += [("p", "n0"), ("p", "n1")]
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        scores, dropped = link_prediction(
+            df, max_neighbor_degree=10, return_dropped=True
+        )
+        got = {
+            (r.a, r.b): (
+                r.common_neighbors,
+                round(r.adamic_adar, 6),
+                r.preferential_attachment,
+            )
+            for r in scores.collect()
+        }
+        # Through-H pairs are gone (190 of them without the cap); what
+        # remains: (n0,n1) through p only — CN counts p, NOT the capped
+        # H — and (H,p) through the two deg-2 leaves n0/n1. PA keeps
+        # full degrees: deg(n0)·deg(n1) = 2·2, deg(H)·deg(p) = 20·2.
+        assert got == {
+            ("n0", "n1"): (1, round(1 / math.log(2), 6), 4),
+            ("H", "p"): (2, round(2 / math.log(2), 6), 40),
+        }
+        assert {(r.nbr, r.nbr_deg) for r in dropped.collect()} == {("H", 20)}
+
+    def test_score_on_validation(self, spark):
+        link_prediction, df = self._base(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            link_prediction(df, score_on="nope")

@@ -452,6 +452,30 @@ class TestRingAndWalkQueries:
         b = related_entities(spark, src, walks_per_node=4).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_predicted_links(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            predicted_links,
+        )
+
+        rows = predicted_links(spark, k=15, min_common=1).collect()
+        assert rows
+        scores = [r.adamic_adar for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.common_neighbors >= 1 and r.adamic_adar > 0 for r in rows)
+        # every suggested pair is genuinely MISSING from the graph
+        # (either direction) — the operator's anti-join contract
+        adj = {
+            (t.subj, t.obj)
+            for t in spark.table("triples").select("subj", "obj").collect()
+        }
+        for r in rows:
+            assert (r.a, r.b) not in adj and (r.b, r.a) not in adj
+        # node labels joined in for readability
+        labeled = {n.node_id for n in spark.table("nodes").collect()}
+        for r in rows:
+            if r.a in labeled:
+                assert r.label_a is not None
+
 
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):

@@ -822,3 +822,97 @@ def random_walks(
             break
         out = out.unionByName(frontier.withColumn("step", F.lit(i)))
     return out.select("walk_id", "start", "step", "node")
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    score_on: str = "adamic_adar",
+    min_score: float = 0.0,
+    max_neighbor_degree: int = 10_000,
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Link-prediction scores for NON-adjacent node pairs (a < b) that
+    share at least one neighbor — the GDS `gds.alpha.linkprediction.*`
+    measure family (adamicAdar, commonNeighbors, resourceAllocation,
+    preferentialAttachment), computed SET-wise over every candidate
+    pair instead of GDS's per-pair function calls (reference parity:
+    the Cypher interface is per-pair; a batch engine scores the whole
+    frontier in one plan).
+
+    Undirected `_canonical_edges` semantics (parallel edges deduped,
+    self-loops dropped). One output row per candidate pair with ALL
+    four measures as columns:
+
+    - ``common_neighbors``  |N(a) ∩ N(b)|
+    - ``adamic_adar``       Σ_z 1/ln(deg(z))   over shared z
+    - ``resource_allocation`` Σ_z 1/deg(z)
+    - ``preferential_attachment`` deg(a)·deg(b)
+
+    deg(·) is the FULL undirected degree (the measure definition), even
+    when ``max_neighbor_degree`` removes a hub as a *through*-node:
+    the cap bounds the d·(d−1)/2 candidate fan-out of a power-law hub
+    (the node_similarity/LSH bucket-cap rule), so for z over the cap
+    no candidate pairs are generated THROUGH z, but z's degree still
+    weights other sums it appears in — with ``return_dropped=True`` the
+    over-cap through-nodes come back as (nbr, nbr_deg) for reporting,
+    never silently. Any shared neighbor z of a valid pair has
+    deg(z) ≥ 2, so ln(deg(z)) > 0 and neither sum can divide by zero.
+
+    Already-adjacent pairs are removed by a left-anti join against the
+    canonical edge set — the operator predicts MISSING links only.
+    ``min_score`` filters on the ``score_on`` column (default
+    adamic_adar). 100 TB shape: keyed equi-joins only (through-node
+    self-join + two degree joins + one anti-join), no cartesian; the
+    hub cap bounds the worst key.
+    """
+    measures = (
+        "common_neighbors",
+        "adamic_adar",
+        "resource_allocation",
+        "preferential_attachment",
+    )
+    if score_on not in measures:
+        raise ValueError(f"score_on must be one of {measures}")
+    und = _canonical_edges(edges, src, dst)
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    thru = sym.select(F.col("nbr").alias("z"), F.col("node").alias("leaf")).join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("z_deg")), "z"
+    )
+    dropped = (
+        thru.filter(F.col("z_deg") > max_neighbor_degree)
+        .select(F.col("z").alias("nbr"), F.col("z_deg").alias("nbr_deg"))
+        .distinct()
+    )
+    thru = thru.filter(F.col("z_deg") <= max_neighbor_degree)
+    left = thru.select("z", "z_deg", F.col("leaf").alias("a"))
+    right = thru.select(F.col("z").alias("z2"), F.col("leaf").alias("b"))
+    scores = (
+        left.join(right, left["z"] == right["z2"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("int").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("z_deg"))).alias("adamic_adar"),
+            F.sum(F.lit(1.0) / F.col("z_deg")).alias("resource_allocation"),
+        )
+        .join(und, ["a", "b"], "left_anti")
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "adamic_adar",
+            "resource_allocation",
+            (F.col("_da") * F.col("_db")).cast("long").alias(
+                "preferential_attachment"
+            ),
+        )
+        .filter(F.col(score_on) >= min_score)
+    )
+    return (scores, dropped) if return_dropped else scores
