@@ -1146,6 +1146,52 @@ def q_graph_kcore(spark, sf_dir):
     return k_core(_chain_region_edges(spark, sf_dir), k=2, max_iter=20)
 
 
+def _truss_gadget_edges(spark, sf_dir):
+    """Planted truss gadgets: every 29th orderkey k gets nodes
+    g{k}_0..g{k}_8 with a K4 core {0,1,2,3}, a side triangle {3,4,5},
+    a pendant edge 5—6, a hanging triangle {0,1,7} and a second-tier
+    triangle {0,7,8}. Under k=4 (support ≥ 2) the peel CASCADES:
+    round 1 drops (0,8),(7,8),(1,7),(5,6) and the side-triangle edges,
+    round 2 drops (0,7) — whose only support, the {0,7,8}/{0,1,7}
+    wedges, died in round 1 — leaving exactly the K4 with in-truss
+    support 2 per edge. Multi-round edge-wise peel, analytically
+    exact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    node = lambda i: F.concat(  # noqa: E731
+        F.lit("g"), F.col("o_orderkey").cast("string"), F.lit(f"_{i}")
+    )
+    pairs = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (3, 5), (4, 5), (5, 6),
+        (0, 7), (1, 7), (0, 8), (7, 8),
+    ]
+    return o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(node(a).alias("src"), node(b).alias("dst"))
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def q_graph_ktruss(spark, sf_dir):
+    """4-truss (every edge in ≥ 2 in-truss triangles) over the planted
+    cascade gadgets — see _truss_gadget_edges for why the peel takes
+    two genuine rounds. The synchronous edge-peel update is set-valued
+    and deterministic, so the DuckDB oracle unrolls the identical
+    wedge-join + coalesce-0 + filter recurrence (6 rounds, no-op past
+    the fixpoint) and both sides agree exactly, including the
+    converged in-truss ``support`` column."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        k_truss,
+    )
+
+    return k_truss(_truss_gadget_edges(spark, sf_dir), k=4, max_iter=10)
+
+
 def q_graph_harmonic_closeness(spark, sf_dir):
     """Harmonic centrality over the planted chain+region graph (the
     q_graph_kcore topology) from seeds {n0, n5, r2}: one per-source BFS
@@ -2181,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
         "graph_betweenness": q_graph_betweenness,
@@ -2513,6 +2560,65 @@ def _kcore_oracle_sql(k: int, iterations: int) -> str:
     parts.append(
         f"SELECT id, cast(c AS integer) AS degree "
         f"FROM deg{iterations} WHERE c >= {k}"
+    )
+    return "".join(parts)
+
+
+def _ktruss_oracle_sql(k: int, iterations: int) -> str:
+    """Unrolled synchronous k-truss edge-peeling over the planted
+    cascade gadgets (see q_graph_ktruss / _truss_gadget_edges). Each
+    round recomputes every surviving edge's triangle support via the
+    wedge self-join closed by an edge equi-join, LEFT-joins it back so
+    triangle-free edges read support 0, and drops edges with support
+    < k−2; the update is set-valued and deterministic, so iterations
+    past the fixpoint are no-ops. The final SELECT reads the last
+    round's support frame — at fixpoint that IS the in-truss support,
+    matching the operator's converged recompute."""
+    head = """
+        WITH o AS (
+          SELECT o_orderkey AS kk FROM orders WHERE o_orderkey % 29 = 0
+        ),
+        e0 AS (
+          SELECT 'g'||kk||'_'||x AS src, 'g'||kk||'_'||y AS dst
+          FROM o CROSS JOIN (VALUES
+            (0,1),(0,2),(0,3),(1,2),(1,3),(2,3),
+            (3,4),(3,5),(4,5),(5,6),
+            (0,7),(1,7),(0,8),(7,8)) t(x,y)
+        ),
+        alive0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst
+        )
+        """
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        sym{i} AS MATERIALIZED (
+          SELECT a AS id, b AS other FROM alive{i - 1}
+          UNION ALL
+          SELECT b AS id, a AS other FROM alive{i - 1}
+        ),
+        tri{i} AS (
+          SELECT x.id AS a, y.id AS b, count(*) AS s
+          FROM sym{i} x
+          JOIN sym{i} y ON x.other = y.other AND x.id < y.id
+          JOIN alive{i - 1} e ON e.a = x.id AND e.b = y.id
+          GROUP BY x.id, y.id
+        ),
+        supp{i} AS MATERIALIZED (
+          SELECT e.a, e.b, coalesce(t.s, 0) AS s
+          FROM alive{i - 1} e
+          LEFT JOIN tri{i} t ON t.a = e.a AND t.b = e.b
+        ),
+        alive{i} AS MATERIALIZED (
+          SELECT a, b FROM supp{i} WHERE s >= {k - 2}
+        )
+            """
+        )
+    parts.append(
+        f"SELECT a, b, cast(s AS integer) AS support "
+        f"FROM supp{iterations} WHERE s >= {k - 2}"
     )
     return "".join(parts)
 
@@ -4116,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
+        "graph_ktruss": _ktruss_oracle_sql(k=4, iterations=6),
         # per-seed BFS walk + harmonic sum; round-6 BEFORE compare (the
         # tfidf discipline — double addition order varies per engine).
         "graph_harmonic_closeness": f"""

@@ -25,6 +25,19 @@ def plan_of(df) -> str:
     return jdf.queryExecution().explainString(mode)
 
 
+def _ktruss_round_plan(em, spark, sf_dir):
+    """One k_truss peel round's un-checkpointed support plan over the
+    planted truss gadgets (the q_graph_ktruss input)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        _canonical_edges,
+        edge_support,
+    )
+
+    return edge_support(
+        _canonical_edges(em._truss_gadget_edges(spark, sf_dir), "src", "dst")
+    )
+
+
 def main(sf_dir: str) -> int:
     spark = build_session("plan-audit", master="local[4]", shuffle_partitions=8)
     import __spark_entry__ as em
@@ -192,6 +205,19 @@ def main(sf_dir: str) -> int:
         # Python anywhere in the plan.
         "link_prediction_no_cartesian",
         em.q_graph_link_prediction(spark, sf_dir),
+        ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        # k-truss: the per-round wedge self-join is keyed on the shared
+        # neighbor and closed by an edge equi-join — never cartesian;
+        # the x.id < y.id predicate must ride the keyed join, not force
+        # a nested loop.
+        # (audited via edge_support — the returned frame is a
+        # localCheckpoint scan, so the per-round plan is inspected
+        # directly.)
+        "ktruss_round_no_cartesian",
+        _ktruss_round_plan(em, spark, sf_dir),
         ["Join"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )

@@ -619,3 +619,78 @@ class TestLinkPrediction:
 
         with _pytest.raises(ValueError):
             link_prediction(df, score_on="nope")
+
+
+class TestKTruss:
+    GADGET = [
+        # K4 core, side triangle {3,4,5}, pendant 5-6, hanging
+        # triangle {0,1,7}, second-tier triangle {0,7,8} — the
+        # q_graph_ktruss cascade topology on plain int-ish labels.
+        ("0", "1"), ("0", "2"), ("0", "3"), ("1", "2"), ("1", "3"),
+        ("2", "3"), ("3", "4"), ("3", "5"), ("4", "5"), ("5", "6"),
+        ("0", "7"), ("1", "7"), ("0", "8"), ("7", "8"),
+    ]
+
+    def test_k3_keeps_all_triangle_edges(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_truss,
+        )
+
+        df = spark.createDataFrame(self.GADGET, ["src", "dst"])
+        got = {(r.a, r.b): r.support for r in k_truss(df, k=3).collect()}
+        # only the triangle-free pendant 5-6 dies; everything else has
+        # >= 1 in-truss triangle after it goes.
+        assert ("5", "6") not in got
+        assert set(got) == set(self.GADGET) - {("5", "6")}
+        assert got[("0", "1")] == 3  # {2},{3},{7} all still in the 3-truss
+        assert got[("4", "5")] == 1
+
+    def test_k4_cascades_to_k4_core(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_truss,
+        )
+
+        df = spark.createDataFrame(self.GADGET, ["src", "dst"])
+        got = {(r.a, r.b): r.support for r in k_truss(df, k=4).collect()}
+        # round 1 kills the side/hanging/second-tier triangle edges,
+        # round 2 kills (0,7) whose wedges died in round 1 — K4 remains.
+        k4 = {("0", "1"), ("0", "2"), ("0", "3"), ("1", "2"), ("1", "3"), ("2", "3")}
+        assert set(got) == k4
+        assert all(s == 2 for s in got.values())
+
+    def test_truncation_is_superset(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_truss,
+        )
+
+        df = spark.createDataFrame(self.GADGET, ["src", "dst"])
+        # max_iter=0: the final filter applies round 1's removals but
+        # round 2 never runs — (0,7), whose support only collapses once
+        # the round-1 victims are gone, is still reported.
+        part, truncated = k_truss(df, k=4, max_iter=0, return_truncated=True)
+        full = k_truss(df, k=4)
+        part_set = {(r.a, r.b) for r in part.collect()}
+        full_set = {(r.a, r.b) for r in full.collect()}
+        assert truncated
+        assert full_set < part_set  # backstop fired mid-peel → superset
+        assert ("0", "7") in part_set  # the round-2 victim still present
+        # max_iter=1 happens to reach the truss here (the final filter
+        # IS round 2's removal), but the flag still reports the
+        # unverified fixpoint honestly.
+        part1, t1 = k_truss(df, k=4, max_iter=1, return_truncated=True)
+        assert t1 and {(r.a, r.b) for r in part1.collect()} == full_set
+
+    def test_k2_is_all_edges_and_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            k_truss,
+        )
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "a"), ("b", "a")], ["src", "dst"]
+        )
+        got = {(r.a, r.b): r.support for r in k_truss(df, k=2).collect()}
+        # support >= 0 keeps every canonical edge; loops/dups dropped.
+        assert got == {("a", "b"): 0, ("b", "c"): 0}
+        with _pytest.raises(ValueError):
+            k_truss(df, k=1)

@@ -916,3 +916,91 @@ def link_prediction(
         .filter(F.col(score_on) >= min_score)
     )
     return (scores, dropped) if return_dropped else scores
+
+
+def edge_support(cur: DataFrame) -> DataFrame:
+    """(a, b, support) triangle support of every edge in a CANONICAL
+    (a < b, distinct, loop-free) edge frame — one ``k_truss`` peel
+    round's read side, exposed so the plan auditor can inspect the
+    un-checkpointed shape: wedge self-join keyed on the shared
+    neighbor, closed by an edge equi-join (the triangle_count shape),
+    LEFT-joined back so triangle-free edges read 0."""
+    sym = cur.select(F.col("a").alias("id"), F.col("b").alias("other")).union(
+        cur.select(F.col("b").alias("id"), F.col("a").alias("other"))
+    )
+    x, y = sym.alias("x"), sym.alias("y")
+    tri = (
+        x.join(
+            y,
+            (F.col("x.other") == F.col("y.other"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .join(cur, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+    )
+    return (
+        cur.join(tri, ["a", "b"], "left")
+        .withColumn("support", F.coalesce(F.col("s"), F.lit(0)))
+        .drop("s")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    return_truncated: bool = False,
+) -> DataFrame | tuple[DataFrame, bool]:
+    """(a, b, support) edges of the k-truss: the maximal subgraph in
+    which every edge participates in ≥ k−2 triangles WITHIN the
+    subgraph (``support`` is the edge's converged in-truss triangle
+    count). The cohesion ladder one rung above k-core — a k-truss is
+    always inside the (k−1)-core but prunes barely-attached spokes a
+    degree test keeps, which is what makes it the standard "tight
+    community skeleton" cut. Undirected ``_canonical_edges`` semantics
+    (parallel edges deduped, self-loops dropped).
+
+    Synchronous peeling, the ``k_core`` discipline edge-wise: every
+    round computes each surviving edge's support via the wedge
+    self-join (sym ⋈ sym on the shared neighbor, closed by an edge
+    equi-join — the triangle_count shape, keyed joins only), then
+    simultaneously removes ALL edges with support < k−2. The update is
+    set-valued and deterministic, so early exit at the fixpoint is
+    oracle-safe: extra unrolled oracle iterations are no-ops.
+
+    ``max_iter`` is the lineage/backstop bound (each round
+    localCheckpoint-truncated, one bounded count scalar for loop
+    control). With ``return_truncated=True`` returns ``(df,
+    truncated)``; truncated means the backstop fired while another
+    round would still peel — the returned edge set is then a SUPERSET
+    of the k-truss (no silent truncation, the bfs_distances contract).
+    100 TB shape: the wedge join is the bottleneck; pre-filtering to
+    the (k−1)-core and a degree-ordered orientation are the standard
+    mitigations and compose here unchanged (PLANS.md triangle notes).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    truncated = False
+    supp = None
+    for i in range(max_iter + 1):
+        supp = edge_support(cur).localCheckpoint(eager=True)
+        doomed_n = supp.filter(F.col("support") < k - 2).count()
+        if doomed_n == 0:
+            break
+        if i == max_iter:
+            truncated = True
+            break
+        cur = (
+            supp.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    out = supp.filter(F.col("support") >= k - 2).select(
+        "a", "b", F.col("support").cast("int").alias("support")
+    )
+    return (out, truncated) if return_truncated else out
