@@ -477,6 +477,38 @@ class TestRingAndWalkQueries:
                 assert r.label_a is not None
 
 
+class TestCampaignSkeletons:
+    def test_two_k4_skeletons(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            campaign_skeletons,
+        )
+
+        # Plant a triple view with two K4 cores + mention spokes, then
+        # restore the module warehouse views afterwards.
+        rows = []
+        for p in ("A", "B"):
+            ids = [f"{p}{i}" for i in range(4)]
+            rows += [
+                (ids[i], "COMMUNICATES_WITH", ids[j])
+                for i in range(4)
+                for j in range(i + 1, 4)
+            ]
+            rows += [(f"Report_{p}", "MENTIONS", ids[0])]
+        try:
+            spark.createDataFrame(
+                rows, ["subj", "pred", "obj"]
+            ).createOrReplaceTempView("triples")
+            got = campaign_skeletons(spark, k=4, min_edges=3).collect()
+            assert len(got) == 12  # 6 edges per K4; spokes stripped
+            assert {r.skeleton_id for r in got} == {"A0", "B0"}
+            assert all(
+                r.support == 2 and r.skeleton_edges == 6 and not r.truncated
+                for r in got
+            )
+        finally:
+            register_graph_views(spark, warehouse)
+
+
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):
         """Op 6 twin: second call within the window waits exactly the

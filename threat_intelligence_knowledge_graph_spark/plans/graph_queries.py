@@ -461,6 +461,41 @@ def predicted_links(
     )
 
 
+def campaign_skeletons(
+    spark: SparkSession, k: int = 4, min_edges: int = 3, max_iter: int = 20
+) -> DataFrame:
+    """Tight campaign skeletons: the k-truss of the undirected triple
+    view, grouped into skeletons (connected components of the
+    surviving edges, named by min node id). A k-truss edge sits in
+    ≥ k−2 mutual triangles, so a skeleton is infrastructure whose
+    members corroborate EACH OTHER — the actor↔malware↔C2 cores that
+    survive when report-mention spokes are stripped away. Returns one
+    row per surviving edge with its skeleton id, skeleton edge count
+    (≥ min_edges), and in-truss support, biggest skeletons first; the
+    ``truncated`` flag carries the k_truss backstop contract (if set,
+    the skeleton set is a superset — never silently tight)."""
+    from ..operators.graph_algos import connected_components, k_truss
+
+    e = spark.table("triples").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    truss, truncated = k_truss(
+        e, k=k, max_iter=max_iter, return_truncated=True
+    )
+    comp = connected_components(truss.select("a", "b"))
+    sized = truss.join(
+        comp.select(F.col("id").alias("a"), F.col("component").alias("skeleton_id")),
+        "a",
+    )
+    counts = sized.groupBy("skeleton_id").agg(F.count("*").alias("skeleton_edges"))
+    return (
+        sized.join(counts.filter(F.col("skeleton_edges") >= min_edges), "skeleton_id")
+        .withColumn("truncated", F.lit(truncated))
+        .select("skeleton_id", "a", "b", "support", "skeleton_edges", "truncated")
+        .orderBy(F.col("skeleton_edges").desc(), "skeleton_id", "a", "b")
+    )
+
+
 def infrastructure_by_block(
     spark: SparkSession, blocks: DataFrame, min_ips: int = 1
 ) -> DataFrame:
