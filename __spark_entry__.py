@@ -1130,6 +1130,21 @@ def q_graph_pagerank_personalized(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_graph_diameter(spark, sf_dir):
+    """Two-sweep (double-BFS) diameter lower bound over the planted
+    chain+region graph, undirected. Deterministic end to end: seed =
+    min node id, each sweep's far node = min-id among max-dist, so the
+    DuckDB oracle replays the identical two recursive-CTE walks with
+    the same ORDER BY dist DESC, id LIMIT 1 picks. max_hops=60 on a
+    30-node graph can never truncate, so the flag is analytically
+    false on both sides."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        diameter_two_sweep,
+    )
+
+    return diameter_two_sweep(_chain_region_edges(spark, sf_dir), max_hops=60)
+
+
 def q_graph_kcore(spark, sf_dir):
     """k-core membership (k=2) over a planted 30-node graph from
     `nation`: an open chain n0—n1—…—n24 plus region edges n_i—r_(i%5)
@@ -2227,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_kcore": q_graph_kcore,
+        "graph_diameter": q_graph_diameter,
         "graph_ktruss": q_graph_ktruss,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
@@ -4222,6 +4238,36 @@ def oracle_sql() -> dict[str, str]:
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
+        "graph_diameter": """
+            WITH RECURSIVE
+            e0 AS (""" + _CHAIN_REGION_EDGES_SQL + """),
+            e AS (
+              SELECT src AS u, dst AS v FROM e0
+              UNION
+              SELECT dst, src FROM e0
+            ),
+            seedv AS (SELECT min(u) AS id FROM e),
+            w1(id, d) AS (
+              SELECT id, 0 FROM seedv
+              UNION
+              SELECT e.v, w1.d + 1 FROM w1 JOIN e ON w1.id = e.u
+              WHERE w1.d < 60
+            ),
+            d1 AS (SELECT id, min(d) AS dist FROM w1 GROUP BY id),
+            p1 AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+            w2(id, d) AS (
+              SELECT id, 0 FROM p1
+              UNION
+              SELECT e.v, w2.d + 1 FROM w2 JOIN e ON w2.id = e.u
+              WHERE w2.d < 60
+            ),
+            d2 AS (SELECT id, min(d) AS dist FROM w2 GROUP BY id),
+            p2 AS (SELECT id, dist FROM d2 ORDER BY dist DESC, id LIMIT 1)
+            SELECT s.id AS seed, p1.id AS peripheral, p2.id AS far_node,
+                   cast(p2.dist AS int) AS diameter_lb,
+                   cast(0 AS boolean) AS truncated
+            FROM seedv s, p1, p2
+        """,
         "graph_ktruss": _ktruss_oracle_sql(k=4, iterations=6),
         # per-seed BFS walk + harmonic sum; round-6 BEFORE compare (the
         # tfidf discipline — double addition order varies per engine).

@@ -694,3 +694,58 @@ class TestKTruss:
         assert got == {("a", "b"): 0, ("b", "c"): 0}
         with _pytest.raises(ValueError):
             k_truss(df, k=1)
+
+
+class TestDiameterTwoSweep:
+    def test_path_graph_exact(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            diameter_two_sweep,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+        )
+        r = diameter_two_sweep(df).collect()[0]
+        # two-sweep is exact on trees: seed a → farthest e → back to a.
+        assert (r.seed, r.peripheral, r.far_node, r.diameter_lb, r.truncated) == (
+            "a", "e", "a", 4, False,
+        )
+
+    def test_even_cycle_exact_and_star(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            diameter_two_sweep,
+        )
+
+        cyc = spark.createDataFrame(
+            [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)], ["src", "dst"]
+        )
+        assert diameter_two_sweep(cyc).collect()[0].diameter_lb == 3
+        star = spark.createDataFrame(
+            [("c", "l1"), ("c", "l2"), ("c", "l3")], ["src", "dst"]
+        )
+        star_r = diameter_two_sweep(star).collect()[0]
+        assert star_r.diameter_lb == 2 and star_r.seed == "c"
+
+    def test_disconnected_scopes_to_seed_component(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            diameter_two_sweep,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("x", "y"), ("y", "z"), ("z", "w")], ["src", "dst"]
+        )
+        r = diameter_two_sweep(df).collect()[0]
+        # min id 'a' seeds the 2-node component; the bigger one is
+        # invisible by contract.
+        assert r.seed == "a" and r.diameter_lb == 1
+
+    def test_truncation_reported(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            diameter_two_sweep,
+        )
+
+        df = spark.createDataFrame(
+            [(f"v{i}", f"v{i+1}") for i in range(9)], ["src", "dst"]
+        )
+        r = diameter_two_sweep(df, max_hops=2).collect()[0]
+        assert r.truncated and r.diameter_lb <= 4  # slack bound, flagged

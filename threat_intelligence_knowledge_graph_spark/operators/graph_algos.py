@@ -1004,3 +1004,65 @@ def k_truss(
         "a", "b", F.col("support").cast("int").alias("support")
     )
     return (out, truncated) if return_truncated else out
+
+
+def diameter_two_sweep(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed: str | None = None,
+    max_hops: int = 60,
+) -> DataFrame:
+    """One-row (seed, peripheral, far_node, diameter_lb, truncated):
+    the classic double-BFS diameter LOWER BOUND (Magnien et al. —
+    exact on trees, and within a small constant on real power-law
+    graphs, vs the all-pairs O(V·E) exact sweep no 100 TB graph can
+    afford). UNDIRECTED: the edge frame is symmetrized first.
+
+    Sweep 1 runs BFS from ``seed`` (the minimum node id when None —
+    deterministic) and picks the farthest settled node, min-id
+    tie-break (``peripheral``); sweep 2 runs BFS from that node, and
+    its farthest settled node (``far_node``, same tie-break) sits
+    ``diameter_lb`` hops away. Both argmax picks are
+    TakeOrderedAndProject(1) + a 1-row collect — bounded driver
+    actions, the PageRank dangling-mass discipline. The bound covers
+    the SEED'S component only (document contract for disconnected
+    graphs), and ``truncated`` reports either sweep's backstop firing
+    with a live frontier (the bound may then be slack — never
+    silently)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = und.sparkSession
+    if seed is None:
+        head = und.agg(F.min("u").alias("m")).collect()  # 1 row
+        seed = head[0].m
+    if seed is None:
+        return spark.createDataFrame(
+            [], "seed string, peripheral string, far_node string, "
+            "diameter_lb int, truncated boolean",
+        )
+
+    def _sweep(start: str):
+        d, tr = bfs_distances(
+            und,
+            spark.createDataFrame([(start,)], ["id"]),
+            src="u",
+            dst="v",
+            max_hops=max_hops,
+            return_truncated=True,
+        )
+        far = d.orderBy(F.col("dist").desc(), "id").limit(1).collect()
+        return far[0], tr
+
+    p1, t1 = _sweep(seed)
+    p2, t2 = _sweep(p1.id)
+    return spark.createDataFrame(
+        [(seed, p1.id, p2.id, int(p2.dist), bool(t1 or t2))],
+        "seed string, peripheral string, far_node string, "
+        "diameter_lb int, truncated boolean",
+    )
