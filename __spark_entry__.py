@@ -1130,6 +1130,94 @@ def q_graph_pagerank_personalized(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _cypher_graph(spark, sf_dir):
+    """Planted node/edge store for the Cypher-lite entries: every 31st
+    orderkey k gets Malware m{k} (props name=mal{k}, size=k%10), two
+    Domains a{k}/b{k} (.evil.net names), an Ipv4, and edges
+    m→COMMUNICATES_WITH→both domains + a{k}→RESOLVES_TO→ip{k}."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    k = F.col("o_orderkey").cast("string")
+    size = (F.col("o_orderkey") % 10).cast("string")
+
+    def node(label, nid, name, with_size=False):
+        props = [F.lit("name"), name]
+        if with_size:
+            props += [F.lit("size"), size]
+        return o.select(
+            F.lit(label).alias("node_label"),
+            nid.alias("node_id"),
+            F.create_map(*props).alias("properties"),
+        )
+
+    m_id = F.concat(F.lit("m"), k)
+    da_id = F.concat(F.lit("da"), k)
+    db_id = F.concat(F.lit("db"), k)
+    ip_id = F.concat(F.lit("ip"), k)
+    nodes = (
+        node("Malware", m_id, F.concat(F.lit("mal"), k), with_size=True)
+        .unionByName(node("Domain", da_id, F.concat(F.lit("a"), k, F.lit(".evil.net"))))
+        .unionByName(node("Domain", db_id, F.concat(F.lit("b"), k, F.lit(".evil.net"))))
+        .unionByName(node("Ipv4", ip_id, F.lit("10.0.0.1")))
+    )
+
+    def edge(sl, sid, rt, dl, did):
+        return o.select(
+            F.lit(sl).alias("src_label"),
+            sid.alias("src_id"),
+            F.lit(rt).alias("rel_type"),
+            F.lit(dl).alias("dst_label"),
+            did.alias("dst_id"),
+        )
+
+    edges = (
+        edge("Malware", m_id, "COMMUNICATES_WITH", "Domain", da_id)
+        .unionByName(edge("Malware", m_id, "COMMUNICATES_WITH", "Domain", db_id))
+        .unionByName(edge("Domain", da_id, "RESOLVES_TO", "Ipv4", ip_id))
+    )
+    return nodes, edges
+
+
+def q_cypher_match_filter(spark, sf_dir):
+    """Cypher-lite translation end-to-end: label + property-map scans,
+    a typed directed hop, numeric weak-typed WHERE and STARTS WITH —
+    the ad-hoc MATCH surface the reference exposes as a raw Neo4j
+    pass-through (reference neo4j_store.py:175-208). The oracle
+    replays the planted-graph semantics directly in SQL."""
+    from threat_intelligence_knowledge_graph_spark.plans.cypher_lite import (
+        cypher_query,
+    )
+
+    nodes, edges = _cypher_graph(spark, sf_dir)
+    return cypher_query(
+        spark,
+        "MATCH (m:Malware)-[r:COMMUNICATES_WITH]->(d:Domain) "
+        "WHERE m.size > 5 AND d.name STARTS WITH 'a' "
+        "RETURN m AS malware, d.name AS domain",
+        nodes=nodes,
+        edges=edges,
+    )
+
+
+def q_cypher_two_hop_count(spark, sf_dir):
+    """Cypher-lite two-hop chain + implicit aggregation grouping
+    (RETURN m.size, count(*)) over the planted store — Cypher's
+    GROUP-BY-what-you-didn't-aggregate rule translated to a
+    groupBy/agg."""
+    from threat_intelligence_knowledge_graph_spark.plans.cypher_lite import (
+        cypher_query,
+    )
+
+    nodes, edges = _cypher_graph(spark, sf_dir)
+    return cypher_query(
+        spark,
+        "MATCH (m:Malware)-[:COMMUNICATES_WITH]->(d:Domain)"
+        "-[:RESOLVES_TO]->(i:Ipv4) "
+        "RETURN m.size AS size, count(*) AS n",
+        nodes=nodes,
+        edges=edges,
+    )
+
+
 def q_graph_diameter(spark, sf_dir):
     """Two-sweep (double-BFS) diameter lower bound over the planted
     chain+region graph, undirected. Deterministic end to end: seed =
@@ -2243,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_kcore": q_graph_kcore,
         "graph_diameter": q_graph_diameter,
+        "cypher_match_filter": q_cypher_match_filter,
+        "cypher_two_hop_count": q_cypher_two_hop_count,
         "graph_ktruss": q_graph_ktruss,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
@@ -4237,6 +4327,21 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_personalized": _pagerank_oracle_sql(
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
         ),
+        # Cypher-lite entries: the oracle replays the planted-store
+        # semantics (see _cypher_graph) directly in SQL.
+        "cypher_match_filter": """
+            SELECT 'm' || cast(o_orderkey AS varchar) AS malware,
+                   'a' || cast(o_orderkey AS varchar) || '.evil.net' AS domain
+            FROM orders
+            WHERE o_orderkey % 31 = 0 AND o_orderkey % 10 > 5
+        """,
+        "cypher_two_hop_count": """
+            SELECT cast(o_orderkey % 10 AS varchar) AS size,
+                   count(*) AS n
+            FROM orders
+            WHERE o_orderkey % 31 = 0
+            GROUP BY 1
+        """,
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
         "graph_diameter": """
             WITH RECURSIVE

@@ -1,0 +1,179 @@
+"""Cypher-lite translator: the ad-hoc MATCH surface (reference
+neo4j_store.py:175-208 pass-through parity for the supported subset)."""
+
+from __future__ import annotations
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.plans.cypher_lite import (
+    CypherSyntaxError,
+    cypher_query,
+)
+from threat_intelligence_knowledge_graph_spark.schemas import (
+    EDGES_SCHEMA,
+    NODES_SCHEMA,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("Malware", "Mal_A", {"name": "emotet", "size": "7"}),
+            ("Malware", "Mal_B", {"name": "qbot", "size": "3"}),
+            ("Domain", "Dom_X", {"name": "x.evil.net"}),
+            ("Domain", "Dom_Y", {"name": "y.evil.net"}),
+            ("Ipv4", "Ip_1", {"name": "10.0.0.1"}),
+        ],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [
+            ("Malware", "Mal_A", "COMMUNICATES_WITH", "Domain", "Dom_X"),
+            ("Malware", "Mal_A", "COMMUNICATES_WITH", "Domain", "Dom_Y"),
+            ("Malware", "Mal_B", "COMMUNICATES_WITH", "Domain", "Dom_X"),
+            ("Domain", "Dom_X", "RESOLVES_TO", "Ipv4", "Ip_1"),
+        ],
+        EDGES_SCHEMA,
+    )
+    return nodes, edges
+
+
+def q(spark, graph, text):
+    return cypher_query(spark, text, nodes=graph[0], edges=graph[1])
+
+
+class TestMatchBasics:
+    def test_label_scan_and_order(self, spark, graph):
+        got = q(spark, graph, "MATCH (m:Malware) RETURN m ORDER BY m").collect()
+        assert [r.m for r in got] == ["Mal_A", "Mal_B"]
+
+    def test_property_map_and_hop(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware {name: 'emotet'})-[r:COMMUNICATES_WITH]->"
+            "(d:Domain) RETURN d.name AS domain ORDER BY domain",
+        ).collect()
+        assert [r.domain for r in got] == ["x.evil.net", "y.evil.net"]
+
+    def test_reversed_direction(self, spark, graph):
+        got = q(
+            spark, graph, "MATCH (i:Ipv4)<-[:RESOLVES_TO]-(d) RETURN d"
+        ).collect()
+        assert [r.d for r in got] == ["Dom_X"]
+
+    def test_two_hop_distinct(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware)-[:COMMUNICATES_WITH]->(d)-[:RESOLVES_TO]->"
+            "(i:Ipv4) RETURN DISTINCT m, i.name AS ip ORDER BY m",
+        ).collect()
+        assert [(r.m, r.ip) for r in got] == [
+            ("Mal_A", "10.0.0.1"),
+            ("Mal_B", "10.0.0.1"),
+        ]
+
+    def test_undirected_hop(self, spark, graph):
+        got = q(
+            spark, graph,
+            "MATCH (d:Domain)-[:RESOLVES_TO]-(x) RETURN x ORDER BY x",
+        ).collect()
+        assert [r.x for r in got] == ["Ip_1"]
+
+    def test_rel_variable_returns_type(self, spark, graph):
+        got = q(
+            spark, graph,
+            "MATCH (a)-[r]->(b) RETURN DISTINCT r AS t ORDER BY t",
+        ).collect()
+        assert [r.t for r in got] == ["COMMUNICATES_WITH", "RESOLVES_TO"]
+
+    def test_limit(self, spark, graph):
+        got = q(
+            spark, graph, "MATCH (m:Malware) RETURN m ORDER BY m LIMIT 1"
+        ).collect()
+        assert [r.m for r in got] == ["Mal_A"]
+
+
+class TestWhere:
+    def test_numeric_weak_typing(self, spark, graph):
+        got = q(
+            spark, graph, "MATCH (m:Malware) WHERE m.size > 5 RETURN m"
+        ).collect()
+        assert [r.m for r in got] == ["Mal_A"]
+
+    def test_contains_and_pseudo_id(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (d:Domain) WHERE d.name CONTAINS 'evil' "
+            "AND d.id <> 'Dom_Y' RETURN d",
+        ).collect()
+        assert [r.d for r in got] == ["Dom_X"]
+
+    def test_starts_with_and_in(self, spark, graph):
+        got = q(
+            spark, graph,
+            "MATCH (d:Domain) WHERE d.name STARTS WITH 'x.' RETURN d",
+        ).collect()
+        assert [r.d for r in got] == ["Dom_X"]
+        got = q(
+            spark, graph,
+            "MATCH (m:Malware) WHERE m.name IN ['qbot', 'zeus'] RETURN m",
+        ).collect()
+        assert [r.m for r in got] == ["Mal_B"]
+
+    def test_rel_type_predicate(self, spark, graph):
+        got = q(
+            spark, graph,
+            "MATCH (a)-[r]->(b) WHERE r.type = 'RESOLVES_TO' RETURN a, b",
+        ).collect()
+        assert [(r.a, r.b) for r in got] == [("Dom_X", "Ip_1")]
+
+
+class TestAggregates:
+    def test_count_star_implicit_grouping(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware)-[:COMMUNICATES_WITH]->(d:Domain) "
+            "RETURN m, count(*) AS n ORDER BY n DESC, m",
+        ).collect()
+        assert [(r.m, r.n) for r in got] == [("Mal_A", 2), ("Mal_B", 1)]
+
+    def test_count_distinct_global(self, spark, graph):
+        got = q(
+            spark, graph,
+            "MATCH (m:Malware)-[]->(d:Domain) RETURN count(DISTINCT d) AS nd",
+        ).collect()
+        assert got[0].nd == 2
+
+
+class TestErrors:
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "RETURN 1",  # no MATCH
+            "MATCH (a) RETURN a ORDER BY b",  # ORDER BY not in RETURN
+            "MATCH (a)-[r]->(a) RETURN a",  # cyclic rebind
+            "MATCH (a), (b) RETURN a",  # cartesian chains
+            "MATCH (a) WHERE a.x ~ 'y' RETURN a",  # unsupported operator
+            "MATCH (a)-[r]->(b) RETURN r.weight",  # rels expose .type only
+            "MATCH (a) RETURN a LIMIT many",  # non-integer limit
+        ],
+    )
+    def test_rejects_outside_subset(self, spark, graph, bad):
+        with pytest.raises(CypherSyntaxError):
+            q(spark, graph, bad).collect()
+
+    def test_label_and_prop_pushdown_shapes(self, spark, graph):
+        # filters sit under the join, no cartesian, no python
+        plan = q(
+            spark,
+            graph,
+            "MATCH (m:Malware {name: 'emotet'})-[:COMMUNICATES_WITH]->(d) "
+            "RETURN d",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
