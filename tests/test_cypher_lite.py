@@ -149,6 +149,27 @@ class TestAggregates:
         ).collect()
         assert got[0].nd == 2
 
+    def test_numeric_aggregates_weak_typed(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware) RETURN sum(m.size) AS total, avg(m.size) "
+            "AS mean, min(m.name) AS first",
+        ).collect()[0]
+        assert (got.total, got.mean, got.first) == (10.0, 5.0, "emotet")
+
+    def test_max_with_grouping(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware)-[:COMMUNICATES_WITH]->(d:Domain) "
+            "RETURN m, max(d.name) AS top ORDER BY m",
+        ).collect()
+        assert [(r.m, r.top) for r in got] == [
+            ("Mal_A", "y.evil.net"),
+            ("Mal_B", "x.evil.net"),
+        ]
+
 
 class TestErrors:
     @pytest.mark.parametrize(

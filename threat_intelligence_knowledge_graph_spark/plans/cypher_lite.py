@@ -82,6 +82,10 @@ _COUNT_RE = re.compile(
     r"(?i:count)\s*\(\s*(?:(?P<star>\*)|(?i:DISTINCT)\s+"
     r"(?P<var>[A-Za-z_]\w*)(?:\.(?P<prop>\w+))?)\s*\)"
 )
+_AGG_RE = re.compile(
+    r"(?P<fn>(?i:sum|avg|min|max))\s*\(\s*"
+    r"(?P<var>[A-Za-z_]\w*)(?:\.(?P<prop>\w+))?\s*\)"
+)
 
 
 def _parse_props(text: str | None) -> dict:
@@ -340,6 +344,18 @@ def _parse_return_item(plan: _Plan, item: str):
             return name, None, F.count(F.lit(1)).alias(name)
         col = plan.expr(cm.group("var"), cm.group("prop"))
         return name, None, F.count_distinct(col).alias(name)
+    am = _AGG_RE.fullmatch(item.strip())
+    if am:
+        fn = am.group("fn").lower()
+        name = alias or fn
+        col = plan.expr(am.group("var"), am.group("prop"))
+        if fn in ("sum", "avg"):
+            # numeric aggregate over string-typed properties: weak
+            # typing, the WHERE-comparison rule (non-numeric → NULL,
+            # ignored by the aggregate — Neo4j skips non-numerics too)
+            col = col.cast("double")
+        agg = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
+        return name, None, agg.alias(name)
     vm = re.fullmatch(r"([A-Za-z_]\w*)(?:\.(\w+))?", item.strip())
     if not vm:
         raise CypherSyntaxError(f"unsupported RETURN item: {item!r}")
