@@ -509,6 +509,49 @@ class TestCampaignSkeletons:
             register_graph_views(spark, warehouse)
 
 
+class TestQueryGraphCli:
+    def test_cypher_sql_and_output_modes(self, spark, warehouse, tmp_path, capsys):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "query_graph",
+            _os.path.join(_os.path.dirname(__file__), "..", "jobs", "query_graph.py"),
+        )
+        qg = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(qg)
+
+        rc = qg.main(
+            ["--warehouse", warehouse.root, "--cypher",
+             "MATCH (a)-[r]->(b) RETURN r AS t, count(*) AS n ORDER BY n DESC LIMIT 3"],
+            spark=spark,
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "t" in out and "n" in out
+        # spark session NOT stopped when passed in
+        assert spark.sql("SELECT 1").collect()[0][0] == 1
+
+        rc = qg.main(
+            ["--warehouse", warehouse.root, "--sql",
+             "SELECT count(*) AS c FROM triples",
+             "--output", str(tmp_path / "res.parquet")],
+            spark=spark,
+        )
+        assert rc == 0
+        got = spark.read.parquet(str(tmp_path / "res.parquet")).collect()
+        assert got[0].c > 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            qg.main(
+                ["--warehouse", warehouse.root, "--cypher", "MATCH (a), (b) RETURN a"],
+                spark=spark,
+            )
+        # the fixture's views survive the CLI calls for later tests
+        register_graph_views(spark, warehouse)
+
+
 class TestRateLimitedBackend:
     def test_paces_calls_with_min_interval(self):
         """Op 6 twin: second call within the window waits exactly the
