@@ -158,6 +158,23 @@ class TestAggregates:
         ).collect()[0]
         assert (got.total, got.mean, got.first) == (10.0, 5.0, "emotet")
 
+    def test_collect_sorted_and_distinct(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware)-[:COMMUNICATES_WITH]->(d:Domain) "
+            "RETURN m, collect(d.name) AS domains ORDER BY m",
+        ).collect()
+        assert [(r.m, r.domains) for r in got] == [
+            ("Mal_A", ["x.evil.net", "y.evil.net"]),
+            ("Mal_B", ["x.evil.net"]),
+        ]
+        got = q(
+            spark, graph,
+            "MATCH (m:Malware)-[]->(d:Domain) RETURN collect(DISTINCT d) AS ds",
+        ).collect()
+        assert got[0].ds == ["Dom_X", "Dom_Y"]
+
     def test_max_with_grouping(self, spark, graph):
         got = q(
             spark,

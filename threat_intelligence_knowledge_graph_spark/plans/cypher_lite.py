@@ -86,6 +86,10 @@ _AGG_RE = re.compile(
     r"(?P<fn>(?i:sum|avg|min|max))\s*\(\s*"
     r"(?P<var>[A-Za-z_]\w*)(?:\.(?P<prop>\w+))?\s*\)"
 )
+_COLLECT_RE = re.compile(
+    r"(?i:collect)\s*\(\s*(?P<distinct>(?i:DISTINCT)\s+)?"
+    r"(?P<var>[A-Za-z_]\w*)(?:\.(?P<prop>\w+))?\s*\)"
+)
 
 
 def _parse_props(text: str | None) -> dict:
@@ -344,6 +348,15 @@ def _parse_return_item(plan: _Plan, item: str):
             return name, None, F.count(F.lit(1)).alias(name)
         col = plan.expr(cm.group("var"), cm.group("prop"))
         return name, None, F.count_distinct(col).alias(name)
+    lm = _COLLECT_RE.fullmatch(item.strip())
+    if lm:
+        name = alias or "collect"
+        col = plan.expr(lm.group("var"), lm.group("prop"))
+        inner = F.collect_set(col) if lm.group("distinct") else F.collect_list(col)
+        # Neo4j's collect() is insertion-ordered (nondeterministic under
+        # parallel scan); the lite subset pins SORTED lists so results
+        # are engine/partitioning-reproducible.
+        return name, None, F.sort_array(inner).alias(name)
     am = _AGG_RE.fullmatch(item.strip())
     if am:
         fn = am.group("fn").lower()
