@@ -1233,6 +1233,18 @@ def q_graph_diameter(spark, sf_dir):
     return diameter_two_sweep(_chain_region_edges(spark, sf_dir), max_hops=60)
 
 
+def q_graph_stats(spark, sf_dir):
+    """One-row graph summary card (n_nodes/n_edges/avg_degree/
+    max_degree/Newman assortativity) over the planted chain+region
+    graph. Every term is a sum over edges/degrees, so the oracle is the
+    identical arithmetic in SQL; round-6 on the two ratios."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        graph_stats,
+    )
+
+    return graph_stats(_chain_region_edges(spark, sf_dir))
+
+
 def q_graph_kcore(spark, sf_dir):
     """k-core membership (k=2) over a planted 30-node graph from
     `nation`: an open chain n0—n1—…—n24 plus region edges n_i—r_(i%5)
@@ -2329,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "graph_stats": q_graph_stats,
         "graph_kcore": q_graph_kcore,
         "graph_diameter": q_graph_diameter,
         "cypher_match_filter": q_cypher_match_filter,
@@ -4341,6 +4354,43 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 31 = 0
             GROUP BY 1
+        """,
+        # graph summary card (see q_graph_stats): identical sum
+        # arithmetic; round-6 on the ratios.
+        "graph_stats": """
+            WITH e0 AS (""" + _CHAIN_REGION_EDGES_SQL + """),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst
+            ),
+            ends AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
+            deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY id),
+            jk0 AS (
+              SELECT da.deg AS j, db.deg AS k
+              FROM e
+              JOIN deg da ON da.id = e.a
+              JOIN deg db ON db.id = e.b
+            ),
+            jk AS (SELECT j, k FROM jk0 UNION ALL SELECT k, j FROM jk0),
+            agg AS (
+              SELECT count(*) AS m2,
+                     sum(cast(j AS double) * k) AS sjk,
+                     sum(cast(j AS double)) AS sj,
+                     sum(cast(j AS double) * j) AS sj2
+              FROM jk
+            ),
+            st AS (
+              SELECT count(*) AS n_nodes, max(deg) AS max_degree,
+                     sum(deg) AS deg_sum
+              FROM deg
+            )
+            SELECT cast(n_nodes AS bigint) AS n_nodes,
+                   cast(deg_sum / 2 AS bigint) AS n_edges,
+                   round(cast(deg_sum AS double) / n_nodes, 6) AS avg_degree,
+                   cast(max_degree AS int) AS max_degree,
+                   round((sjk/m2 - (sj/m2)*(sj/m2))
+                         / (sj2/m2 - (sj/m2)*(sj/m2)), 6) AS assortativity
+            FROM st, agg
         """,
         "graph_kcore": _kcore_oracle_sql(k=2, iterations=20),
         "graph_diameter": """

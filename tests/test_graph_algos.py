@@ -749,3 +749,54 @@ class TestDiameterTwoSweep:
         )
         r = diameter_two_sweep(df, max_hops=2).collect()[0]
         assert r.truncated and r.diameter_lb <= 4  # slack bound, flagged
+
+
+class TestGraphStats:
+    def test_star_is_maximally_disassortative(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            graph_stats,
+        )
+
+        star = spark.createDataFrame(
+            [("c", f"l{i}") for i in range(4)], ["src", "dst"]
+        )
+        r = graph_stats(star).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.max_degree) == (5, 4, 4)
+        assert r.avg_degree == 1.6
+        assert r.assortativity == -1.0  # hubs only ever touch leaves
+
+    def test_regular_graph_null_r_and_hygiene(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            graph_stats,
+        )
+
+        # 4-cycle + a self-loop + a duplicate edge: all degrees 2 →
+        # zero variance → r is NULL, never a fake number.
+        cyc = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "a"), ("b", "a")],
+            ["src", "dst"],
+        )
+        r = graph_stats(cyc).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.max_degree, r.avg_degree) == (4, 4, 2, 2.0)
+        assert r.assortativity is None
+
+    def test_matches_numpy_pearson(self, spark):
+        import numpy as np
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            graph_stats,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        pairs = [(deg[u], deg[v]) for u, v in edges]
+        pairs += [(k, j) for j, k in pairs]
+        j = np.array([p[0] for p in pairs], dtype=float)
+        k = np.array([p[1] for p in pairs], dtype=float)
+        expected = round(float(np.corrcoef(j, k)[0, 1]), 6)
+        got = graph_stats(df).collect()[0]
+        assert round(got.assortativity, 6) == expected

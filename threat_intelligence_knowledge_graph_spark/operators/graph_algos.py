@@ -1066,3 +1066,71 @@ def diameter_two_sweep(
         "seed string, peripheral string, far_node string, "
         "diameter_lb int, truncated boolean",
     )
+
+
+def graph_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row graph summary: (n_nodes, n_edges, avg_degree,
+    max_degree, assortativity) over the undirected ``_canonical_edges``
+    view — the first-look card every graph tool prints before an
+    analyst drills in.
+
+    ``assortativity`` is Newman's degree-correlation coefficient
+    (Pearson r of endpoint degrees over the DIRECTED-PAIR multiset,
+    i.e. both orientations of every undirected edge — which makes the
+    two endpoint moments identical, the standard undirected form). The
+    simplified full-degree variant (not excess-degree) is used and
+    documented; the DuckDB oracle mirrors it term for term. A
+    zero-variance (regular) graph has no defined r — emitted as NULL,
+    never a fake 0. Plan: one degree agg + one edge-degree join pair +
+    one global agg; every term a sum, so map-side partial aggregation
+    does the heavy lifting at 100 TB.
+    """
+    und = _canonical_edges(edges, src, dst)
+    both = und.select(F.col("a").alias("id")).union(
+        und.select(F.col("b").alias("id"))
+    )
+    deg = both.groupBy("id").agg(F.count("*").alias("deg"))
+    # directed-pair multiset: (j, k) for both orientations of each edge
+    jk = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(F.col("da").alias("j"), F.col("db").alias("k"))
+    )
+    jk = jk.union(jk.select(F.col("k").alias("j"), F.col("j").alias("k")))
+    agg = jk.agg(
+        F.count("*").alias("m2"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).alias("sj2"),
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").cast("int").alias("max_degree"),
+        F.sum("deg").alias("deg_sum"),
+    )
+    return stats.crossJoin(agg).select(
+        F.col("n_nodes"),
+        (F.col("deg_sum") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("deg_sum") / F.col("n_nodes"), 6).alias("avg_degree"),
+        "max_degree",
+        F.round(
+            F.when(
+                F.col("sj2") / F.col("m2")
+                - (F.col("sj") / F.col("m2")) * (F.col("sj") / F.col("m2"))
+                == 0,
+                None,
+            ).otherwise(
+                (
+                    F.col("sjk") / F.col("m2")
+                    - (F.col("sj") / F.col("m2")) * (F.col("sj") / F.col("m2"))
+                )
+                / (
+                    F.col("sj2") / F.col("m2")
+                    - (F.col("sj") / F.col("m2")) * (F.col("sj") / F.col("m2"))
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
