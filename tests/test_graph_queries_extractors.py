@@ -509,6 +509,21 @@ class TestCampaignSkeletons:
             register_graph_views(spark, warehouse)
 
 
+class TestGraphSummary:
+    def test_one_row_card(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            graph_summary,
+        )
+
+        r = graph_summary(spark).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert row.n_nodes > 0 and row.n_edges > 0 and row.max_degree >= 1
+        assert 0 < row.avg_degree <= 2 * row.n_edges / row.n_nodes + 1e-9
+        # KG mention graphs are hub-and-spoke → disassortative
+        assert row.assortativity is None or -1.0 <= row.assortativity <= 1.0
+
+
 class TestQueryGraphCli:
     def test_cypher_sql_and_output_modes(self, spark, warehouse, tmp_path, capsys):
         import importlib.util as _ilu

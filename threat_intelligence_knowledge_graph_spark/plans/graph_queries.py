@@ -496,6 +496,22 @@ def campaign_skeletons(
     )
 
 
+def graph_summary(spark: SparkSession) -> DataFrame:
+    """The first-look card: one row of n_nodes / n_edges / avg_degree /
+    max_degree / assortativity over the undirected triple view. A
+    strongly negative assortativity (hubs touching leaves) is the
+    mention-spoke signature; drifting toward 0/positive after
+    `campaign_skeletons`-style stripping means the core is genuinely
+    interlinked."""
+    from ..operators.graph_algos import graph_stats
+
+    return graph_stats(
+        spark.table("triples").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    )
+
+
 def infrastructure_by_block(
     spark: SparkSession, blocks: DataFrame, min_ips: int = 1
 ) -> DataFrame:
