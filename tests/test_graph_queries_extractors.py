@@ -519,7 +519,7 @@ class TestGraphSummary:
         assert len(r) == 1
         row = r[0]
         assert row.n_nodes > 0 and row.n_edges > 0 and row.max_degree >= 1
-        assert 0 < row.avg_degree <= 2 * row.n_edges / row.n_nodes + 1e-9
+        assert row.avg_degree == round(2 * row.n_edges / row.n_nodes, 6)
         # KG mention graphs are hub-and-spoke → disassortative
         assert row.assortativity is None or -1.0 <= row.assortativity <= 1.0
 
