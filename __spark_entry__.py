@@ -1720,6 +1720,43 @@ def q_graph_louvain(spark, sf_dir):
     return louvain_communities(_louvain_barbell_edges(spark, sf_dir), iterations=4)
 
 
+def q_graph_louvain_weighted(spark, sf_dir):
+    """Weighted synchronous Louvain (GDS relationshipWeightProperty
+    semantics: kin/degree/volume/2m are weight sums) over the nation
+    barbell with planted integer weights — (a.k+b.k)%3+1 on clique
+    edges, 7 on the n11—n12 bridge, heavy enough that the bridge
+    endpoints move differently than in the unweighted entry. Integer
+    weights keep every score float-exact, so the oracle unrolls the
+    identical weighted recurrence."""
+    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+        louvain_communities,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .filter(F.col("k") < 24)
+    )
+    a, b = nat.alias("a"), nat.alias("b")
+    cliques = a.join(
+        b,
+        (F.col("a.k") < F.col("b.k"))
+        & (F.floor(F.col("a.k") / 12) == F.floor(F.col("b.k") / 12)),
+    ).select(
+        F.concat(F.lit("n"), F.col("a.k").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("b.k").cast("string")).alias("dst"),
+        ((F.col("a.k") + F.col("b.k")) % 3 + 1).cast("double").alias("w"),
+    )
+    bridge = nat.filter(F.col("k") == 11).select(
+        F.lit("n11").alias("src"),
+        F.lit("n12").alias("dst"),
+        F.lit(7.0).alias("w"),
+    )
+    return louvain_communities(
+        cliques.unionByName(bridge), iterations=4, weight="w"
+    )
+
+
 def q_graph_modularity(spark, sf_dir):
     """Newman modularity Q of the 4-round Louvain partition on the
     planted nation barbell (see q_graph_louvain) — the partition-
@@ -2378,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
         "graph_louvain": q_graph_louvain,
+        "graph_louvain_weighted": q_graph_louvain_weighted,
         "graph_modularity": q_graph_modularity,
     }
 
@@ -2511,7 +2549,7 @@ def _hits_oracle_sql(iterations: int) -> str:
     return "".join(parts)
 
 
-def _louvain_oracle_sql(iterations: int) -> str:
+def _louvain_oracle_sql(iterations: int, weighted: bool = False) -> str:
     """Unrolled synchronous-Louvain recurrence over the planted nation
     barbell (see q_graph_louvain). Mirrors operators/louvain.py
     exactly per round: community volumes, per-(node, community) edge
@@ -2520,9 +2558,42 @@ def _louvain_oracle_sql(iterations: int) -> str:
     the round-parity direction gate (even round index: smaller ids
     only; odd: larger only), argmax (score DESC, comm ASC), and the
     strict-improvement move condition (NULL best → stay, matching
-    Spark's when/otherwise)."""
-    parts = [
+    Spark's when/otherwise).
+
+    ``weighted=True`` plants integer edge weights ((a.k+b.k)%3+1 on
+    clique edges, 7 on the bridge — heavy enough that n11/n12 behave
+    differently than unweighted) and swaps every count for the weight
+    sum (kin, degrees, volumes, 2m) — the GDS
+    relationshipWeightProperty semantics; integer weights keep the
+    recurrence float-exact."""
+    if weighted:
+        head = """
+        WITH nk AS (
+          SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 24
+        ),
+        e0 AS (
+          SELECT 'n' || cast(a.k AS varchar) AS s,
+                 'n' || cast(b.k AS varchar) AS d,
+                 cast((a.k + b.k) % 3 + 1 AS double) AS w
+          FROM nk a JOIN nk b
+            ON a.k < b.k AND floor(a.k / 12) = floor(b.k / 12)
+          UNION ALL
+          SELECT 'n11', 'n12', cast(7 AS double) FROM nk WHERE k = 11
+        ),
+        sym AS MATERIALIZED (
+          -- planted pairs are unique, so UNION ALL mirrors the
+          -- operator's groupBy-SUM merge exactly
+          SELECT s AS u, d AS v, w FROM e0 WHERE s <> d
+          UNION ALL
+          SELECT d, s, w FROM e0 WHERE s <> d
+        ),
+        nodes AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0),
+        m2 AS (SELECT cast(sum(w) AS double) AS m2 FROM sym),
+        degs AS MATERIALIZED (SELECT u AS id, sum(w) AS deg FROM sym GROUP BY u),
+        c0 AS MATERIALIZED (SELECT id, id AS c FROM nodes)
         """
+    else:
+        head = """
         WITH nk AS (
           SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 24
         ),
@@ -2534,17 +2605,18 @@ def _louvain_oracle_sql(iterations: int) -> str:
           UNION ALL
           SELECT 'n11', 'n12' FROM nk WHERE k = 11
         ),
-        sym AS MATERIALIZED (
+        sym0 AS (
           SELECT s AS u, d AS v FROM e0 WHERE s <> d
           UNION
           SELECT d, s FROM e0 WHERE s <> d
         ),
+        sym AS MATERIALIZED (SELECT u, v, cast(1 AS double) AS w FROM sym0),
         nodes AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0),
-        m2 AS (SELECT cast(count(*) AS double) AS m2 FROM sym),
-        degs AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+        m2 AS (SELECT cast(sum(w) AS double) AS m2 FROM sym),
+        degs AS MATERIALIZED (SELECT u AS id, sum(w) AS deg FROM sym GROUP BY u),
         c0 AS MATERIALIZED (SELECT id, id AS c FROM nodes)
         """
-    ]
+    parts = [head]
     for i in range(1, iterations + 1):
         gate = "<" if (i - 1) % 2 == 0 else ">"
         parts.append(
@@ -2554,7 +2626,7 @@ def _louvain_oracle_sql(iterations: int) -> str:
           FROM c{i - 1} c LEFT JOIN degs d ON d.id = c.id GROUP BY c.c
         ),
         kin{i} AS MATERIALIZED (
-          SELECT s.u, cv.c AS comm, count(*) AS kin
+          SELECT s.u, cv.c AS comm, sum(s.w) AS kin
           FROM sym s JOIN c{i - 1} cv ON s.v = cv.id GROUP BY s.u, cv.c
         ),
         own{i} AS MATERIALIZED (
@@ -3509,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_hits": _hits_oracle_sql(3),
         "graph_louvain": _louvain_oracle_sql(4),
+        "graph_louvain_weighted": _louvain_oracle_sql(4, weighted=True),
         "graph_modularity": _modularity_oracle_sql(4),
         "similarity_sq_topk": """
             WITH p AS (

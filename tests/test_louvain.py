@@ -105,3 +105,79 @@ class TestModularity:
         q_single = modularity(e, singles).collect()[0].modularity
         assert q_louvain > q_single
         assert q_louvain > 0.3
+
+
+class TestWeightedLouvain:
+    def test_heavy_edges_define_communities(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+        )
+
+        # square with heavy opposite sides: the w=5 pairs must end up
+        # together, split across the w=1 links.
+        df = spark.createDataFrame(
+            [("a", "b", 5.0), ("c", "d", 5.0), ("b", "c", 1.0), ("d", "a", 1.0)],
+            ["src", "dst", "w"],
+        )
+        got = {
+            r.id: r.community
+            for r in louvain_communities(df, iterations=4, weight="w").collect()
+        }
+        assert got["a"] == got["b"] and got["c"] == got["d"]
+        assert got["a"] != got["c"]
+
+    def test_parallel_edges_merge_by_sum(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+        )
+
+        merged = spark.createDataFrame(
+            [("a", "b", 2.0), ("b", "a", 3.0), ("c", "d", 5.0),
+             ("b", "c", 1.0), ("d", "a", 1.0)],
+            ["src", "dst", "w"],
+        )
+        single = spark.createDataFrame(
+            [("a", "b", 5.0), ("c", "d", 5.0), ("b", "c", 1.0), ("d", "a", 1.0)],
+            ["src", "dst", "w"],
+        )
+        g1 = sorted(
+            (r.id, r.community)
+            for r in louvain_communities(merged, iterations=4, weight="w").collect()
+        )
+        g2 = sorted(
+            (r.id, r.community)
+            for r in louvain_communities(single, iterations=4, weight="w").collect()
+        )
+        assert g1 == g2
+
+    def test_negative_weight_rejected(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+        )
+
+        df = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
+        with _pytest.raises(ValueError):
+            louvain_communities(df, weight="w")
+
+    def test_unit_weights_equal_unweighted(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+        )
+
+        edges = [(str(a), str(b)) for a in range(4) for b in range(a + 1, 4)]
+        edges += [("7", "8"), ("8", "9"), ("7", "9"), ("3", "7")]
+        uw = spark.createDataFrame(edges, ["src", "dst"])
+        ww = spark.createDataFrame(
+            [(s, d, 1.0) for s, d in edges], ["src", "dst", "w"]
+        )
+        a = sorted(
+            (r.id, r.community)
+            for r in louvain_communities(uw, iterations=4).collect()
+        )
+        b = sorted(
+            (r.id, r.community)
+            for r in louvain_communities(ww, iterations=4, weight="w").collect()
+        )
+        assert a == b

@@ -59,33 +59,68 @@ def louvain_communities(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """(id, community) after ``iterations`` synchronous local-move
     rounds. Undirected (edges symmetrized, self-loops dropped from
     voting but self-loop-only nodes keep a row — the LPA universe
     rule); communities initialize to the node id. Isolated nodes score
     only their own community (gain 0) and never move.
+
+    ``weight`` names an edge-weight column (GDS
+    ``relationshipWeightProperty``): k_in, degrees, volumes, and 2m all
+    become weight sums, so a heavy edge pulls its endpoints together
+    exactly as in weighted modularity. Parallel edges merge by SUM
+    (GDS ``aggregation: SUM``); negative weights are rejected (the
+    modularity gain comparison is meaningless under them — same rule
+    as GDS). Unweighted (default) is the w≡1 special case and yields
+    byte-identical assignments to the pre-weight implementation.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("double"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        sym = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col(dst).alias("u"),
+                    F.col(src).alias("v"),
+                    F.col(weight).cast("double").alias("w"),
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        neg = sym.agg(F.min("w").alias("m")).collect()[0].m
+        if neg is not None and neg < 0:
+            raise ValueError("edge weights must be non-negative")
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    m2 = float(sym.count())  # 2m: directed-pair count
+    m2_row = sym.agg(F.sum("w").alias("s")).collect()[0].s  # 2m
+    m2 = float(m2_row or 0.0)
     if m2 == 0:
         return nodes.select("id", F.col("id").alias("community"))
-    degs = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    degs = sym.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("deg"))
 
     comm = nodes.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
     w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("comm"))
@@ -98,7 +133,7 @@ def louvain_communities(
         kin = (
             sym.join(comm.withColumnRenamed("id", "v"), "v")
             .groupBy("u", F.col("c").alias("comm"))
-            .agg(F.count("*").alias("kin"))
+            .agg(F.sum("w").alias("kin"))
         )
         own = comm.join(degs, "id", "left").select(
             F.col("id").alias("u"),
@@ -110,7 +145,7 @@ def louvain_communities(
         # neighbor, so isolated nodes still emit a row and stay put).
         cand = (
             kin.unionByName(
-                own.select("u", F.col("own_c").alias("comm"), F.lit(0).cast("long").alias("kin"))
+                own.select("u", F.col("own_c").alias("comm"), F.lit(0.0).alias("kin"))
             )
             .groupBy("u", "comm")
             .agg(F.max("kin").alias("kin"))
