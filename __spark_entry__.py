@@ -1652,6 +1652,57 @@ def q_kmv_distinct_users(spark, sf_dir):
     return kmv_estimate(kmv_build(ev, "user_id", k=256), k=256)
 
 
+def q_events_percentiles_exact(spark, sf_dir):
+    """Per-event-type exact nearest-rank percentiles (p50/p90/p99) of
+    events.value: the value at ordered row ceil(q·n) with event_id
+    tiebreak — pure integer/comparison logic, no interpolation
+    arithmetic to diverge cross-engine (the interpolating
+    `events_percentiles` twin survives only because of its 4-decimal
+    rounding; this one is exact at full precision and extends to any
+    q without re-auditing float behavior)."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        exact_percentiles,
+    )
+
+    return exact_percentiles(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id",
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+def q_embeddings_kmeans(spark, sf_dir):
+    """Integer-exact Lloyd k-means (k=4, 2 rounds, scale 1024) over the
+    embeddings table: components quantized to the integer grid once
+    (floor(x·1024 + 0.5)), so distance and centroid sums are order-
+    independent integer arithmetic and the assignment is bit-identical
+    on any engine/partitioning — the deterministic coarse quantizer the
+    IVF ANN path and mixture balancing need. Seeds = 4 smallest ids."""
+    from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, iterations=2, scale=1024
+    )
+
+
+def q_hll_distinct_users(spark, sf_dir):
+    """HyperLogLog sketch (p=6, 64 registers) over events.user_id:
+    fixed-size distinct-count state that merges by registerwise max —
+    the per-partition/per-day cube shape KMV's k-row sketch doesn't
+    give. The md5 hash family, register routing, leading-1 ranks, and
+    the SCALED-INTEGER harmonic sum (2^(59-M) terms, exact in
+    decimal/HUGEINT) are all integer-exact cross-engine; the single
+    float op is the final division, identical in both."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return hll_estimate(hll_build(ev, "user_id", p=6), p=6)
+
+
 def q_events_anomaly(spark, sf_dir):
     """Top-20 group-relative z-score outliers over the event log (per
     event_type population moments, broadcast back, scan-local scoring).
@@ -2412,6 +2463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "span_scrub": q_span_scrub,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "hll_distinct_users": q_hll_distinct_users,
+        "events_percentiles_exact": q_events_percentiles_exact,
+        "embeddings_kmeans": q_embeddings_kmeans,
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
         "graph_louvain": q_graph_louvain,
@@ -3072,6 +3126,99 @@ def _pagerank_oracle_sql(
     return "".join(parts)
 
 
+def _hll_oracle_sql() -> str:
+    """HLL oracle: same md5 routing, a generated 58-branch integer-
+    comparison CASE for the leading-1 rank (the only cross-engine-exact
+    leading-zero count), and the scaled-integer harmonic sum in HUGEINT
+    — mirrors operators/sketches.py::hll_build/hll_estimate exactly."""
+    w_bits, scale, m = 58, 59, 64
+    rank_case = f"CASE WHEN w = 0 THEN {scale} " + " ".join(
+        f"WHEN w >= {1 << (w_bits - r)} THEN {r}" for r in range(1, w_bits + 1)
+    ) + " END"
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << scale)
+    zero_term = (
+        f"CAST({m} - present AS HUGEINT) * CAST({1 << scale} AS HUGEINT)"
+    )
+    s_expr = f"coalesce(s_present, 0) + {zero_term}"
+    return f"""
+        WITH h AS (
+          SELECT md5_number_upper('hll:' || cast(user_id AS varchar)) AS hu
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        rw AS (SELECT hu % {m} AS register, hu // {m} AS w FROM h),
+        regs AS (
+          SELECT register, max({rank_case}) AS m_rank FROM rw GROUP BY register
+        ),
+        agg AS (
+          SELECT count(*) AS present,
+                 sum(CAST(1 AS BIGINT) << ({scale} - m_rank)) AS s_present
+          FROM regs
+        )
+        SELECT {m} AS m,
+               CAST({m} - present AS BIGINT) AS n_zero,
+               CAST({s_expr} AS VARCHAR) AS s_scaled,
+               round({numer!r} / CAST({s_expr} AS DOUBLE), 3) AS est_distinct
+        FROM agg
+    """
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, scale: int = 1024) -> str:
+    """Unrolled Lloyd rounds mirroring operators/clustering.py::
+    kmeans_assign — every step integer arithmetic (quantized points,
+    integer distance sums, floored centroid means), so assignment is
+    bit-identical; emptied clusters carry the previous centroid."""
+    parts = [f"""
+        WITH pts AS (
+          SELECT vec_id AS id, d,
+                 CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale} + 0.5)
+                   AS BIGINT) AS q
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(d)
+          WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
+          SELECT id, row_number() OVER (ORDER BY id) - 1 AS cluster
+          FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT {k})
+        ),
+        cent0 AS (
+          SELECT cluster, d, q AS cq FROM seeds JOIN pts USING (id)
+        )"""]
+    for i in range(1, iterations + 1):
+        prev = f"cent{i - 1}"
+        parts.append(f""",
+        dist{i} AS (
+          SELECT id, cluster, sum((q - cq) * (q - cq)) AS dist
+          FROM pts JOIN {prev} USING (d)
+          GROUP BY id, cluster
+        ),
+        assign{i} AS (
+          SELECT id, cluster FROM (
+            SELECT id, cluster,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM dist{i}
+          ) WHERE rn = 1
+        ),
+        newc{i} AS (
+          SELECT cluster, d,
+                 CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   AS BIGINT) AS cq
+          FROM assign{i} JOIN pts USING (id)
+          GROUP BY cluster, d
+        ),
+        cent{i} AS (
+          SELECT * FROM newc{i}
+          UNION ALL
+          SELECT p.* FROM {prev} p
+          WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM newc{i})
+        )""")
+    parts.append(f"""
+        SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
+        FROM assign{iterations}
+    """)
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     es = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["es"])
@@ -3661,6 +3808,25 @@ def oracle_sql() -> dict[str, str]:
                          END, 3) AS est_distinct
             FROM agg
         """,
+        "hll_distinct_users": _hll_oracle_sql(),
+        "events_percentiles_exact": """
+            WITH r AS (
+              SELECT event_type, value AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value ASC, event_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type, max(n) AS n,
+                   max(CASE WHEN rn = ceil(0.5 * CAST(n AS DOUBLE))
+                            THEN v END) AS p50,
+                   max(CASE WHEN rn = ceil(0.9 * CAST(n AS DOUBLE))
+                            THEN v END) AS p90,
+                   max(CASE WHEN rn = ceil(0.99 * CAST(n AS DOUBLE))
+                            THEN v END) AS p99
+            FROM r GROUP BY event_type
+        """,
+        "embeddings_kmeans": _kmeans_oracle_sql(),
         "span_dup_stats": _SPAN_PG_SQL + """,
             covx AS (
               SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS tp

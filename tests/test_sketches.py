@@ -3,6 +3,8 @@
 from pyspark.sql import functions as F
 
 from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+    hll_build,
+    hll_estimate,
     kmv_build,
     kmv_estimate,
     bloom_build,
@@ -165,3 +167,83 @@ class TestKmv:
             kmv_build(keys, "k", k=1)
         with _pytest.raises(ValueError):
             kmv_estimate(kmv_build(keys, "k"), k=0)
+
+
+class TestHll:
+    def _py_sketch(self, keys, salt="hll", m=64):
+        import hashlib
+
+        regs = {}
+        for k in keys:
+            h = int.from_bytes(
+                hashlib.md5(f"{salt}:{k}".encode()).digest()[:8], "little"
+            )
+            r, w = h % m, h // m
+            regs[r] = max(regs.get(r, 0), 59 if w == 0 else 59 - w.bit_length())
+        return regs
+
+    def test_matches_python_reference_bit_for_bit(self, spark):
+        keys = [f"user{i}" for i in range(300)]
+        regs = self._py_sketch(keys)
+        sketch = {
+            r.register: r.m_rank
+            for r in hll_build(
+                spark.createDataFrame([(k,) for k in keys], ["k"]), "k"
+            ).collect()
+        }
+        assert sketch == regs
+        s_exact = sum(1 << (59 - v) for v in regs.values()) + (
+            64 - len(regs)
+        ) * (1 << 59)
+        est = hll_estimate(
+            hll_build(spark.createDataFrame([(k,) for k in keys], ["k"]), "k")
+        ).collect()[0]
+        assert est.m == 64 and est.n_zero == 64 - len(regs)
+        assert est.s_scaled == str(s_exact)
+        alpha = 0.7213 / (1.0 + 1.079 / 64)
+        assert est.est_distinct == round(
+            alpha * 64 * 64 * float(1 << 59) / float(s_exact), 3
+        )
+
+    def test_union_merge_is_registerwise_max(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(200)], ["k"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(200)], ["k"])
+        merged = (
+            hll_build(a, "k")
+            .unionByName(hll_build(b, "k"))
+            .groupBy("register")
+            .agg(F.max("m_rank").alias("m_rank"))
+        )
+        whole = hll_build(a.unionByName(b), "k")
+        assert {(r.register, r.m_rank) for r in merged.collect()} == {
+            (r.register, r.m_rank) for r in whole.collect()
+        }
+
+    def test_duplicates_do_not_change_sketch(self, spark):
+        once = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"])
+        thrice = once.unionByName(once).unionByName(once)
+        assert {
+            (r.register, r.m_rank) for r in hll_build(once, "k").collect()
+        } == {(r.register, r.m_rank) for r in hll_build(thrice, "k").collect()}
+
+    def test_salt_redraws_and_nulls_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("x",), ("y",), (None,)], ["k"]
+        )
+        s1 = {(r.register, r.m_rank) for r in hll_build(df, "k").collect()}
+        s2 = {
+            (r.register, r.m_rank)
+            for r in hll_build(df, "k", salt="other").collect()
+        }
+        assert s1 != s2
+        # NULL contributes no register: 2 keys -> at most 2 registers
+        assert len(s1) <= 2
+
+    def test_rejects_bad_p(self, spark):
+        df = spark.createDataFrame([("x",)], ["k"])
+        import pytest
+
+        with pytest.raises(ValueError):
+            hll_build(df, "k", p=0)
+        with pytest.raises(ValueError):
+            hll_estimate(hll_build(df, "k"), p=13)

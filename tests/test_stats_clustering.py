@@ -1,0 +1,150 @@
+"""Exact percentiles and integer-exact k-means."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    exact_percentiles,
+)
+from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+    cluster_sizes,
+    kmeans_assign,
+)
+
+
+class TestExactPercentiles:
+    def test_hand_computed_nearest_rank(self, spark):
+        # group 'a': values 10..100 step 10 (n=10)
+        rows = [("a", float(v), i) for i, v in enumerate(range(10, 101, 10))]
+        df = spark.createDataFrame(rows, ["g", "v", "id"])
+        out = exact_percentiles(df, "v", "g", "id", qs=(0.5, 0.9, 0.99))
+        r = out.collect()[0]
+        # nearest-rank: ceil(0.5*10)=5 -> 50, ceil(0.9*10)=9 -> 90,
+        # ceil(0.99*10)=10 -> 100
+        assert (r.n, r.p50, r.p90, r.p99) == (10, 50.0, 90.0, 100.0)
+
+    def test_tiebreak_is_deterministic(self, spark):
+        # all values equal: the percentile row is picked by id order,
+        # and the VALUE is the same regardless — but rank selection
+        # must not error or duplicate
+        df = spark.createDataFrame(
+            [("a", 7.0, i) for i in range(5)], ["g", "v", "id"]
+        )
+        r = exact_percentiles(df, "v", "g", "id", qs=(0.5,)).collect()[0]
+        assert (r.n, r.p50) == (5, 7.0)
+
+    def test_nulls_excluded_and_all_null_group_gone(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", None, 2), ("b", None, 3)],
+            "g string, v double, id int",
+        )
+        out = exact_percentiles(df, "v", "g", "id", qs=(0.5,))
+        rows = {r.g: (r.n, r.p50) for r in out.collect()}
+        assert rows == {"a": (1, 1.0)}
+
+    def test_fractional_q_column_names(self, spark):
+        df = spark.createDataFrame([("a", 1.0, 1)], ["g", "v", "id"])
+        out = exact_percentiles(df, "v", "g", "id", qs=(0.999,))
+        assert "p99_9" in out.columns
+
+    def test_rejects_bad_q(self, spark):
+        df = spark.createDataFrame([("a", 1.0, 1)], ["g", "v", "id"])
+        with pytest.raises(ValueError):
+            exact_percentiles(df, "v", "g", "id", qs=())
+        with pytest.raises(ValueError):
+            exact_percentiles(df, "v", "g", "id", qs=(0.0,))
+        with pytest.raises(ValueError):
+            exact_percentiles(df, "v", "g", "id", qs=(1.5,))
+
+
+def _planted(spark):
+    """Two tight 3-D blobs far apart + ids such that one seed lands in
+    each blob is NOT given (k=2 smallest ids are both in blob A): the
+    update step must still pull a centroid to blob B by iteration 2."""
+    a = [(i, [1.0 + 0.01 * i, 1.0, 1.0]) for i in range(4)]       # ids 0-3
+    b = [(10 + i, [-5.0, -5.0 - 0.01 * i, -5.0]) for i in range(4)]  # ids 10-13
+    return spark.createDataFrame(a + b, ["vec_id", "embedding"])
+
+
+class TestKmeansAssign:
+    def test_separated_blobs_split_cleanly(self, spark):
+        out = kmeans_assign(
+            _planted(spark), k=2, iterations=2, scale=1024
+        ).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert len(out) == 8
+        # the two blobs end up in different clusters
+        blobs = sorted(by_cluster.values(), key=min)
+        assert blobs[0] == {0, 1, 2, 3} and blobs[1] == {10, 11, 12, 13}
+
+    def test_matches_python_reference_bit_for_bit(self, spark):
+        import math
+
+        df = _planted(spark)
+        rows = sorted(
+            ((r.vec_id, list(r.embedding)) for r in df.collect()),
+            key=lambda t: t[0],
+        )
+        scale, k, iters = 1024, 2, 2
+        pts = {
+            vid: [math.floor(float(x) * scale + 0.5) for x in vec]
+            for vid, vec in rows
+        }
+        seeds = sorted(pts)[:k]
+        cents = {j: list(pts[vid]) for j, vid in enumerate(seeds)}
+        assign = {}
+        for _ in range(iters):
+            for vid, q in pts.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(q, c)), j)
+                    for j, c in cents.items()
+                )
+                assign[vid] = best[1]
+            new = {}
+            for j in cents:
+                members = [pts[v] for v, c in assign.items() if c == j]
+                if members:
+                    new[j] = [
+                        math.floor(sum(col) / len(members))
+                        for col in zip(*members)
+                    ]
+                else:
+                    new[j] = cents[j]
+            cents = new
+        got = {
+            r.vec_id: r.cluster
+            for r in kmeans_assign(df, k=k, iterations=iters).collect()
+        }
+        assert got == assign
+
+    def test_deterministic_across_partitionings(self, spark):
+        df = _planted(spark)
+        a = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2).collect()}
+        b = {
+            r.vec_id: r.cluster
+            for r in kmeans_assign(df.repartition(7), k=2).collect()
+        }
+        assert a == b
+
+    def test_k1_puts_everything_in_cluster_zero(self, spark):
+        sizes = cluster_sizes(kmeans_assign(_planted(spark), k=1)).collect()
+        assert [(r.cluster, r.n_members) for r in sizes] == [(0, 8)]
+
+    def test_null_vectors_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 1.0]), (1, None), (2, [2.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_assign(df, k=2)
+        assert {r.vec_id for r in out.collect()} == {0, 2}
+
+    def test_rejects_bad_args(self, spark):
+        df = _planted(spark)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, iterations=0)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, scale=0)

@@ -1,0 +1,134 @@
+"""Embedding clustering — integer-exact Lloyd k-means.
+
+The IVF ANN path (``similarity.py::ivf_topk``) needs a coarse
+quantizer; dataset curation needs topic-ish grouping for mixture
+balancing. Both want k-means — but naive float k-means is
+IRREPRODUCIBLE on a cluster: centroid sums change with partition
+order, so two runs (or two engines) drift to different assignments.
+
+This variant is deterministic by construction, the same trick as the
+SQ8 ANN quantizer (``similarity.py``): components are quantized to
+integers once (floor(x·scale + 0.5) — exact and identical in every
+engine), so distance sums and centroid sums are INTEGER arithmetic
+(order-independent), and centroid updates floor the mean back to the
+integer grid. Seeds are the k smallest ids — no RNG. Every step is a
+pure function of (input, k, scale, iterations): rerun it on any
+engine, any partitioning, and the assignment is bit-identical, which
+is what makes it ORACLE-able and what makes an IVF index rebuilt on a
+different cluster layout serve identical buckets.
+
+Shape at 100 TB: points explode to (id, dim, q) once; each Lloyd
+round is one broadcast-sized centroid join (k·dim rows) + two
+map-side-combining aggs — no all-pairs stage, no driver-side loop
+over data (the iteration count is a fixed small constant). The
+quantization error is bounded by dim/(2·scale)² per squared distance
+— irrelevant for bucketing/grouping semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1024,
+) -> DataFrame:
+    """(id, cluster): Lloyd k-means assignment after ``iterations``
+    synchronous rounds on the integer grid.
+
+    - quantize: q_d = floor(x_d · scale + 0.5) (exact, engine-identical)
+    - seed: centroid j = the point with the (j+1)-th smallest id
+    - assign: argmin_j Σ_d (q_d − c_jd)², ties → smallest j
+    - update: c_jd = floor(mean of members' q_d); an emptied cluster
+      keeps its previous centroid (classic Lloyd convention)
+
+    All sums are integer (order-independent); the only float op is the
+    exactly-representable double division inside the floored mean.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+
+    pts = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(vec_col).alias("_d", "_x"),
+        )
+        .select(
+            "_id",
+            "_d",
+            F.floor(F.col("_x").cast("double") * scale + F.lit(0.5))
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    pts = pts.localCheckpoint(eager=True)
+
+    seed_ids = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"))
+        .orderBy("_id")
+        .limit(k)
+    )
+    seeds = seed_ids.select(
+        "_id",
+        (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"),
+    )
+    centroids = (
+        seeds.join(pts, "_id")
+        .select(F.col("_c").alias("cluster"), "_d", F.col("_q").alias("_cq"))
+    )
+
+    assign = None
+    for _ in range(iterations):
+        dist = (
+            pts.join(F.broadcast(centroids), "_d")
+            .groupBy("_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("_q") - F.col("_cq")) * (F.col("_q") - F.col("_cq"))
+                ).alias("_dist")
+            )
+        )
+        assign = (
+            dist.groupBy("_id")
+            .agg(F.min(F.struct("_dist", "cluster")).alias("_best"))
+            .select("_id", F.col("_best.cluster").alias("cluster"))
+        )
+        new_centroids = (
+            assign.join(pts, "_id")
+            .groupBy("cluster", "_d")
+            .agg(
+                F.floor(
+                    F.sum("_q").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("_cq")
+            )
+        )
+        # emptied clusters keep their previous centroid
+        centroids = new_centroids.unionByName(
+            centroids.join(
+                new_centroids.select("cluster").distinct(),
+                "cluster",
+                "left_anti",
+            )
+        ).localCheckpoint(eager=True)
+
+    return assign.select(
+        F.col("_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def cluster_sizes(assign: DataFrame) -> DataFrame:
+    """(cluster, n_members): one count-agg over an assignment."""
+    return assign.groupBy("cluster").agg(F.count("*").alias("n_members"))

@@ -246,3 +246,110 @@ def bloom_might_contain(
         .agg((F.sum("_hit") == F.count("*")).alias(result_col))
     )
     return facts.join(hits, key_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the fixed-size (2^p registers) sibling of KMV.
+# ---------------------------------------------------------------------------
+
+#: Bits of the md5 hash left after the register index is peeled off a
+#: 64-bit value at p=6 (64-bit hash, 6 register bits → 58 payload bits).
+_HLL_W_BITS = 58
+#: Scaled-integer exponent: register M contributes 2^(_HLL_SCALE - M) to
+#: the harmonic sum, so the sum is an EXACT integer in both engines
+#: (Spark decimal(38,0), DuckDB HUGEINT) — no float accumulation order
+#: to diverge on. M ranges 0 (empty register) .. _HLL_W_BITS + 1.
+_HLL_SCALE = _HLL_W_BITS + 1  # 59
+
+
+def _hll_rank(w):
+    """ρ(w): position of the leftmost 1-bit of the 58-bit payload ``w``
+    (1-based), or 59 when w == 0 — as a generated integer-comparison
+    chain (CASE w >= 2^57 → 1, >= 2^56 → 2, …), the only leading-zero
+    count that is bit-identical across engines (no log2/bin() needed)."""
+    expr = F.lit(_HLL_SCALE)  # w == 0 fallthrough
+    # build from the smallest threshold up so the chain short-circuits
+    # on the most common (small-rank) case when evaluated top-down.
+    chain = F.when(w >= F.lit(1 << (_HLL_W_BITS - 1)), F.lit(1))
+    for r in range(2, _HLL_W_BITS + 1):
+        chain = chain.when(w >= F.lit(1 << (_HLL_W_BITS - r)), F.lit(r))
+    return chain.otherwise(expr)
+
+
+def hll_build(
+    keys: DataFrame,
+    key_col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """(register, m_rank): a HyperLogLog sketch (Flajolet et al. 2007)
+    over ``key_col`` — 2^p registers, each the MAX leading-1 position
+    of the hash payloads routed to it.
+
+    Where KMV keeps the k smallest hashes (k rows, exact below k), HLL
+    keeps a FIXED 2^p-register table regardless of k or cardinality —
+    the shape used for per-partition/per-day distinct-count cubes at
+    100 TB: the whole build is one scan-local projection plus ONE
+    map-side-combining max-agg over ≤ 2^p groups, and sketches merge
+    by registerwise MAX (union semantics), so daily sketches roll up
+    to any window without touching raw keys again.
+
+    Hashing is the engine-portable md5 family (``_md5_u64``): register
+    = h % 2^p, payload w = h \\ 2^p, rank = leading-1 position of w via
+    an integer-comparison chain — every piece exact integer arithmetic,
+    so the sketch is bit-identical to the DuckDB oracle's.
+    """
+    if not 1 <= p <= 12:
+        raise ValueError("p must be in [1, 12]")
+    m = 1 << p
+    h = _md5_u64(key_col, salt)
+    hashed = keys.filter(F.col(key_col).isNotNull()).select(
+        (h % F.lit(m)).cast("long").alias("register"),
+        F.floor(h / F.lit(m)).cast("long").alias("_w"),
+    )
+    return (
+        hashed.select("register", _hll_rank(F.col("_w")).alias("_rank"))
+        .groupBy("register")
+        .agg(F.max("_rank").alias("m_rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
+    """One row (m, n_zero, s_scaled, est_distinct) from ``hll_build``.
+
+    Raw HLL estimator E = α_m · m² / Σ_j 2^(−M_j), computed over a
+    SCALED-INTEGER harmonic sum: Σ_j 2^(_HLL_SCALE − M_j) (empty
+    registers contribute 2^_HLL_SCALE), exact in decimal(38,0) /
+    HUGEINT, order-independent — emitted as ``s_scaled`` (string, the
+    hash-checked witness). The single float op is the final division,
+    identical in both engines. No small/large-range correction is
+    applied (ln() is libm-dependent cross-engine); the small-cardinality
+    regime is ``kmv_build``'s exact-below-k territory by design.
+    """
+    if not 1 <= p <= 12:
+        raise ValueError("p must be in [1, 12]")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << _HLL_SCALE)
+    agg = sketch.agg(
+        F.count("*").alias("_present"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_SCALE} - m_rank)").cast("decimal(38,0)")
+        ).alias("_s_present"),
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("_present")).cast("long").alias("n_zero"),
+        (
+            F.coalesce(F.col("_s_present"), F.lit(0).cast("decimal(38,0)"))
+            + (F.lit(m) - F.col("_present")).cast("decimal(38,0)")
+            * F.lit(1 << _HLL_SCALE).cast("decimal(38,0)")
+        ).alias("_s"),
+    ).select(
+        "m",
+        "n_zero",
+        F.col("_s").cast("string").alias("s_scaled"),
+        F.round(F.lit(numer) / F.col("_s").cast("double"), 3).alias(
+            "est_distinct"
+        ),
+    )
