@@ -1703,6 +1703,26 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_estimate(hll_build(ev, "user_id", p=6), p=6)
 
 
+def q_cypher_optional_match(spark, sf_dir):
+    """Cypher-lite OPTIONAL MATCH: the required Domain scan keeps every
+    row and the optional RESOLVES_TO hop LEFT-joins in — unresolved
+    domains (the planted b{k} family has no RESOLVES_TO edge) surface
+    with a NULL ip, exactly Neo4j's unmatched-optional semantics. The
+    oracle replays the planted-graph construction in SQL."""
+    from threat_intelligence_knowledge_graph_spark.plans.cypher_lite import (
+        cypher_query,
+    )
+
+    nodes, edges = _cypher_graph(spark, sf_dir)
+    return cypher_query(
+        spark,
+        "MATCH (d:Domain) OPTIONAL MATCH (d)-[r:RESOLVES_TO]->(i:Ipv4) "
+        "RETURN d.name AS domain, i AS ip",
+        nodes=nodes,
+        edges=edges,
+    )
+
+
 def q_events_anomaly(spark, sf_dir):
     """Top-20 group-relative z-score outliers over the event log (per
     event_type population moments, broadcast back, scan-local scoring).
@@ -2466,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "events_percentiles_exact": q_events_percentiles_exact,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "cypher_optional_match": q_cypher_optional_match,
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
         "graph_louvain": q_graph_louvain,
@@ -3827,6 +3848,17 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY event_type
         """,
         "embeddings_kmeans": _kmeans_oracle_sql(),
+        "cypher_optional_match": """
+            WITH k AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS k
+              FROM orders WHERE o_orderkey % 31 = 0
+            )
+            SELECT 'a' || k || '.evil.net' AS domain, 'ip' || k AS ip FROM k
+            UNION ALL
+            SELECT 'b' || k || '.evil.net' AS domain,
+                   CAST(NULL AS VARCHAR) AS ip
+            FROM k
+        """,
         "span_dup_stats": _SPAN_PG_SQL + """,
             covx AS (
               SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS tp

@@ -215,3 +215,72 @@ class TestErrors:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestOptionalMatch:
+    def test_unmatched_rows_kept_with_nulls(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (d:Domain) OPTIONAL MATCH (d)-[r:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN d.name AS domain, i AS ip ORDER BY domain",
+        ).collect()
+        assert [(r.domain, r.ip) for r in got] == [
+            ("x.evil.net", "Ip_1"),
+            ("y.evil.net", None),
+        ]
+
+    def test_optional_rel_type_is_null_when_unmatched(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (d:Domain) OPTIONAL MATCH (d)-[r:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN d, r ORDER BY d",
+        ).collect()
+        assert [(r.d, r.r) for r in got] == [
+            ("Dom_X", "RESOLVES_TO"),
+            ("Dom_Y", None),
+        ]
+
+    def test_where_before_optional_filters_required_side(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (d:Domain) WHERE d.name STARTS WITH 'y' "
+            "OPTIONAL MATCH (d)-[:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN d, i",
+        ).collect()
+        assert [(r.d, r.i) for r in got] == [("Dom_Y", None)]
+
+    def test_count_skips_null_optional_matches(self, spark, graph):
+        got = q(
+            spark,
+            graph,
+            "MATCH (d:Domain) OPTIONAL MATCH (d)-[:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN count(DISTINCT i) AS n_ips",
+        ).collect()
+        assert got[0].n_ips == 1
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # WHERE after OPTIONAL MATCH: Neo4j attaches it to the
+            # optional side; the lite subset refuses
+            "MATCH (d:Domain) OPTIONAL MATCH (d)-[:RESOLVES_TO]->(i:Ipv4) "
+            "WHERE i.name = 'z' RETURN d, i",
+            # anchor not bound by the required MATCH
+            "MATCH (d:Domain) OPTIONAL MATCH (x)-[:RESOLVES_TO]->(i) "
+            "RETURN d, i",
+            # anchor must be bare
+            "MATCH (d:Domain) OPTIONAL MATCH (d:Domain)-[:RESOLVES_TO]->(i) "
+            "RETURN d, i",
+            # non-anchor variables must be new
+            "MATCH (d:Domain)-[:RESOLVES_TO]->(i:Ipv4) "
+            "OPTIONAL MATCH (d)-[:RESOLVES_TO]->(i) RETURN d, i",
+            # a bare anchor with no hop is not an optional pattern
+            "MATCH (d:Domain) OPTIONAL MATCH (d) RETURN d",
+        ],
+    )
+    def test_rejects_outside_optional_subset(self, spark, graph, bad):
+        with pytest.raises(CypherSyntaxError):
+            q(spark, graph, bad)

@@ -22,6 +22,14 @@ reference's own docs/issues show being run against the store):
   ``count(DISTINCT var[.prop])`` — aggregates trigger Cypher's
   implicit grouping over the non-aggregate items.
 - ``ORDER BY item [DESC], ...`` (aliases resolvable) and ``LIMIT n``.
+- ``OPTIONAL MATCH`` with ONE linear chain anchored at a bound node
+  variable: ``MATCH (d:Domain) OPTIONAL MATCH (d)-[r:T]->(i) RETURN…``
+  — rows of the required match are kept; unmatched optional variables
+  are NULL (a LEFT keyed equi-join). The anchor node must be BARE
+  (``(d)``, no label/props — filter it in the required MATCH), the
+  other variables new, and any WHERE must precede the OPTIONAL MATCH
+  (Neo4j attaches a later WHERE to the optional side; the lite subset
+  refuses that rather than silently changing its meaning).
 
 Translation is declarative end to end: each node variable becomes a
 label/property-filtered scan of ``nodes`` (filters push into the
@@ -29,9 +37,9 @@ parquet scan), each hop a keyed equi-join against ``edges`` on the
 endpoint ids, and the undirected hop a union of the two orientations —
 Catalyst prunes/pushes/reorders from there; no per-row Python. There
 is deliberately NO general graph-pattern engine here (no variable
-length paths, OPTIONAL MATCH, or write clauses) — at 100 TB those need
-the dedicated operators (``bfs_distances``, ``k_truss``, …), which is
-exactly the trade the relational store makes.
+length paths or write clauses) — at 100 TB those need the dedicated
+operators (``bfs_distances``, ``k_truss``, …), which is exactly the
+trade the relational store makes.
 """
 
 from __future__ import annotations
@@ -143,18 +151,31 @@ def _parse_pattern(text: str) -> list:
 def _split_clauses(query: str) -> dict:
     """Top-level clause split; keywords are case-insensitive."""
     pattern = re.compile(
-        r"\b(MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b", re.IGNORECASE
+        r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT)\b",
+        re.IGNORECASE,
     )
     hits = list(pattern.finditer(query))
-    if not hits or hits[0].group(1).upper() != "MATCH":
+    if not hits or re.sub(r"\s+", " ", hits[0].group(1).upper()) != "MATCH":
         raise CypherSyntaxError("query must start with MATCH")
     clauses: dict = {}
+    order: list[str] = []
     for i, h in enumerate(hits):
         key = re.sub(r"\s+", " ", h.group(1).upper())
         end = hits[i + 1].start() if i + 1 < len(hits) else len(query)
         if key in clauses:
             raise CypherSyntaxError(f"duplicate {key} clause")
         clauses[key] = query[h.end():end].strip()
+        order.append(key)
+    if "OPTIONAL MATCH" in clauses and "WHERE" in clauses:
+        if order.index("WHERE") > order.index("OPTIONAL MATCH"):
+            # Neo4j would attach this WHERE to the optional side
+            # (filter-within-left-join); refusing beats mistranslating.
+            raise CypherSyntaxError(
+                "WHERE must precede OPTIONAL MATCH in the lite subset "
+                "(a WHERE after it has attached-to-the-optional-match "
+                "semantics in Neo4j, which this translator does not "
+                "implement)"
+            )
     return clauses
 
 
@@ -334,6 +355,51 @@ def _apply_where(plan: _Plan, clause: str) -> None:
         plan.df = plan.df.filter(pred)
 
 
+def _apply_optional(plan: _Plan, clause: str) -> None:
+    """LEFT-join one optional linear chain anchored at a bound node.
+
+    The anchor's id is the single join key; the chain itself is built
+    by the same ``add_chain`` machinery in a sub-plan under a fresh
+    anchor alias, so hops/labels/props/directions behave identically
+    to a required MATCH — only the join type differs.
+    """
+    chains = _split_top_commas(clause)
+    if len(chains) != 1:
+        raise CypherSyntaxError(
+            "exactly one linear OPTIONAL MATCH chain is supported"
+        )
+    elems = _parse_pattern(chains[0])
+    if len(elems) < 3:
+        raise CypherSyntaxError("OPTIONAL MATCH needs at least one hop")
+    anchor = elems[0]
+    if anchor.var.startswith("_anon") or plan.kinds.get(anchor.var) != "node":
+        raise CypherSyntaxError(
+            "OPTIONAL MATCH must start at a node variable bound by MATCH"
+        )
+    if anchor.label or anchor.props:
+        raise CypherSyntaxError(
+            "the OPTIONAL MATCH anchor must be bare (filter it in the "
+            "required MATCH): " + anchor.var
+        )
+    for el in elems[1:]:
+        var = el.var if isinstance(el, _NodePat) else el.var
+        if var and var in plan.kinds:
+            raise CypherSyntaxError(
+                f"variable {var} bound twice (only the anchor may be shared)"
+            )
+    alias = "_optanchor"
+    sub = _Plan(None, plan.nodes, plan.edges)
+    sub.add_chain([_NodePat(alias)] + elems[1:])
+    plan.df = plan.df.join(
+        sub.df,
+        F.col(f"{anchor.var}__id") == F.col(f"{alias}__id"),
+        "left",
+    ).drop(f"{alias}__id", f"{alias}__label", f"{alias}__props")
+    for var, kind in sub.kinds.items():
+        if var != alias:
+            plan.kinds[var] = kind
+
+
 def _parse_return_item(plan: _Plan, item: str):
     """→ (output_name, column_or_None, agg_column_or_None)."""
     alias = None
@@ -403,6 +469,8 @@ def cypher_query(
         raise CypherSyntaxError("empty MATCH pattern")
     if "WHERE" in clauses:
         _apply_where(plan, clauses["WHERE"])
+    if "OPTIONAL MATCH" in clauses:
+        _apply_optional(plan, clauses["OPTIONAL MATCH"])
 
     ret = clauses["RETURN"]
     distinct = False
