@@ -1703,6 +1703,24 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_estimate(hll_build(ev, "user_id", p=6), p=6)
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination (the n-gram check's
+    paraphrase-catching sibling): every 83rd embedding plays the eval
+    set, BROADCAST against one corpus scan; each corpus row reports its
+    nearest eval item by rounded cosine (eval-id tiebreak) and whether
+    it crosses 0.99 — the planted eval rows flag themselves (cos 1.0),
+    everything else reports its measured neighbor."""
+    from threat_intelligence_knowledge_graph_spark.operators.decontaminate import (
+        embedding_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 83 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    return embedding_decontaminate(emb, evals, threshold=0.99)
+
+
 def q_cypher_optional_match(spark, sf_dir):
     """Cypher-lite OPTIONAL MATCH: the required Domain scan keeps every
     row and the optional RESOLVES_TO hop LEFT-joins in — unresolved
@@ -2486,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "events_percentiles_exact": q_events_percentiles_exact,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "cypher_optional_match": q_cypher_optional_match,
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
@@ -3848,6 +3867,39 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY event_type
         """,
         "embeddings_kmeans": _kmeans_oracle_sql(),
+        "embedding_decontaminate": """
+            WITH probes AS (
+              SELECT vec_id AS eid, cast(embedding AS double[]) AS ev
+              FROM embeddings
+              WHERE vec_id % 83 = 0 AND embedding IS NOT NULL
+                AND list_dot_product(cast(embedding AS double[]),
+                                     cast(embedding AS double[])) > 0
+            ),
+            base AS (
+              SELECT vec_id, cast(embedding AS double[]) AS cv,
+                     (embedding IS NOT NULL AND
+                      list_dot_product(cast(embedding AS double[]),
+                                       cast(embedding AS double[])) > 0)
+                       AS scorable
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT vec_id, eid,
+                     round(list_cosine_similarity(cv, ev), 3) AS cos
+              FROM base, probes WHERE scorable
+            ),
+            nearest AS (
+              SELECT vec_id, eid, cos FROM (
+                SELECT vec_id, eid, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, eid ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT b.vec_id, n.eid AS eval_id, n.cos AS cosine,
+                   coalesce(n.cos >= 0.99, FALSE) AS contaminated
+            FROM base b LEFT JOIN nearest n USING (vec_id)
+        """,
         "cypher_optional_match": """
             WITH k AS (
               SELECT CAST(o_orderkey AS VARCHAR) AS k

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from threat_intelligence_knowledge_graph_spark.operators.decontaminate import (
+    embedding_decontaminate,
     decontaminate,
     ngram_contamination,
     ngram_set,
@@ -172,3 +173,64 @@ class TestContamination:
             assert got[(i, i)] == n_tok - 2
         # Tokens are doc-unique by construction → no cross hits.
         assert all(d == e for (d, e) in got)
+
+
+class TestEmbeddingDecontaminate:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),   # identical to eval 100
+                (1, [2.0, 0.0, 0.0]),   # scaled copy: cosine 1.0
+                (2, [0.0, 1.0, 0.0]),   # orthogonal: cosine 0.0
+                (3, [1.0, 1.0, 0.0]),   # 45 degrees: cosine 0.707
+                (4, [0.0, 0.0, 0.0]),   # zero norm: unscorable
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    def _evals(self, spark):
+        return spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, 0.0])],
+            "eval_id long, embedding array<double>",
+        )
+
+    def test_flags_exact_and_scaled_copies_only(self, spark):
+        got = {
+            r.vec_id: (r.eval_id, r.cosine, r.contaminated)
+            for r in embedding_decontaminate(
+                self._corpus(spark), self._evals(spark), threshold=0.99
+            ).collect()
+        }
+        assert got[0] == (100, 1.0, True)
+        assert got[1] == (100, 1.0, True)       # paraphrase analog: scale-invariant
+        assert got[2] == (100, 0.0, False)
+        assert got[3] == (100, 0.707, False)    # rounded to 3
+        assert got[4] == (None, None, False)    # zero-norm row kept, unflagged
+
+    def test_zero_norm_eval_items_dropped(self, spark):
+        # eval 200 is all-zero: it must never be anyone's neighbor
+        got = embedding_decontaminate(
+            self._corpus(spark), self._evals(spark)
+        ).collect()
+        assert all(r.eval_id in (100, None) for r in got)
+
+    def test_empty_eval_set_flags_nothing(self, spark):
+        got = embedding_decontaminate(
+            self._corpus(spark),
+            self._evals(spark).filter("eval_id < 0"),
+        ).collect()
+        assert len(got) == 5
+        assert all(not r.contaminated and r.eval_id is None for r in got)
+
+    def test_nearest_tiebreak_prefers_smaller_eval_id(self, spark):
+        evals = spark.createDataFrame(
+            [(7, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0])],
+            "eval_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: r.eval_id
+            for r in embedding_decontaminate(
+                self._corpus(spark), evals
+            ).collect()
+        }
+        assert got[0] == 3 and got[1] == 3

@@ -89,3 +89,79 @@ def decontaminate(
         docs, eval_items, n, doc_id, doc_text, eval_id, eval_text
     ).filter(F.col("shared_ngrams") >= min_shared)
     return docs.join(hits.select(doc_id).distinct(), doc_id, "left_anti")
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_items: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, eval_id, cosine, contaminated): each corpus row's nearest
+    eval item by cosine and whether it crosses ``threshold`` — the
+    EMBEDDING sibling of ``ngram_contamination`` (catches paraphrased /
+    reworded benchmark leakage that shares no exact n-gram, the reason
+    modern data cards run both checks).
+
+    Scale shape mirrors the n-gram path: the eval set (benchmarks —
+    thousands of vectors) BROADCASTS against one corpus scan; per
+    corpus row only its argmax survives the window. Cosines are
+    ROUNDED (3) before ranking and thresholding, with an eval-id
+    tiebreak, so the flag and the reported neighbor are
+    engine-deterministic.
+
+    Zero-norm vectors have no defined cosine: zero-norm EVAL items are
+    dropped from the probe set; zero-norm CORPUS rows are returned
+    unflagged with a NULL neighbor (no silent row loss).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _norm
+
+    cv = F.col(vec_col).cast("array<double>")
+    ev = F.col("_ev")
+    probes = (
+        eval_items.filter(F.col(eval_vec_col).isNotNull())
+        .select(
+            F.col(eval_id_col).alias("_eid"),
+            F.col(eval_vec_col).cast("array<double>").alias("_ev"),
+        )
+        .filter(_norm(ev) > 0)
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        (F.col(vec_col).isNotNull() & (_norm(cv) > 0)).alias("_scorable"),
+    )
+    scored = (
+        base.filter("_scorable")
+        .crossJoin(F.broadcast(probes))
+        .select(
+            id_col,
+            F.col("_eid"),
+            F.round(_dot(cv, ev) / (_norm(cv) * _norm(ev)), 3).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("_eid").asc()
+    )
+    nearest = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_eid").alias("eval_id"),
+            F.col("_cos").alias("cosine"),
+            (F.col("_cos") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )
+    # LEFT join back so zero-norm corpus rows — and every row when the
+    # eval set is empty — come through unflagged instead of vanishing.
+    return base.select(id_col).join(nearest, id_col, "left").select(
+        id_col,
+        "eval_id",
+        "cosine",
+        F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+    )
