@@ -3858,11 +3858,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE value IS NOT NULL
             )
             SELECT event_type, max(n) AS n,
-                   max(CASE WHEN rn = ceil(0.5 * CAST(n AS DOUBLE))
+                   max(CASE WHEN rn = (1 * n + 1) // 2
                             THEN v END) AS p50,
-                   max(CASE WHEN rn = ceil(0.9 * CAST(n AS DOUBLE))
+                   max(CASE WHEN rn = (9 * n + 9) // 10
                             THEN v END) AS p90,
-                   max(CASE WHEN rn = ceil(0.99 * CAST(n AS DOUBLE))
+                   max(CASE WHEN rn = (99 * n + 99) // 100
                             THEN v END) AS p99
             FROM r GROUP BY event_type
         """,

@@ -284,3 +284,48 @@ class TestOptionalMatch:
     def test_rejects_outside_optional_subset(self, spark, graph, bad):
         with pytest.raises(CypherSyntaxError):
             q(spark, graph, bad)
+
+
+class TestOptionalMatchReviewRegressions:
+    def test_underscore_variable_names_are_fine(self, spark, graph):
+        # regression: the first implementation used a hardcoded internal
+        # alias that collided with a user variable of the same name
+        got = q(
+            spark,
+            graph,
+            "MATCH (_optanchor:Domain) "
+            "OPTIONAL MATCH (_optanchor)-[:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN _optanchor, i ORDER BY _optanchor",
+        ).collect()
+        assert [(r._optanchor, r.i) for r in got] == [
+            ("Dom_X", "Ip_1"),
+            ("Dom_Y", None),
+        ]
+
+    def test_clause_order_is_enforced(self, spark, graph):
+        # OPTIONAL MATCH after RETURN is invalid Cypher; the translator
+        # must refuse rather than silently reordering it
+        with pytest.raises(CypherSyntaxError):
+            q(
+                spark,
+                graph,
+                "MATCH (d:Domain) RETURN d, i "
+                "OPTIONAL MATCH (d)-[:RESOLVES_TO]->(i:Ipv4)",
+            )
+
+    def test_multi_hop_optional_chain(self, spark, graph):
+        # two-hop optional tail exercises the add_chain continuation
+        got = q(
+            spark,
+            graph,
+            "MATCH (m:Malware) "
+            "OPTIONAL MATCH (m)-[:COMMUNICATES_WITH]->(d:Domain)"
+            "-[:RESOLVES_TO]->(i:Ipv4) "
+            "RETURN m, i ORDER BY m, i",
+        ).collect()
+        # Mal_A reaches Ip_1 via Dom_X (Dom_Y path dies -> no row for it);
+        # Mal_B reaches Ip_1 via Dom_X
+        assert [(r.m, r.i) for r in got] == [
+            ("Mal_A", "Ip_1"),
+            ("Mal_B", "Ip_1"),
+        ]

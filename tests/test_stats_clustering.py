@@ -148,3 +148,27 @@ class TestKmeansAssign:
             kmeans_assign(df, iterations=0)
         with pytest.raises(ValueError):
             kmeans_assign(df, scale=0)
+
+
+class TestReviewRegressions:
+    def test_percentile_rank_is_exact_rational_not_float(self, spark):
+        # 0.07*100 = 7.000000000000001 in IEEE doubles; a float ceil
+        # would pick rank 8. The exact nearest-rank answer is row 7.
+        rows = [("a", float(v), v) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, ["g", "v", "id"])
+        r = exact_percentiles(df, "v", "g", "id", qs=(0.07,)).collect()[0]
+        assert r.p7 == 7.0
+
+    def test_kmeans_empty_vector_neither_seeds_nor_outputs(self, spark):
+        # id 0 is an EMPTY (non-NULL) vector: it must not take a seed
+        # slot — ids 1 and 2 seed instead — and it has no assignment.
+        df = spark.createDataFrame(
+            [(0, []), (1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [10.0, 9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: r.cluster
+            for r in kmeans_assign(df, k=2, iterations=2).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[1] != got[2] and got[3] == got[2]

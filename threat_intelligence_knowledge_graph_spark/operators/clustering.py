@@ -42,10 +42,13 @@ def kmeans_assign(
     synchronous rounds on the integer grid.
 
     - quantize: q_d = floor(x_d · scale + 0.5) (exact, engine-identical)
-    - seed: centroid j = the point with the (j+1)-th smallest id
+    - seed: centroid j = the point with the (j+1)-th smallest id among
+      rows that HAVE components (NULL or empty vectors carry no
+      position and are excluded from seeding and output alike)
     - assign: argmin_j Σ_d (q_d − c_jd)², ties → smallest j
     - update: c_jd = floor(mean of members' q_d); an emptied cluster
-      keeps its previous centroid (classic Lloyd convention)
+      keeps its previous centroid (classic Lloyd convention); the
+      final round assigns only (its update would be dead work)
 
     All sums are integer (order-independent); the only float op is the
     exactly-representable double division inside the floored mean.
@@ -73,12 +76,10 @@ def kmeans_assign(
     )
     pts = pts.localCheckpoint(eager=True)
 
-    seed_ids = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("_id"))
-        .orderBy("_id")
-        .limit(k)
-    )
+    # Seeds come FROM the exploded points (not the raw table) so a
+    # non-NULL empty vector can neither occupy a seed slot nor desync
+    # the assignment from the dimension-join universe.
+    seed_ids = pts.select("_id").distinct().orderBy("_id").limit(k)
     seeds = seed_ids.select(
         "_id",
         (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"),
@@ -89,7 +90,7 @@ def kmeans_assign(
     )
 
     assign = None
-    for _ in range(iterations):
+    for it in range(iterations):
         dist = (
             pts.join(F.broadcast(centroids), "_d")
             .groupBy("_id", "cluster")
@@ -104,6 +105,8 @@ def kmeans_assign(
             .agg(F.min(F.struct("_dist", "cluster")).alias("_best"))
             .select("_id", F.col("_best.cluster").alias("cluster"))
         )
+        if it == iterations - 1:
+            break  # the last round only assigns; its update is unused
         new_centroids = (
             assign.join(pts, "_id")
             .groupBy("cluster", "_d")

@@ -18,6 +18,7 @@ comfortably and the answer must be exact and reproducible.
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -61,10 +62,14 @@ def exact_percentiles(
     aggs = [F.max("_n").alias("n")]
     for q in qs:
         name = f"p{q * 100:g}".replace(".", "_")
-        # ceil(q·n) in DOUBLE on both engines — the multiply is the
-        # same IEEE op, so the target rank is identical even when q·n
-        # lands a hair above an integer (0.9·60 = 54.000000000000007).
-        target = F.ceil(F.lit(float(q)) * F.col("_n").cast("double"))
+        # ceil(q·n) in EXACT integer arithmetic: q is read back as the
+        # decimal the caller wrote (Fraction(str(0.07)) = 7/100, not
+        # the IEEE neighbor), and ceil(num·n/den) = (num·n + den − 1)
+        # div den — a double multiply would round 0.07·100 up to
+        # 7.000000000000001 and pick rank 8 instead of 7.
+        fr = Fraction(str(q))
+        num, den = fr.numerator, fr.denominator
+        target = F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
         aggs.append(
             F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias(name)
         )

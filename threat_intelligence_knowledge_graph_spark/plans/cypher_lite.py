@@ -166,15 +166,20 @@ def _split_clauses(query: str) -> dict:
             raise CypherSyntaxError(f"duplicate {key} clause")
         clauses[key] = query[h.end():end].strip()
         order.append(key)
-    if "OPTIONAL MATCH" in clauses and "WHERE" in clauses:
-        if order.index("WHERE") > order.index("OPTIONAL MATCH"):
-            # Neo4j would attach this WHERE to the optional side
-            # (filter-within-left-join); refusing beats mistranslating.
+    # The lite subset accepts exactly the canonical clause order
+    # MATCH [WHERE] [OPTIONAL MATCH] RETURN [ORDER BY] [LIMIT]; since
+    # translation applies clauses in that order regardless of where
+    # they appeared, any other textual order would be silently
+    # reinterpreted (e.g. Neo4j attaches a WHERE *after* OPTIONAL
+    # MATCH to the optional side) — refusing beats mistranslating.
+    rank = {"MATCH": 0, "WHERE": 1, "OPTIONAL MATCH": 2, "RETURN": 3,
+            "ORDER BY": 4, "LIMIT": 5}
+    for a, b in zip(order, order[1:]):
+        if rank[a] >= rank[b]:
             raise CypherSyntaxError(
-                "WHERE must precede OPTIONAL MATCH in the lite subset "
-                "(a WHERE after it has attached-to-the-optional-match "
-                "semantics in Neo4j, which this translator does not "
-                "implement)"
+                f"{b} cannot follow {a} in the lite subset (clause "
+                "order is MATCH [WHERE] [OPTIONAL MATCH] RETURN "
+                "[ORDER BY] [LIMIT])"
             )
     return clauses
 
@@ -254,9 +259,14 @@ class _Plan:
             return base.unionByName(flipped)
         return base
 
-    def add_chain(self, elems: list) -> None:
-        anon_rel = 0
-        prev_node: _NodePat | None = None
+    def add_chain(
+        self, elems: list, prev_node: _NodePat | None = None
+    ) -> None:
+        """Join ``elems`` into the plan. ``prev_node`` continues an
+        already-started chain (the var must be in ``kinds`` with its
+        id column present in ``df``); ``elems`` then starts with a
+        relationship."""
+        anon_rel = len([k for k in self.kinds if k.startswith("_rel")])
         pending_rel: _RelPat | None = None
         for el in elems:
             if isinstance(el, _NodePat):
@@ -358,10 +368,12 @@ def _apply_where(plan: _Plan, clause: str) -> None:
 def _apply_optional(plan: _Plan, clause: str) -> None:
     """LEFT-join one optional linear chain anchored at a bound node.
 
-    The anchor's id is the single join key; the chain itself is built
-    by the same ``add_chain`` machinery in a sub-plan under a fresh
-    anchor alias, so hops/labels/props/directions behave identically
-    to a required MATCH — only the join type differs.
+    The optional side starts DIRECTLY from the first hop's edge frame
+    (no re-scan of ``nodes`` for the bare anchor — its id is already a
+    column of the required plan); the rest of the chain is built by
+    the same ``add_chain`` machinery in a sub-plan, so hops/labels/
+    props/directions behave identically to a required MATCH — only the
+    join type differs.
     """
     chains = _split_top_commas(clause)
     if len(chains) != 1:
@@ -382,22 +394,36 @@ def _apply_optional(plan: _Plan, clause: str) -> None:
             "required MATCH): " + anchor.var
         )
     for el in elems[1:]:
-        var = el.var if isinstance(el, _NodePat) else el.var
-        if var and var in plan.kinds:
+        if el.var and el.var in plan.kinds:
             raise CypherSyntaxError(
-                f"variable {var} bound twice (only the anchor may be shared)"
+                f"variable {el.var} bound twice (only the anchor may be "
+                "shared)"
             )
-    alias = "_optanchor"
+    first_rel, first_node = elems[1], elems[2]
     sub = _Plan(None, plan.nodes, plan.edges)
-    sub.add_chain([_NodePat(alias)] + elems[1:])
+    rvar = first_rel.var
+    if not rvar:
+        rvar = f"_rel_opt_{anchor.var}_{first_node.var}"
+        while rvar in plan.kinds:  # a user var may share the shape
+            rvar += "_"
+    sub.kinds[rvar] = "rel"
+    rf = sub._rel_frame(first_rel, rvar)
+    if first_rel.direction == "<":
+        anchor_key, node_key = f"{rvar}__dst", f"{rvar}__src"
+    else:
+        anchor_key, node_key = f"{rvar}__src", f"{rvar}__dst"
+    nf = sub._node_frame(first_node)
+    sub.kinds[first_node.var] = "node"
+    sub.df = rf.join(nf, F.col(node_key) == F.col(f"{first_node.var}__id"))
+    if len(elems) > 3:
+        sub.add_chain(elems[3:], prev_node=first_node)
     plan.df = plan.df.join(
         sub.df,
-        F.col(f"{anchor.var}__id") == F.col(f"{alias}__id"),
+        F.col(f"{anchor.var}__id") == F.col(anchor_key),
         "left",
-    ).drop(f"{alias}__id", f"{alias}__label", f"{alias}__props")
+    )
     for var, kind in sub.kinds.items():
-        if var != alias:
-            plan.kinds[var] = kind
+        plan.kinds[var] = kind
 
 
 def _parse_return_item(plan: _Plan, item: str):
