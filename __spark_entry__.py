@@ -1686,6 +1686,28 @@ def q_embeddings_kmeans(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup): the embeddings table augmented
+    with an exact copy of every 7th row (vec_id + 100000 — each copy
+    pairs with its original at cosine exactly 1.0 and, having identical
+    quantized components, lands in the same k-means cluster), then
+    integer-exact k-means (k=4, 2 rounds) and per-pair greedy min-id
+    blocking at rounded cosine ≥ 0.95 within each cluster. The oracle
+    recomputes the identical algorithm (unrolled Lloyd CTEs + EXISTS
+    blocking), so output equality is exact, not analytic."""
+    from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        emb.unionByName(dups), k=4, iterations=2, scale=1024, threshold=0.95
+    )
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """HyperLogLog sketch (p=6, 64 registers) over events.user_id:
     fixed-size distinct-count state that merges by registerwise max —
@@ -2504,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "events_percentiles_exact": q_events_percentiles_exact,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_decontaminate": q_embedding_decontaminate,
         "cypher_optional_match": q_cypher_optional_match,
         "events_anomaly": q_events_anomaly,
@@ -3203,17 +3226,21 @@ def _hll_oracle_sql() -> str:
     """
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, scale: int = 1024) -> str:
-    """Unrolled Lloyd rounds mirroring operators/clustering.py::
+def _kmeans_assign_ctes(
+    k: int = 4, iterations: int = 2, scale: int = 1024, src: str = "embeddings"
+) -> str:
+    """CTE chain (no leading WITH) ending at ``assign{iterations}``:
+    unrolled Lloyd rounds mirroring operators/clustering.py::
     kmeans_assign — every step integer arithmetic (quantized points,
     integer distance sums, floored centroid means), so assignment is
-    bit-identical; emptied clusters carry the previous centroid."""
+    bit-identical; emptied clusters carry the previous centroid.
+    ``src`` must expose (vec_id, embedding)."""
     parts = [f"""
-        WITH pts AS (
+        pts AS (
           SELECT vec_id AS id, d,
                  CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale} + 0.5)
                    AS BIGINT) AS q
-          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(d)
+          FROM {src}, UNNEST(generate_series(1, len(embedding))) AS t(d)
           WHERE embedding IS NOT NULL
         ),
         seeds AS (
@@ -3252,11 +3279,55 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, scale: int = 1024) -> st
           SELECT p.* FROM {prev} p
           WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM newc{i})
         )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, scale: int = 1024) -> str:
+    return f"""
+        WITH {_kmeans_assign_ctes(k, iterations, scale)}
         SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
         FROM assign{iterations}
-    """)
-    return "".join(parts)
+    """
+
+
+_SEMDEDUP_AUG_SQL = """
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 4, iterations: int = 2, scale: int = 1024, threshold: float = 0.95
+) -> str:
+    """Mirror of operators/clustering.py::semantic_dedup over the
+    duplicate-augmented embeddings table: the unrolled integer-exact
+    k-means assignment (same CTE chain as the kmeans oracle) followed
+    by the per-pair greedy min-id blocking predicate — a row is
+    dropped iff a smaller-id cluster-mate has rounded cosine >=
+    threshold; zero-norm rows are never paired."""
+    return f"""
+        WITH aug AS ({_SEMDEDUP_AUG_SQL}),
+        {_kmeans_assign_ctes(k, iterations, scale, src="aug")},
+        vecs AS (
+          SELECT a.id, a.cluster, cast(e.embedding AS double[]) AS v,
+                 list_dot_product(cast(e.embedding AS double[]),
+                                  cast(e.embedding AS double[])) > 0
+                   AS scorable
+          FROM assign{iterations} a JOIN aug e ON a.id = e.vec_id
+        ),
+        blocked AS (
+          SELECT DISTINCT y.id AS b
+          FROM vecs x JOIN vecs y
+            ON x.cluster = y.cluster AND x.id < y.id
+          WHERE x.scorable AND y.scorable
+            AND round(list_cosine_similarity(x.v, y.v), 3) >= {threshold}
+        )
+        SELECT v.id AS vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+               (b.b IS NULL) AS kept
+        FROM vecs v LEFT JOIN blocked b ON v.id = b.b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3867,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY event_type
         """,
         "embeddings_kmeans": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "embedding_decontaminate": """
             WITH probes AS (
               SELECT vec_id AS eid, cast(embedding AS double[]) AS ev

@@ -325,6 +325,16 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    check(
+        # SemDeDup: the in-cluster pair stage must be a (cluster)-keyed
+        # equi-join — an all-pairs fallback (cartesian / nested-loop)
+        # would defeat the cluster-then-dedup point — and the whole op
+        # stays JVM-side (integer k-means + Catalyst cosine).
+        "semantic_dedup_cluster_keyed_pairs",
+        em.q_semantic_dedup(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

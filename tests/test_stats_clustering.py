@@ -172,3 +172,77 @@ class TestReviewRegressions:
         }
         assert set(got) == {1, 2, 3}
         assert got[1] != got[2] and got[3] == got[2]
+
+
+class TestSemanticDedup:
+    def _run(self, spark, rows, **kw):
+        from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return semantic_dedup(df, **kw)
+
+    def test_exact_copy_dropped_min_id_kept(self, spark):
+        # two well-separated directions, each with an exact copy:
+        # copies share the original's quantized grid point, so they
+        # cluster together and the higher id is blocked at cosine 1.0.
+        rows = [
+            (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]), (4, [0.0, 1.0]),
+        ]
+        out = {r.vec_id: r.kept for r in self._run(
+            spark, rows, k=2, iterations=2, threshold=0.95
+        ).collect()}
+        assert out == {1: True, 2: False, 3: True, 4: False}
+
+    def test_greedy_blockers_include_dropped_rows(self, spark):
+        # chain: 1~2 and 2~3 clear the threshold, 1~3 does not.
+        # Greedy min-id blocking drops BOTH 2 (blocked by 1) and 3
+        # (blocked by the already-dropped 2) — the documented per-pair
+        # policy, distinct from connected-components' same answer here
+        # but asserted to pin the "dropped rows still block" semantics.
+        import math
+
+        a = [1.0, 0.0]
+        b = [math.cos(0.2), math.sin(0.2)]   # cos(1,2) ~ 0.980
+        c = [math.cos(0.4), math.sin(0.4)]   # cos(2,3) ~ 0.980, cos(1,3) ~ 0.921
+        out = {r.vec_id: r.kept for r in self._run(
+            spark, [(1, a), (2, b), (3, c)], k=1, iterations=1,
+            threshold=0.95,
+        ).collect()}
+        assert out == {1: True, 2: False, 3: False}
+
+    def test_zero_norm_rows_clustered_but_never_paired(self, spark):
+        rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])]
+        out = self._run(spark, rows, k=1, iterations=1).collect()
+        assert all(r.kept for r in out) and len(out) == 3
+
+    def test_cluster_cap_reports_dropped_never_silently_pairs(self, spark):
+        rows = [(i, [1.0, 0.0]) for i in range(1, 5)]
+        res, dropped = self._run(
+            spark, rows, k=1, iterations=1, max_cluster_size=2,
+            return_dropped=True,
+        )
+        assert all(r.kept for r in res.collect())
+        d = dropped.collect()
+        assert len(d) == 1 and d[0].n_members == 4
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        # identical vectors forced into separate clusters stay kept —
+        # the documented SemDeDup recall boundary (pairs are in-cluster
+        # only). k=2 with seeds 1,2 on opposite axes puts 3 (copy of 1)
+        # with 1; 4 (copy of 2) with 2; but 1's copy at id 3 is blocked
+        # while nothing crosses clusters.
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]), (4, [0.0, 1.0]),
+        ]
+        out = {r.vec_id: (r.cluster, r.kept) for r in self._run(
+            spark, rows, k=2, iterations=2, threshold=0.95
+        ).collect()}
+        assert out[1][0] == out[3][0] and out[2][0] == out[4][0]
+        assert out[1][0] != out[2][0]
+        assert [out[i][1] for i in (1, 2, 3, 4)] == [True, True, False, False]

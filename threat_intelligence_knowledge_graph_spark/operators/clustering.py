@@ -135,3 +135,97 @@ def kmeans_assign(
 def cluster_sizes(assign: DataFrame) -> DataFrame:
     """(cluster, n_members): one count-agg over an assignment."""
     return assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1024,
+    threshold: float = 0.95,
+    max_cluster_size: int = 10_000,
+    return_dropped: bool = False,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    integer-grid k-means above, then compare pairs ONLY within a
+    cluster and drop every row that has a smaller-id cluster-mate with
+    rounded cosine >= ``threshold``.
+
+    Returns ``(id, cluster, kept)`` — one row per assigned input row
+    (NULL vectors are excluded by ``kmeans_assign`` itself). With
+    ``return_dropped=True`` returns ``(result, dropped_clusters)``
+    where ``dropped_clusters`` lists clusters whose size exceeded
+    ``max_cluster_size`` and were therefore excluded from pairing
+    (their rows come through ``kept=true``) — the repo's no-silent-
+    truncation rule: a degenerate corpus that collapses into one giant
+    cluster surfaces in the report instead of hiding an O(n²) join.
+
+    Survivor policy is PER-PAIR greedy min-id retention — a row is
+    dropped iff ANY smaller-id row of its cluster clears the
+    threshold, dropped rows included as blockers — not the
+    transitive-closure connected-components policy of
+    ``similarity.embedding_dedup``. The greedy predicate is exactly
+    SQL-expressible (one EXISTS over the in-cluster pair join), which
+    is what makes the op DuckDB-oracle-able on real float data; the
+    cosine is rounded (3) before thresholding so the flag is
+    engine-deterministic (same technique as
+    ``decontaminate.embedding_decontaminate``). Zero-norm vectors have
+    no defined cosine: they are clustered but never paired, so they
+    are always kept.
+
+    Scale shape (the SemDeDup point): the all-pairs work of
+    ``embedding_near_duplicates`` is replaced by k independent
+    in-cluster joins — choose k ~ n/target_cluster_size so each
+    cluster is bounded, and the pair join is a (cluster)-keyed
+    equi-join over capped groups. Per Lloyd round the only data
+    movement is one broadcast of k·dim centroid rows plus two
+    map-side-combining aggs; the pair stage shuffles skinny
+    (cluster, id) rows and fetches vectors only for in-cluster pairs.
+    """
+    from .similarity import _dot, _norm
+
+    assign = kmeans_assign(emb, id_col, vec_col, k, iterations, scale)
+    v = F.col("_v")
+    vecs = assign.join(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        id_col,
+    ).select(
+        id_col,
+        "cluster",
+        "_v",
+        (_norm(v) > 0).alias("_scorable"),
+    )
+    sizes = cluster_sizes(assign)
+    dropped = sizes.filter(F.col("n_members") > max_cluster_size)
+    ok = sizes.filter(F.col("n_members") <= max_cluster_size).select("cluster")
+    pairable = vecs.filter("_scorable").join(ok, "cluster")
+    left = pairable.select(
+        "cluster", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
+    )
+    right = pairable.select(
+        "cluster", F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
+    )
+    va, vb = F.col("_va"), F.col("_vb")
+    blocked = (
+        left.join(right, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(
+            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 3)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+        .withColumn("_blk", F.lit(True))
+    )
+    result = vecs.join(blocked, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_blk"), F.lit(True)).alias("kept"),
+    )
+    return (result, dropped) if return_dropped else result
