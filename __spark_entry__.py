@@ -1686,6 +1686,101 @@ def q_embeddings_kmeans(spark, sf_dir):
     )
 
 
+def _synth_transcripts(spark, sf_dir):
+    """Deterministic multi-turn transcripts in the pipeline's input
+    shape (conv_id, turn_idx, role, text, tool, ts): conv = order,
+    turns 1..(o_orderkey % 7 + 2) via sequence-explode (turn_idx UNIQUE
+    per conv by construction — lineitem's l_linenumber has duplicate
+    keys in the synthetic data, which would make the lag window's tie
+    order engine-dependent), roles drawn irregularly from
+    {user, assistant, tool} by (okey + turn²) mod 3 so all 9 role
+    transitions occur, tool names keyed by (okey + turn), ts on an
+    irregular-but-monotone
+    epoch grid (gaps 24..56 s) so latency stats are non-trivial. The
+    oracle rebuilds the identical table in SQL."""
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    rows = o.select(
+        okey,
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), okey % 7 + 2)
+        ).alias("turn_idx"),
+    )
+    i = F.col("turn_idx")
+    role_idx = ((okey + i * i) % 3).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        role_idx + 1,
+    )
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(
+                F.lit("search"), F.lit("browser"), F.lit("python"), F.lit("sql")
+            ),
+            ((okey + i) % 4).cast("int") + 1,
+        ),
+    )
+    text = F.concat(
+        F.lit("turn "), i.cast("string"),
+        F.lit(" of conv "), okey.cast("string"),
+        F.lit(" re order "), ((okey * 31 + i * 7) % 1000).cast("string"),
+    )
+    ts_sec = (
+        F.lit(1600000000) + okey * 1000 + i * 40 + (okey * 7 + i * i) % 17
+    )
+    return rows.select(
+        okey.cast("string").alias("conv_id"),
+        i.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(ts_sec).alias("ts"),
+    )
+
+
+_SYNTH_TRANSCRIPTS_SQL = """
+          SELECT cast(o_orderkey AS varchar) AS conv_id,
+                 cast(i AS int) AS turn_idx,
+                 (['user','assistant','tool'])[((o_orderkey + i * i) % 3) + 1]
+                   AS role,
+                 'turn ' || cast(i AS varchar)
+                 || ' of conv ' || cast(o_orderkey AS varchar)
+                 || ' re order '
+                 || cast((o_orderkey * 31 + i * 7) % 1000 AS varchar)
+                   AS text,
+                 CASE WHEN ((o_orderkey + i * i) % 3) = 2
+                      THEN (['search','browser','python','sql'])
+                             [((o_orderkey + i) % 4) + 1] END AS tool,
+                 1600000000 + o_orderkey * 1000 + i * 40
+                 + (o_orderkey * 7 + i * i) % 17 AS epoch
+          FROM orders,
+               UNNEST(generate_series(1, (o_orderkey % 7) + 2)) AS t(i)
+"""
+
+
+def q_transcript_stats(spark, sf_dir):
+    """Per-conversation transcript analytics (role mix, tool diversity,
+    chars, duration, mean inter-turn gap, final role) over the
+    pipeline's exact input shape — ONE conv_id exchange shared by the
+    gap window and the aggregation."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        conversation_stats,
+    )
+
+    return conversation_stats(_synth_transcripts(spark, sf_dir))
+
+
+def q_transcript_role_transitions(spark, sf_dir):
+    """Corpus-wide consecutive-turn role-transition counts — the
+    conversation-flow profile that surfaces malformed traces."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        role_transitions,
+    )
+
+    return role_transitions(_synth_transcripts(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (cluster-then-dedup): the embeddings table augmented
     with an exact copy of every 7th row (vec_id + 100000 — each copy
@@ -2527,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_exact": q_events_percentiles_exact,
         "embeddings_kmeans": q_embeddings_kmeans,
         "semantic_dedup": q_semantic_dedup,
+        "transcript_stats": q_transcript_stats,
+        "transcript_role_transitions": q_transcript_role_transitions,
         "embedding_decontaminate": q_embedding_decontaminate,
         "cypher_optional_match": q_cypher_optional_match,
         "events_anomaly": q_events_anomaly,
@@ -3939,6 +4036,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embeddings_kmeans": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "transcript_stats": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT conv_id, turn_idx, role, tool,
+                     length(text) AS chars, epoch,
+                     epoch - lag(epoch) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS gap
+              FROM tr
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(*) FILTER (WHERE role = 'user') AS n_user,
+                   count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+                   count(*) FILTER (WHERE role = 'tool') AS n_tool,
+                   count(DISTINCT tool) AS n_distinct_tools,
+                   cast(sum(chars) AS bigint) AS total_chars,
+                   max(epoch) - min(epoch) AS duration_s,
+                   round(avg(gap), 3) AS mean_gap_s,
+                   arg_max(role, turn_idx) AS final_role
+            FROM g GROUP BY conv_id
+        """,
+        "transcript_role_transitions": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            t AS (
+              SELECT lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS from_role,
+                     role AS to_role
+              FROM tr
+            )
+            SELECT from_role, to_role, count(*) AS n
+            FROM t WHERE from_role IS NOT NULL
+            GROUP BY from_role, to_role
+        """,
         "embedding_decontaminate": """
             WITH probes AS (
               SELECT vec_id AS eid, cast(embedding AS double[]) AS ev

@@ -335,6 +335,16 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    # transcript stats: the lag window and the per-conv agg share ONE
+    # conv_id hash exchange (window partition key == groupBy key) — a
+    # second exchange would double-shuffle the 10^12-turn input.
+    ts_plan = plan_of(em.q_transcript_stats(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", ts_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in ts_plan:
+        print("PASS transcript_stats_single_exchange")
+    else:
+        failures.append(("transcript_stats_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL transcript_stats_single_exchange: exchanges={n_ex}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

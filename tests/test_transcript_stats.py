@@ -1,0 +1,84 @@
+"""Per-conversation transcript analytics (operators/transcript_stats.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+    conversation_stats,
+    role_transitions,
+)
+
+
+def _turns(spark):
+    rows = [
+        # conv "a": user(0s) -> assistant(+10s) -> tool(+30s) -> assistant(+34s)
+        ("a", 1, "user", "hello there", None, 1_700_000_000),
+        ("a", 2, "assistant", "hi", None, 1_700_000_010),
+        ("a", 3, "tool", "result", "search", 1_700_000_040),
+        ("a", 4, "assistant", "done", None, 1_700_000_044),
+        # conv "b": single turn, NULL text
+        ("b", 1, "user", None, None, 1_700_000_100),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, sec long",
+    )
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+
+
+class TestConversationStats:
+    def test_hand_computed(self, spark):
+        out = {r.conv_id: r for r in conversation_stats(_turns(spark)).collect()}
+        a = out["a"]
+        assert (a.n_turns, a.n_user, a.n_assistant, a.n_tool) == (4, 1, 2, 1)
+        assert a.n_distinct_tools == 1
+        assert a.total_chars == 11 + 2 + 6 + 4
+        assert a.duration_s == 44
+        # gaps 10, 30, 4 -> mean 44/3 rounded
+        assert a.mean_gap_s == round(44 / 3, 3)
+        assert a.final_role == "assistant"
+
+    def test_single_turn_conv_null_gap_zero_duration(self, spark):
+        b = {r.conv_id: r for r in conversation_stats(_turns(spark)).collect()}["b"]
+        assert (b.n_turns, b.duration_s, b.total_chars) == (1, 0, 0)
+        assert b.mean_gap_s is None and b.final_role == "user"
+
+    def test_gap_uses_turn_order_not_row_order(self, spark):
+        # rows delivered out of turn order: gaps must follow turn_idx
+        rows = [
+            ("c", 3, "user", "x", None, 1_700_000_100),
+            ("c", 1, "user", "x", None, 1_700_000_000),
+            ("c", 2, "user", "x", None, 1_700_000_090),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, sec long",
+        ).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+        r = conversation_stats(df).collect()[0]
+        # gaps by turn order: 90, 10 -> mean 50; row order would give
+        # (-100, 90) instead
+        assert r.mean_gap_s == 50.0 and r.duration_s == 100
+
+
+class TestRoleTransitions:
+    def test_counts_within_conv_only(self, spark):
+        out = {
+            (r.from_role, r.to_role): r.n
+            for r in role_transitions(_turns(spark)).collect()
+        }
+        # conv a: user->assistant, assistant->tool, tool->assistant;
+        # conv b contributes nothing (no consecutive pair crosses convs)
+        assert out == {
+            ("user", "assistant"): 1,
+            ("assistant", "tool"): 1,
+            ("tool", "assistant"): 1,
+        }

@@ -1,0 +1,98 @@
+"""Per-conversation analytics over raw agent transcripts.
+
+The pipeline's input is an Iceberg table of multi-turn conversation /
+agent transcripts — (conv_id, turn_idx, role, text, tool, ts) — and
+before (or alongside) KG extraction a real deployment wants corpus
+analytics over that exact shape: turn/role mix, tool-usage frequency,
+latency profile, conversation duration. The reference repo has no
+equivalent (it consumes flat documents); this is transcript-payload
+coverage in the same spirit as the curation operators.
+
+Scale shape: ONE hash exchange on conv_id serves both the lag window
+(per-conv gap between consecutive turns, turn_idx order) and the final
+per-conv aggregation — Catalyst reuses the partitioning because the
+window partition key equals the groupBy key, so a 10^12-turn table is
+shuffled once, with map-side-combining aggregation on top. Timestamp
+arithmetic is done on epoch seconds (integers), so the outputs are
+engine-portable numerics, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def conversation_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per conversation:
+
+    - ``n_turns``, ``n_user`` / ``n_assistant`` / ``n_tool`` (role mix)
+    - ``n_distinct_tools`` (non-NULL ``tool`` values)
+    - ``total_chars`` (sum of turn text lengths; NULL text counts 0)
+    - ``duration_s`` (last epoch second − first)
+    - ``mean_gap_s`` (mean consecutive-turn gap in turn_idx order,
+      rounded to 3 — NULL for single-turn conversations)
+    - ``final_role`` (role of the max-turn_idx turn)
+
+    Gap/duration math uses ``unix_timestamp`` integers so results are
+    identical across engines and session timezones.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    gapped = turns.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        F.col(tool_col),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_chars"),
+        epoch.alias("_epoch"),
+    ).withColumn("_gap", F.col("_epoch") - F.lag("_epoch").over(w))
+    return gapped.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.count(F.when(F.col(role_col) == "user", 1)).alias("n_user"),
+        F.count(F.when(F.col(role_col) == "assistant", 1)).alias(
+            "n_assistant"
+        ),
+        F.count(F.when(F.col(role_col) == "tool", 1)).alias("n_tool"),
+        F.count_distinct(F.col(tool_col)).alias("n_distinct_tools"),
+        F.sum("_chars").alias("total_chars"),
+        (F.max("_epoch") - F.min("_epoch")).alias("duration_s"),
+        F.round(F.avg("_gap"), 3).alias("mean_gap_s"),
+        F.max_by(F.col(role_col), F.col(turn_col)).alias("final_role"),
+    )
+
+
+def role_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """(from_role, to_role, n): corpus-wide counts of consecutive-turn
+    role transitions (turn_idx order within each conversation) — the
+    conversation-flow profile (user→assistant→tool→… loops) that
+    surfaces malformed traces (assistant→assistant runs, tool turns
+    with no assistant call) in one aggregate.
+
+    Same single conv_id exchange as ``conversation_stats``; the
+    transition pairs then reduce map-side to at most |roles|² rows.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    return (
+        turns.select(
+            F.col(conv_col),
+            F.col(turn_col),
+            F.col(role_col).alias("to_role"),
+        )
+        .withColumn("from_role", F.lag("to_role").over(w))
+        .filter(F.col("from_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count("*").alias("n"))
+    )
