@@ -1578,6 +1578,25 @@ def q_graph_random_walks(spark, sf_dir):
     )
 
 
+def q_graph_walk_pmi(spark, sf_dir):
+    """Sparse PPMI node embedding from the deterministic walks
+    (Levy & Goldberg 2014: SGNS factorizes shifted PPMI, so the PPMI
+    rows ARE the embedding — no SGD, no RNG). Same symmetrized
+    chain+region graph and walk parameters as graph_random_walks; the
+    oracle reuses the unrolled walk CTE, pairs in-walk positions at
+    distance <= 2, and applies the identical integer-exact positivity
+    test before the (rounded) float ln."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        walk_pmi_embedding,
+    )
+
+    e0 = _chain_region_edges(spark, sf_dir)
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return walk_pmi_embedding(e, walk_length=4, walks_per_node=2, window=2)
+
+
 def q_graph_hits(spark, sf_dir):
     """HITS hubs & authorities (3 synchronous L2-normalized steps,
     GDS gds.hits analog) over the planted directed nation graph of
@@ -2614,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
+        "graph_walk_pmi": q_graph_walk_pmi,
         "graph_hits": q_graph_hits,
         "span_dup_stats": q_span_dup_stats,
         "span_scrub": q_span_scrub,
@@ -2911,6 +2931,46 @@ def _modularity_oracle_sql(iterations: int) -> str:
         FROM volq LEFT JOIN dpq USING (c) CROSS JOIN m2
         """
     )
+
+
+def _walks_cte_sql(walk_length: int = 4, walks_per_node: int = 2) -> str:
+    """WITH-clause prefix ending in relation ``walks(walk_id, start_id,
+    step, node)`` — the unrolled md5-argmin walk over the symmetrized
+    chain+region graph (the q_graph_random_walks recurrence, shared by
+    the walk-PMI oracle). Caller appends its own final SELECT."""
+    js = ",".join(f"({j})" for j in range(walks_per_node))
+    steps, prev = [], "w"
+    for i in range(1, walk_length + 1):
+        steps.append(f"""
+            s{i} AS (
+              SELECT walk_id, start_id,
+                     arg_min(v, md5(walk_id || '|{i}|' || v)) AS node
+              FROM {prev} JOIN e ON e.u = {prev}.node
+              GROUP BY walk_id, start_id
+            )""")
+        prev = f"s{i}"
+    union = "\n".join(
+        f"              UNION ALL"
+        f" SELECT walk_id, start_id, {i} AS step, node FROM s{i}"
+        for i in range(1, walk_length + 1)
+    )
+    return f"""
+            WITH e0 AS ({_CHAIN_REGION_EDGES_SQL}),
+            e AS (
+              SELECT src AS u, dst AS v FROM e0
+              UNION
+              SELECT dst, src FROM e0
+            ),
+            nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+            w AS (
+              SELECT id || '#' || cast(j AS varchar) AS walk_id,
+                     id AS start_id, id AS node
+              FROM nodes CROSS JOIN (VALUES {js}) t(j)
+            ),{",".join(steps)},
+            walks AS (
+              SELECT walk_id, start_id, 0 AS step, node FROM w
+{union}
+            )"""
 
 
 def _pii_oracle_sql() -> str:
@@ -3895,44 +3955,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT a, b FROM mut
             ) t GROUP BY id
         """,
-        "graph_random_walks": f"""
-            WITH e0 AS ({_CHAIN_REGION_EDGES_SQL}),
-            e AS (
-              SELECT src AS u, dst AS v FROM e0
-              UNION
-              SELECT dst, src FROM e0
+        "graph_random_walks": _walks_cte_sql(4, 2)
+        + """
+            SELECT walk_id, start_id, step, node FROM walks
+        """,
+        "graph_walk_pmi": _walks_cte_sql(4, 2)
+        + """,
+            co AS (
+              SELECT a.node AS node_id, b.node AS context,
+                     count(*) AS n_co
+              FROM walks a JOIN walks b USING (walk_id)
+              WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+              GROUP BY 1, 2
             ),
-            nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
-            w AS (
-              SELECT id || '#' || cast(j AS varchar) AS walk_id,
-                     id AS start_id, id AS node
-              FROM nodes CROSS JOIN (VALUES (0),(1)) t(j)
-            ),
-            s1 AS (
-              SELECT walk_id, start_id,
-                     arg_min(v, md5(walk_id || '|1|' || v)) AS node
-              FROM w JOIN e ON e.u = w.node GROUP BY walk_id, start_id
-            ),
-            s2 AS (
-              SELECT walk_id, start_id,
-                     arg_min(v, md5(walk_id || '|2|' || v)) AS node
-              FROM s1 JOIN e ON e.u = s1.node GROUP BY walk_id, start_id
-            ),
-            s3 AS (
-              SELECT walk_id, start_id,
-                     arg_min(v, md5(walk_id || '|3|' || v)) AS node
-              FROM s2 JOIN e ON e.u = s2.node GROUP BY walk_id, start_id
-            ),
-            s4 AS (
-              SELECT walk_id, start_id,
-                     arg_min(v, md5(walk_id || '|4|' || v)) AS node
-              FROM s3 JOIN e ON e.u = s3.node GROUP BY walk_id, start_id
-            )
-            SELECT walk_id, start_id, 0 AS step, node FROM w
-            UNION ALL SELECT walk_id, start_id, 1 AS step, node FROM s1
-            UNION ALL SELECT walk_id, start_id, 2 AS step, node FROM s2
-            UNION ALL SELECT walk_id, start_id, 3 AS step, node FROM s3
-            UNION ALL SELECT walk_id, start_id, 4 AS step, node FROM s4
+            marg AS (SELECT node_id, sum(n_co) AS m FROM co GROUP BY 1),
+            tot AS (SELECT sum(n_co) AS t FROM co)
+            SELECT co.node_id, co.context, co.n_co,
+                   round(ln(cast(co.n_co AS double) * cast(tot.t AS double)
+                            / (cast(ma.m AS double) * cast(mc.m AS double))),
+                         6) AS ppmi
+            FROM co
+            JOIN marg ma USING (node_id)
+            JOIN marg mc ON mc.node_id = co.context
+            CROSS JOIN tot
+            WHERE co.n_co * tot.t > ma.m * mc.m
         """,
         "graph_hits": _hits_oracle_sql(3),
         "graph_louvain": _louvain_oracle_sql(4),

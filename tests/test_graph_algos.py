@@ -510,6 +510,108 @@ class TestRandomWalks:
         )
 
 
+class TestWalkPmiEmbedding:
+    """PPMI walk embedding (graph_algos.walk_pmi_embedding) vs a pure-
+    Python twin that replays the identical md5-argmin walks and PPMI
+    arithmetic."""
+
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+        ("c", "a"), ("c", "d"),  # d is a sink
+    ]
+
+    def _brute(self, walk_length, walks_per_node, window):
+        import hashlib
+        import math
+
+        adj = {}
+        for u, v in self.EDGES:
+            adj.setdefault(u, []).append(v)
+        starts = sorted({u for u, _ in self.EDGES} | {v for _, v in self.EDGES})
+        walks = []
+        for s in starts:
+            for j in range(walks_per_node):
+                wid, cur, path = f"{s}#{j}", s, [s]
+                for i in range(1, walk_length + 1):
+                    nbrs = adj.get(cur, [])
+                    if not nbrs:
+                        break
+                    cur = min(
+                        nbrs,
+                        key=lambda w: hashlib.md5(
+                            f"{wid}|{i}|{w}".encode()
+                        ).hexdigest(),
+                    )
+                    path.append(cur)
+                walks.append(path)
+        co = {}
+        for path in walks:
+            for i, x in enumerate(path):
+                for k, y in enumerate(path):
+                    if i != k and abs(i - k) <= window:
+                        co[(x, y)] = co.get((x, y), 0) + 1
+        marg = {}
+        for (x, _), n in co.items():
+            marg[x] = marg.get(x, 0) + n
+        total = sum(co.values())
+        out = {}
+        for (x, y), n in co.items():
+            if n * total > marg[x] * marg[y]:
+                out[(x, y)] = (
+                    n,
+                    round(math.log(float(n) * total / (float(marg[x]) * marg[y])), 6),
+                )
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            walk_pmi_embedding,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {
+            (r.node_id, r.context): (r.n_co, r.ppmi)
+            for r in walk_pmi_embedding(
+                df, walk_length=3, walks_per_node=2, window=2
+            ).collect()
+        }
+        assert got == self._brute(3, 2, 2)
+
+    def test_symmetric_counts(self, spark):
+        """Co-occurrence is direction-symmetric: n_co(x,y) == n_co(y,x)."""
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            walk_pmi_embedding,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        rows = walk_pmi_embedding(df, walk_length=4, window=2).collect()
+        n = {(r.node_id, r.context): r.n_co for r in rows}
+        for (x, y), v in n.items():
+            assert n.get((y, x)) == v
+
+    def test_window_bounds_pairs(self, spark):
+        """window=1 only pairs adjacent steps; a 2-step path of distinct
+        nodes yields no (start, end) row."""
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            walk_pmi_embedding,
+        )
+
+        df = spark.createDataFrame([("x", "y"), ("y", "z")], ["src", "dst"])
+        rows = walk_pmi_embedding(df, walk_length=2, window=1).collect()
+        assert ("x", "z") not in {(r.node_id, r.context) for r in rows}
+
+    def test_window_validation(self, spark):
+        import pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            walk_pmi_embedding,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        with pytest.raises(ValueError):
+            walk_pmi_embedding(df, window=0)
+
+
 class TestLinkPrediction:
     """gds.alpha.linkprediction.* family, set-wise (graph_algos.link_prediction)."""
 

@@ -1134,3 +1134,84 @@ def graph_stats(
             6,
         ).alias("assortativity"),
     )
+
+
+def walk_pmi_embedding(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    window: int = 2,
+    round_to: int = 6,
+    start_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Sparse PPMI node embedding from deterministic random walks —
+    the closed-form analog of DeepWalk/node2vec: skip-gram with
+    negative sampling factorizes a shifted PPMI co-occurrence matrix
+    (Levy & Goldberg 2014), so the PPMI rows ARE the embedding, with
+    no SGD and no RNG. Output: (node_id, context, n_co, ppmi) — the
+    positive-PMI context weights of each node; rows with
+    PMI <= 0 are dropped (standard PPMI sparsification). Feed the
+    rows to the ANN/cosine stack for walk-structural node similarity.
+
+    Pipeline: ``random_walks`` (hash-seeded, engine-reproducible) →
+    within-walk position pairs at distance 1..``window`` (both
+    directions) → co-occurrence counts → PPMI. The positivity filter
+    compares ``n_co * total > m(node) * m(context)`` in EXACT integer
+    arithmetic (sign-identical on any engine; the float ln only runs
+    on survivors, rounded to ``round_to``). Counts fit int64 up to
+    ~9e18 total pairs — beyond any realistic walk corpus.
+
+    Scale shape: the pair stage is a walk_id-keyed self-join emitting
+    <= 2·window rows per walk position (never all-pairs); both count
+    aggs combine map-side; the two marginals and the 1-row total join
+    back by node key / broadcast. Walk cost itself is one keyed join
+    per step (see ``random_walks``).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    walks = random_walks(
+        edges, src, dst, walk_length, walks_per_node, start_nodes
+    )
+    a = walks.select(
+        "walk_id", F.col("step").alias("_sa"), F.col("node").alias("node_id")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("_sb"), F.col("node").alias("context")
+    )
+    co = (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("_sa") != F.col("_sb"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+        )
+        .groupBy("node_id", "context")
+        .agg(F.count("*").alias("n_co"))
+    )
+    marg = co.groupBy("node_id").agg(F.sum("n_co").alias("_m"))
+    total = co.groupBy().agg(F.sum("n_co").alias("_t"))
+    joined = (
+        co.join(marg, "node_id")
+        .join(
+            marg.select(
+                F.col("node_id").alias("context"), F.col("_m").alias("_mc")
+            ),
+            "context",
+        )
+        .join(F.broadcast(total))
+    )
+    ratio = (
+        F.col("n_co").cast("double")
+        * F.col("_t").cast("double")
+        / (F.col("_m").cast("double") * F.col("_mc").cast("double"))
+    )
+    return (
+        joined.filter(F.col("n_co") * F.col("_t") > F.col("_m") * F.col("_mc"))
+        .select(
+            "node_id",
+            "context",
+            "n_co",
+            F.round(F.log(ratio), round_to).alias("ppmi"),
+        )
+    )
