@@ -1401,6 +1401,33 @@ def q_text_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): every document
+    scored by the smoothed log-likelihood ratio of its hashed
+    unigram+bigram bag under the src0 target distribution vs the raw
+    corpus's own. Every ln argument is an exact integer; rounded
+    post-sum."""
+    from threat_intelligence_knowledge_graph_spark.operators.dsir import (
+        dsir_logratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio(docs, docs.filter("source = 'src0'"), dim=512)
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel-top-k resample: 100 docs drawn without replacement
+    proportionally to exp(log_weight) via hash-seeded standard-Gumbel
+    noise; key rounded BEFORE ranking, ties broken on doc_id, so the
+    selected set is a deterministic total-order prefix on any engine."""
+    from threat_intelligence_knowledge_graph_spark.operators.dsir import (
+        dsir_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(docs, docs.filter("source = 'src0'"), 100, dim=512)
+
+
 def q_ip_cidr_enrich(spark, sf_dir):
     """IP→CIDR block enrichment with longest-prefix match: the IOC
     corpus's 10.a.b.c addresses against 25 /16 blocks (from nation)
@@ -2626,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_similarity": q_graph_node_similarity,
         "graph_link_prediction": q_graph_link_prediction,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
         "domain_registrable": q_domain_registrable,
         "bloom_prefilter": q_bloom_prefilter,
@@ -2970,6 +2999,62 @@ def _walks_cte_sql(walk_length: int = 4, walks_per_node: int = 2) -> str:
             walks AS (
               SELECT walk_id, start_id, 0 AS step, node FROM w
 {union}
+            )"""
+
+
+def _dsir_weights_sql(dim: int = 512) -> str:
+    """WITH-clause prefix ending in relation ``w(doc_id, n_feats,
+    log_weight)`` — the DSIR smoothed log-likelihood-ratio weights over
+    hashed unigram+bigram features (target = src0 docs, raw = all
+    docs). Caller appends its own final SELECT. Mirrors
+    ``operators/dsir.py``: same md5 'dsir:' bucketing, every ln on an
+    exact integer, round-6 after the per-doc sum."""
+    return f"""
+            WITH rtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS l
+              FROM documents
+            ),
+            rfeat AS (
+              SELECT doc_id, unnest(l) AS feat FROM rtoks
+              UNION ALL
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS feat FROM (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l) - 1)) AS i
+                FROM rtoks
+              )
+            ),
+            tfeat AS (
+              SELECT feat FROM rfeat
+              JOIN documents USING (doc_id) WHERE source = 'src0'
+            ),
+            tf AS (
+              SELECT doc_id,
+                     cast(md5_number_upper('dsir:' || feat) % {dim}
+                          AS bigint) AS bucket,
+                     count(*) AS n
+              FROM rfeat GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT cast(md5_number_upper('dsir:' || feat) % {dim}
+                          AS bigint) AS bucket,
+                     count(*) AS ct_p
+              FROM tfeat GROUP BY 1
+            ),
+            q AS (SELECT bucket, sum(n) AS ct_q FROM tf GROUP BY 1),
+            pt AS (SELECT coalesce(sum(ct_p), 0) AS p_total FROM p),
+            qt AS (SELECT coalesce(sum(ct_q), 0) AS q_total FROM q),
+            w AS (
+              SELECT tf.doc_id,
+                     cast(sum(tf.n) AS bigint) AS n_feats,
+                     round(sum(tf.n * (ln(coalesce(p.ct_p, 0) + 1.0)
+                                       - ln(q.ct_q + 1.0)))
+                           + sum(tf.n) * any_value(ln(qt.q_total + {dim})
+                                                   - ln(pt.p_total + {dim})),
+                           6) AS log_weight
+              FROM tf LEFT JOIN p USING (bucket) JOIN q USING (bucket)
+              CROSS JOIN pt CROSS JOIN qt
+              GROUP BY tf.doc_id
             )"""
 
 
@@ -3928,6 +4013,22 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "dsir_weights": _dsir_weights_sql(512)
+        + """
+            SELECT doc_id, n_feats, log_weight FROM w
+        """,
+        "dsir_resample": _dsir_weights_sql(512)
+        + """
+            SELECT doc_id, n_feats, log_weight,
+                   round(log_weight
+                         - ln(-ln((md5_number_upper('gumbel:'
+                                     || cast(doc_id AS varchar)) % 1000000
+                                   + 0.5) / 1000000.0)),
+                         6) AS gumbel_key
+            FROM w
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT 100
         """,
         "graph_scc": """
             WITH RECURSIVE ks AS (
