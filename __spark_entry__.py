@@ -1827,6 +1827,30 @@ def q_transcript_role_transitions(spark, sf_dir):
     return role_transitions(_synth_transcripts(spark, sf_dir))
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT training-pair mining: every user turn immediately followed
+    by an assistant turn (turn_idx order) over the synthetic
+    transcripts — the downstream surface a transcript corpus feeds.
+    One conv_id exchange; lead() windows share the sort."""
+    from threat_intelligence_knowledge_graph_spark.operators.sft import (
+        sft_pairs,
+    )
+
+    return sft_pairs(_synth_transcripts(spark, sf_dir))
+
+
+def q_validate_traces(spark, sf_dir):
+    """Per-conversation structural validation (role grammar, dense
+    turn indexing, non-empty text) with the AND-fold is_valid flag —
+    the quarantine gate before SFT-pair mining. The irregular synthetic
+    role pattern exercises every check both ways."""
+    from threat_intelligence_knowledge_graph_spark.operators.sft import (
+        validate_traces,
+    )
+
+    return validate_traces(_synth_transcripts(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (cluster-then-dedup): the embeddings table augmented
     with an exact copy of every 7th row (vec_id + 100000 — each copy
@@ -2672,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "transcript_stats": q_transcript_stats,
+        "sft_pairs": q_sft_pairs,
+        "validate_traces": q_validate_traces,
         "transcript_role_transitions": q_transcript_role_transitions,
         "embedding_decontaminate": q_embedding_decontaminate,
         "cypher_optional_match": q_cypher_optional_match,
@@ -4203,6 +4229,60 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gap), 3) AS mean_gap_s,
                    arg_max(role, turn_idx) AS final_role
             FROM g GROUP BY conv_id
+        """,
+        "sft_pairs": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT conv_id, turn_idx AS prompt_turn_idx, role,
+                     text AS prompt,
+                     lead(role) OVER w AS next_role,
+                     lead(text) OVER w AS response
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, prompt_turn_idx, prompt, response,
+                   coalesce(length(prompt), 0) AS n_prompt_chars,
+                   coalesce(length(response), 0) AS n_response_chars
+            FROM g
+            WHERE role = 'user' AND next_role = 'assistant'
+              AND coalesce(length(prompt), 0) >= 1
+              AND coalesce(length(response), 0) >= 1
+        """,
+        "validate_traces": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_role
+              FROM tr
+            ),
+            checks AS (
+              SELECT conv_id,
+                     count(*) AS n_turns,
+                     arg_min(role, turn_idx) = 'user' AS starts_with_user,
+                     arg_max(role, turn_idx) = 'assistant'
+                       AS ends_with_assistant,
+                     count(*) FILTER (WHERE role = prev_role) = 0
+                       AS no_repeated_role,
+                     count(*) FILTER (WHERE role = 'tool'
+                                        AND (prev_role IS NULL
+                                             OR prev_role <> 'assistant'))
+                       = 0 AS tool_after_assistant,
+                     (min(turn_idx) = 1 AND max(turn_idx) = count(*)
+                      AND count(DISTINCT turn_idx) = count(*))
+                       AS dense_turn_idx,
+                     count(*) FILTER (WHERE text IS NULL
+                                        OR length(text) = 0) = 0
+                       AS no_empty_text
+              FROM g GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns, starts_with_user, ends_with_assistant,
+                   no_repeated_role, tool_after_assistant, dense_turn_idx,
+                   no_empty_text,
+                   (starts_with_user AND ends_with_assistant
+                    AND no_repeated_role AND tool_after_assistant
+                    AND dense_turn_idx AND no_empty_text) AS is_valid
+            FROM checks
         """,
         "transcript_role_transitions": f"""
             WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
