@@ -1827,6 +1827,55 @@ def q_transcript_role_transitions(spark, sf_dir):
     return role_transitions(_synth_transcripts(spark, sf_dir))
 
 
+def _conv_dedup_corpus(spark, sf_dir):
+    """Synthetic transcripts + planted duplicate families: every 13th
+    conversation replayed byte-identically under a fresh key (_dup),
+    every 17th replayed with turn 1 edited (_near — a retry loop).
+    Unrelated conversations share no turn text (it embeds the conv
+    key), so the dedup families are analytically exact."""
+    tr = _synth_transcripts(spark, sf_dir)
+    key = F.col("conv_id").cast("long")
+    dups = tr.filter(key % 13 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
+    )
+    near = (
+        tr.filter(key % 17 == 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") == 1,
+                F.concat(F.lit("RETRY "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_near")))
+    )
+    return tr.unionByName(dups).unionByName(near)
+
+
+def q_conv_dedup_exact(spark, sf_dir):
+    """Conversation-level exact dedup: order-preserving role␟text
+    fingerprint + min-id canonical assignment. The planted _dup
+    replays must collapse onto their originals; _near copies (one
+    edited turn) must NOT."""
+    from threat_intelligence_knowledge_graph_spark.operators.conv_dedup import (
+        conversation_dedup_exact,
+    )
+
+    return conversation_dedup_exact(_conv_dedup_corpus(spark, sf_dir))
+
+
+def q_conv_near_dup(spark, sf_dir):
+    """Conversation near-dup pairs by turn-set Jaccard ≥ 0.6 via the
+    exact inverted-index join: _dup replays pair at 1.0, _near retries
+    at (n−1)/(n+1) — detected for n ≥ 4, correctly below threshold for
+    shorter conversations."""
+    from threat_intelligence_knowledge_graph_spark.operators.conv_dedup import (
+        conversation_near_dup,
+    )
+
+    return conversation_near_dup(_conv_dedup_corpus(spark, sf_dir), 0.6)
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT training-pair mining: every user turn immediately followed
     by an assistant turn (turn_idx order) over the synthetic
@@ -2697,6 +2746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "transcript_stats": q_transcript_stats,
         "sft_pairs": q_sft_pairs,
+        "conv_dedup_exact": q_conv_dedup_exact,
+        "conv_near_dup": q_conv_near_dup,
         "validate_traces": q_validate_traces,
         "transcript_role_transitions": q_transcript_role_transitions,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -4229,6 +4280,68 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gap), 3) AS mean_gap_s,
                    arg_max(role, turn_idx) AS final_role
             FROM g GROUP BY conv_id
+        """,
+        "conv_dedup_exact": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            corpus AS (
+              SELECT conv_id, turn_idx, role, text FROM tr
+              UNION ALL
+              SELECT conv_id || '_dup', turn_idx, role, text
+              FROM tr WHERE cast(conv_id AS bigint) % 13 = 0
+              UNION ALL
+              SELECT conv_id || '_near', turn_idx, role,
+                     CASE WHEN turn_idx = 1 THEN 'RETRY ' || text
+                          ELSE text END
+              FROM tr WHERE cast(conv_id AS bigint) % 17 = 0
+            ),
+            fp AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     md5(string_agg(coalesce(role, '') || chr(31)
+                                    || coalesce(text, ''),
+                                    chr(30) ORDER BY turn_idx))
+                       AS fingerprint
+              FROM corpus GROUP BY conv_id
+            ),
+            canon AS (
+              SELECT fingerprint, min(conv_id) AS canonical_conv_id
+              FROM fp GROUP BY 1
+            )
+            SELECT conv_id, n_turns, fingerprint, canonical_conv_id,
+                   conv_id <> canonical_conv_id AS is_dup
+            FROM fp JOIN canon USING (fingerprint)
+        """,
+        "conv_near_dup": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            corpus AS (
+              SELECT conv_id, turn_idx, role, text FROM tr
+              UNION ALL
+              SELECT conv_id || '_dup', turn_idx, role, text
+              FROM tr WHERE cast(conv_id AS bigint) % 13 = 0
+              UNION ALL
+              SELECT conv_id || '_near', turn_idx, role,
+                     CASE WHEN turn_idx = 1 THEN 'RETRY ' || text
+                          ELSE text END
+              FROM tr WHERE cast(conv_id AS bigint) % 17 = 0
+            ),
+            th AS (
+              SELECT DISTINCT conv_id,
+                     md5(coalesce(role, '') || chr(31)
+                         || coalesce(text, '')) AS th
+              FROM corpus
+            ),
+            sz AS (SELECT conv_id, count(*) AS n FROM th GROUP BY 1),
+            co AS (
+              SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                     count(*) AS n_common
+              FROM th a JOIN th b ON a.th = b.th AND a.conv_id < b.conv_id
+              GROUP BY 1, 2
+            )
+            SELECT conv_a, conv_b, n_common, sa.n AS n_a, sb.n AS n_b,
+                   round(cast(n_common AS double)
+                         / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM co JOIN sz sa ON sa.conv_id = co.conv_a
+                    JOIN sz sb ON sb.conv_id = co.conv_b
+            WHERE cast(n_common AS double) / (sa.n + sb.n - n_common) >= 0.6
         """,
         "sft_pairs": f"""
             WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
