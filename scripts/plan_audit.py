@@ -335,6 +335,33 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    check(
+        # DSIR: both bucket histograms (≤dim rows) and the two 1-row
+        # totals must come back as broadcasts — a SortMergeJoin on
+        # `bucket` would shuffle the full per-doc feature aggregate;
+        # the whole scoring chain stays JVM-side.
+        "dsir_broadcast_histograms",
+        em.q_dsir_weights(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct", "EvalPython"],
+    )
+    check(
+        # conversation near-dup: pair generation is an inverted-index
+        # equi-join on the turn-content hash — all-pairs fallbacks
+        # (cartesian / nested-loop) would be quadratic in conversations.
+        "conv_near_dup_keyed_joins_only",
+        em.q_conv_near_dup(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    # SFT pair mining: the lead() windows share ONE conv_id exchange.
+    sft_plan = plan_of(em.q_sft_pairs(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", sft_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in sft_plan:
+        print("PASS sft_pairs_single_exchange")
+    else:
+        failures.append(("sft_pairs_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL sft_pairs_single_exchange: exchanges={n_ex}")
     # transcript stats: the lag window and the per-conv agg share ONE
     # conv_id hash exchange (window partition key == groupBy key) — a
     # second exchange would double-shuffle the 10^12-turn input.
