@@ -1977,6 +1977,25 @@ def q_cypher_optional_match(spark, sf_dir):
     )
 
 
+def q_cypher_var_length(spark, sf_dir):
+    """Cypher-lite bounded variable-length hop: (m:Malware)-[*1..2]->(x)
+    over the planted graph — one row per relationship-unique path
+    (len 1: both COMMUNICATES_WITH domains; len 2: the ip reached via
+    a{k}'s RESOLVES_TO). The oracle enumerates the planted paths
+    analytically."""
+    from threat_intelligence_knowledge_graph_spark.plans.cypher_lite import (
+        cypher_query,
+    )
+
+    nodes, edges = _cypher_graph(spark, sf_dir)
+    return cypher_query(
+        spark,
+        "MATCH (m:Malware)-[*1..2]->(x) RETURN m.name AS mal, x AS target",
+        nodes=nodes,
+        edges=edges,
+    )
+
+
 def q_events_anomaly(spark, sf_dir):
     """Top-20 group-relative z-score outliers over the event log (per
     event_type population moments, broadcast back, scan-local scoring).
@@ -2752,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_role_transitions": q_transcript_role_transitions,
         "embedding_decontaminate": q_embedding_decontaminate,
         "cypher_optional_match": q_cypher_optional_match,
+        "cypher_var_length": q_cypher_var_length,
         "events_anomaly": q_events_anomaly,
         "similarity_sq_topk": q_similarity_sq_topk,
         "graph_louvain": q_graph_louvain,
@@ -4441,6 +4461,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.vec_id, n.eid AS eval_id, n.cos AS cosine,
                    coalesce(n.cos >= 0.99, FALSE) AS contaminated
             FROM base b LEFT JOIN nearest n USING (vec_id)
+        """,
+        "cypher_var_length": """
+            WITH k AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS k
+              FROM orders WHERE o_orderkey % 31 = 0
+            )
+            -- relationship-unique paths of length 1..2 from m{k}:
+            -- len 1 → da{k}, db{k}; len 2 → ip{k} (m→da→ip); db has no
+            -- outgoing edge and no 2-path reuses an edge, so the
+            -- planted enumeration is exact
+            SELECT 'mal' || k AS mal, 'da' || k AS target FROM k
+            UNION ALL
+            SELECT 'mal' || k, 'db' || k FROM k
+            UNION ALL
+            SELECT 'mal' || k, 'ip' || k FROM k
         """,
         "cypher_optional_match": """
             WITH k AS (

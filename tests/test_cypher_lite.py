@@ -329,3 +329,108 @@ class TestOptionalMatchReviewRegressions:
             ("Mal_A", "Ip_1"),
             ("Mal_B", "Ip_1"),
         ]
+
+
+class TestVarLengthPaths:
+    """Bounded -[:T*lo..hi]-> hops: one row per relationship-unique
+    path (Neo4j path semantics), unbounded/deep forms refused."""
+
+    @pytest.fixture(scope="class")
+    def chain_graph(self, spark):
+        nodes = spark.createDataFrame(
+            [("A", f"n{i}", {"name": f"node{i}"}) for i in range(1, 5)],
+            NODES_SCHEMA,
+        )
+        # chain n1→n2→n3→n4 plus the back edge n2→n1 (a 2-cycle)
+        edges = spark.createDataFrame(
+            [
+                ("A", "n1", "T", "A", "n2"),
+                ("A", "n2", "T", "A", "n3"),
+                ("A", "n3", "T", "A", "n4"),
+                ("A", "n2", "T", "A", "n1"),
+            ],
+            EDGES_SCHEMA,
+        )
+        return nodes, edges
+
+    def test_directed_paths_rel_unique(self, spark, chain_graph):
+        rows = sorted(
+            (r.src, r.dst)
+            for r in q(
+                spark,
+                chain_graph,
+                "MATCH (a)-[:T*1..3]->(b) RETURN a AS src, b AS dst",
+            ).collect()
+        )
+        # hand enumeration incl. the 2-cycle: n1→n2→n1 is a valid
+        # 2-path (distinct edges), n1→n2→n1→n2 is NOT (reuses n1→n2);
+        # (n2,n3) appears TWICE — direct and via the cycle — because
+        # Cypher returns one row per PATH, not per endpoint pair
+        assert rows == sorted(
+            [
+                ("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n2", "n1"),
+                ("n1", "n3"), ("n2", "n4"), ("n1", "n1"), ("n2", "n2"),
+                ("n1", "n4"), ("n2", "n3"),
+            ]
+        )
+
+    def test_exact_length_and_typed(self, spark, chain_graph):
+        rows = {
+            (r.src, r.dst)
+            for r in q(
+                spark,
+                chain_graph,
+                "MATCH (a)-[:T*2]->(b) RETURN a AS src, b AS dst",
+            ).collect()
+        }
+        assert rows == {("n1", "n3"), ("n2", "n4"), ("n1", "n1"), ("n2", "n2")}
+        # a type that matches nothing → empty, not an error
+        assert (
+            q(
+                spark,
+                chain_graph,
+                "MATCH (a)-[:NOPE*1..2]->(b) RETURN a AS src",
+            ).count()
+            == 0
+        )
+
+    def test_undirected_physical_edge_uniqueness(self, spark, chain_graph):
+        # 4 physical edges; undirected 2-paths: each unordered pair of
+        # distinct edges sharing an endpoint, traversed both ways = 10
+        assert (
+            q(
+                spark,
+                chain_graph,
+                "MATCH (a)-[*2]-(b) RETURN a AS src, b AS dst",
+            ).count()
+            == 10
+        )
+
+    def test_optional_var_length(self, spark, chain_graph):
+        rows = {
+            (r.src, r.tgt)
+            for r in q(
+                spark,
+                chain_graph,
+                "MATCH (a:A {name: 'node4'}) "
+                "OPTIONAL MATCH (a)-[:T*1..2]->(b) "
+                "RETURN a.name AS src, b AS tgt",
+            ).collect()
+        }
+        # n4 has no outgoing edges → the optional side is NULL
+        assert rows == {("node4", None)}
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "MATCH (a)-[*]->(b) RETURN a",        # unbounded
+            "MATCH (a)-[*2..]->(b) RETURN a",     # unbounded upper
+            "MATCH (a)-[r:T*1..2]->(b) RETURN a", # rel var binds a list
+            "MATCH (a)-[:T*2..9]->(b) RETURN a",  # over the hop cap
+            "MATCH (a)-[:T*3..2]->(b) RETURN a",  # inverted bounds
+            "MATCH (a)-[:T*0..2]->(b) RETURN a",  # zero-length paths
+        ],
+    )
+    def test_rejects(self, spark, chain_graph, bad):
+        with pytest.raises(CypherSyntaxError):
+            q(spark, chain_graph, bad).collect()

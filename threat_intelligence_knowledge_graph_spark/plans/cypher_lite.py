@@ -31,13 +31,20 @@ reference's own docs/issues show being run against the store):
   (Neo4j attaches a later WHERE to the optional side; the lite subset
   refuses that rather than silently changing its meaning).
 
+- BOUNDED variable-length hops ``-[:T*lo..hi]->`` / ``-[*n]-`` (hi ≤ 6,
+  anonymous only): one row per relationship-unique path, Neo4j's path
+  semantics — each length is an unrolled keyed join tree, uniqueness
+  enforced by accumulated edge ids. The unbounded forms (``*``,
+  ``*2..``) are REFUSED with a pointer at ``bfs_distances``: at 100 TB
+  an unbounded expansion needs a frontier operator, not a pattern join.
+
 Translation is declarative end to end: each node variable becomes a
 label/property-filtered scan of ``nodes`` (filters push into the
 parquet scan), each hop a keyed equi-join against ``edges`` on the
 endpoint ids, and the undirected hop a union of the two orientations —
 Catalyst prunes/pushes/reorders from there; no per-row Python. There
-is deliberately NO general graph-pattern engine here (no variable
-length paths or write clauses) — at 100 TB those need the dedicated
+is deliberately NO general graph-pattern engine here (no write
+clauses, no unbounded paths) — at 100 TB those need the dedicated
 operators (``bfs_distances``, ``k_truss``, …), which is exactly the
 trade the relational store makes.
 """
@@ -67,7 +74,15 @@ class _RelPat:
     var: str | None
     rtype: str | None
     direction: str  # '>', '<', or '-'
+    lo: int | None = None  # variable-length bounds; None = single hop
+    hi: int | None = None
 
+
+# Bounded variable-length hops: `*n`, `*lo..hi`, `*..hi` (lo defaults
+# to 1). Unbounded forms (`*`, `*2..`) and hi > _VLP_MAX_HOPS are
+# refused — at 100 TB an unbounded expansion needs the dedicated
+# frontier operators (bfs_distances), not a pattern join.
+_VLP_MAX_HOPS = 6
 
 _NODE_RE = re.compile(
     r"\(\s*(?P<var>[A-Za-z_]\w*)?\s*(?::\s*(?P<label>[A-Za-z_]\w*))?"
@@ -75,7 +90,9 @@ _NODE_RE = re.compile(
 )
 _REL_RE = re.compile(
     r"(?P<in><)?-\s*(?:\[\s*(?P<var>[A-Za-z_]\w*)?\s*"
-    r"(?::\s*(?P<rtype>[A-Za-z_]\w*))?\s*\])?\s*-(?P<out>>)?"
+    r"(?::\s*(?P<rtype>[A-Za-z_]\w*))?\s*"
+    r"(?:(?P<star>\*)\s*(?P<lo>\d+)?\s*(?:(?P<dots>\.\.)\s*(?P<hi>\d+)?)?)?"
+    r"\s*\])?\s*-(?P<out>>)?"
 )
 _PROP_ITEM_RE = re.compile(
     r"""(\w+)\s*:\s*(?:'([^']*)'|"([^"]*)"|(-?\d+(?:\.\d+)?))"""
@@ -139,7 +156,38 @@ def _parse_pattern(text: str) -> list:
             if m.group("in") and m.group("out"):
                 raise CypherSyntaxError("relationship cannot point both ways")
             direction = ">" if m.group("out") else ("<" if m.group("in") else "-")
-            elems.append(_RelPat(m.group("var"), m.group("rtype"), direction))
+            lo = hi = None
+            if m.group("star"):
+                if m.group("var"):
+                    raise CypherSyntaxError(
+                        "a relationship variable on a variable-length hop "
+                        "binds a LIST of relationships — outside the lite "
+                        "subset (drop the variable)"
+                    )
+                lo = int(m.group("lo")) if m.group("lo") else 1
+                if m.group("dots"):
+                    hi = int(m.group("hi")) if m.group("hi") else None
+                else:
+                    hi = int(m.group("lo")) if m.group("lo") else None
+                if hi is None:
+                    raise CypherSyntaxError(
+                        "unbounded variable-length hops (*) are outside the "
+                        "lite subset — use operators.graph_algos."
+                        "bfs_distances for unbounded reachability"
+                    )
+                if lo < 1 or lo > hi:
+                    raise CypherSyntaxError(
+                        f"invalid variable-length bounds *{lo}..{hi}"
+                    )
+                if hi > _VLP_MAX_HOPS:
+                    raise CypherSyntaxError(
+                        f"variable-length hops are capped at "
+                        f"{_VLP_MAX_HOPS} (got {hi}) — use "
+                        "bfs_distances for deeper reachability"
+                    )
+            elems.append(
+                _RelPat(m.group("var"), m.group("rtype"), direction, lo, hi)
+            )
         pos = m.end()
         while pos < len(text) and text[pos].isspace():
             pos += 1
@@ -259,6 +307,75 @@ class _Plan:
             return base.unionByName(flipped)
         return base
 
+    def _hop_frame(self, r: _RelPat, hvar: str) -> DataFrame:
+        """One traversal hop, direction-normalized so paths always run
+        chain-left → chain-right: (hvar__src, hvar__dst, hvar__eid).
+        ``__eid`` identifies the PHYSICAL edge (computed before any
+        flip), so relationship-uniqueness holds across orientations of
+        an undirected hop."""
+        d = self.edges
+        if r.rtype:
+            d = d.filter(F.col("rel_type") == r.rtype)
+        eid = F.concat_ws(
+            "\x1f", F.col("src_id"), F.col("rel_type"), F.col("dst_id")
+        )
+        fwd = d.select(
+            F.col("src_id").alias(f"{hvar}__src"),
+            F.col("dst_id").alias(f"{hvar}__dst"),
+            eid.alias(f"{hvar}__eid"),
+        )
+        rev = d.select(
+            F.col("dst_id").alias(f"{hvar}__src"),
+            F.col("src_id").alias(f"{hvar}__dst"),
+            eid.alias(f"{hvar}__eid"),
+        )
+        if r.direction == ">":
+            return fwd
+        if r.direction == "<":
+            return rev
+        return fwd.unionByName(rev)
+
+    def _var_path_frame(self, r: _RelPat, pvar: str) -> DataFrame:
+        """(pvar__start, pvar__end): ONE ROW PER PATH of length
+        lo..hi following ``r`` — Neo4j's variable-length semantics,
+        including relationship-uniqueness (a path never reuses a
+        relationship; node revisits are allowed). Each length extends
+        the previous by one keyed equi-join, filtered by
+        ``array_contains`` over the ≤ hi accumulated edge ids; the
+        per-length frames union. Bounded by ``_VLP_MAX_HOPS``, so the
+        plan is a fixed small join tree — filters (rel_type) push into
+        every hop scan."""
+        h1 = f"{pvar}_h1"
+        cur = self._hop_frame(r, h1).select(
+            F.col(f"{h1}__src").alias("_s"),
+            F.col(f"{h1}__dst").alias("_e"),
+            F.array(F.col(f"{h1}__eid")).alias("_eids"),
+        )
+        lengths = [cur] if r.lo <= 1 else []
+        for depth in range(2, r.hi + 1):
+            hv = f"{pvar}_h{depth}"
+            h = self._hop_frame(r, hv)
+            cur = (
+                cur.join(h, F.col("_e") == F.col(f"{hv}__src"))
+                .filter(~F.array_contains("_eids", F.col(f"{hv}__eid")))
+                .select(
+                    F.col("_s"),
+                    F.col(f"{hv}__dst").alias("_e"),
+                    F.concat(
+                        "_eids", F.array(F.col(f"{hv}__eid"))
+                    ).alias("_eids"),
+                )
+            )
+            if depth >= r.lo:
+                lengths.append(cur)
+        out = lengths[0]
+        for fr in lengths[1:]:
+            out = out.unionByName(fr)
+        return out.select(
+            F.col("_s").alias(f"{pvar}__start"),
+            F.col("_e").alias(f"{pvar}__end"),
+        )
+
     def add_chain(
         self, elems: list, prev_node: _NodePat | None = None
     ) -> None:
@@ -285,6 +402,20 @@ class _Plan:
                 self.kinds[el.var] = "node"
                 if self.df is None:
                     self.df = nf
+                elif (
+                    pending_rel is not None
+                    and pending_rel.lo is not None
+                    and prev_node is not None
+                ):
+                    anon_rel += 1
+                    pvar = f"_vlp{anon_rel}_{prev_node.var}_{el.var}"
+                    pf = self._var_path_frame(pending_rel, pvar)
+                    self.df = self.df.join(
+                        pf,
+                        F.col(f"{prev_node.var}__id")
+                        == F.col(f"{pvar}__start"),
+                    ).join(nf, F.col(f"{pvar}__end") == F.col(f"{el.var}__id"))
+                    pending_rel = None
                 elif pending_rel is not None and prev_node is not None:
                     r = pending_rel
                     rvar = r.var
@@ -401,6 +532,24 @@ def _apply_optional(plan: _Plan, clause: str) -> None:
             )
     first_rel, first_node = elems[1], elems[2]
     sub = _Plan(None, plan.nodes, plan.edges)
+    if first_rel.lo is not None:
+        pvar = f"_vlp_opt_{anchor.var}_{first_node.var}"
+        pf = sub._var_path_frame(first_rel, pvar)
+        nf = sub._node_frame(first_node)
+        sub.kinds[first_node.var] = "node"
+        sub.df = pf.join(
+            nf, F.col(f"{pvar}__end") == F.col(f"{first_node.var}__id")
+        )
+        if len(elems) > 3:
+            sub.add_chain(elems[3:], prev_node=first_node)
+        plan.df = plan.df.join(
+            sub.df,
+            F.col(f"{anchor.var}__id") == F.col(f"{pvar}__start"),
+            "left",
+        )
+        for var, kind in sub.kinds.items():
+            plan.kinds[var] = kind
+        return
     rvar = first_rel.var
     if not rvar:
         rvar = f"_rel_opt_{anchor.var}_{first_node.var}"
