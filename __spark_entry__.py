@@ -1653,6 +1653,30 @@ def q_graph_hits(spark, sf_dir):
     )
 
 
+def q_graph_katz(spark, sf_dir):
+    """Truncated Katz centrality (3 affine steps, α=0.1, β=1) over the
+    planted directed nation graph of q_graph_hits — pure affine float
+    recurrence, so the DuckDB oracle unrolls the identical arithmetic;
+    both sides round to 6 (summation-order noise ~1e-16)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        katz_centrality,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst"),
+    )
+    reg = nat.select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return katz_centrality(cyc.union(reg), iterations=3)
+
+
 def q_span_dup_stats(spark, sf_dir):
     """Substring-level duplication profile (Lee et al. 2021 at 6-token
     granularity): per document the count of positional 6-grams whose
@@ -2756,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": q_graph_random_walks,
         "graph_walk_pmi": q_graph_walk_pmi,
         "graph_hits": q_graph_hits,
+        "graph_katz": q_graph_katz,
         "span_dup_stats": q_span_dup_stats,
         "span_scrub": q_span_scrub,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -2843,6 +2868,54 @@ _SPAN_PG_SQL = r"""
             occ AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
             dup AS (SELECT pg.doc_id, pg.pos FROM pg JOIN occ USING (g))
 """
+
+
+def _katz_oracle_sql(
+    iterations: int, alpha: float = 0.1, beta: float = 1.0
+) -> str:
+    """Unrolled truncated-Katz recurrence over the planted nation
+    graph (see q_graph_katz). Mirrors graph_algos.katz_centrality
+    exactly: x0 ≡ β, then per iteration a src-keyed sum of the previous
+    vector along in-edges, zero-coalesced over the full node set, then
+    the affine map α·s + β. Pure exactly-rounded IEEE arithmetic; the
+    final round-6 absorbs summation-order noise (~1e-16)."""
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        """
+        + f"x0 AS (SELECT id, cast({beta!r} AS double) AS x FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        s{i} AS (
+          SELECT e.dst AS id, sum(x.x) AS s
+          FROM e JOIN x{i - 1} x ON e.src = x.id GROUP BY e.dst
+        ),
+        x{i} AS (
+          SELECT nd.id,
+                 cast({alpha!r} AS double)
+                   * coalesce(s.s, cast(0.0 AS double))
+                 + cast({beta!r} AS double) AS x
+          FROM nodes nd LEFT JOIN s{i} s ON s.id = nd.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT id AS node_id, round(x, 6) AS katz FROM x{iterations}
+        """
+    )
+    return "".join(parts)
 
 
 def _hits_oracle_sql(iterations: int) -> str:
@@ -4179,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE co.n_co * tot.t > ma.m * mc.m
         """,
         "graph_hits": _hits_oracle_sql(3),
+        "graph_katz": _katz_oracle_sql(3),
         "graph_louvain": _louvain_oracle_sql(4),
         "graph_louvain_weighted": _louvain_oracle_sql(4, weighted=True),
         "graph_modularity": _modularity_oracle_sql(4),

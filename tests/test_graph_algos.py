@@ -902,3 +902,60 @@ class TestGraphStats:
         expected = round(float(np.corrcoef(j, k)[0, 1]), 6)
         got = graph_stats(df).collect()[0]
         assert round(got.assortativity, 6) == expected
+
+
+class TestKatzCentrality:
+    """Truncated Katz (graph_algos.katz_centrality) vs a pure-Python
+    replay of the affine recurrence."""
+
+    EDGES = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # 3-cycle
+        ("a", "c"),                           # shortcut
+        ("d", "a"),                           # source-only node d
+        ("a", "b"),                           # parallel edge: counted once
+    ]
+
+    def _brute(self, alpha, beta, iterations):
+        e = sorted(set(self.EDGES))
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        x = {n: beta for n in nodes}
+        for _ in range(iterations):
+            s = {n: 0.0 for n in nodes}
+            for u, v in e:
+                s[v] += x[u]
+            x = {n: alpha * s[n] + beta for n in nodes}
+        return {n: round(v, 6) for n, v in x.items()}
+
+    def test_matches_brute(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            katz_centrality,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {
+            r.node_id: r.katz
+            for r in katz_centrality(df, iterations=3).collect()
+        }
+        assert got == self._brute(0.1, 1.0, 3)
+        # d receives no walks → exactly beta at every step
+        assert got["d"] == 1.0
+        # c gains from the shortcut: strictly more central than d
+        assert got["c"] > got["d"]
+
+    def test_alpha_beta_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            katz_centrality,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {
+            r.node_id: r.katz
+            for r in katz_centrality(
+                df, alpha=0.25, beta=2.0, iterations=2
+            ).collect()
+        }
+        assert got == self._brute(0.25, 2.0, 2)
+        with _pytest.raises(ValueError):
+            katz_centrality(df, iterations=0)

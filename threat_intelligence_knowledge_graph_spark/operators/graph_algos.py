@@ -1215,3 +1215,66 @@ def walk_pmi_embedding(
             F.round(F.log(ratio), round_to).alias("ppmi"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """(node_id, katz): truncated Katz centrality — ``iterations``
+    synchronous steps of the affine recurrence
+
+        x_{t+1}(v) = α · Σ_{u→v} x_t(u) + β,   x_0 ≡ β
+
+    i.e. the k-truncated series β·Σ_t α^t · (#paths of length t into
+    v). Unlike PageRank there is no degree normalization — a node is
+    central because many (short) walks END there — and unlike HITS no
+    per-step L2 norm, so the recurrence is a pure affine float map:
+    with a fixed iteration count every engine reproduces it to ~1e-16
+    (sums and multiplies are exactly-rounded IEEE ops), collapsed by
+    the final ``round_to``. Parallel edges are counted once (the KG's
+    edge semantics, as in ``pagerank``); ``alpha`` should sit below
+    1/λ_max for the untruncated series to converge, but the truncated
+    recurrence is finite for any α.
+
+    Scale shape: per iteration ONE (src-keyed) join of the edge list
+    with the current vector + one map-side-combining sum agg + a LEFT
+    join back onto the node universe (nodes with no in-edges coalesce
+    to β); ``localCheckpoint`` truncates lineage per step. No driver
+    collects at all.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_u").alias("node_id"))
+        .union(e.select("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("x", F.lit(float(beta)))
+    for _ in range(iterations):
+        incoming = (
+            e.join(x, e["_u"] == x["node_id"])
+            .groupBy("_v")
+            .agg(F.sum("x").alias("_s"))
+        )
+        x = (
+            nodes.join(incoming, nodes["node_id"] == incoming["_v"], "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(float(alpha)) * F.coalesce(F.col("_s"), F.lit(0.0))
+                    + F.lit(float(beta))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("node_id", F.round("x", round_to).alias("katz"))
