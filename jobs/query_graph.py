@@ -7,8 +7,9 @@ produced by ``jobs/run_pipeline.py`` and run either
 
 - ``--cypher "MATCH (m:Malware)-[r]->(d:Domain) RETURN m, d.name"`` —
   the Cypher-lite subset (see ``plans/cypher_lite.py`` for the exact
-  grammar; out-of-subset queries exit with the syntax error, never a
-  mistranslation), or
+  grammar — incl. bounded variable-length hops like
+  ``(m:Malware)-[*1..3]->(x)``; out-of-subset queries exit with the
+  syntax error, never a mistranslation), or
 - ``--sql "SELECT * FROM triples WHERE pred = 'RESOLVES_TO' LIMIT 5"``
   — full Spark SQL over the registered ``nodes`` / ``edges`` /
   ``triples`` / ``metrics`` views.
