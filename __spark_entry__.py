@@ -2679,6 +2679,37 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """TransE-style filtered negative sampling (Bordes et al. 2013) over
+    a planted LOCATED_IN/PART_OF triple set built from customer/supplier/
+    nation: k=2 corruptions per positive, head-vs-tail side and the
+    replacement-entity index both md5-derived (DuckDB md5_number_upper
+    twin) from subj|pred|obj|sample_idx, replacement picked through a
+    dense row_number entity index, degenerate draws dropped, and true
+    triples anti-joined out (the filtered setting). The oracle recomputes
+    the identical draws, index, and filters in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.kg_train import (
+        negative_samples,
+    )
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("LOCATED_IN").alias("pred"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("obj"),
+    )
+    cus = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("LOCATED_IN").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("PART_OF").alias("pred"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    return negative_samples(sup.union(cus).union(nat), k=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -2802,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain": q_graph_louvain,
         "graph_louvain_weighted": q_graph_louvain_weighted,
         "graph_modularity": q_graph_modularity,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 
@@ -5435,5 +5467,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'in_set(o_orderstatus)', c2, c2 = 0 FROM a
             UNION ALL SELECT 'in_range(o_totalprice)', c3, c3 = 0 FROM a
             UNION ALL SELECT 'matches(o_orderpriority)', c4, c4 = 0 FROM a
+        """,
+        # Filtered TransE negative sampling: identical md5 side/index
+        # draws, dense row_number entity index, degenerate-draw filter,
+        # and true-triple anti-join (see q_kg_negative_samples).
+        "kg_negative_samples": """
+            WITH tri AS (
+              SELECT 's' || cast(s_suppkey AS varchar) AS subj,
+                     'LOCATED_IN' AS pred,
+                     'n' || cast(s_nationkey AS varchar) AS obj
+              FROM supplier
+              UNION ALL
+              SELECT 'c' || cast(c_custkey AS varchar), 'LOCATED_IN',
+                     'n' || cast(c_nationkey AS varchar)
+              FROM customer
+              UNION ALL
+              SELECT 'n' || cast(n_nationkey AS varchar), 'PART_OF',
+                     'r' || cast(n_regionkey AS varchar)
+              FROM nation
+            ),
+            true_t AS (SELECT DISTINCT subj, pred, obj FROM tri),
+            ents AS (
+              SELECT id, row_number() OVER (ORDER BY id) - 1 AS eidx
+              FROM (SELECT subj AS id FROM true_t
+                    UNION SELECT obj FROM true_t)
+            ),
+            ne AS (SELECT count(*) AS n FROM ents),
+            ex AS (
+              SELECT subj, pred, obj, cast(i AS integer) AS sample_idx,
+                     subj || '|' || pred || '|' || obj || '|'
+                       || cast(i AS varchar) AS key
+              FROM true_t CROSS JOIN (SELECT unnest(range(2)) AS i)
+            ),
+            drawn AS (
+              SELECT ex.*,
+                     cast(md5_number_upper('negside:' || key) % 2
+                          AS integer) AS side,
+                     cast(md5_number_upper('neg:' || key) % ne.n
+                          AS bigint) AS didx
+              FROM ex CROSS JOIN ne
+            ),
+            neg AS (
+              SELECT CASE WHEN side = 0 THEN e.id ELSE d.subj END AS subj,
+                     d.pred,
+                     CASE WHEN side = 1 THEN e.id ELSE d.obj END AS obj,
+                     CASE WHEN side = 0 THEN 'head' ELSE 'tail' END
+                       AS corrupted,
+                     d.sample_idx,
+                     d.subj AS pos_subj, d.obj AS pos_obj
+              FROM drawn d JOIN ents e ON d.didx = e.eidx
+              WHERE (side = 0 AND e.id <> d.subj)
+                 OR (side = 1 AND e.id <> d.obj)
+            )
+            SELECT n.subj, n.pred, n.obj, n.corrupted, n.sample_idx,
+                   n.pos_subj, n.pos_obj
+            FROM neg n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM true_t t
+              WHERE t.subj = n.subj AND t.pred = n.pred AND t.obj = n.obj
+            )
         """,
     }

@@ -83,8 +83,11 @@ def _md5_u64(key_col: str, salt: str):
     First 8 md5 digest bytes little-endian == DuckDB md5_number_upper;
     conv(hex, 16, 10) on 16 hex chars yields the unsigned value as a
     decimal string — cast through decimal to stay unsigned-exact.
+
+    ``key_col`` is a column name or a Column expression.
     """
-    keyed = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = F.concat(F.lit(salt), F.lit(":"), key.cast("string"))
     le_hex = F.concat_ws(
         "",
         *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
