@@ -2679,6 +2679,29 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_cooccur_npmi(spark, sf_dir):
+    """NPMI collocation scoring (Bouma 2009) of event types over
+    (user, hour) contexts: the edge-confidence signal that separates
+    'both items are everywhere' (npmi ≈ 0) from 'these travel together'
+    (npmi → 1). Contexts use epoch-integer hour buckets (the
+    transcript_stats timezone-portable discipline); pairs with fewer
+    than 2 shared contexts are pruned before the ln math. Oracle
+    recomputes the identical integer counts and rounded npmi."""
+    from threat_intelligence_knowledge_graph_spark.operators.collocation import (
+        cooccur_npmi,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").cast("string"),
+        ).alias("ctx"),
+        "event_type",
+    )
+    return cooccur_npmi(e, "ctx", "event_type", min_pair_count=2)
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """TransE-style filtered negative sampling (Bordes et al. 2013) over
     a planted LOCATED_IN/PART_OF triple set built from customer/supplier/
@@ -2834,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain_weighted": q_graph_louvain_weighted,
         "graph_modularity": q_graph_modularity,
         "kg_negative_samples": q_kg_negative_samples,
+        "events_cooccur_npmi": q_events_cooccur_npmi,
     }
 
 
@@ -5526,5 +5550,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM true_t t
               WHERE t.subj = n.subj AND t.pred = n.pred AND t.obj = n.obj
             )
+        """,
+        # NPMI collocation over (user, hour) contexts — identical integer
+        # counts, identical exact-double quotients into ln, round(6)
+        # before compare (see q_events_cooccur_npmi).
+        "events_cooccur_npmi": """
+            WITH inc AS (
+              SELECT DISTINCT
+                     cast(user_id AS varchar) || '|' ||
+                       cast(epoch_us(ts) // 1000000 // 3600 AS varchar) AS g,
+                     event_type AS item
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            n AS (SELECT cast(count(DISTINCT g) AS bigint) AS n_groups
+                  FROM inc),
+            marg AS (SELECT item, cast(count(*) AS bigint) AS n_i
+                     FROM inc GROUP BY item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     cast(count(*) AS bigint) AS n_ab
+              FROM inc a JOIN inc b ON a.g = b.g AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   ma.n_i AS n_a, mb.n_i AS n_b,
+                   round(CASE WHEN p.n_ab = n.n_groups THEN 1.0
+                         ELSE ln(p.n_ab * n.n_groups / (ma.n_i * mb.n_i))
+                              / -ln(p.n_ab / n.n_groups) END, 6) AS npmi
+            FROM pairs p
+            JOIN marg ma ON p.item_a = ma.item
+            JOIN marg mb ON p.item_b = mb.item
+            CROSS JOIN n
         """,
     }

@@ -524,6 +524,24 @@ class TestGraphSummary:
         assert row.assortativity is None or -1.0 <= row.assortativity <= 1.0
 
 
+class TestSurprisingPairs:
+    def test_npmi_ranked_collocations(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            surprising_pairs,
+        )
+
+        rows = surprising_pairs(spark, k=15, min_convs=2).collect()
+        assert rows, "the planted convs re-mention entities"
+        npmis = [r.npmi for r in rows]
+        assert npmis == sorted(npmis, reverse=True)
+        for r in rows:
+            assert r.item_a < r.item_b
+            assert r.n_ab >= 2
+            assert -1.0 <= r.npmi <= 1.0
+            # marginals can never be below the joint count
+            assert r.n_a >= r.n_ab and r.n_b >= r.n_ab
+
+
 class TestQueryGraphCli:
     def test_cypher_sql_and_output_modes(self, spark, warehouse, tmp_path, capsys):
         import importlib.util as _ilu

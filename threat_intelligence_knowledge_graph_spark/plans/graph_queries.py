@@ -15,8 +15,9 @@ from ..sources.tableio import LocalTableCatalog
 
 
 def register_graph_views(spark: SparkSession, catalog: LocalTableCatalog) -> None:
-    """Expose nodes/edges/triples (+ metrics) as temp views for spark.sql."""
-    for t in ("nodes", "edges", "triples", "metrics"):
+    """Expose nodes/edges/triples (+ metrics, extraction provenance) as
+    temp views for spark.sql."""
+    for t in ("nodes", "edges", "triples", "metrics", "extraction"):
         if catalog.exists(t):
             catalog.read(spark, t).createOrReplaceTempView(t)
 
@@ -510,6 +511,31 @@ def graph_summary(spark: SparkSession) -> DataFrame:
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
     )
+
+
+def surprising_pairs(
+    spark: SparkSession, k: int = 20, min_convs: int = 2
+) -> DataFrame:
+    """NPMI-ranked entity collocations from per-conversation mentions
+    (the ``extraction`` provenance view): pairs that co-occur across
+    conversations far MORE than their individual frequencies predict.
+    Raw co-mention counts rank ubiquitous entities (a common CVE next
+    to everything — npmi ≈ 0); npmi → 1 means the two specifically
+    travel together, the "same campaign" smoking gun a count can't
+    surface. ``min_convs`` prunes one-off pairs before the ln math."""
+    from ..operators.collocation import cooccur_npmi
+
+    inc = (
+        spark.table("extraction")
+        .filter(F.col("kind") == "node")
+        .select("conv_id", "node_id")
+    )
+    scored = cooccur_npmi(
+        inc, "conv_id", "node_id", min_pair_count=min_convs
+    )
+    return scored.orderBy(
+        F.col("npmi").desc(), F.col("n_ab").desc(), "item_a", "item_b"
+    ).limit(k)
 
 
 def infrastructure_by_block(
