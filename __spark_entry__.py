@@ -2679,6 +2679,28 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_node2vec(spark, sf_dir):
+    """Deterministic node2vec walks (Grover & Leskovec 2016) with
+    strong second-order bias (p=4 discourages returns, q=0.25 pushes
+    outward) over the symmetrized chain+region graph of
+    q_graph_random_walks. The weighted draw is an exponential race on
+    hash-seeded clocks rounded BEFORE the compare (the dsir_resample
+    discipline), so the oracle unrolls the identical md5 arithmetic,
+    the identical prev/dist-1/dist-2 CASE, and the identical
+    (clock, candidate) total order per step."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        node2vec_walks,
+    )
+
+    e0 = _chain_region_edges(spark, sf_dir)
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return node2vec_walks(
+        e, walk_length=4, walks_per_node=2, p=4.0, q=0.25
+    ).select("walk_id", F.col("start").alias("start_id"), "step", "node")
+
+
 def q_events_cooccur_npmi(spark, sf_dir):
     """NPMI collocation scoring (Bouma 2009) of event types over
     (user, hour) contexts: the edge-confidence signal that separates
@@ -2858,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "kg_negative_samples": q_kg_negative_samples,
         "events_cooccur_npmi": q_events_cooccur_npmi,
+        "graph_node2vec": q_graph_node2vec,
     }
 
 
@@ -3220,6 +3243,68 @@ def _walks_cte_sql(walk_length: int = 4, walks_per_node: int = 2) -> str:
             w AS (
               SELECT id || '#' || cast(j AS varchar) AS walk_id,
                      id AS start_id, id AS node
+              FROM nodes CROSS JOIN (VALUES {js}) t(j)
+            ),{",".join(steps)},
+            walks AS (
+              SELECT walk_id, start_id, 0 AS step, node FROM w
+{union}
+            )"""
+
+
+def _node2vec_cte_sql(
+    walk_length: int, walks_per_node: int, p: float, q: float
+) -> str:
+    """WITH-clause prefix ending in relation ``walks(walk_id, start_id,
+    step, node)`` — the unrolled exponential-race node2vec walk over the
+    symmetrized chain+region graph (see q_graph_node2vec). Per step:
+    the identical md5-seeded clock round(−ln((b+0.5)/10⁶)·w, 9) with
+    the prev/dist-1/dist-2 CASE, total-ordered by (clock, candidate)."""
+    js = ",".join(f"({j})" for j in range(walks_per_node))
+    steps, prev = [], "w"
+    for i in range(1, walk_length + 1):
+        steps.append(f"""
+            s{i} AS (
+              SELECT walk_id, start_id, prev, node FROM (
+                SELECT c.walk_id, c.start_id, c.node AS prev,
+                       c.x AS node,
+                       row_number() OVER (
+                         PARTITION BY c.walk_id
+                         ORDER BY round(
+                           -ln((md5_number_upper('n2v:' || c.walk_id
+                                  || '|{i}|' || c.x) % 1000000 + 0.5)
+                               / 1000000.0)
+                           * (CASE WHEN c.prev IS NULL THEN 1.0
+                                   WHEN c.x = c.prev THEN {p!r}
+                                   WHEN a.a_u IS NOT NULL THEN 1.0
+                                   ELSE {q!r} END), 9) ASC,
+                           c.x ASC
+                       ) AS rn
+                FROM (
+                  SELECT s.walk_id, s.start_id, s.prev, s.node, e.v AS x
+                  FROM {prev} s JOIN e ON e.u = s.node
+                ) c
+                LEFT JOIN (SELECT u AS a_u, v AS a_v FROM e) a
+                  ON a.a_u = c.prev AND a.a_v = c.x
+              ) WHERE rn = 1
+            )""")
+        prev = f"s{i}"
+    union = "\n".join(
+        f"              UNION ALL"
+        f" SELECT walk_id, start_id, {i} AS step, node FROM s{i}"
+        for i in range(1, walk_length + 1)
+    )
+    return f"""
+            WITH e0 AS ({_CHAIN_REGION_EDGES_SQL}),
+            e AS (
+              SELECT src AS u, dst AS v FROM e0
+              UNION
+              SELECT dst, src FROM e0
+            ),
+            nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+            w AS (
+              SELECT id || '#' || cast(j AS varchar) AS walk_id,
+                     id AS start_id, cast(NULL AS varchar) AS prev,
+                     id AS node
               FROM nodes CROSS JOIN (VALUES {js}) t(j)
             ),{",".join(steps)},
             walks AS (
@@ -5583,5 +5668,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg ma ON p.item_a = ma.item
             JOIN marg mb ON p.item_b = mb.item
             CROSS JOIN n
+        """,
+        "graph_node2vec": _node2vec_cte_sql(4, 2, 4.0, 0.25)
+        + """
+            SELECT walk_id, start_id, step, node FROM walks
         """,
     }

@@ -959,3 +959,97 @@ class TestKatzCentrality:
         assert got == self._brute(0.25, 2.0, 2)
         with _pytest.raises(ValueError):
             katz_centrality(df, iterations=0)
+
+
+class TestNode2vecWalks:
+    EDGES = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c"),
+        ("c", "e"),  # e is a sink
+    ]
+
+    def _walks(self, spark, **kw):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            node2vec_walks,
+        )
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        return node2vec_walks(df, **kw)
+
+    @staticmethod
+    def _clock(wid, i, x, w):
+        import hashlib
+        import math
+
+        d = hashlib.md5(f"n2v:{wid}|{i}|{x}".encode()).digest()
+        b = int.from_bytes(d[:8], "little") % 1_000_000
+        return round(-math.log((b + 0.5) / 1_000_000.0) * w, 9)
+
+    def _replay(self, p, q, walk_length, walks_per_node):
+        adj = {}
+        for u, v in self.EDGES:
+            adj.setdefault(u, set()).add(v)
+        nodes = sorted({u for u, _ in self.EDGES} | {v for _, v in self.EDGES})
+        rows = set()
+        for start in nodes:
+            for j in range(walks_per_node):
+                wid = f"{start}#{j}"
+                prev, cur = None, start
+                rows.add((wid, start, 0, start))
+                for i in range(1, walk_length + 1):
+                    nbrs = sorted(adj.get(cur, ()))
+                    if not nbrs:
+                        break
+                    best = None
+                    for x in nbrs:
+                        if prev is None:
+                            w = 1.0
+                        elif x == prev:
+                            w = p
+                        elif x in adj.get(prev, ()):
+                            w = 1.0
+                        else:
+                            w = q
+                        key = (self._clock(wid, i, x, w), x)
+                        if best is None or key < best[0]:
+                            best = (key, x)
+                    prev, cur = cur, best[1]
+                    rows.add((wid, start, i, cur))
+        return rows
+
+    def test_matches_pure_python_replay(self, spark):
+        for p, q in ((4.0, 0.25), (0.25, 4.0), (1.0, 1.0)):
+            got = {
+                (r.walk_id, r.start, r.step, r.node)
+                for r in self._walks(
+                    spark, walk_length=3, walks_per_node=2, p=p, q=q
+                ).collect()
+            }
+            assert got == self._replay(p, q, 3, 2), (p, q)
+
+    def test_rerun_deterministic(self, spark):
+        a = sorted(
+            map(tuple, self._walks(spark, walk_length=3, p=2.0, q=0.5).collect())
+        )
+        b = sorted(
+            map(tuple, self._walks(spark, walk_length=3, p=2.0, q=0.5).collect())
+        )
+        assert a == b
+
+    def test_sink_terminates(self, spark):
+        rows = [
+            r
+            for r in self._walks(spark, walk_length=5, p=1.0, q=1.0).collect()
+            if r.walk_id == "e#0"
+        ]
+        assert len(rows) == 1 and rows[0].step == 0  # e has no out-edges
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="positive"):
+            self._walks(spark, p=0.0)
+        with _pytest.raises(ValueError, match="positive"):
+            self._walks(spark, q=-1.0)
+        with _pytest.raises(ValueError):
+            self._walks(spark, walk_length=-1)

@@ -824,6 +824,122 @@ def random_walks(
     return out.select("walk_id", "start", "step", "node")
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    start_nodes: DataFrame | None = None,
+    salt: str = "n2v",
+) -> DataFrame:
+    """(walk_id, start, step, node): deterministic node2vec walks —
+    the SECOND-ORDER biased sampling of Grover & Leskovec 2016 (KDD),
+    where the hop from ``node`` given the previous node ``prev`` weights
+    each out-neighbor x by α = 1/p if x == prev (return), 1 if x is a
+    neighbor of prev (BFS-ish), 1/q otherwise (DFS-ish). p > 1, q < 1
+    pushes walks outward (structural equivalence); the reverse keeps
+    them local (homophily). ``p == q == 1`` is distribution-equivalent
+    to ``random_walks`` (uniform), though the draws differ (different
+    hash streams).
+
+    The weighted draw is an exponential race with hash-seeded clocks:
+    x wins when it minimizes ``E = round(−ln(u)·w, 9)`` with
+    ``u = (md5_bucket(walk_id|step|x) + 0.5)/10⁶`` and ``w`` = p, 1, or
+    q per the class above (winning probability ∝ 1/w — exponential
+    clocks), ties broken by x. Rounding BEFORE the compare + id
+    tiebreak is the dsir_resample discipline: the ln is the only
+    transcendental, and a 1-ulp libm divergence cannot flip a rounded
+    compare, so the walk is engine/run/partitioning-identical.
+
+    Per step: ONE frontier×edges keyed join, ONE (prev, x) keyed LEFT
+    join against the edge set (the dist-1 test — the cost of second-
+    order bias; uniform walks skip it), one per-walk min_by. Work stays
+    proportional to live walks; sinks terminate early; step 0 is the
+    start node. Node ids are compared as strings.
+    """
+    if walk_length < 0 or walks_per_node < 1:
+        raise ValueError("walk_length >= 0 and walks_per_node >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    from .packing import _md5_bucket
+
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("u").alias("a_u"), F.col("v").alias("a_v"))
+    starts = start_nodes or (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    js = F.array(*[F.lit(j) for j in range(walks_per_node)])
+    frontier = (
+        starts.select(F.col("id").cast("string").alias("id"), F.explode(js).alias("_j"))
+        .select(
+            F.concat(F.col("id"), F.lit("#"), F.col("_j").cast("string")).alias(
+                "walk_id"
+            ),
+            F.col("id").alias("start"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("id").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = frontier.select("walk_id", "start", F.lit(0).alias("step"), "node")
+    for i in range(1, walk_length + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("walk_id", "start", "prev", "node", e["v"].alias("x"))
+            .join(
+                adj,
+                (F.col("prev") == F.col("a_u")) & (F.col("x") == F.col("a_v")),
+                "left",
+            )
+        )
+        w = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("x") == F.col("prev"), F.lit(float(p)))
+            .when(F.col("a_u").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(float(q)))
+        )
+        key = F.concat(F.col("walk_id"), F.lit(f"|{i}|"), F.col("x"))
+        u_draw = (_md5_bucket(key, salt, 1_000_000) + F.lit(0.5)) / F.lit(
+            1_000_000.0
+        )
+        clock = F.round(-F.log(u_draw) * w, 9)
+        frontier = (
+            cand.withColumn("_e", clock)
+            .groupBy("walk_id", "start")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("node").alias("pv"), F.col("x").alias("nx")),
+                    F.struct(F.col("_e"), F.col("x")),
+                ).alias("m")
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.col("m.pv").alias("prev"),
+                F.col("m.nx").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        out = out.unionByName(
+            frontier.select("walk_id", "start", F.lit(i).alias("step"), "node")
+        )
+    return out.select("walk_id", "start", "step", "node")
+
+
 def link_prediction(
     edges: DataFrame,
     src: str = "src",
