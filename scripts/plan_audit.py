@@ -354,6 +354,29 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    check(
+        # NPMI collocation: pairs come from ONE group-keyed self-join;
+        # marginals and the 1-row N come back as broadcasts. A cartesian
+        # or a SortMergeJoin on `item` would defeat both bounds; the
+        # whole chain stays JVM-side.
+        # (the 1-row N crossJoin plans as a BroadcastNestedLoopJoin with a
+        # single-row inner side — the dsir-totals shape — so only true
+        # cartesians are banned here.)
+        "cooccur_npmi_keyed_join_broadcast_marginals",
+        em.q_events_cooccur_npmi(spark, sf_dir),
+        ["BroadcastHashJoin", "HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    check(
+        # Negative sampling: the replacement joins BROADCAST through the
+        # dictionary index; the only shuffle is the (s, p, o) anti-join.
+        # Per-row Python or a nested-loop join would put the 10^12-row
+        # negative stream on the slow path.
+        "negative_samples_broadcast_dictionary",
+        em.q_kg_negative_samples(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
     # SFT pair mining: the lead() windows share ONE conv_id exchange.
     sft_plan = plan_of(em.q_sft_pairs(spark, sf_dir))
     n_ex = len(_re.findall(r"^\(\d+\) Exchange", sft_plan, _re.MULTILINE))
