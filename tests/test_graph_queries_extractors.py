@@ -451,6 +451,14 @@ class TestRingAndWalkQueries:
         # deterministic: same question, same answer
         b = related_entities(spark, src, walks_per_node=4).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # node2vec-biased variant: same contract, deterministic too
+        c = related_entities(spark, src, walks_per_node=4, p=4.0, q=0.25)
+        c1 = c.collect()
+        assert all(r.node != src and r.visits > 0 for r in c1)
+        c2 = related_entities(
+            spark, src, walks_per_node=4, p=4.0, q=0.25
+        ).collect()
+        assert [tuple(r) for r in c1] == [tuple(r) for r in c2]
 
     def test_predicted_links(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (

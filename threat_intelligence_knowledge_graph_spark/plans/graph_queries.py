@@ -383,26 +383,44 @@ def related_entities(
     walk_length: int = 4,
     walks_per_node: int = 8,
     k: int = 10,
+    p: float | None = None,
+    q: float | None = None,
 ) -> DataFrame:
     """Walk-based relatedness: launch deterministic random walks from
     one node over the UNDIRECTED triple view and rank co-visited nodes
     by visit count (the DeepWalk/Pixie neighborhood-sampling idea —
     multi-hop affinity that plain neighbor listing misses, without
     materializing the k-hop ball). Deterministic hash-seeded draws, so
-    the same question always returns the same answer."""
-    from ..operators.graph_algos import random_walks
+    the same question always returns the same answer.
+
+    Pass ``p``/``q`` to bias the exploration node2vec-style
+    (``operators.graph_algos.node2vec_walks``): q < 1 pushes walks
+    OUTWARD (campaign-wide context — structural equivalence), q > 1
+    with p > 1 keeps them tight around the seed (homophily). Default
+    (both None) is the uniform first-order walk."""
+    from ..operators.graph_algos import node2vec_walks, random_walks
 
     e = spark.table("triples").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     start = spark.createDataFrame([(node_id,)], ["id"])
-    walks = random_walks(
-        sym,
-        walk_length=walk_length,
-        walks_per_node=walks_per_node,
-        start_nodes=start,
-    )
+    if p is None and q is None:
+        walks = random_walks(
+            sym,
+            walk_length=walk_length,
+            walks_per_node=walks_per_node,
+            start_nodes=start,
+        )
+    else:
+        walks = node2vec_walks(
+            sym,
+            walk_length=walk_length,
+            walks_per_node=walks_per_node,
+            p=p if p is not None else 1.0,
+            q=q if q is not None else 1.0,
+            start_nodes=start,
+        )
     return (
         walks.filter((F.col("step") > 0) & (F.col("node") != node_id))
         .groupBy("node")
