@@ -2679,6 +2679,26 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_similarity_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (FAISS IndexPQ/ADC analog, Jégou et al.
+    2011) built integer-exact: 64 dims → 4 subspaces × 4 centroids via
+    the deterministic integer-grid k-means, ADC lookup table from the
+    identically-quantized query (vec_id 0), per-vector code-sum
+    distance, (adist ASC, id) top-40 candidates, exact-cosine rerank to
+    top-10. Codes, LUT, candidate set, and ranking all match the
+    oracle bit-for-bit."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return pq_topk(
+        emb, qvec, k=10, m=4, k_sub=4, iterations=2, scale=1024,
+        rerank_factor=4,
+    )
+
+
 def q_graph_node2vec(spark, sf_dir):
     """Deterministic node2vec walks (Grover & Leskovec 2016) with
     strong second-order bias (p=4 discourages returns, q=0.25 pushes
@@ -2881,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "events_cooccur_npmi": q_events_cooccur_npmi,
         "graph_node2vec": q_graph_node2vec,
+        "similarity_pq_topk": q_similarity_pq_topk,
     }
 
 
@@ -3780,59 +3801,144 @@ def _hll_oracle_sql() -> str:
 
 
 def _kmeans_assign_ctes(
-    k: int = 4, iterations: int = 2, scale: int = 1024, src: str = "embeddings"
+    k: int = 4, iterations: int = 2, scale: int = 1024, src: str = "embeddings",
+    suffix: str = "",
 ) -> str:
     """CTE chain (no leading WITH) ending at ``assign{iterations}``:
     unrolled Lloyd rounds mirroring operators/clustering.py::
     kmeans_assign — every step integer arithmetic (quantized points,
     integer distance sums, floored centroid means), so assignment is
     bit-identical; emptied clusters carry the previous centroid.
-    ``src`` must expose (vec_id, embedding)."""
+    ``src`` must expose (vec_id, embedding). ``suffix`` namespaces every
+    CTE so several chains can coexist in one query (the PQ oracle runs
+    one chain per subspace)."""
+    sx = suffix
     parts = [f"""
-        pts AS (
+        pts{sx} AS (
           SELECT vec_id AS id, d,
                  CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale} + 0.5)
                    AS BIGINT) AS q
           FROM {src}, UNNEST(generate_series(1, len(embedding))) AS t(d)
           WHERE embedding IS NOT NULL
         ),
-        seeds AS (
+        seeds{sx} AS (
           SELECT id, row_number() OVER (ORDER BY id) - 1 AS cluster
-          FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT {k})
+          FROM (SELECT DISTINCT id FROM pts{sx} ORDER BY id LIMIT {k})
         ),
-        cent0 AS (
-          SELECT cluster, d, q AS cq FROM seeds JOIN pts USING (id)
+        cent0{sx} AS (
+          SELECT cluster, d, q AS cq FROM seeds{sx} JOIN pts{sx} USING (id)
         )"""]
     for i in range(1, iterations + 1):
-        prev = f"cent{i - 1}"
+        prev = f"cent{i - 1}{sx}"
         parts.append(f""",
-        dist{i} AS (
+        dist{i}{sx} AS (
           SELECT id, cluster, sum((q - cq) * (q - cq)) AS dist
-          FROM pts JOIN {prev} USING (d)
+          FROM pts{sx} JOIN {prev} USING (d)
           GROUP BY id, cluster
         ),
-        assign{i} AS (
+        assign{i}{sx} AS (
           SELECT id, cluster FROM (
             SELECT id, cluster,
                    row_number() OVER (PARTITION BY id
                                       ORDER BY dist ASC, cluster ASC) AS rn
-            FROM dist{i}
+            FROM dist{i}{sx}
           ) WHERE rn = 1
         ),
-        newc{i} AS (
+        newc{i}{sx} AS (
           SELECT cluster, d,
                  CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
                    AS BIGINT) AS cq
-          FROM assign{i} JOIN pts USING (id)
+          FROM assign{i}{sx} JOIN pts{sx} USING (id)
           GROUP BY cluster, d
         ),
-        cent{i} AS (
-          SELECT * FROM newc{i}
+        cent{i}{sx} AS (
+          SELECT * FROM newc{i}{sx}
           UNION ALL
           SELECT p.* FROM {prev} p
-          WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM newc{i})
+          WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM newc{i}{sx})
         )""")
     return "".join(parts)
+
+
+def _pq_oracle_sql(
+    m: int = 4,
+    k_sub: int = 4,
+    iterations: int = 2,
+    scale: int = 1024,
+    k: int = 10,
+    rf: int = 4,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators/similarity.py::pq_topk: one kmeans CTE chain
+    per subspace (suffix-namespaced), integer ADC lookup table from the
+    identically-quantized query (vec_id 0), per-vector code-sum
+    distance, (adist ASC, id) candidate cut, exact-cosine rerank — the
+    sq_topk oracle tail."""
+    dsub = dim // m
+    subs = []
+    chains = []
+    luts = []
+    codes = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        subs.append(f"""
+        sub{s} AS (
+          SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM nzsrc
+        )""")
+        chains.append(
+            _kmeans_assign_ctes(
+                k_sub, iterations, scale, src=f"sub{s}", suffix=f"_s{s}"
+            )
+        )
+        # centroid d is subspace-local 1-based; global = s·dsub + d
+        luts.append(f"""
+            SELECT {s} AS sub, c.cluster,
+                   sum((q.qd - c.cq) * (q.qd - c.cq)) AS ad
+            FROM cent{iterations - 1}_s{s} c
+            JOIN q ON q.d = c.d + {s * dsub}
+            GROUP BY c.cluster""")
+        codes.append(
+            f"SELECT {s} AS sub, id, cluster FROM assign{iterations}_s{s}"
+        )
+    return f"""
+        WITH p AS (
+          SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+        ),
+        nz AS (
+          SELECT vec_id, v FROM p
+          WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+        ),
+        nzsrc AS (SELECT vec_id, v AS embedding FROM nz),
+        {",".join(subs)},
+        {",".join(chains)},
+        q AS (
+          SELECT d,
+                 CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale} + 0.5)
+                   AS BIGINT) AS qd
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(d)
+          WHERE vec_id = 0
+        ),
+        lut AS ({" UNION ALL ".join(luts)}),
+        codes AS ({" UNION ALL ".join(codes)}),
+        adist AS (
+          SELECT codes.id AS vec_id, sum(lut.ad) AS adist
+          FROM codes JOIN lut
+            ON codes.sub = lut.sub AND codes.cluster = lut.cluster
+          GROUP BY codes.id
+        ),
+        cand AS (
+          SELECT a.vec_id, nz.v
+          FROM adist a JOIN nz ON a.vec_id = nz.vec_id
+          ORDER BY a.adist ASC, a.vec_id ASC LIMIT {k * rf}
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                 v, (SELECT cast(embedding AS double[]) FROM embeddings
+                     WHERE vec_id = 0)), 3) AS cosine
+        FROM cand
+        ORDER BY cosine DESC, vec_id
+        LIMIT {k}
+    """
 
 
 def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, scale: int = 1024) -> str:
@@ -5673,4 +5779,7 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT walk_id, start_id, step, node FROM walks
         """,
+        "similarity_pq_topk": _pq_oracle_sql(
+            m=4, k_sub=4, iterations=2, scale=1024, k=10, rf=4, dim=64
+        ),
     }

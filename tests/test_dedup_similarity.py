@@ -539,3 +539,89 @@ class TestSqTopk:
             sq_topk(df, [1.0], k=0)
         with _pytest.raises(ValueError):
             quantize_embeddings(df, scale=0.0)
+
+
+class TestPqTopk:
+    def _emb(self, spark, n=200, dim=16, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, dim)).astype("float32")
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            mat.astype("float64"),
+        )
+
+    def test_top1_matches_brute_force(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+        )
+
+        emb, mat = self._emb(spark)
+        q = [float(x) for x in mat[7]]
+        exact = brute_force_topk(emb, q, k=1).collect()[0]
+        # the query IS a corpus row: its PQ code distance to itself is
+        # the per-subspace quantization residue, small enough that the
+        # candidate cut keeps it and the exact rerank ranks it first
+        approx = pq_topk(emb, q, k=1, m=4, k_sub=8, rerank_factor=8).collect()[0]
+        assert approx.vec_id == exact.vec_id == 7
+
+    def test_recall_against_brute_force(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+        )
+
+        emb, mat = self._emb(spark)
+        q = [float(x) for x in mat[0]]
+        exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {
+            r.vec_id
+            for r in pq_topk(
+                emb, q, k=10, m=4, k_sub=8, rerank_factor=8
+            ).collect()
+        }
+        # 4 subspaces × 8 centroids is a coarse code; with rf=8 the
+        # rerank recovers most of the true neighborhood. Deterministic
+        # fixture → fixed property, not a flake.
+        assert len(exact & approx) >= 5
+
+    def test_rerun_deterministic(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        emb, mat = self._emb(spark, n=80)
+        q = [float(x) for x in mat[3]]
+        a = [tuple(r) for r in pq_topk(emb, q, k=5).collect()]
+        b = [tuple(r) for r in pq_topk(emb, q, k=5).collect()]
+        assert a == b and len(a) == 5
+
+    def test_zero_norm_vectors_excluded(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+            ["vec_id", "embedding"],
+        )
+        got = pq_topk(df, [1.0, 0.0], k=3, m=1, k_sub=2).collect()
+        assert [r.vec_id for r in got] == [2, 3]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+        with _pytest.raises(ValueError, match="multiple of m"):
+            pq_topk(df, [1.0, 0.0, 0.0], k=1, m=2)
+        with _pytest.raises(ValueError, match=">= 1"):
+            pq_topk(df, [1.0, 0.0], k=0)
+        with _pytest.raises(ValueError, match=">= 1"):
+            pq_topk(df, [1.0, 0.0], k=1, m=0)

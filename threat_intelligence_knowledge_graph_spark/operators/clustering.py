@@ -37,9 +37,15 @@ def kmeans_assign(
     k: int = 4,
     iterations: int = 2,
     scale: int = 1024,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """(id, cluster): Lloyd k-means assignment after ``iterations``
-    synchronous rounds on the integer grid.
+    synchronous rounds on the integer grid. With
+    ``return_centroids=True`` returns ``(assign, codebook)`` where
+    codebook is the (cluster, d, cq) centroid table USED by the final
+    assignment round (0-based dimension index on the quantized grid) —
+    what a product-quantization encoder needs to build ADC lookup
+    tables against the same codes.
 
     - quantize: q_d = floor(x_d · scale + 0.5) (exact, engine-identical)
     - seed: centroid j = the point with the (j+1)-th smallest id among
@@ -127,9 +133,17 @@ def kmeans_assign(
             )
         ).localCheckpoint(eager=True)
 
-    return assign.select(
+    result = assign.select(
         F.col("_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
     )
+    if return_centroids:
+        codebook = centroids.select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("_d").alias("d"),
+            F.col("_cq").alias("cq"),
+        )
+        return result, codebook
+    return result
 
 
 def cluster_sizes(assign: DataFrame) -> DataFrame:

@@ -480,3 +480,113 @@ def sq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 4,
+    iterations: int = 2,
+    scale: int = 1024,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with exact
+    rerank — the FAISS IndexPQ / ADC analog (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"), built
+    integer-exact so codes, lookup tables, and the candidate set are
+    bit-identical on any engine/run/partitioning:
+
+    - the D dims split into ``m`` subspaces of D/m; each subspace is
+      clustered with the deterministic integer-grid Lloyd k-means
+      (``clustering.kmeans_assign``, ``k_sub`` centroids), and a
+      vector's code is its m per-subspace cluster ids — m small ints
+      per vector instead of D floats, the PQ memory win;
+    - ADC: the query is quantized on the same integer grid, its
+      distance to every centroid precomputed into an m·k_sub-row
+      lookup table (integer sums), and a vector's approximate distance
+      is the SUM of m table lookups — one broadcast join on
+      (sub, code) + one id-keyed agg over the m-rows-per-vector code
+      table, never a full-vector scan;
+    - candidates = ``k·rerank_factor`` ids by (ADC distance ASC, id)
+      via TakeOrderedAndProject; the exact cosine rerank reads only
+      those full vectors (the ``sq_topk`` discipline, same rounding
+      and tiebreak).
+
+    Codebook training runs m driver-side loop iterations (m is a small
+    constant); each is the kmeans broadcast-join round chain over the
+    subvector slice. At 100 TB you train the codebooks once on a
+    sample, persist (cluster, d, cq), and encode every batch with one
+    broadcast join per subspace — the code table is the only thing the
+    ANN scan ever reads. Zero-norm corpus vectors are filtered (cosine
+    undefined — the ``batch_topk`` guard).
+    """
+    from .clustering import kmeans_assign
+
+    if k < 1 or rerank_factor < 1:
+        raise ValueError("k and rerank_factor must be >= 1")
+    if m < 1 or k_sub < 1:
+        raise ValueError("m and k_sub must be >= 1")
+    d_total = len(query_vec)
+    if d_total == 0 or d_total % m != 0:
+        raise ValueError("len(query_vec) must be a positive multiple of m")
+    dsub = d_total // m
+    v = F.col(vec_col).cast("array<double>")
+    nz = embeddings.filter(_norm(v) > 0).localCheckpoint(eager=True)
+
+    codes = None
+    cents = None
+    for s in range(m):
+        sub = nz.select(
+            F.col(id_col), F.slice(v, s * dsub + 1, dsub).alias("embedding")
+        )
+        assign, book = kmeans_assign(
+            sub,
+            id_col=id_col,
+            vec_col="embedding",
+            k=k_sub,
+            iterations=iterations,
+            scale=scale,
+            return_centroids=True,
+        )
+        a = assign.withColumn("sub", F.lit(s))
+        b = book.withColumn("sub", F.lit(s))
+        codes = a if codes is None else codes.unionByName(a)
+        cents = b if cents is None else cents.unionByName(b)
+
+    # Quantized query on the same grid (float64 multiply + floor — the
+    # identical arithmetic kmeans_assign applies to corpus components).
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(d // dsub, d % dsub, int(qq[d])) for d in range(d_total)],
+        "sub int, d int, qd long",
+    )
+    lut = (
+        cents.join(qdf, ["sub", "d"])
+        .groupBy("sub", "cluster")
+        .agg(
+            F.sum((F.col("qd") - F.col("cq")) * (F.col("qd") - F.col("cq"))).alias(
+                "_ad"
+            )
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "cluster"])
+        .groupBy(id_col)
+        .agg(F.sum("_ad").alias("_adist"))
+    )
+    cands = (
+        approx.orderBy(F.col("_adist").asc(), F.col(id_col))
+        .limit(k * rerank_factor)
+        .join(nz.select(id_col, vec_col), id_col)
+    )
+    return (
+        with_cosine(cands, query_vec, vec_col)
+        .select(id_col, F.round("cosine", 3).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
