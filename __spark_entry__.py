@@ -2679,6 +2679,21 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture (share ∝ count^0.5 — the XLM-R
+    exponentiated-sampling / pretraining data-mixing knob) over order
+    status: α = 0.5 upweights the rare P status against O/F. sqrt is
+    correctly-rounded IEEE on both engines, so the water level and the
+    per-source thresholds are exactly reproducible; the oracle
+    recomputes the identical chain."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        temperature_mixture,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return temperature_mixture(o, "o_orderkey", "o_orderstatus", alpha=0.5)
+
+
 def q_similarity_pq_topk(spark, sf_dir):
     """Product-quantization ANN (FAISS IndexPQ/ADC analog, Jégou et al.
     2011) built integer-exact: 64 dims → 4 subspaces × 4 centroids via
@@ -2902,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cooccur_npmi": q_events_cooccur_npmi,
         "graph_node2vec": q_graph_node2vec,
         "similarity_pq_topk": q_similarity_pq_topk,
+        "sample_temperature": q_sample_temperature,
     }
 
 
@@ -5782,4 +5798,24 @@ def oracle_sql() -> dict[str, str]:
         "similarity_pq_topk": _pq_oracle_sql(
             m=4, k_sub=4, iterations=2, scale=1024, k=10, rf=4, dim=64
         ),
+        # Temperature mixture: identical sqrt weights, water level, and
+        # pinned threshold evaluation order (1e6 · w · T / n) — see
+        # q_sample_temperature / operators.packing.temperature_mixture.
+        "sample_temperature": """
+            WITH c AS (
+              SELECT o_orderstatus AS s, cast(count(*) AS bigint) AS n
+              FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
+            ),
+            w AS (SELECT s, n, sqrt(cast(n AS double)) AS wgt FROM c),
+            t AS (SELECT min(n / wgt) AS tmax FROM w),
+            r AS (
+              SELECT s, 1000000.0 * wgt * t.tmax / n AS thresh
+              FROM w CROSS JOIN t
+            )
+            SELECT o.o_orderkey, o.o_orderstatus
+            FROM orders o JOIN r ON o.o_orderstatus = r.s
+            WHERE cast(md5_number_upper('mixture-temp:'
+                    || cast(o_orderkey AS varchar)) % 1000000 AS double)
+                  < r.thresh
+        """,
     }

@@ -251,3 +251,78 @@ class TestSplitOversized:
         stats = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("tok")).collect()
         assert all(r.tok <= 80 for r in stats)  # no pack driven over 2x budget
         assert packed.filter(F.col("n_tokens") > 40).count() == 0  # nothing oversized
+
+
+class TestTemperatureMixture:
+    ROWS = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "rare") for i in range(25)]
+    )
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, ["doc_id", "source"])
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            temperature_mixture,
+        )
+
+        got = temperature_mixture(self._df(spark), "doc_id", "source", alpha=1.0)
+        # natural proportions: every source binds, nothing is dropped
+        assert got.count() == len(self.ROWS)
+
+    def test_alpha_zero_equalizes(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            temperature_mixture,
+        )
+
+        got = temperature_mixture(
+            self._df(spark), "doc_id", "source", alpha=0.0
+        ).groupBy("source").count().collect()
+        by_src = {r.source: r["count"] for r in got}
+        # equal shares: the rare source (25) binds and is taken whole;
+        # big/mid down-sample toward 25 (md5 draw → binomial jitter)
+        assert by_src["rare"] == 25
+        assert abs(by_src["big"] - 25) <= 15
+        assert abs(by_src["mid"] - 25) <= 15
+
+    def test_alpha_half_softens(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            temperature_mixture,
+        )
+
+        got = temperature_mixture(
+            self._df(spark), "doc_id", "source", alpha=0.5
+        ).groupBy("source").count().collect()
+        by_src = {r.source: r["count"] for r in got}
+        # sqrt shares 20:10:5 — rare binds (25/5 smallest), targets are
+        # big=100, mid=50, rare=25
+        assert by_src["rare"] == 25
+        assert abs(by_src["big"] - 100) <= 25
+        assert abs(by_src["mid"] - 50) <= 18
+        # rebalanced: big's share of the output well below its 76% input
+        total = sum(by_src.values())
+        assert by_src["big"] / total < 0.65
+
+    def test_deterministic_and_nested(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        a = {r.doc_id for r in temperature_mixture(df, "doc_id", "source").collect()}
+        b = {r.doc_id for r in temperature_mixture(df, "doc_id", "source").collect()}
+        assert a == b
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            temperature_mixture,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, source string")
+        assert temperature_mixture(empty, "doc_id", "source").count() == 0
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mixture(self._df(spark), "doc_id", "source", alpha=1.5)

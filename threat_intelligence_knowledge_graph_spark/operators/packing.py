@@ -27,6 +27,8 @@ Two ops every LLM-pretraining pipeline needs downstream of dedup/quality:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -214,6 +216,48 @@ def mixture_sample(
         thresh = _FRAC_DENOM * w * t_max / counts[s]
         rate = F.when(F.col(source_col) == s, F.lit(thresh)).otherwise(rate)
     return df.filter(bucket.cast("double") < rate)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "mixture-temp",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: target share ∝ count_s^α — the
+    multilingual/multi-source rebalancing rule (exponentiated sampling
+    in XLM-R, Conneau et al. 2020; the data-mixing temperature knob of
+    Llama-style pretraining recipes). α = 1 keeps natural proportions
+    (every source binds — the filter keeps everything); α = 0 equalizes
+    every source down to the smallest; α = 0.5 is the common softening.
+
+    Shares are derived from ONE bounded count aggregation (rows = number
+    of sources) and the draw delegates to ``mixture_sample``'s
+    md5-deterministic water-level filter, so the selected row set is
+    partition/run-independent. For α = 0.5 the weight uses ``sqrt``
+    (correctly-rounded per IEEE on every engine) — the whole threshold
+    chain is then exactly reproducible cross-engine; other α use
+    ``pow`` (deterministic within Spark; a last-ulp libm divergence is
+    possible across engines, which only matters if a bucket integer
+    lands exactly on the threshold).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r["src"]: r["n"]
+        for r in df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    shares = {
+        s: (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha)
+        for s, n in counts.items()
+    }
+    return mixture_sample(df, key_col, source_col, shares, salt=salt)
 
 
 def split_oversized(
