@@ -2679,6 +2679,24 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, floor(value)) —
+    the OPTIMIZE ZORDER BY / Iceberg sort-rewrite key as a pure
+    Catalyst unrolled shift/mask/or chain: bit i of column j lands at
+    output bit i·n+j, out-of-range inputs clamp. Integer-exact, so the
+    oracle evaluates the identical bit arithmetic."""
+    from threat_intelligence_knowledge_graph_spark.operators.layout import (
+        morton_key,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    key = morton_key(
+        [F.col("user_id").cast("long"), F.floor(F.col("value")).cast("long")],
+        bits=16,
+    )
+    return e.select("event_id", key.alias("zkey"))
+
+
 def q_sample_temperature(spark, sf_dir):
     """Temperature-scaled mixture (share ∝ count^0.5 — the XLM-R
     exponentiated-sampling / pretraining data-mixing knob) over order
@@ -2918,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec": q_graph_node2vec,
         "similarity_pq_topk": q_similarity_pq_topk,
         "sample_temperature": q_sample_temperature,
+        "events_zorder_key": q_events_zorder,
     }
 
 
@@ -3874,6 +3893,19 @@ def _kmeans_assign_ctes(
           WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM newc{i}{sx})
         )""")
     return "".join(parts)
+
+
+def _morton_sql(exprs: list, bits: int = 16) -> str:
+    """Unrolled Morton interleave of SQL integer expressions — the
+    operators/layout.py::morton_key bit arithmetic verbatim (clamp to
+    [0, 2^bits), bit i of column j → output bit i·n+j)."""
+    n = len(exprs)
+    terms = []
+    for j, ex in enumerate(exprs):
+        v = f"least(greatest(cast({ex} AS bigint), 0), {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(f"((({v} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
 
 
 def _pq_oracle_sql(
@@ -5817,5 +5849,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE cast(md5_number_upper('mixture-temp:'
                     || cast(o_orderkey AS varchar)) % 1000000 AS double)
                   < r.thresh
+        """,
+        "events_zorder_key": f"""
+            SELECT event_id,
+                   cast({_morton_sql(['user_id', 'floor(value)'], 16)}
+                     AS bigint) AS zkey
+            FROM events
         """,
     }
