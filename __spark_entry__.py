@@ -2679,6 +2679,33 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (3 L2-normalized power-iteration steps,
+    GDS gds.eigenvector analog) over the planted directed nation graph
+    of q_graph_hits — HITS' authority half-step iterated alone, so the
+    oracle unrolls the identical float-exact recurrence; both sides
+    round to 9 (summation-order noise ~1e-16)."""
+    from threat_intelligence_knowledge_graph_spark.operators.hits import (
+        eigenvector_centrality,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+    )
+    reg = nat.select(
+        nkey.alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+    )
+    return eigenvector_centrality(cyc.union(reg), iterations=3).select(
+        "id", F.round("score", 9).alias("score")
+    )
+
+
 def q_events_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, floor(value)) —
     the OPTIMIZE ZORDER BY / Iceberg sort-rewrite key as a pure
@@ -2937,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_topk": q_similarity_pq_topk,
         "sample_temperature": q_sample_temperature,
         "events_zorder_key": q_events_zorder,
+        "graph_eigenvector": q_graph_eigenvector,
     }
 
 
@@ -3048,6 +3076,52 @@ def _katz_oracle_sql(
     parts.append(
         f"""
         SELECT id AS node_id, round(x, 6) AS katz FROM x{iterations}
+        """
+    )
+    return "".join(parts)
+
+
+def _eigenvector_oracle_sql(iterations: int) -> str:
+    """Unrolled eigenvector-centrality power iteration over the planted
+    nation graph (see q_graph_eigenvector): per step the in-edge pull
+    sum, zero-coalesced over the full node set, L2-normalized — the
+    authority half of _hits_oracle_sql iterated alone."""
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        x0 AS (SELECT id, cast(1.0 AS double) AS score FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        xr{i} AS (
+          SELECT e.dst AS id, sum(x.score) AS s
+          FROM e JOIN x{i - 1} x ON e.src = x.id GROUP BY e.dst
+        ),
+        xf{i} AS (
+          SELECT nd.id, coalesce(xr.s, cast(0.0 AS double)) AS s
+          FROM nodes nd LEFT JOIN xr{i} xr ON xr.id = nd.id
+        ),
+        xn{i} AS (SELECT sqrt(sum(s * s)) AS nrm FROM xf{i}),
+        x{i} AS (
+          SELECT xf.id, xf.s / xn.nrm AS score
+          FROM xf{i} xf CROSS JOIN xn{i} xn
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT id, round(score, 9) AS score FROM x{iterations}
         """
     )
     return "".join(parts)
@@ -5856,4 +5930,5 @@ def oracle_sql() -> dict[str, str]:
                      AS bigint) AS zkey
             FROM events
         """,
+        "graph_eigenvector": _eigenvector_oracle_sql(3),
     }

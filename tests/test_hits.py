@@ -75,3 +75,82 @@ class TestHits:
     def test_rejects_bad_iterations(self, spark):
         with pytest.raises(ValueError):
             hits(_edges(spark, [("a", "b")]), iterations=0)
+
+
+class TestEigenvectorCentrality:
+    def test_numpy_power_iteration_parity(self, spark):
+        import numpy as np
+
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"),
+        ]
+        ids = sorted({u for u, _ in edges} | {v for _, v in edges})
+        idx = {n: i for i, n in enumerate(ids)}
+        A = np.zeros((len(ids), len(ids)))
+        for u, v in set(edges):
+            A[idx[u], idx[v]] = 1.0
+        x = np.ones(len(ids))
+        for _ in range(4):
+            x = A.T @ x
+            n = np.sqrt((x * x).sum())
+            x = x / n if n else x
+        from threat_intelligence_knowledge_graph_spark.operators.hits import (
+            eigenvector_centrality,
+        )
+
+        df = spark.createDataFrame(edges, ["src_id", "dst_id"])
+        got = {
+            r.id: r.score
+            for r in eigenvector_centrality(df, iterations=4).collect()
+        }
+        for n_ in ids:
+            assert abs(got[n_] - x[idx[n_]]) < 1e-12, n_
+
+    def test_l2_invariant_and_source_zero(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.hits import (
+            eigenvector_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a"), ("a", "b"), ("b", "a")], ["src_id", "dst_id"]
+        )
+        rows = eigenvector_centrality(df, iterations=3).collect()
+        got = {r.id: r.score for r in rows}
+        assert got["s"] == 0.0  # no in-edges → never gains mass
+        assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-12
+
+    def test_dag_collapses_to_zero(self, spark):
+        # a DAG's adjacency is nilpotent: the dominant eigenvalue is 0
+        # and the power iteration legitimately reaches the zero vector
+        # once paths from sources are exhausted (the zero-norm guard
+        # then stops dividing). GDS converges to the same degenerate
+        # answer modulo tolerance.
+        from threat_intelligence_knowledge_graph_spark.operators.hits import (
+            eigenvector_centrality,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a"), ("s", "b"), ("a", "b")], ["src_id", "dst_id"]
+        )
+        got = {
+            r.id: r.score
+            for r in eigenvector_centrality(df, iterations=3).collect()
+        }
+        assert set(got.values()) == {0.0}
+
+    def test_parallel_edges_dedup_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.hits import (
+            eigenvector_centrality,
+        )
+
+        once = spark.createDataFrame([("a", "b")], ["src_id", "dst_id"])
+        twice = spark.createDataFrame(
+            [("a", "b"), ("a", "b")], ["src_id", "dst_id"]
+        )
+        r1 = sorted(map(tuple, eigenvector_centrality(once, 2).collect()))
+        r2 = sorted(map(tuple, eigenvector_centrality(twice, 2).collect()))
+        assert r1 == r2
+        with _pytest.raises(ValueError):
+            eigenvector_centrality(once, iterations=0)

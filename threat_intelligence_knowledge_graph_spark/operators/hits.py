@@ -111,3 +111,63 @@ def hits(
         )
 
     return hub.join(auth, "id").select("id", "hub", "auth")
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(id, score) after ``iterations`` power-iteration steps of
+    eigenvector centrality — x ← A^T x / ‖A^T x‖₂ with x⁰ ≡ 1 (the GDS
+    ``gds.eigenvector`` analog; Bonacich 1987): a node is central in
+    proportion to the centrality of the nodes pointing AT it, the
+    recursive strengthening PageRank's damping deliberately flattens.
+    HITS' authority half-step iterated alone; for the undirected
+    variant pass the symmetrized edge list.
+
+    Same scale discipline as ``hits``: per iteration one keyed
+    equi-join + one agg + a node-universe LEFT join, a single bounded
+    1-row norm collect, ``localCheckpoint`` lineage truncation.
+    Parallel edges dedup; in-degree-0 nodes go (and stay) 0; a zero
+    norm leaves the vector all-zero rather than dividing by zero. With
+    a fixed iteration count the update is a deterministic float
+    recurrence (sum, divide, sqrt exactly rounded), so the contract
+    oracle unrolls the identical arithmetic.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.select("id", F.lit(0.0).alias("score"))
+
+    x = nodes.select("id", F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        raw = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("score").alias("s"))
+        )
+        full = (
+            nodes.join(raw, "id", "left")
+            .select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        nrm = full.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).first()[0]
+        x = full.select(
+            "id",
+            (F.col("s") / F.lit(nrm) if nrm else F.lit(0.0)).alias("score"),
+        )
+    return x
