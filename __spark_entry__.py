@@ -2679,6 +2679,39 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_cc_increment(spark, sf_dir):
+    """Incremental connected components: a planted 6-node chain per
+    orderkey (% 19) arrives in two batches — batch 1 leaves segments
+    {0,1,2} and {3,4}; batch 2 bridges them (edge 2–3) and introduces
+    the NEW node 5 (edge 4–5). Spark computes CC on batch 1 then merges
+    batch 2 through the batch-bounded component graph; min-id labels
+    compose exactly, so the oracle is a from-scratch recursive-CTE
+    closure over the UNION of both batches."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        connected_components,
+        connected_components_increment,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    base = o.select((F.col("o_orderkey") * 7).alias("k7"))
+
+    def _edges(idxs):
+        return base.select(
+            "k7", F.explode(F.array(*[F.lit(i) for i in idxs])).alias("i")
+        ).select(
+            (F.col("k7") + F.col("i")).alias("a"),
+            (F.col("k7") + F.col("i") + 1).alias("b"),
+        )
+
+    batch1 = _edges([0, 1, 3])
+    batch2 = _edges([2, 4])
+    a1 = connected_components(batch1)
+    return connected_components_increment(a1, batch2).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_graph_eigenvector(spark, sf_dir):
     """Eigenvector centrality (3 L2-normalized power-iteration steps,
     GDS gds.eigenvector analog) over the planted directed nation graph
@@ -2965,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "events_zorder_key": q_events_zorder,
         "graph_eigenvector": q_graph_eigenvector,
+        "graph_cc_increment": q_graph_cc_increment,
     }
 
 
@@ -5931,4 +5965,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # From-scratch closure over the UNION of both batches — the
+        # incremental merge must land on the identical min-id labeling
+        # (see q_graph_cc_increment).
+        "graph_cc_increment": """
+            WITH RECURSIVE
+            ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 19 = 0),
+            e AS (
+              SELECT 7 * k + i.i AS s, 7 * k + i.i + 1 AS d
+              FROM ks CROSS JOIN (SELECT unnest(range(5)) AS i) i
+            ),
+            sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+            nodes AS (SELECT DISTINCT s AS id FROM sym),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+            )
+            SELECT cast(id AS bigint) AS id,
+                   cast(min(r) AS bigint) AS component
+            FROM reach GROUP BY id
+        """,
     }

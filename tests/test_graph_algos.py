@@ -1053,3 +1053,71 @@ class TestNode2vecWalks:
             self._walks(spark, q=-1.0)
         with _pytest.raises(ValueError):
             self._walks(spark, walk_length=-1)
+
+
+class TestConnectedComponentsIncrement:
+    def _cc(self, spark, edges):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            connected_components,
+        )
+
+        return connected_components(spark.createDataFrame(edges, ["a", "b"]))
+
+    def _inc(self, spark, assign, batch):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            connected_components_increment,
+        )
+
+        return connected_components_increment(
+            assign, spark.createDataFrame(batch, ["a", "b"])
+        )
+
+    def test_equals_batch_over_union(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(40))
+        all_edges = [
+            (min(x, y), max(x, y))
+            for x, y in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+            )
+            if x != y
+        ]
+        cut = len(all_edges) // 2
+        b1, b2 = all_edges[:cut], all_edges[cut:]
+        inc = {
+            (r.id, r.component)
+            for r in self._inc(spark, self._cc(spark, b1), b2).collect()
+        }
+        full = {
+            (r.id, r.component) for r in self._cc(spark, all_edges).collect()
+        }
+        assert inc == full
+
+    def test_new_nodes_and_chained_merges(self, spark):
+        # batch 1: {1,2} and {5,6}; batch 2 chains them AND brings in
+        # brand-new nodes 3,4 as the bridge — a transitive merge that
+        # must run THROUGH the new nodes.
+        a1 = self._cc(spark, [(1, 2), (5, 6)])
+        got = {
+            (r.id, r.component)
+            for r in self._inc(spark, a1, [(2, 3), (3, 4), (4, 5)]).collect()
+        }
+        assert got == {(i, 1) for i in range(1, 7)}
+
+    def test_disjoint_batch_adds_singpairs(self, spark):
+        a1 = self._cc(spark, [(1, 2)])
+        got = {
+            (r.id, r.component)
+            for r in self._inc(spark, a1, [(10, 11)]).collect()
+        }
+        assert got == {(1, 1), (2, 1), (10, 10), (11, 10)}
+
+    def test_noop_batch_keeps_assignment(self, spark):
+        a1 = self._cc(spark, [(1, 2), (2, 3)])
+        got = {
+            (r.id, r.component)
+            for r in self._inc(spark, a1, [(1, 3)]).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1)}

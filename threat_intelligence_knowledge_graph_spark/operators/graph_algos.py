@@ -1394,3 +1394,70 @@ def katz_centrality(
             .localCheckpoint(eager=True)
         )
     return x.select("node_id", F.round("x", round_to).alias("katz"))
+
+
+def connected_components_increment(
+    assignment: DataFrame,
+    new_edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Merge a batch of new edges into an existing min-id component
+    ``assignment`` (id, component) WITHOUT recomputing over the full
+    edge set — the steady-state form of ``connected_components`` for a
+    graph that grows by ingest batches (the `minhash_incremental` /
+    `curate_increment` discipline applied to graph maintenance).
+
+    Connectivity is transitive, so CC(E_old ∪ E_new) factors through
+    the old assignment: map each new edge's endpoints to their current
+    component (new ids = their own singleton), build the COMPONENT
+    graph those edges induce — bounded by the BATCH size, not the
+    corpus — run the in-repo CC on it, and remap. Min-id labels
+    compose exactly: a merged component's label is the min over merged
+    components' labels, which is the min member id overall, so the
+    result is byte-identical to a from-scratch CC over the union
+    (asserted by tests and the contract oracle).
+
+    Scale shape: one keyed LEFT join maps endpoints (broadcast if the
+    batch is small), the CC rounds run on the batch-bounded component
+    graph, and the corpus-wide remap is ONE broadcast join against the
+    touched-component map (≤ 2·batch rows) — untouched components pass
+    through without shuffling the assignment table.
+    """
+    ends = (
+        new_edges.select(F.col(a).alias("id"))
+        .union(new_edges.select(F.col(b).alias("id")))
+        .distinct()
+    )
+    asg = assignment.select("id", "component")
+    mapped_ends = ends.join(asg, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    ).localCheckpoint(eager=True)
+    ca = mapped_ends.select(
+        F.col("id").alias(a), F.col("component").alias("ca")
+    )
+    cb = mapped_ends.select(
+        F.col("id").alias(b), F.col("component").alias("cb")
+    )
+    comp_edges = (
+        new_edges.join(ca, a)
+        .join(cb, b)
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .distinct()
+    )
+    new_singletons = mapped_ends.join(asg.select("id"), "id", "left_anti")
+    base = asg.unionByName(new_singletons)
+    if not comp_edges.take(1):
+        return base
+    super_map = connected_components(comp_edges).select(
+        F.col("id").alias("component"),
+        F.col("component").alias("_super"),
+    )
+    return (
+        base.join(F.broadcast(super_map), "component", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_super"), F.col("component")).alias("component"),
+        )
+    )
