@@ -12,7 +12,12 @@ produced by ``jobs/run_pipeline.py`` and run either
   syntax error, never a mistranslation), or
 - ``--sql "SELECT * FROM triples WHERE pred = 'RESOLVES_TO' LIMIT 5"``
   — full Spark SQL over the registered ``nodes`` / ``edges`` /
-  ``triples`` / ``metrics`` views.
+  ``triples`` / ``metrics`` views, or
+- ``--diff triples --from-snapshot 0 [--to-snapshot 2] [--keys subj,pred,obj]``
+  — "what changed since snapshot N": the row-level changelog between
+  two commits of a warehouse table (insert/delete, or
+  update_pre/update_post when ``--keys`` is given) — the Iceberg
+  changelog / Delta CDF analog over ``tableio`` snapshots.
 
 Invocation::
 
@@ -52,6 +57,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--cypher", help="Cypher-lite query (see plans/cypher_lite.py)")
     g.add_argument("--sql", help="Spark SQL over nodes/edges/triples/metrics views")
+    g.add_argument("--diff", metavar="TABLE", help="changelog of a warehouse table")
+    ap.add_argument("--from-snapshot", type=int, default=None,
+                    help="diff: older snapshot id (required with --diff)")
+    ap.add_argument("--to-snapshot", type=int, default=None,
+                    help="diff: newer snapshot id (default: current head)")
+    ap.add_argument("--keys", default=None,
+                    help="diff: comma-separated key columns to classify updates")
     ap.add_argument("--max-rows", type=int, default=100)
     ap.add_argument("--output", help="write result parquet here instead of printing")
     ap.add_argument("--master", default=None)
@@ -64,11 +76,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         catalog = LocalTableCatalog(args.warehouse)
         register_graph_views(spark, catalog)
         try:
-            df = (
-                cypher_query(spark, args.cypher)
-                if args.cypher
-                else spark.sql(args.sql)
-            )
+            if args.diff:
+                if args.from_snapshot is None:
+                    raise SystemExit("--diff requires --from-snapshot")
+                df = catalog.diff(
+                    spark,
+                    args.diff,
+                    args.from_snapshot,
+                    args.to_snapshot,
+                    key_cols=args.keys.split(",") if args.keys else None,
+                )
+            else:
+                df = (
+                    cypher_query(spark, args.cypher)
+                    if args.cypher
+                    else spark.sql(args.sql)
+                )
         except CypherSyntaxError as e:
             raise SystemExit(f"cypher-lite: {e}")
         if args.output:

@@ -589,6 +589,20 @@ class TestQueryGraphCli:
                 ["--warehouse", warehouse.root, "--cypher", "MATCH (a), (b) RETURN a"],
                 spark=spark,
             )
+
+        # --diff: single-commit warehouse → empty changelog, header shown
+        rc = qg.main(
+            ["--warehouse", warehouse.root, "--diff", "triples",
+             "--from-snapshot", "0"],
+            spark=spark,
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "_change" in out
+        with _pytest.raises(SystemExit, match="from-snapshot"):
+            qg.main(
+                ["--warehouse", warehouse.root, "--diff", "triples"],
+                spark=spark,
+            )
         # the fixture's views survive the CLI calls for later tests
         register_graph_views(spark, warehouse)
 

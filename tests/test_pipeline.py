@@ -152,6 +152,54 @@ class TestTableIO:
         with _pytest.raises(FileNotFoundError):
             catalog.read(spark, "t", as_of_snapshot=-1)
 
+    def test_snapshot_diff(self, spark, tmp_path):
+        catalog = LocalTableCatalog(str(tmp_path / "cdf"))
+        catalog.overwrite(
+            spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]),
+            "t",
+            run_id="r0",
+        )
+        catalog.append(
+            spark.createDataFrame([("c", 3)], ["k", "v"]), "t", run_id="r1"
+        )
+        catalog.merge(
+            spark,
+            spark.createDataFrame([("a", 10)], ["k", "v"]),
+            "t",
+            keys=["k"],
+            run_id="r2",
+        )
+        # append interval: the diff IS the appended row
+        got = {
+            (r._change, r.k, r.v)
+            for r in catalog.diff(spark, "t", 0, 1).collect()
+        }
+        assert got == {("insert", "c", 3)}
+        # merge interval without keys: raw insert/delete pair
+        got = {
+            (r._change, r.k, r.v)
+            for r in catalog.diff(spark, "t", 1, 2).collect()
+        }
+        assert got == {("insert", "a", 10), ("delete", "a", 1)}
+        # with keys: the pair reclassifies as an update
+        got = {
+            (r._change, r.k, r.v)
+            for r in catalog.diff(spark, "t", 1, 2, key_cols=["k"]).collect()
+        }
+        assert got == {("update_post", "a", 10), ("update_pre", "a", 1)}
+        # full interval to the head (to_snapshot omitted)
+        got = {
+            (r._change, r.k, r.v)
+            for r in catalog.diff(spark, "t", 0, key_cols=["k"]).collect()
+        }
+        assert got == {
+            ("insert", "c", 3),
+            ("update_post", "a", 10),
+            ("update_pre", "a", 1),
+        }
+        # identical states → empty diff
+        assert catalog.diff(spark, "t", 2).count() == 0
+
     def test_time_travel_bounded_by_vacuum(self, spark, tmp_path):
         import pytest as _pytest
 

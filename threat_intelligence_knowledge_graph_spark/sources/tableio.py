@@ -305,6 +305,58 @@ class LocalTableCatalog:
         )
         return written
 
+    def diff(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level changes between two snapshots — the Iceberg
+        changelog scan / Delta Change Data Feed analog, derived from
+        the states themselves (no write-path hooks): rows only in the
+        newer state are ``insert``, rows only in the older are
+        ``delete`` (multiset semantics via ``exceptAll`` — a duplicate
+        appended twice reports twice). With ``key_cols``, a key present
+        on BOTH sides of the diff is reclassified ``update_pre`` /
+        ``update_post`` — the merge-upsert signature an analyst asks
+        "what changed since yesterday" about.
+
+        Output: the table's columns plus a leading ``_change`` column.
+        Both states resolve through normal chain reads, so the diff of
+        an append-only interval is exactly the appended rows; history
+        is bounded by the vacuum horizon like any time travel.
+        """
+        old = self.read(spark, name, as_of_snapshot=from_snapshot)
+        new = (
+            self.read(spark, name, as_of_snapshot=to_snapshot)
+            if to_snapshot is not None
+            else self.read(spark, name)
+        )
+        cols = new.columns
+        ins = new.exceptAll(old).select(
+            F.lit("insert").alias("_change"), *cols
+        )
+        dele = old.exceptAll(new).select(
+            F.lit("delete").alias("_change"), *cols
+        )
+        if key_cols:
+            ik = ins.select(*key_cols).distinct()
+            dk = dele.select(*key_cols).distinct()
+            both = ik.join(dk, key_cols)
+            ins = ins.join(F.broadcast(both), key_cols, "left_semi").select(
+                F.lit("update_post").alias("_change"), *cols
+            ).unionByName(
+                ins.join(F.broadcast(both), key_cols, "left_anti")
+            )
+            dele = dele.join(F.broadcast(both), key_cols, "left_semi").select(
+                F.lit("update_pre").alias("_change"), *cols
+            ).unionByName(
+                dele.join(F.broadcast(both), key_cols, "left_anti")
+            )
+        return ins.unionByName(dele)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
 
