@@ -2679,6 +2679,35 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (web-corpus dedup prerequisite / CTI
+    indicator identity): scheme+host lowercase, default ports stripped,
+    empty path → '/', tracking params dropped and the rest sorted,
+    fragment dropped, non-URLs → NULL. Four planted spelling variants
+    per orderkey; the oracle mirrors the regexp/split/sort/join chain
+    verbatim (functions/strings.py::url_normalize_expr)."""
+    from threat_intelligence_knowledge_graph_spark.functions.strings import (
+        url_normalize_expr,
+    )
+
+    k = F.col("o_orderkey")
+    raw = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.lit("Example"),
+        (k % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(k % 4 == 0, F.lit(":80/a?utm_source=x&b=2&a=1"))
+        .when(k % 4 == 1, F.lit(":443/A/B#frag"))
+        .when(k % 4 == 2, F.lit(""))
+        .otherwise(F.lit(":8080/x?gclid=1&z=9")),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", raw.alias("u"))
+        .select("o_orderkey", url_normalize_expr(F.col("u")).alias("url_norm"))
+    )
+
+
 def q_graph_cc_increment(spark, sf_dir):
     """Incremental connected components: a planted 6-node chain per
     orderkey (% 19) arrives in two batches — batch 1 leaves segments
@@ -2999,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_key": q_events_zorder,
         "graph_eigenvector": q_graph_eigenvector,
         "graph_cc_increment": q_graph_cc_increment,
+        "url_normalize": q_url_normalize,
     }
 
 
@@ -5965,6 +5995,62 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # URL canonicalization — the url_normalize_expr chain mirrored
+        # verbatim; DuckDB's empty-list array_to_string is NULL where
+        # Spark's array_join is '', hence the coalesce.
+        "url_normalize": r"""
+            WITH raw AS (
+              SELECT o_orderkey,
+                     (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://'
+                           ELSE 'HTTPS://' END)
+                     || 'Example' || cast(o_orderkey % 7 AS varchar)
+                     || '.COM'
+                     || (CASE o_orderkey % 4
+                         WHEN 0 THEN ':80/a?utm_source=x&b=2&a=1'
+                         WHEN 1 THEN ':443/A/B#frag'
+                         WHEN 2 THEN ''
+                         ELSE ':8080/x?gclid=1&z=9' END) AS u
+              FROM orders
+            ),
+            parts AS (
+              SELECT o_orderkey,
+                lower(regexp_extract(trim(u),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+                  AS scheme,
+                lower(regexp_extract(trim(u),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+                  AS host0,
+                regexp_extract(trim(u),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+                  AS path0,
+                regexp_extract(trim(u),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+                  AS query0
+              FROM raw
+            ),
+            norm AS (
+              SELECT o_orderkey, scheme,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END AS host,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                coalesce(array_to_string(list_sort(list_filter(
+                  string_split(regexp_replace(query0, '^\?', ''), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                         '^(utm_|fbclid=|gclid=|msclkid=)'))), '&'), '')
+                  AS qnorm
+              FROM parts
+            )
+            SELECT o_orderkey,
+                   CASE WHEN scheme = '' THEN NULL
+                        ELSE scheme || '://' || host || path
+                             || (CASE WHEN qnorm = '' THEN ''
+                                      ELSE '?' || qnorm END)
+                   END AS url_norm
+            FROM norm
+        """,
         # From-scratch closure over the UNION of both batches — the
         # incremental merge must land on the identical min-id labeling
         # (see q_graph_cc_increment).

@@ -79,3 +79,56 @@ class TestStoreExprs:
             ).collect()
         ]
         assert got == [create_node_id(t, v) for t, v in pairs]
+
+
+class TestUrlNormalize:
+    CASES = [
+        # two spellings of one address collide
+        ("HTTP://Evil.COM:80/a?b=2&a=1", "http://evil.com/a?a=1&b=2"),
+        ("http://evil.com/a?a=1&b=2#frag", "http://evil.com/a?a=1&b=2"),
+        # default port only strips for the matching scheme
+        ("https://C2.example:443/x", "https://c2.example/x"),
+        ("https://c2.example:80/x", "https://c2.example:80/x"),
+        ("http://h.example:8080/", "http://h.example:8080/"),
+        # empty path, tracking params, all-tracking query
+        ("http://a.example", "http://a.example/"),
+        ("http://a.example/p?utm_source=t&utm_medium=m", "http://a.example/p"),
+        ("http://a.example/p?gclid=1&keep=2", "http://a.example/p?keep=2"),
+        # scheme case, surrounding whitespace
+        ("  FTP://Files.example/Pub  ", "ftp://files.example/Pub"),
+        # non-URLs → NULL
+        ("evil.com/no-scheme", None),
+        ("", None),
+    ]
+
+    def test_cases(self, spark):
+        from threat_intelligence_knowledge_graph_spark.functions.strings import (
+            url_normalize_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(u,) for u, _ in self.CASES], ["u"]
+        ).select("u", url_normalize_expr(F.col("u")).alias("n"))
+        got = {r.u: r.n for r in df.collect()}
+        for u, exp in self.CASES:
+            assert got[u] == exp, (u, got[u], exp)
+
+    def test_dedup_collision_property(self, spark):
+        # the point of the op: spelling variants of one URL land on one
+        # canonical form, distinct() then counts indicators not spellings
+        from threat_intelligence_knowledge_graph_spark.functions.strings import (
+            url_normalize_expr,
+        )
+
+        variants = [
+            "http://x.example/p?a=1&b=2",
+            "HTTP://X.EXAMPLE:80/p?b=2&a=1",
+            "http://x.example/p?utm_campaign=z&a=1&b=2#sec",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], ["u"])
+        n = (
+            df.select(url_normalize_expr(F.col("u")).alias("n"))
+            .distinct()
+            .count()
+        )
+        assert n == 1
