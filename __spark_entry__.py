@@ -2679,6 +2679,22 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_transcript_sessionize(spark, sf_dir):
+    """Gap-splitting long conversations into sessions (training context
+    windows must not leak across multi-hour gaps; incidents split for
+    triage): cumulative count of >40 s inter-turn gaps per conv — the
+    synthetic grid's 24..56 s gaps make both outcomes common. ONE
+    conv_id exchange shared by the lag window and the running sum;
+    epoch-integer gap math."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        sessionize_conversations,
+    )
+
+    return sessionize_conversations(
+        _synth_transcripts(spark, sf_dir), gap_seconds=40
+    ).select("conv_id", "turn_idx", "session_idx", "session_id")
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (web-corpus dedup prerequisite / CTI
     indicator identity): scheme+host lowercase, default ports stripped,
@@ -3029,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": q_graph_eigenvector,
         "graph_cc_increment": q_graph_cc_increment,
         "url_normalize": q_url_normalize,
+        "transcript_sessionize": q_transcript_sessionize,
     }
 
 
@@ -5995,6 +6012,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Gap-splitting over the shared synthetic-transcripts CTE: the
+        # identical lag + running-sum arithmetic on epoch integers.
+        "transcript_sessionize": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT conv_id, turn_idx,
+                     epoch - lag(epoch) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS gap
+              FROM tr
+            ),
+            s AS (
+              SELECT conv_id, turn_idx,
+                     sum(CASE WHEN coalesce(gap, 0) > 40 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g
+            )
+            SELECT conv_id, turn_idx,
+                   cast(session_idx AS bigint) AS session_idx,
+                   conv_id || '#' || cast(session_idx AS varchar)
+                     AS session_id
+            FROM s
+        """,
         # URL canonicalization — the url_normalize_expr chain mirrored
         # verbatim; DuckDB's empty-list array_to_string is NULL where
         # Spark's array_join is '', hence the coalesce.

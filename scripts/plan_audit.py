@@ -377,6 +377,15 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    # transcript sessionize: the lag window and the running gap-flag sum
+    # share ONE conv_id exchange; the whole chain stays JVM-side.
+    sz_plan = plan_of(em.q_transcript_sessionize(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", sz_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in sz_plan:
+        print("PASS transcript_sessionize_single_exchange")
+    else:
+        failures.append(("transcript_sessionize_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL transcript_sessionize_single_exchange: exchanges={n_ex}")
     # SFT pair mining: the lead() windows share ONE conv_id exchange.
     sft_plan = plan_of(em.q_sft_pairs(spark, sf_dir))
     n_ex = len(_re.findall(r"^\(\d+\) Exchange", sft_plan, _re.MULTILINE))

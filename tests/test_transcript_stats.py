@@ -82,3 +82,75 @@ class TestRoleTransitions:
             ("assistant", "tool"): 1,
             ("tool", "assistant"): 1,
         }
+
+
+class TestSessionizeConversations:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp"
+        )
+
+    def test_gap_splits_sessions(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            sessionize_conversations,
+        )
+
+        rows = [
+            ("c1", 1, DT(2024, 1, 1, 0, 0, 0)),
+            ("c1", 2, DT(2024, 1, 1, 0, 10, 0)),   # 600s ≤ 1800 → same
+            ("c1", 3, DT(2024, 1, 1, 2, 0, 0)),    # >1800 → new session
+            ("c1", 4, DT(2024, 1, 1, 2, 5, 0)),
+            ("c2", 1, DT(2024, 1, 1, 0, 0, 0)),    # other conv untouched
+        ]
+        got = {
+            (r.conv_id, r.turn_idx): (r.session_idx, r.session_id)
+            for r in sessionize_conversations(self._df(spark, rows)).collect()
+        }
+        assert got[("c1", 1)] == (0, "c1#0")
+        assert got[("c1", 2)] == (0, "c1#0")
+        assert got[("c1", 3)] == (1, "c1#1")
+        assert got[("c1", 4)] == (1, "c1#1")
+        assert got[("c2", 1)] == (0, "c2#0")
+
+    def test_turn_order_not_row_order(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            sessionize_conversations,
+        )
+
+        rows = [  # rows shuffled; gap sits between turn 1 and 2
+            ("c", 2, DT(2024, 1, 1, 3, 0, 0)),
+            ("c", 1, DT(2024, 1, 1, 0, 0, 0)),
+            ("c", 3, DT(2024, 1, 1, 3, 1, 0)),
+        ]
+        got = {
+            r.turn_idx: r.session_idx
+            for r in sessionize_conversations(self._df(spark, rows)).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 1}
+
+    def test_null_ts_never_splits_and_validation(self, spark):
+        from datetime import datetime as DT
+
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            sessionize_conversations,
+        )
+
+        rows = [
+            ("c", 1, DT(2024, 1, 1, 0, 0, 0)),
+            ("c", 2, None),
+            ("c", 3, DT(2024, 1, 1, 9, 0, 0)),
+        ]
+        got = {
+            r.turn_idx: r.session_idx
+            for r in sessionize_conversations(self._df(spark, rows)).collect()
+        }
+        # NULL gap coalesces to 0 on both sides of the hole
+        assert got == {1: 0, 2: 0, 3: 0}
+        with _pytest.raises(ValueError, match="positive"):
+            sessionize_conversations(self._df(spark, rows), gap_seconds=0)

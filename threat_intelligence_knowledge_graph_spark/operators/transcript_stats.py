@@ -96,3 +96,45 @@ def role_transitions(
         .groupBy("from_role", "to_role")
         .agg(F.count("*").alias("n"))
     )
+
+
+def sessionize_conversations(
+    transcripts: DataFrame,
+    gap_seconds: int = 1800,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Adds ``session_idx`` (0-based within conversation) and
+    ``session_id`` (``conv_id#session_idx``): a conversation splits
+    where consecutive turns (in ``turn_col`` order) are more than
+    ``gap_seconds`` apart — the events-table gap rule applied to the
+    pipeline's transcript input. Long-lived agent threads resumed after
+    hours are one conv_id in the log but several DIALOGUES for training
+    (context windows must not leak across the gap) and several
+    INCIDENTS for CTI triage.
+
+    One conv_id hash exchange: the lag window and the cumulative
+    gap-flag sum share the same partition key (the transcript_stats
+    discipline). Gap math is epoch-second integers (timezone/engine
+    portable); a NULL ts never starts a new session (coalesced gap 0 —
+    ordering stays turn_idx-driven).
+    """
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        F.coalesce(gap, F.lit(0)) > gap_seconds, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ).cast("long")
+    return transcripts.select(
+        "*",
+        sess.alias("session_idx"),
+        F.concat(
+            F.col(conv_col).cast("string"), F.lit("#"), sess.cast("string")
+        ).alias("session_id"),
+    )
