@@ -2679,6 +2679,23 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_sft_pairs_context(spark, sf_dir):
+    """Multi-turn SFT assembly: each mined (prompt, response) pair
+    carries the conversation history before it, trimmed to the maximal
+    contiguous MOST-RECENT suffix fitting 120 formatted chars (a window
+    that skipped a middle turn would fabricate a dialogue). The
+    synthetic convs (up to 8 turns, ~40-char lines) exercise full,
+    partial, and empty contexts; the oracle recomputes the identical
+    join + DESC cumsum + ordered string_agg."""
+    from threat_intelligence_knowledge_graph_spark.operators.sft import (
+        sft_pairs_with_context,
+    )
+
+    return sft_pairs_with_context(
+        _synth_transcripts(spark, sf_dir), max_context_chars=120
+    )
+
+
 def q_transcript_sessionize(spark, sf_dir):
     """Gap-splitting long conversations into sessions (training context
     windows must not leak across multi-hour gaps; incidents split for
@@ -3046,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_increment": q_graph_cc_increment,
         "url_normalize": q_url_normalize,
         "transcript_sessionize": q_transcript_sessionize,
+        "sft_pairs_context": q_sft_pairs_context,
     }
 
 
@@ -6012,6 +6030,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Context-window assembly over the shared synthetic-transcripts
+        # CTE: identical pair mining, range left join, DESC cumsum
+        # budget cut, and ordered string_agg (NULL lines skipped —
+        # matching collect_list's NULL skip).
+        "sft_pairs_context": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lead(role) OVER w AS nrole,
+                     lead(text) OVER w AS nresp
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+              SELECT conv_id, turn_idx AS prompt_turn_idx, text AS prompt,
+                     nresp AS response,
+                     length(text) AS n_prompt_chars,
+                     length(nresp) AS n_response_chars
+              FROM g WHERE role = 'user' AND nrole = 'assistant'
+            ),
+            j AS (
+              SELECT p.*, h.turn_idx AS ht,
+                     h.role || ': ' || h.text AS line
+              FROM pairs p LEFT JOIN tr h
+                ON h.conv_id = p.conv_id
+               AND h.turn_idx < p.prompt_turn_idx
+            ),
+            c AS (
+              SELECT *,
+                     sum(length(line) + 1) OVER (
+                       PARTITION BY conv_id, prompt_turn_idx
+                       ORDER BY ht DESC ROWS UNBOUNDED PRECEDING) AS csum
+              FROM j
+            ),
+            ctx AS (
+              SELECT conv_id, prompt_turn_idx, prompt, response,
+                     n_prompt_chars, n_response_chars,
+                     coalesce(string_agg(
+                       CASE WHEN ht IS NOT NULL AND csum <= 120
+                            THEN line END,
+                       chr(10) ORDER BY ht), '') AS context
+              FROM c GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT conv_id, prompt_turn_idx, context, prompt, response,
+                   length(context) AS n_context_chars,
+                   n_prompt_chars, n_response_chars
+            FROM ctx
+        """,
         # Gap-splitting over the shared synthetic-transcripts CTE: the
         # identical lag + running-sum arithmetic on epoch integers.
         "transcript_sessionize": f"""

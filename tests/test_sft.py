@@ -138,3 +138,66 @@ class TestSftRealShape:
         assert pairs.filter(
             (F.col("n_prompt_chars") <= 0) | (F.col("n_response_chars") <= 0)
         ).count() == 0
+
+
+class TestSftPairsWithContext:
+    ROWS = [
+        ("c1", 1, "user", "aaaa"),
+        ("c1", 2, "assistant", "bbbb"),
+        ("c1", 3, "tool", "tttt"),
+        ("c1", 4, "user", "cccc"),
+        ("c1", 5, "assistant", "dddd"),
+        ("c2", 1, "user", "q"),
+        ("c2", 2, "assistant", "r"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, role string, text string"
+        )
+
+    def _ctx(self, spark, budget):
+        from threat_intelligence_knowledge_graph_spark.operators.sft import (
+            sft_pairs_with_context,
+        )
+
+        return {
+            (r.conv_id, r.prompt_turn_idx): r
+            for r in sft_pairs_with_context(
+                self._df(spark), max_context_chars=budget
+            ).collect()
+        }
+
+    def test_full_history_when_budget_ample(self, spark):
+        got = self._ctx(spark, 1000)
+        assert got[("c1", 1)].context == ""  # first turn: no history
+        assert got[("c1", 4)].context == (
+            "user: aaaa\nassistant: bbbb\ntool: tttt"
+        )
+        assert got[("c2", 1)].context == ""
+        r = got[("c1", 4)]
+        assert r.prompt == "cccc" and r.response == "dddd"
+        assert r.n_context_chars == len(r.context)
+
+    def test_trim_keeps_most_recent_contiguous(self, spark):
+        # line costs: 'user: aaaa'(10)+1, 'assistant: bbbb'(15)+1,
+        # 'tool: tttt'(10)+1 → DESC cumsum: tool 11, assistant 27, user 38
+        got = self._ctx(spark, 27)
+        assert got[("c1", 4)].context == "assistant: bbbb\ntool: tttt"
+        got = self._ctx(spark, 11)
+        assert got[("c1", 4)].context == "tool: tttt"
+
+    def test_nothing_fits_keeps_pair_with_empty_context(self, spark):
+        got = self._ctx(spark, 5)
+        assert ("c1", 4) in got
+        assert got[("c1", 4)].context == ""
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.sft import (
+            sft_pairs_with_context,
+        )
+
+        with _pytest.raises(ValueError, match="max_context_chars"):
+            sft_pairs_with_context(self._df(spark), max_context_chars=-1)

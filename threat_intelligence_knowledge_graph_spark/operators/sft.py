@@ -156,3 +156,105 @@ def validate_traces(
     for c in checks:
         is_valid = is_valid & F.col(c)
     return agg.select(conv_col, "n_turns", *checks, is_valid.alias("is_valid"))
+
+
+def sft_pairs_with_context(
+    turns: DataFrame,
+    max_context_chars: int = 2048,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    **pair_kwargs,
+) -> DataFrame:
+    """``sft_pairs`` plus a ``context`` column: the conversation history
+    BEFORE the prompt, formatted one ``role: text`` line per turn,
+    trimmed to the maximal contiguous MOST-RECENT suffix whose formatted
+    length fits ``max_context_chars`` — multi-turn SFT's standard
+    context-window assembly (recent turns matter most; a window that
+    skipped a middle turn would fabricate a dialogue that never
+    happened, so trimming is strictly contiguous-from-the-end).
+
+    Mechanics (no Python, engine-portable): pairs join back to the turn
+    table on conv_id (one keyed equi-join) with a ``turn < prompt_turn``
+    range filter; per pair a DESC-by-turn window cumulative-sums each
+    history line's formatted cost (len(role)+2+len(text)+1 for the
+    newline), rows beyond the budget drop (the cumsum is monotone, so
+    this IS stop-at-first-overflow), and the survivors re-sort ascending
+    into the printed context. A pair with no affordable history gets
+    ``context = ''``.
+
+    Cost note: materializing per-pair context duplicates history turns
+    across pairs by construction (every pair of a conversation carries
+    its own window) — the join is conv_id-keyed and the fan-out is
+    bounded by turns-per-conv × pairs-per-conv, never cross-
+    conversation.
+    """
+    if max_context_chars < 0:
+        raise ValueError("max_context_chars must be >= 0")
+    pairs = sft_pairs(
+        turns,
+        conv_col=conv_col,
+        turn_col=turn_col,
+        role_col=role_col,
+        text_col=text_col,
+        **pair_kwargs,
+    )
+    hist = turns.select(
+        F.col(conv_col).alias("_hc"),
+        F.col(turn_col).alias("_ht"),
+        F.concat(
+            F.col(role_col), F.lit(": "), F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("_line"),
+    )
+    # Range predicate INSIDE the left join: a post-join filter would
+    # drop a history-less pair's only (null-extended) row and lose the
+    # pair; in the join condition, no-match pairs keep one NULL row.
+    j = pairs.join(
+        hist,
+        (pairs[conv_col] == hist["_hc"])
+        & (hist["_ht"] < pairs["prompt_turn_idx"]),
+        "left",
+    ).drop("_hc")
+    w = (
+        Window.partitionBy(conv_col, "prompt_turn_idx")
+        .orderBy(F.desc("_ht"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # The budget test lives in the collect expression, NOT a row filter:
+    # filtering would delete a pair entirely when none of its history
+    # fits (every joined row gone → no group), where the contract is
+    # context = ''.
+    j = j.withColumn("_csum", F.sum(F.length("_line") + F.lit(1)).over(w))
+    kept = F.when(
+        F.col("_ht").isNotNull() & (F.col("_csum") <= max_context_chars),
+        F.struct(F.col("_ht"), F.col("_line")),
+    )
+    return (
+        j.groupBy(
+            conv_col,
+            "prompt_turn_idx",
+            "prompt",
+            "response",
+            "n_prompt_chars",
+            "n_response_chars",
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["_line"]
+                ),
+                "\n",
+            ).alias("context")
+        )
+        .select(
+            conv_col,
+            "prompt_turn_idx",
+            "context",
+            "prompt",
+            "response",
+            F.length("context").alias("n_context_chars"),
+            "n_prompt_chars",
+            "n_response_chars",
+        )
+    )
