@@ -2679,6 +2679,25 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_hist_quantiles(spark, sf_dir):
+    """Mergeable fixed-bucket histogram quantiles (the order-statistics
+    sketch completing KMV/CMS/HLL/Bloom): 64 buckets over value ∈
+    [0, 200) — width 3.125 is exactly representable, so bucketing,
+    cumulative integer counts, and the lower-bound quantile value are
+    bit-identical cross-engine. q literals are cast to double in the
+    oracle (DuckDB's decimal 0.95 · total would ceil differently from
+    the IEEE product at exact-integer boundaries)."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    sk = hist_build(
+        _t(spark, sf_dir, "events"), "value", lo=0.0, hi=200.0, n_buckets=64
+    )
+    return hist_quantiles(sk, [0.5, 0.95], lo=0.0, hi=200.0, n_buckets=64)
+
+
 def q_sft_pairs_context(spark, sf_dir):
     """Multi-turn SFT assembly: each mined (prompt, response) pair
     carries the conversation history before it, trimmed to the maximal
@@ -3064,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "transcript_sessionize": q_transcript_sessionize,
         "sft_pairs_context": q_sft_pairs_context,
+        "events_hist_quantiles": q_events_hist_quantiles,
     }
 
 
@@ -6030,6 +6050,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Histogram-sketch quantiles: identical bucketing, integer
+        # cumulative counts, and double rank arithmetic (q cast to
+        # double — see q_events_hist_quantiles).
+        "events_hist_quantiles": """
+            WITH h AS (
+              SELECT cast(least(greatest(
+                       floor((value - 0.0) / 3.125), 0), 63) AS bigint)
+                       AS bucket,
+                     cast(count(*) AS bigint) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            c AS (
+              SELECT bucket, n,
+                     sum(n) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n) OVER () AS total
+              FROM h
+            )
+            SELECT cast(0.5 AS double) AS q, value FROM (
+              SELECT cast(bucket * cast(3.125 AS double) AS double) AS value,
+                     row_number() OVER (ORDER BY bucket) AS rn
+              FROM c WHERE cum >= ceil(cast(0.5 AS double) * total)
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT cast(0.95 AS double) AS q, value FROM (
+              SELECT cast(bucket * cast(3.125 AS double) AS double) AS value,
+                     row_number() OVER (ORDER BY bucket) AS rn
+              FROM c WHERE cum >= ceil(cast(0.95 AS double) * total)
+            ) WHERE rn = 1
+        """,
         # Context-window assembly over the shared synthetic-transcripts
         # CTE: identical pair mining, range left join, DESC cumsum
         # budget cut, and ordered string_agg (NULL lines skipped —

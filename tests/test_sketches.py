@@ -247,3 +247,74 @@ class TestHll:
             hll_build(df, "k", p=0)
         with pytest.raises(ValueError):
             hll_estimate(hll_build(df, "k"), p=13)
+
+
+class TestHistQuantiles:
+    def test_exact_within_bucket_width(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        vals = [float(i) for i in range(1000)]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        sk = hist_build(df, "x", lo=0.0, hi=1000.0, n_buckets=100)
+        got = {
+            r.q: r.value
+            for r in hist_quantiles(
+                sk, [0.5, 0.9, 1.0], lo=0.0, hi=1000.0, n_buckets=100
+            ).collect()
+        }
+        import math
+
+        for q in (0.5, 0.9, 1.0):
+            true = sorted(vals)[math.ceil(q * len(vals)) - 1]
+            assert abs(got[q] - true) <= 10.0, (q, got[q], true)  # 1 bucket
+
+    def test_merge_by_summing_counts(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            hist_build,
+        )
+
+        a = spark.createDataFrame([(float(i),) for i in range(50)], ["x"])
+        b = spark.createDataFrame([(float(i),) for i in range(50, 100)], ["x"])
+        merged = (
+            hist_build(a, "x", 0.0, 100.0, 10)
+            .unionByName(hist_build(b, "x", 0.0, 100.0, 10))
+            .groupBy("bucket")
+            .sum("n")
+        )
+        whole = hist_build(a.unionByName(b), "x", 0.0, 100.0, 10)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_clamping_and_nulls(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            hist_build,
+        )
+
+        df = spark.createDataFrame(
+            [(-5.0,), (999.0,), (None,), (5.0,)], ["x"]
+        )
+        got = {r.bucket: r.n for r in hist_build(df, "x", 0.0, 10.0, 10).collect()}
+        assert got == {0: 1, 9: 1, 5: 1}  # clamped edges; NULL dropped
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        df = spark.createDataFrame([(1.0,)], ["x"])
+        with _pytest.raises(ValueError):
+            hist_build(df, "x", 5.0, 5.0, 10)
+        with _pytest.raises(ValueError):
+            hist_build(df, "x", 0.0, 10.0, 0)
+        sk = hist_build(df, "x", 0.0, 10.0, 10)
+        with _pytest.raises(ValueError):
+            hist_quantiles(sk, [1.5], 0.0, 10.0, 10)
+        with _pytest.raises(ValueError):
+            hist_quantiles(sk, [], 0.0, 10.0, 10)

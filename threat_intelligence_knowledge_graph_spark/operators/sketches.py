@@ -353,3 +353,79 @@ def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
             "est_distinct"
         ),
     )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Fixed-bucket histogram sketch: (bucket, n) with
+    ``bucket = clamp(floor((x − lo) / width), 0, n_buckets − 1)`` —
+    the mergeable quantile sketch completing the family (KMV/HLL count
+    distincts, CMS counts frequencies; this bounds ORDER statistics).
+    Counts are exact integers from one map-side-combining agg, so
+    sketches merge by summing counts per bucket (per-partition /
+    per-day cubes roll up losslessly) and are engine/partitioning-
+    identical — unlike t-digest/GK sketches, whose state depends on
+    merge order. NULLs are excluded; out-of-range values clamp into
+    the edge buckets (the caller picks [lo, hi) from domain knowledge
+    — a production pipeline snapshots it once from a profile run).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bucket = F.least(
+        F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """(q, value): nearest-bucket quantile from a ``hist_build`` sketch
+    — ``value`` is the LOWER BOUND of the first bucket whose cumulative
+    count reaches ``ceil(q·n)``. No interpolation: the answer is an
+    exact function of integer counts, so any engine computing it from
+    the same sketch lands on the identical double (lo + bucket·width —
+    one exactly-rounded multiply-add), with error bounded by one bucket
+    width by construction. One dimension-sized window over ≤ n_buckets
+    rows."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    width = (hi - lo) / n_buckets
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum")
+    ).crossJoin(sketch.agg(F.sum("n").cast("long").alias("total")))
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
