@@ -2679,6 +2679,22 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_recency_decay(spark, sf_dir):
+    """Exponential recency decay per event type (the "still-hot
+    indicator" triage signal): each event contributes
+    0.5^(age_days/3) anchored at the newest event in the frame (data-
+    derived — no wall clock), so twice-today outranks 40-times-last-
+    year. Epoch-integer age math; the pow sum rounds to 6 after the
+    per-key agg (the dsir discipline)."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        recency_weighted_counts,
+    )
+
+    return recency_weighted_counts(
+        _t(spark, sf_dir, "events"), "event_type", half_life_days=3.0
+    )
+
+
 def q_events_hist_quantiles(spark, sf_dir):
     """Mergeable fixed-bucket histogram quantiles (the order-statistics
     sketch completing KMV/CMS/HLL/Bloom): 64 buckets over value ∈
@@ -3084,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sessionize": q_transcript_sessionize,
         "sft_pairs_context": q_sft_pairs_context,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "events_recency_decay": q_events_recency_decay,
     }
 
 
@@ -6050,6 +6067,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Recency decay: identical epoch/age/pow arithmetic, round-6
+        # after the per-key sum (see q_events_recency_decay).
+        "events_recency_decay": """
+            WITH n AS (
+              SELECT max(epoch_us(ts) // 1000000) AS now
+              FROM events
+            )
+            SELECT event_type,
+                   cast(count(*) AS bigint) AS n_events,
+                   round(sum(pow(cast(0.5 AS double),
+                     ((n.now - epoch_us(ts) // 1000000) / 86400.0)
+                     / cast(3.0 AS double))), 6) AS decayed_count,
+                   cast(max(epoch_us(ts) // 1000000) AS bigint)
+                     AS last_seen_epoch
+            FROM events CROSS JOIN n
+            WHERE ts IS NOT NULL
+            GROUP BY event_type
+        """,
         # Histogram-sketch quantiles: identical bucketing, integer
         # cumulative counts, and double rank arithmetic (q cast to
         # double — see q_events_hist_quantiles).

@@ -42,3 +42,49 @@ class TestZscoreOutliers:
     def test_rejects_bad_k(self, spark):
         with pytest.raises(ValueError):
             zscore_outliers(_events(spark, [(1, "t", 1.0)]), k=0)
+
+
+class TestRecencyWeightedCounts:
+    def test_hand_computed_and_ranking_flip(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            recency_weighted_counts,
+        )
+
+        rows = (
+            # 'old': 4 events, 14 days before the anchor
+            [("old", DT(2024, 1, 1))] * 4
+            # 'hot': 2 events, at the anchor (the newest ts)
+            + [("hot", DT(2024, 1, 15))] * 2
+        )
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        got = {
+            r.k: (r.n_events, r.decayed_count, r.last_seen_epoch)
+            for r in recency_weighted_counts(
+                df, "k", half_life_days=7.0
+            ).collect()
+        }
+        # hot: age 0 → weight 1 each; old: age 14d = 2 half-lives → 0.25
+        assert got["hot"][0] == 2 and got["hot"][1] == 2.0
+        assert got["old"][0] == 4 and got["old"][1] == round(4 * 0.25, 6)
+        # raw count ranks old first; decay flips it
+        assert got["hot"][1] > got["old"][1] < got["old"][0]
+        assert got["hot"][2] > got["old"][2]
+
+    def test_null_ts_dropped_and_validation(self, spark):
+        from datetime import datetime as DT
+
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            recency_weighted_counts,
+        )
+
+        df = spark.createDataFrame(
+            [("a", DT(2024, 1, 1)), ("a", None)], "k string, ts timestamp"
+        )
+        got = recency_weighted_counts(df, "k").collect()
+        assert got[0].n_events == 1
+        with _pytest.raises(ValueError, match="half_life"):
+            recency_weighted_counts(df, "k", half_life_days=0)
