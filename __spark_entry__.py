@@ -2679,6 +2679,22 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (kill-chain progression / signup→purchase→error):
+    per user, step k counts only when it happens STRICTLY AFTER that
+    user's step k−1 reach time (earliest valid completion — min over
+    later events). Epoch-integer comparisons; per-step counts are
+    bounded 1-long pulls; the oracle chains the identical min-after
+    joins."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        funnel,
+    )
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["signup", "purchase", "error"]
+    )
+
+
 def q_events_recency_decay(spark, sf_dir):
     """Exponential recency decay per event type (the "still-hot
     indicator" triage signal): each event contributes
@@ -3101,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs_context": q_sft_pairs_context,
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_recency_decay": q_events_recency_decay,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -6067,6 +6084,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Ordered funnel: identical chained min-after-previous-step
+        # joins on epoch integers (see q_events_funnel).
+        "events_funnel": """
+            WITH b AS (
+              SELECT user_id AS g, event_type AS s,
+                     epoch_us(ts) // 1000000 AS e
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            r0 AS (SELECT g, min(e) AS t FROM b
+                   WHERE s = 'signup' GROUP BY g),
+            r1 AS (SELECT b.g, min(b.e) AS t FROM b JOIN r0 ON b.g = r0.g
+                   WHERE b.s = 'purchase' AND b.e > r0.t GROUP BY b.g),
+            r2 AS (SELECT b.g, min(b.e) AS t FROM b JOIN r1 ON b.g = r1.g
+                   WHERE b.s = 'error' AND b.e > r1.t GROUP BY b.g),
+            n AS (SELECT (SELECT count(*) FROM r0) AS n0,
+                         (SELECT count(*) FROM r1) AS n1,
+                         (SELECT count(*) FROM r2) AS n2)
+            SELECT cast(0 AS int) AS step_idx, 'signup' AS step,
+                   cast(n0 AS bigint) AS n_reached,
+                   round(CASE WHEN n0 > 0 THEN cast(n0 AS double) / n0
+                              ELSE 0.0 END, 6) AS conversion FROM n
+            UNION ALL
+            SELECT 1, 'purchase', cast(n1 AS bigint),
+                   round(CASE WHEN n0 > 0 THEN cast(n1 AS double) / n0
+                              ELSE 0.0 END, 6) FROM n
+            UNION ALL
+            SELECT 2, 'error', cast(n2 AS bigint),
+                   round(CASE WHEN n0 > 0 THEN cast(n2 AS double) / n0
+                              ELSE 0.0 END, 6) FROM n
+        """,
         # Recency decay: identical epoch/age/pow arithmetic, round-6
         # after the per-key sum (see q_events_recency_decay).
         "events_recency_decay": """

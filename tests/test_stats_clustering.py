@@ -246,3 +246,66 @@ class TestSemanticDedup:
         assert out[1][0] == out[3][0] and out[2][0] == out[4][0]
         assert out[1][0] != out[2][0]
         assert [out[i][1] for i in (1, 2, 3, 4)] == [True, True, False, False]
+
+
+class TestFunnel:
+    def test_strict_ordering_and_conversion(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            funnel,
+        )
+
+        rows = [
+            # u1 completes in order
+            (1, "a", DT(2024, 1, 1)), (1, "b", DT(2024, 1, 2)),
+            (1, "c", DT(2024, 1, 3)),
+            # u2 does b BEFORE a: b must not count
+            (2, "b", DT(2024, 1, 1)), (2, "a", DT(2024, 1, 2)),
+            # u3 only a; u4 never starts
+            (3, "a", DT(2024, 1, 1)), (4, "c", DT(2024, 1, 1)),
+            # u5: a then b at the SAME instant → strictly-after fails
+            (5, "a", DT(2024, 1, 1)), (5, "b", DT(2024, 1, 1)),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+        got = {
+            r.step_idx: (r.step, r.n_reached, r.conversion)
+            for r in funnel(df, ["a", "b", "c"]).collect()
+        }
+        assert got[0] == ("a", 4, 1.0)
+        assert got[1] == ("b", 1, 0.25)
+        assert got[2] == ("c", 1, 0.25)
+
+    def test_later_first_step_can_unlock(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            funnel,
+        )
+
+        # reach time is the FIRST step-a event; a later b counts even
+        # though an earlier b existed before a
+        rows = [
+            (1, "b", DT(2024, 1, 1)),
+            (1, "a", DT(2024, 1, 2)),
+            (1, "b", DT(2024, 1, 3)),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+        got = {r.step: r.n_reached for r in funnel(df, ["a", "b"]).collect()}
+        assert got == {"a": 1, "b": 1}
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            funnel,
+        )
+
+        empty = spark.createDataFrame(
+            [], "user_id int, event_type string, ts timestamp"
+        )
+        got = {r.step: (r.n_reached, r.conversion)
+               for r in funnel(empty, ["a", "b"]).collect()}
+        assert got == {"a": (0, 0.0), "b": (0, 0.0)}
+        with _pytest.raises(ValueError, match="non-empty"):
+            funnel(empty, [])

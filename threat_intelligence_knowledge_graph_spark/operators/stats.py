@@ -77,3 +77,58 @@ def exact_percentiles(
         ranked.groupBy(F.col("_g").alias(group_col))
         .agg(*aggs)
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    group_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, n_reached, conversion): ordered funnel analysis
+    — how many groups (users/sessions) performed step₀, then step₁
+    STRICTLY AFTER their first step₀, then step₂ after that, … (the
+    attack-chain / kill-chain progression query on a threat timeline,
+    the signup→activation→purchase funnel on a product one).
+
+    Per step k the reach time is min(ts of step_k events LATER than the
+    group's step_{k−1} reach time) — the earliest valid completion.
+    Mechanics: k dimension-bounded passes, each ONE group-keyed agg
+    over a filtered scan joined back broadcast-or-keyed on the group;
+    epoch-integer comparisons only. ``conversion`` is n_reached /
+    n_reached(step₀) rounded to 6 (0 groups → step₀ row with 0s).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(step_col).alias("s"),
+        epoch.alias("e"),
+    )
+    reached = None  # (g, t_k)
+    rows = []
+    n0 = None
+    spark = df.sparkSession
+    for k, step in enumerate(steps):
+        ev = base.filter(F.col("s") == step)
+        if k == 0:
+            reached = ev.groupBy("g").agg(F.min("e").alias("t"))
+        else:
+            prev = reached.select("g", F.col("t").alias("_pt"))
+            reached = (
+                ev.join(prev, "g")
+                .filter(F.col("e") > F.col("_pt"))
+                .groupBy("g")
+                .agg(F.min("e").alias("t"))
+            )
+        n = reached.count()  # bounded: one long per step, k steps total
+        if k == 0:
+            n0 = n
+        rows.append((k, step, n, round(n / n0, 6) if n0 else 0.0))
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_reached long, conversion double"
+    )
