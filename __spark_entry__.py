@@ -2679,6 +2679,20 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention (indicator-lifetime triage: of entities first
+    seen in bucket W, how many were active k buckets on) — daily
+    buckets over the events timeline; epoch-integer bucketing, keyed
+    min/join/distinct-count only."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events"), bucket_seconds=86400
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (kill-chain progression / signup→purchase→error):
     per user, step k counts only when it happens STRICTLY AFTER that
@@ -3118,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_recency_decay": q_events_recency_decay,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
     }
 
 
@@ -6084,6 +6099,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Cohort retention: identical epoch-day bucketing and keyed
+        # min/join/distinct-count (see q_events_retention).
+        "events_retention": """
+            WITH b AS (
+              SELECT user_id AS g,
+                     epoch_us(ts) // 1000000 // 86400 AS w
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            f AS (SELECT g, min(w) AS cohort FROM b GROUP BY g)
+            SELECT f.cohort, b.w - f.cohort AS periods_since,
+                   cast(count(DISTINCT b.g) AS bigint) AS n_active
+            FROM b JOIN f ON b.g = f.g
+            GROUP BY 1, 2
+        """,
         # Ordered funnel: identical chained min-after-previous-step
         # joins on epoch integers (see q_events_funnel).
         "events_funnel": """

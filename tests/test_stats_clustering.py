@@ -309,3 +309,52 @@ class TestFunnel:
         assert got == {"a": (0, 0.0), "b": (0, 0.0)}
         with _pytest.raises(ValueError, match="non-empty"):
             funnel(empty, [])
+
+
+class TestRetentionCohorts:
+    def test_hand_computed(self, spark):
+        from datetime import datetime as DT
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            retention_cohorts,
+        )
+
+        rows = [
+            (1, DT(2024, 1, 1)), (1, DT(2024, 1, 8)),   # cohort w0, active w0+w1
+            (2, DT(2024, 1, 1)), (2, DT(2024, 1, 16)),  # cohort w0, active w0+w2
+            (3, DT(2024, 1, 8)),                        # cohort w1, active w1
+            (4, None),                                  # dropped
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+        got = {
+            (r.cohort, r.periods_since): r.n_active
+            for r in retention_cohorts(
+                df, bucket_seconds=7 * 86400
+            ).collect()
+        }
+        cohorts = sorted({c for c, _ in got})
+        w0, w1 = cohorts
+        assert w1 == w0 + 1
+        assert got[(w0, 0)] == 2
+        assert got[(w0, 1)] == 1
+        assert got[(w0, 2)] == 1
+        assert got[(w1, 0)] == 1
+        assert len(got) == 4
+
+    def test_duplicate_events_count_once_and_validation(self, spark):
+        from datetime import datetime as DT
+
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            retention_cohorts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, DT(2024, 1, 1)), (1, DT(2024, 1, 1, 5))],
+            "user_id int, ts timestamp",
+        )
+        got = retention_cohorts(df, bucket_seconds=86400).collect()
+        assert len(got) == 1 and got[0].n_active == 1
+        with _pytest.raises(ValueError, match="positive"):
+            retention_cohorts(df, bucket_seconds=0)

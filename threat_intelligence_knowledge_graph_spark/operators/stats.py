@@ -132,3 +132,38 @@ def funnel(
     return spark.createDataFrame(
         rows, "step_idx int, step string, n_reached long, conversion double"
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """(cohort, periods_since, n_active): classic cohort retention —
+    each group (user/entity) is cohorted by the epoch bucket of its
+    FIRST event; every later event marks it active in bucket-delta
+    ``periods_since``. On a threat graph the same query reads "of the
+    indicators first seen in week W, how many were still active k weeks
+    on" — infrastructure-lifetime triage.
+
+    Epoch-integer bucketing (``floor(epoch / bucket_seconds)`` —
+    timezone/engine portable; calendar-week alignment is presentation,
+    not analytics). One group-keyed min agg, one group-keyed join back,
+    one (cohort, delta) distinct-count agg — all keyed, no windows.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    b = df.filter(
+        F.col(ts_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("w"),
+    )
+    first = b.groupBy("g").agg(F.min("w").alias("cohort"))
+    return (
+        b.join(first, "g")
+        .groupBy("cohort", (F.col("w") - F.col("cohort")).alias("periods_since"))
+        .agg(F.count_distinct("g").cast("long").alias("n_active"))
+    )
