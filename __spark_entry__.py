@@ -2679,6 +2679,19 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_kl(spark, sf_dir):
+    """Domain-shift monitor: KL(src0-docs ‖ all-docs) between add-1-
+    smoothed unigram distributions over the shared vocabulary — every
+    ln argument a ratio of exact-integer products (the dsir
+    discipline), round-6 after the global sum."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        unigram_kl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_kl(docs.filter(F.col("source") == "src0"), docs)
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention (indicator-lifetime triage: of entities first
     seen in bucket W, how many were active k buckets on) — daily
@@ -3133,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_recency_decay": q_events_recency_decay,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "corpus_kl": q_corpus_kl,
     }
 
 
@@ -6099,6 +6113,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Unigram KL: identical counts, smoothing, integer-product ln
+        # arguments, round-6 after the sum (see q_corpus_kl).
+        "corpus_kl": """
+            WITH ta_ AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]{2,}')) AS term
+              FROM documents WHERE source = 'src0'
+            ),
+            tb_ AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            ca AS (SELECT term, cast(count(*) AS bigint) AS ca
+                   FROM ta_ GROUP BY term),
+            cb AS (SELECT term, cast(count(*) AS bigint) AS cb
+                   FROM tb_ GROUP BY term),
+            m AS (
+              SELECT coalesce(ca.term, cb.term) AS term,
+                     coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+              FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+            ),
+            s AS (SELECT cast(count(*) AS bigint) AS v,
+                         cast(sum(ca) AS bigint) AS ta,
+                         cast(sum(cb) AS bigint) AS tb
+                  FROM m)
+            SELECT s.v AS vocab_size, s.ta AS total_a, s.tb AS total_b,
+                   round(sum(
+                     ((m.ca + 1) / cast(s.ta + s.v AS double))
+                     * ln(((m.ca + 1) * (s.tb + s.v))
+                          / cast((m.cb + 1) * (s.ta + s.v) AS double))
+                   ), 6) AS kl_divergence
+            FROM m CROSS JOIN s
+            GROUP BY 1, 2, 3
+        """,
         # Cohort retention: identical epoch-day bucketing and keyed
         # min/join/distinct-count (see q_events_retention).
         "events_retention": """

@@ -340,3 +340,62 @@ class TestFeatureHash:
         rows = feature_hash(df, dim=16).collect()
         assert all(0 <= r.idx < 16 for r in rows)
         assert all(r.weight != 0 for r in rows)
+
+
+class TestUnigramKl:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+
+    def test_identical_corpora_zero(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            unigram_kl,
+        )
+
+        a = self._docs(spark, ["alpha beta gamma", "beta beta delta"])
+        r = unigram_kl(a, a).collect()[0]
+        assert r.kl_divergence == 0.0
+        assert r.vocab_size == 4 and r.total_a == r.total_b == 6
+
+    def test_matches_pure_python(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            unigram_kl,
+        )
+
+        ta = ["aa bb cc aa", "bb dd"]
+        tb = ["aa cc cc", "ee ee ff"]
+
+        def counts(ts):
+            c = Counter()
+            for t in ts:
+                c.update(re.findall(r"[a-z0-9]{2,}", t.lower()))
+            return c
+
+        a, b = counts(ta), counts(tb)
+        vocab = set(a) | set(b)
+        v, sa, sb = len(vocab), sum(a.values()), sum(b.values())
+        kl = sum(
+            ((a[t] + 1) / (sa + v))
+            * math.log(((a[t] + 1) * (sb + v)) / ((b[t] + 1) * (sa + v)))
+            for t in vocab
+        )
+        got = unigram_kl(self._docs(spark, ta), self._docs(spark, tb)).collect()[0]
+        assert got.vocab_size == v and got.total_a == sa and got.total_b == sb
+        assert abs(got.kl_divergence - kl) < 1e-6
+
+    def test_drift_grows_with_divergence(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            unigram_kl,
+        )
+
+        base = self._docs(spark, ["aa bb cc dd" for _ in range(4)])
+        near = self._docs(spark, ["aa bb cc ee" for _ in range(4)])
+        far = self._docs(spark, ["xx yy zz ww" for _ in range(4)])
+        kl_near = unigram_kl(near, base).collect()[0].kl_divergence
+        kl_far = unigram_kl(far, base).collect()[0].kl_divergence
+        assert 0.0 < kl_near < kl_far

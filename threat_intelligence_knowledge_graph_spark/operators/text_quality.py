@@ -352,3 +352,69 @@ def feature_hash(
         .agg(F.sum("sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def unigram_kl(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """One row (vocab_size, total_a, total_b, kl_divergence):
+    KL(P_a ‖ P_b) between the two corpora's add-1-smoothed unigram
+    distributions over their SHARED vocabulary — the standard domain-
+    shift / distribution-drift monitor for a training-data pipeline
+    (is today's ingest batch drifting from the curated corpus? is a
+    source suddenly off-distribution?). 0 = identical distributions;
+    grows as A concentrates where B is thin.
+
+    p_x(t) = (ct_x(t) + 1) / (total_x + V) with V = |vocab(A ∪ B)| —
+    smoothing keeps every term in both supports, so the sum is finite
+    by construction. Every ln argument is a ratio of exact-integer
+    products (the dsir discipline): both engines build the identical
+    doubles, and round-6 after the sum collapses summation-order noise.
+
+    Shape: two scan-local token explodes → two vocabulary-sized count
+    aggs (map-side combining, Zipf-bounded) → one FULL OUTER keyed join
+    on term → three 1-row broadcasts (totals, V) → one global sum. No
+    per-row Python, no driver collects.
+    """
+    def _counts(df, name):
+        toks = df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z0-9]{{{min_term_len},}}', 0)"
+                )
+            ).alias("term")
+        )
+        return toks.groupBy("term").agg(F.count("*").cast("long").alias(name))
+
+    ca = _counts(docs_a, "ca")
+    cb = _counts(docs_b, "cb")
+    merged = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    sums = merged.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+    )
+    j = merged.crossJoin(F.broadcast(sums))
+    contrib = (
+        (F.col("ca") + 1) / (F.col("ta") + F.col("v"))
+    ) * F.log(
+        ((F.col("ca") + 1) * (F.col("tb") + F.col("v")))
+        / ((F.col("cb") + 1) * (F.col("ta") + F.col("v")))
+    )
+    return j.groupBy().agg(
+        F.max("v").alias("vocab_size"),
+        F.max("ta").alias("total_a"),
+        F.max("tb").alias("total_b"),
+        F.round(F.sum(contrib), 6).alias("kl_divergence"),
+    )
