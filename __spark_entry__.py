@@ -2679,6 +2679,30 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_conductance(spark, sf_dir):
+    """Per-community conductance (GDS gds.conductance analog) of the
+    ground-truth two-clique split over the planted nation barbell:
+    each 12-clique has directed volume 12·11+1 = 133 and cut 1 (the
+    bridge, once per direction on its own side) → φ = 1/133 exactly.
+    Integer cut/volume arithmetic, one exactly-rounded division."""
+    from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+        conductance,
+    )
+
+    e = _louvain_barbell_edges(spark, sf_dir)
+    asg = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 24)
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+                "id"
+            ),
+            F.floor(F.col("n_nationkey") / 12).cast("long").alias("community"),
+        )
+    )
+    return conductance(e, asg)
+
+
 def q_corpus_kl(spark, sf_dir):
     """Domain-shift monitor: KL(src0-docs ‖ all-docs) between add-1-
     smoothed unigram distributions over the shared vocabulary — every
@@ -3147,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "corpus_kl": q_corpus_kl,
+        "graph_conductance": q_graph_conductance,
     }
 
 
@@ -6113,6 +6138,60 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Conductance: identical directed-pair cut/volume integers and
+        # the min-denominator division (see q_graph_conductance).
+        "graph_conductance": """
+            WITH nk AS (
+              SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 24
+            ),
+            e0 AS (
+              SELECT 'n' || cast(a.k AS varchar) AS s,
+                     'n' || cast(b.k AS varchar) AS d
+              FROM nk a JOIN nk b
+                ON a.k < b.k AND floor(a.k / 12) = floor(b.k / 12)
+              UNION ALL
+              SELECT 'n11', 'n12' FROM nk WHERE k = 11
+            ),
+            sym AS (
+              SELECT s AS u, d AS v FROM e0 WHERE s <> d
+              UNION
+              SELECT d, s FROM e0 WHERE s <> d
+            ),
+            asg AS (
+              SELECT 'n' || cast(k AS varchar) AS id,
+                     cast(floor(k / 12) AS bigint) AS c
+              FROM nk
+            ),
+            m2 AS (SELECT count(*) AS m FROM sym),
+            lab AS (
+              SELECT au.c AS cu, av.c AS cv
+              FROM sym
+              JOIN asg au ON sym.u = au.id
+              JOIN asg av ON sym.v = av.id
+            ),
+            per_c AS (
+              SELECT cu AS community,
+                     cast(count(*) AS bigint) AS volume,
+                     cast(sum(CASE WHEN cu <> cv THEN 1 ELSE 0 END)
+                       AS bigint) AS cut
+              FROM lab GROUP BY cu
+            ),
+            mem AS (
+              SELECT c AS community, cast(count(*) AS bigint) AS n_members
+              FROM asg GROUP BY c
+            )
+            SELECT mem.community, mem.n_members,
+                   coalesce(per_c.cut, 0) AS cut,
+                   coalesce(per_c.volume, 0) AS volume,
+                   round(CASE WHEN least(per_c.volume,
+                                         m2.m - per_c.volume) > 0
+                         THEN coalesce(per_c.cut, 0)
+                              / cast(least(per_c.volume,
+                                           m2.m - per_c.volume) AS double)
+                         ELSE 0.0 END, 9) AS conductance
+            FROM mem LEFT JOIN per_c ON mem.community = per_c.community
+            CROSS JOIN m2
+        """,
         # Unigram KL: identical counts, smoothing, integer-product ln
         # arguments, round-6 after the sum (see q_corpus_kl).
         "corpus_kl": """

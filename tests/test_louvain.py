@@ -181,3 +181,65 @@ class TestWeightedLouvain:
             for r in louvain_communities(ww, iterations=4, weight="w").collect()
         )
         assert a == b
+
+
+class TestConductance:
+    def test_barbell_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            conductance,
+        )
+
+        # two triangles {a,b,c} {d,e,f} joined by bridge c-d
+        edges = [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("d", "e"), ("e", "f"), ("d", "f"),
+            ("c", "d"),
+        ]
+        asg = [("a", 0), ("b", 0), ("c", 0), ("d", 1), ("e", 1), ("f", 1)]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        a = spark.createDataFrame(asg, ["id", "community"])
+        got = {r.community: r for r in conductance(e, a).collect()}
+        # per community: directed volume 3·2+1 = 7, cut 1, 2m = 14
+        for c in (0, 1):
+            r = got[c]
+            assert (r.n_members, r.cut, r.volume) == (3, 1, 7)
+            assert r.conductance == round(1 / 7, 9)
+
+    def test_leaky_community_scores_higher(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            conductance,
+        )
+
+        # same graph, but a bad split puts d with the left triangle
+        edges = [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("d", "e"), ("e", "f"), ("d", "f"),
+            ("c", "d"),
+        ]
+        good = spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 0), ("d", 1), ("e", 1), ("f", 1)],
+            ["id", "community"],
+        )
+        bad = spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 0), ("d", 0), ("e", 1), ("f", 1)],
+            ["id", "community"],
+        )
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        phi_good = max(r.conductance for r in conductance(e, good).collect())
+        phi_bad = max(r.conductance for r in conductance(e, bad).collect())
+        assert phi_bad > phi_good
+
+    def test_isolated_and_whole_graph_conventions(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            conductance,
+        )
+
+        e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        # 'c' is an isolated member of community 9 (no edges at all);
+        # community 0 spans the whole volume → denominator 0
+        a = spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 9)], ["id", "community"]
+        )
+        got = {r.community: r for r in conductance(e, a).collect()}
+        assert got[9].volume == 0 and got[9].conductance == 0.0
+        assert got[0].cut == 0 and got[0].conductance == 0.0

@@ -263,3 +263,76 @@ def modularity(
         ).alias("t")
     )
     return terms.agg(F.round(F.sum("t"), 9).alias("modularity"))
+
+
+def conductance(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """(community, n_members, cut, volume, conductance): per-community
+    conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C)) over the
+    undirected graph (GDS ``gds.conductance`` analog) — modularity's
+    local complement: modularity scores the PARTITION, conductance
+    flags the individual leaky community (high φ = more boundary than
+    body, a candidate to merge or split; a campaign cluster with high
+    conductance is bleeding edges into the rest of the graph).
+
+    Directed-pair arithmetic on the symmetrized edge set (the
+    ``modularity`` discipline): vol_C = Σ_C deg, cut_C = directed pairs
+    with exactly one endpoint in C (each undirected cut edge counted
+    once per direction — the standard definition's numerator and
+    denominator use the same convention, so the ratio is exact).
+    Isolated communities (vol = 0) and communities spanning the whole
+    volume (denominator 0) return φ = 0 by convention. The φ division
+    is one exactly-rounded double op over integers, rounded to 9.
+
+    Shape: two keyed joins of the edge list against the assignment +
+    two aggs — no cartesian, output is community-dimension-sized.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    asg = assignment.select(
+        F.col(id_col).alias("id"), F.col(community_col).alias("c")
+    )
+    m2 = sym.count()  # bounded 1-long pull (the modularity precedent)
+    labeled = (
+        sym.join(
+            asg.withColumnRenamed("id", "u").withColumnRenamed("c", "cu"), "u"
+        ).join(
+            asg.withColumnRenamed("id", "v").withColumnRenamed("c", "cv"), "v"
+        )
+    )
+    per_c = labeled.groupBy(F.col("cu").alias("community")).agg(
+        F.count("*").cast("long").alias("volume"),
+        F.sum(
+            F.when(F.col("cu") != F.col("cv"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("cut"),
+    )
+    members = asg.groupBy(F.col("c").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    denom = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+    return (
+        members.join(per_c, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            F.coalesce(F.col("volume"), F.lit(0)).cast("long").alias("volume"),
+            F.round(
+                F.when(
+                    F.coalesce(denom, F.lit(0)) > 0,
+                    F.coalesce(F.col("cut"), F.lit(0)) / denom,
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("conductance"),
+        )
+    )
