@@ -275,6 +275,20 @@ class TestAnalystQueries:
             assert 1 <= len(r.sample) <= 10
             assert list(r.sample) == sorted(r.sample)
 
+    def test_community_quality(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            community_quality,
+        )
+
+        rows = community_quality(spark, iterations=4, min_size=2).collect()
+        assert rows
+        phis = [r.conductance for r in rows]
+        assert phis == sorted(phis, reverse=True)
+        for r in rows:
+            assert r.n_members >= 2
+            assert 0.0 <= r.conductance <= 1.0
+            assert r.cut <= r.volume
+
     def test_influence_from(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             blast_radius,

@@ -245,6 +245,28 @@ def campaign_communities(
     )
 
 
+def community_quality(
+    spark: SparkSession, iterations: int = 4, min_size: int = 2
+) -> DataFrame:
+    """Per-community conductance of the ``campaign_communities``
+    clustering — the triage complement: `campaign_communities` lists
+    the clusters, this ranks which of them are LEAKY (φ → 1: more
+    boundary than body — a cluster bleeding edges into the rest of the
+    graph is a merge/split candidate, or two campaigns sharing
+    infrastructure). Leakiest first. GDS analog: ``gds.conductance``."""
+    from ..operators.louvain import conductance, louvain_communities
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    comm = louvain_communities(edges, iterations=iterations)
+    return (
+        conductance(edges, comm)
+        .filter(F.col("n_members") >= min_size)
+        .orderBy(F.col("conductance").desc(), F.col("community"))
+    )
+
+
 def influence_from(
     spark: SparkSession,
     seed_ids: list[str],
