@@ -2679,6 +2679,26 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust per-type outliers by modified z (median/MAD — Iglewicz &
+    Hoaglin): both medians are nearest-rank picks with id tiebreak (the
+    exact_percentiles discipline — both engines select the SAME
+    physical rows), the z chain rounds to 6 before ranking, top-20 by
+    (|z| DESC, id)."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        mad_outliers,
+    )
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "event_id",
+        threshold=2.0,
+        k=20,
+    )
+
+
 def q_graph_conductance(spark, sf_dir):
     """Per-community conductance (GDS gds.conductance analog) of the
     ground-truth two-clique split over the planted nation barbell:
@@ -3172,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "corpus_kl": q_corpus_kl,
         "graph_conductance": q_graph_conductance,
+        "events_mad_outliers": q_events_mad_outliers,
     }
 
 
@@ -6138,6 +6159,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Robust MAD outliers: identical nearest-rank medians (same
+        # physical rows via (value, id) order) and the rounded modified
+        # z (see q_events_mad_outliers).
+        "events_mad_outliers": """
+            WITH b AS (
+              SELECT event_id AS id, event_type AS grp,
+                     cast(value AS double) AS x
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            r1 AS (
+              SELECT *, row_number() OVER (PARTITION BY grp
+                                           ORDER BY x, id) AS rn,
+                        count(*) OVER (PARTITION BY grp) AS n
+              FROM b
+            ),
+            med AS (
+              SELECT grp, x AS med FROM r1
+              WHERE rn = cast(ceil(n / 2.0) AS bigint)
+            ),
+            d AS (
+              SELECT b.id, b.grp, b.x, med.med,
+                     abs(b.x - med.med) AS adev
+              FROM b JOIN med ON b.grp = med.grp
+            ),
+            r2 AS (
+              SELECT *, row_number() OVER (PARTITION BY grp
+                                           ORDER BY adev, id) AS rn,
+                        count(*) OVER (PARTITION BY grp) AS n
+              FROM d
+            ),
+            mad AS (
+              SELECT grp, adev AS mad FROM r2
+              WHERE rn = cast(ceil(n / 2.0) AS bigint)
+            ),
+            scored AS (
+              SELECT d.id, d.grp AS "group", d.x AS value,
+                     round(CASE WHEN mad.mad > 0
+                           THEN cast(0.6745 AS double) * (d.x - d.med)
+                                / mad.mad
+                           ELSE 0.0 END, 6) AS robust_z
+              FROM d JOIN mad ON d.grp = mad.grp
+            )
+            SELECT id, "group", value, robust_z FROM scored
+            WHERE abs(robust_z) >= 2.0
+            ORDER BY abs(robust_z) DESC, id
+            LIMIT 20
+        """,
         # Conductance: identical directed-pair cut/volume integers and
         # the min-denominator division (see q_graph_conductance).
         "graph_conductance": """

@@ -88,3 +88,51 @@ class TestRecencyWeightedCounts:
         assert got[0].n_events == 1
         with _pytest.raises(ValueError, match="half_life"):
             recency_weighted_counts(df, "k", half_life_days=0)
+
+
+class TestMadOutliers:
+    def test_robust_to_the_outlier_itself(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            mad_outliers,
+        )
+
+        # 9 values near 10 plus one beacon at 1000: median/MAD barely
+        # move, so the beacon scores an enormous robust z
+        rows = [(i, "t", 10.0 + i * 0.1) for i in range(9)] + [(99, "t", 1000.0)]
+        df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+        got = mad_outliers(df, "value", "event_type", "event_id", threshold=3.5).collect()
+        assert [r.id for r in got] == [99]
+        # hand-check: sorted values -> med = 10.4 (rank 5 of 10); adevs
+        # sorted (0.0,0.1,0.1,0.2,0.2,…) -> mad = 0.2 (rank 5);
+        # z = .6745·(1000−10.4)/0.2
+        assert got[0].robust_z == round(0.6745 * (1000 - 10.4) / 0.2, 6)
+
+    def test_zero_mad_group_emits_nothing(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            mad_outliers,
+        )
+
+        rows = [(i, "t", 5.0) for i in range(6)] + [(9, "t", 50.0)]
+        df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+        # over half the group identical → MAD 0 → convention: no outliers
+        assert mad_outliers(df, "value", "event_type", "event_id").collect() == []
+
+    def test_group_relative_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            mad_outliers,
+        )
+
+        rows = (
+            [(i, "small", float(i % 3)) for i in range(8)]
+            + [(100, "small", 40.0)]
+            + [(200 + i, "big", 1000.0 + (i % 5)) for i in range(8)]
+        )
+        df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+        got = mad_outliers(df, "value", "event_type", "event_id", threshold=3.5).collect()
+        assert [r.id for r in got] == [100]  # big's 1000s are normal FOR big
+        with _pytest.raises(ValueError):
+            mad_outliers(df, "value", "event_type", "event_id", k=0)
+        with _pytest.raises(ValueError):
+            mad_outliers(df, "value", "event_type", "event_id", threshold=-1)

@@ -19,7 +19,7 @@ their variance accumulation orders differ at ~1e-12.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def zscore_outliers(
@@ -103,4 +103,81 @@ def recency_weighted_counts(
             F.round(F.sum(w), 6).alias("decayed_count"),
             F.max(epoch).cast("long").alias("last_seen_epoch"),
         )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+    k: int = 20,
+) -> DataFrame:
+    """(id, group, value, robust_z): top-``k`` rows by |robust z|
+    using median/MAD instead of mean/σ — ``zscore_outliers``'s robust
+    sibling (Iglewicz & Hoaglin's modified z): one extreme beacon burst
+    inflates a mean/σ baseline enough to hide itself; the median and
+    the median-absolute-deviation barely move. robust_z =
+    0.6745·(x − median)/MAD, rows with |z| ≥ threshold ranked by
+    (|z| DESC, id).
+
+    Determinism: both medians are the repo's nearest-rank percentile
+    (``stats.exact_percentiles`` semantics — the value at ordered row
+    ceil(n/2) with id tiebreak), so every engine picks the SAME
+    physical rows; the only float ops are one subtraction/division
+    chain rounded to 6 before ranking. Zero-MAD groups (over half the
+    group identical) emit no outliers by convention — the zscore
+    zero-variance guard.
+
+    Shape: two group-keyed windows (median, then MAD's median — the
+    second over the derived |x − median| column), a scan-local z
+    projection, TakeOrderedAndProject top-k.
+    """
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+
+    def _median(frame, col, out):
+        w = Window.partitionBy("grp").orderBy(col, "id")
+        n = Window.partitionBy("grp")
+        ranked = frame.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(n).alias("_n"),
+        )
+        med = ranked.filter(
+            F.col("_rn") == F.ceil(F.col("_n") / 2)
+        ).select("grp", F.col(col).alias(out))
+        return frame.join(med, "grp")
+
+    with_med = _median(base, "x", "med")
+    dev = with_med.select(
+        "id", "grp", "x", "med", (F.abs(F.col("x") - F.col("med"))).alias("adev")
+    )
+    with_mad = _median(dev, "adev", "mad")
+    scored = with_mad.select(
+        "id",
+        F.col("grp").alias("group"),
+        F.col("x").alias("value"),
+        F.round(
+            F.when(
+                F.col("mad") > 0,
+                F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("robust_z"),
+    )
+    return (
+        scored.filter(F.abs(F.col("robust_z")) >= threshold)
+        .orderBy(F.abs(F.col("robust_z")).desc(), "id")
+        .limit(k)
     )
