@@ -2679,6 +2679,19 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_gate(spark, sf_dir):
+    """Auto-calibrated per-source quality cut: keep documents at or
+    above their own source's nearest-rank p25 quality (a fixed global
+    threshold would gut whole heterogeneous sources). Threshold rows
+    are the same physical picks on both engines (quality, id) order —
+    the exact_percentiles discipline."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        quality_gate,
+    )
+
+    return quality_gate(_t(spark, sf_dir, "documents"), q=0.25)
+
+
 def q_events_mad_outliers(spark, sf_dir):
     """Robust per-type outliers by modified z (median/MAD — Iglewicz &
     Hoaglin): both medians are nearest-rank picks with id tiebreak (the
@@ -3193,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kl": q_corpus_kl,
         "graph_conductance": q_graph_conductance,
         "events_mad_outliers": q_events_mad_outliers,
+        "quality_gate": q_quality_gate,
     }
 
 
@@ -6159,6 +6173,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # Percentile-calibrated quality gate: the quality_score chain +
+        # identical nearest-rank threshold picks (see q_quality_gate).
+        "quality_gate": rf"""
+            WITH m AS (
+              SELECT doc_id, source,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> list_contains([{en}], x))) AS hits
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id, source AS "group",
+                     round(
+                       least(n_tokens / 64.0, 1.0) * 0.3
+                       + least((hits * 1.0 / n_tokens) * 4.0, 1.0) * 0.4
+                       + (1.0 - least((n_punct * 1.0 / n_chars) * 10.0, 1.0)) * 0.2
+                       + (1.0 - least((n_upper * 1.0 / n_chars) * 5.0, 1.0)) * 0.1,
+                     6) AS quality
+              FROM m
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY "group"
+                          ORDER BY quality, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY "group") AS n
+              FROM sc
+            ),
+            thr AS (
+              SELECT "group", quality AS threshold FROM r
+              WHERE rn = cast(ceil(cast(0.25 AS double) * n) AS bigint)
+            )
+            SELECT sc.doc_id, sc."group", sc.quality, thr.threshold
+            FROM sc JOIN thr ON sc."group" = thr."group"
+            WHERE sc.quality >= thr.threshold
+        """,
         # Robust MAD outliers: identical nearest-rank medians (same
         # physical rows via (value, id) order) and the rounded modified
         # z (see q_events_mad_outliers).

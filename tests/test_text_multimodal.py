@@ -399,3 +399,51 @@ class TestUnigramKl:
         kl_near = unigram_kl(near, base).collect()[0].kl_divergence
         kl_far = unigram_kl(far, base).collect()[0].kl_divergence
         assert 0.0 < kl_near < kl_far
+
+
+class TestQualityGate:
+    def test_per_source_calibration(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_gate,
+            quality_score,
+        )
+
+        prose = "the quick brown fox jumps over the lazy dog and runs on"
+        junk = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"
+        rows = (
+            [(i, "web", prose + f" extra {i}") for i in range(8)]
+            + [(100 + i, "web", junk) for i in range(2)]
+            + [(200 + i, "logs", f"err {i}: x") for i in range(8)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        kept = quality_gate(df, q=0.25, group_col="source").collect()
+        by_src = {}
+        for r in kept:
+            by_src.setdefault(r.group, set()).add(r.doc_id)
+        # the junk docs are web's worst quartile → gated out
+        assert not ({100, 101} & by_src["web"])
+        # logs survive THEIR OWN cut even though every log doc scores
+        # below web prose — the point of per-source calibration
+        assert len(by_src["logs"]) >= 6
+        # threshold column is each group's actual score at the cut
+        scores = {r.doc_id: r.quality for r in quality_score(df).collect()}
+        for r in kept:
+            assert r.quality >= r.threshold
+            assert r.quality == scores[r.doc_id]
+
+    def test_monotone_in_q_and_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_gate,
+        )
+
+        rows = [(i, "s", f"some text {i} " * (i + 1)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        k25 = {r.doc_id for r in quality_gate(df, q=0.25, group_col="source").collect()}
+        k50 = {r.doc_id for r in quality_gate(df, q=0.5, group_col="source").collect()}
+        assert k50 <= k25  # a stricter cut only removes
+        with _pytest.raises(ValueError, match="q must be"):
+            quality_gate(df, q=0.0, group_col="source")
+        with _pytest.raises(ValueError, match="q must be"):
+            quality_gate(df, q=1.0, group_col="source")

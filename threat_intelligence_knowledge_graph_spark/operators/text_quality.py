@@ -418,3 +418,47 @@ def unigram_kl(
         F.max("tb").alias("total_b"),
         F.round(F.sum(contrib), 6).alias("kl_divergence"),
     )
+
+
+def quality_gate(
+    documents: DataFrame,
+    q: float = 0.25,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, group, quality, threshold): documents at or above their
+    OWN group's nearest-rank q-quantile of ``quality_score`` — the
+    auto-calibrated quality cut. A fixed global threshold misfires on
+    heterogeneous corpora (a threshold tuned on web prose guts a code
+    or chat-log source whose scores sit lower wholesale); cutting each
+    source at its own percentile drops the worst q of EVERY source
+    while preserving the mixture.
+
+    The threshold is the value at ordered row ceil(q·n) with id
+    tiebreak (the ``exact_percentiles`` same-physical-row discipline),
+    so gate membership is engine/partitioning-exact. One group-keyed
+    window over the scored frame; scoring itself is the scan-local
+    ``quality_score`` projection.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    scores = quality_score(documents, id_col, text_col)
+    base = documents.select(
+        F.col(id_col), F.col(group_col).alias("group")
+    ).join(scores, id_col)
+    w = Window.partitionBy("group").orderBy("quality", id_col)
+    n = Window.partitionBy("group")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(n).alias("_n"),
+    )
+    thr = ranked.filter(
+        F.col("_rn") == F.ceil(F.lit(q) * F.col("_n"))
+    ).select("group", F.col("quality").alias("threshold"))
+    return (
+        base.join(thr, "group")
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select(id_col, "group", "quality", "threshold")
+    )
