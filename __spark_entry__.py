@@ -2679,6 +2679,28 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Count-min inner-product join-cardinality estimate (the AMS/CM
+    §4.2 estimator): |orders ⋈ customer| on custkey from two
+    dimension-sized sketches — the decide-before-you-shuffle triage.
+    Integer counts/products/sums, min over 3 hash rows; never below
+    the true cardinality; bit-identical cross-engine."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    sa = cms_build(o, "k", depth=3, width=512, salt="cmsj")
+    sb = cms_build(c, "k", depth=3, width=512, salt="cmsj")
+    return cms_join_size(sa, sb, depth=3)
+
+
 def q_quality_gate(spark, sf_dir):
     """Auto-calibrated per-source quality cut: keep documents at or
     above their own source's nearest-rank p25 quality (a fixed global
@@ -3207,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": q_graph_conductance,
         "events_mad_outliers": q_events_mad_outliers,
         "quality_gate": q_quality_gate,
+        "cms_join_size": q_cms_join_size,
     }
 
 
@@ -6173,6 +6196,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_eigenvector": _eigenvector_oracle_sql(3),
+        # CMS join-size estimate: identical cells, bucketwise integer
+        # dot products, min over rows (see q_cms_join_size).
+        "cms_join_size": """
+            WITH ca AS (
+              SELECT r.i AS row,
+                     cast(md5_number_upper('cmsj' || r.i || ':'
+                          || cast(o_custkey AS varchar)) % 512
+                       AS bigint) AS bucket,
+                     count(*) AS na
+              FROM orders CROSS JOIN (VALUES (0),(1),(2)) r(i)
+              GROUP BY 1, 2
+            ),
+            cb AS (
+              SELECT r.i AS row,
+                     cast(md5_number_upper('cmsj' || r.i || ':'
+                          || cast(c_custkey AS varchar)) % 512
+                       AS bigint) AS bucket,
+                     count(*) AS nb
+              FROM customer CROSS JOIN (VALUES (0),(1),(2)) r(i)
+              GROUP BY 1, 2
+            ),
+            per_row AS (
+              SELECT ca.row, sum(ca.na * cb.nb) AS dot
+              FROM ca JOIN cb USING (row, bucket)
+              GROUP BY ca.row
+            )
+            SELECT cast(min(dot) AS bigint) AS est_join_size FROM per_row
+        """,
         # Percentile-calibrated quality gate: the quality_score chain +
         # identical nearest-rank threshold picks (see q_quality_gate).
         "quality_gate": rf"""

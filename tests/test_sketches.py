@@ -318,3 +318,60 @@ class TestHistQuantiles:
             hist_quantiles(sk, [1.5], 0.0, 10.0, 10)
         with _pytest.raises(ValueError):
             hist_quantiles(sk, [], 0.0, 10.0, 10)
+
+
+class TestCmsJoinSize:
+    def test_never_underestimates_and_exact_when_ample(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            cms_build,
+            cms_join_size,
+        )
+
+        a_rows = [(k,) for k in [1, 1, 1, 2, 3, 3]]
+        b_rows = [(k,) for k in [1, 2, 2, 4]]
+        # true inner product: f_a·f_b = 3·1 + 1·2 = 5
+        a = spark.createDataFrame(a_rows, ["k"])
+        b = spark.createDataFrame(b_rows, ["k"])
+        sa = cms_build(a, "k", depth=3, width=1024, salt="t")
+        sb = cms_build(b, "k", depth=3, width=1024, salt="t")
+        est = cms_join_size(sa, sb, depth=3).collect()[0].est_join_size
+        assert est >= 5
+        # 4 distinct keys in 1024 buckets: collisions essentially absent
+        assert est == 5
+
+    def test_tight_bound_from_min_over_rows(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            cms_build,
+            cms_join_size,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        a = spark.createDataFrame(
+            [(rng.randrange(50),) for _ in range(400)], ["k"]
+        )
+        b = spark.createDataFrame(
+            [(rng.randrange(50),) for _ in range(200)], ["k"]
+        )
+        true = (
+            a.groupBy("k").count().withColumnRenamed("count", "na")
+            .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), "k")
+            .selectExpr("sum(na * nb) AS t")
+            .collect()[0].t
+        )
+        sa = cms_build(a, "k", depth=4, width=256, salt="t2")
+        sb = cms_build(b, "k", depth=4, width=256, salt="t2")
+        est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+        assert true <= est <= int(true * 1.5)  # deterministic fixture
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+            cms_join_size,
+        )
+
+        df = spark.createDataFrame([(0, 0, 1)], ["row", "bucket", "n"])
+        with _pytest.raises(ValueError):
+            cms_join_size(df, df, depth=0)

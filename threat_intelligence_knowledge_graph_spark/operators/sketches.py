@@ -429,3 +429,37 @@ def hist_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """One row (est_join_size): estimated equi-join cardinality
+    |A ⋈_k B| = Σ_v f_A(v)·f_B(v) from two ``cms_build`` sketches over
+    the join key — the count-min inner-product estimator (Cormen et
+    al.'s CM paper §4.2; the AMS idea): per hash row, the bucketwise
+    dot product OVERESTIMATES the true inner product (collisions only
+    add mass), so the MIN over the ``depth`` rows is the tightest
+    never-below-truth bound. Shuffle-planning triage at 100 TB: decide
+    whether a join explodes (hot-key quadratic blowup) from two
+    dimension-sized sketches BEFORE paying the full shuffle.
+
+    Both sketches must share (depth, width, salt). The estimate is an
+    exact integer (integer counts, integer products, integer sums —
+    bit-identical on any engine); absent cells are zero so the join of
+    touched cells suffices.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    a = sketch_a.select("row", "bucket", F.col("n").alias("na"))
+    b = sketch_b.select("row", "bucket", F.col("n").alias("nb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    return per_row.agg(
+        F.min("dot").cast("long").alias("est_join_size")
+    )
