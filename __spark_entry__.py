@@ -866,18 +866,13 @@ def q_graph_connected_components(spark, sf_dir):
     )
 
 
-def q_graph_triangle_count(spark, sf_dir):
-    """Per-node triangle membership (GDS triangleCount shape): every
-    13th orderkey plants a 3-clique plus a pendant tail node (1 triangle
-    per clique corner, 0 for the tail). Oracle: an independent canonical
-    ordered-edge three-way join in SQL."""
-    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
-        triangle_count,
-    )
-
+def _triangle_gadget_edges(spark, sf_dir):
+    """Planted 3-clique + pendant-tail gadgets (one per 13th orderkey):
+    edges (3k,3k+1), (3k+1,3k+2), (3k,3k+2), (3k+2,3k+3) as (src, dst)
+    — shared by the triangle-count and clustering-coefficient entries."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     k3 = (F.col("o_orderkey") * 3).alias("k3")
-    e = (
+    return (
         o.select(k3, F.explode(F.array(
             F.struct(F.lit(0).alias("i"), F.lit(1).alias("j")),
             F.struct(F.lit(1).alias("i"), F.lit(2).alias("j")),
@@ -889,6 +884,18 @@ def q_graph_triangle_count(spark, sf_dir):
             (F.col("k3") + F.col("p.j")).alias("dst"),
         )
     )
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    """Per-node triangle membership (GDS triangleCount shape): every
+    13th orderkey plants a 3-clique plus a pendant tail node (1 triangle
+    per clique corner, 0 for the tail). Oracle: an independent canonical
+    ordered-edge three-way join in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        triangle_count,
+    )
+
+    e = _triangle_gadget_edges(spark, sf_dir)
     return triangle_count(e).select(
         F.col("id").cast("long").alias("id"),
         F.col("triangles").cast("long").alias("triangles"),
@@ -3087,6 +3094,62 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(sup.union(cus).union(nat), k=2)
 
 
+def q_graph_lcc(spark, sf_dir):
+    """Local clustering coefficient over the planted 3-clique + pendant
+    graph (see q_graph_triangle_count): clique corners score 1.0 (deg 2)
+    or 1/3 (the corner carrying the pendant, deg 3), tails 0.0 (deg 1)
+    — every value analytic. Oracle: independent canonical three-way
+    triangle join + degree count in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        local_clustering_coefficient,
+    )
+
+    return local_clustering_coefficient(_triangle_gadget_edges(spark, sf_dir))
+
+
+def q_events_cusum(spark, sf_dir):
+    """Integer-exact CUSUM level-shift detector over per-type hourly
+    volumes: deviations scaled by the group's bucket count so the
+    recursive max(0, ·) statistic — re-expressed as cumsum minus the
+    running-min prefix (two window functions, no recursion) — stays in
+    exact integer arithmetic; alarm at 3× the group's total."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        cusum_level_shift,
+    )
+
+    return cusum_level_shift(_t(spark, sf_dir, "events"), h_factor=3)
+
+
+def q_text_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval for the pinned query
+    {merge, stream, vector}: per-(doc, term) float chains with the
+    identical expression shape on both engines, per-doc sum rounded to
+    6 BEFORE the (score DESC, doc_id ASC) rank — TakeOrderedAndProject,
+    never a global sort."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        bm25_search,
+    )
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["merge", "stream", "vector"], k=20
+    )
+
+
+def q_text_blocklist(spark, sf_dir):
+    """C4-style bad-word gate (exact lowercase token match against the
+    pinned {dup, slow, error} list, whole-token so no Scunthorpe
+    substring trap): integer hit counts, one round-6 division, strict->
+    flag at 6% — quarantine-don't-drop (every doc returned with its
+    flag). Scan-local codegen'd projection, zero shuffle."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        blocklist_filter,
+    )
+
+    return blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["dup", "slow", "error"], max_ratio=0.06
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -3230,6 +3293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "quality_gate": q_quality_gate,
         "cms_join_size": q_cms_join_size,
+        "graph_lcc": q_graph_lcc,
+        "events_cusum": q_events_cusum,
+        "text_bm25_search": q_text_bm25_search,
+        "text_blocklist": q_text_blocklist,
     }
 
 
@@ -6639,5 +6706,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(id AS bigint) AS id,
                    cast(min(r) AS bigint) AS component
             FROM reach GROUP BY id
+        """,
+        # Local clustering coefficient over the 3-clique + pendant
+        # gadgets: independent triangle join + degree count, round-6
+        # division, deg < 2 pinned to 0.0 (see q_graph_lcc).
+        "graph_lcc": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 0),
+            e0 AS (
+              SELECT 3 * k AS s, 3 * k + 1 AS d FROM ks
+              UNION ALL SELECT 3 * k + 1, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k + 2, 3 * k + 3 FROM ks
+            ),
+            e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                  FROM e0 WHERE s <> d),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tc AS (SELECT id, count(*) AS cnt FROM corners GROUP BY id),
+            deg AS (
+              SELECT id, count(*) AS degree FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY id
+            ),
+            nodes AS (SELECT s AS id FROM e0 UNION SELECT d AS id FROM e0)
+            SELECT cast(n.id AS bigint) AS id,
+                   cast(coalesce(deg.degree, 0) AS bigint) AS degree,
+                   round(CASE WHEN coalesce(deg.degree, 0) >= 2
+                         THEN 2.0 * coalesce(tc.cnt, 0)
+                              / (deg.degree * (deg.degree - 1))
+                         ELSE 0.0 END, 6) AS lcc
+            FROM nodes n
+            LEFT JOIN deg ON deg.id = n.id
+            LEFT JOIN tc ON tc.id = n.id
+        """,
+        # CUSUM level shift: the same prefix identity (cumsum minus
+        # running min, floored at 0) in pure-integer window arithmetic
+        # (see q_events_cusum).
+        "events_cusum": """
+            WITH c AS (
+              SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+                     cast(count(*) AS bigint) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT grp, cast(count(*) AS bigint) AS n_buckets,
+                     cast(sum(x) AS bigint) AS total
+              FROM c GROUP BY grp
+            ),
+            j AS (
+              SELECT c.grp, c.bucket, c.x, t.total,
+                     cast(sum(t.n_buckets * c.x - t.total) OVER (
+                       PARTITION BY c.grp ORDER BY c.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS bigint) AS cs
+              FROM c JOIN t USING (grp)
+            ),
+            m AS (
+              SELECT grp, bucket, x, total, cs,
+                     min(cs) OVER (
+                       PARTITION BY grp ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS mincs
+              FROM j
+            )
+            SELECT grp AS event_type, bucket, x,
+                   cast(cs - least(0, mincs) AS bigint) AS cusum_scaled,
+                   (cs - least(0, mincs)) > 3 * total AS alarm
+            FROM m
+        """,
+        # BM25: identical float expression shape per (doc, term),
+        # round-6 after the per-doc sum, (score DESC, id ASC) rank
+        # (see q_text_bm25_search).
+        "text_bm25_search": """
+            WITH b2 AS (
+              SELECT doc_id,
+                     cast(len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))
+                       AS bigint) AS dl,
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+              FROM documents
+            ),
+            consts AS (
+              SELECT cast(count(*) AS bigint) AS n,
+                     cast(sum(dl) AS bigint) AS tdl
+              FROM b2
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+              FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks,
+                         t -> list_contains(['merge', 'stream', 'vector'], t)))
+                         AS term
+                FROM b2
+              ) GROUP BY 1, 2, 3
+            ),
+            dfr AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / tdl)) AS c
+              FROM tf JOIN dfr USING (term) CROSS JOIN consts
+            ),
+            scored AS (
+              SELECT doc_id, round(sum(c), 6) AS score
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score, cast(rk AS int) AS rk FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC
+              ) AS rk FROM scored
+            ) WHERE rk <= 20
+        """,
+        # Blocklist gate: exact whole-token hits over the same \\s+
+        # split, round-6 ratio, strict > flag (see q_text_blocklist).
+        "text_blocklist": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     cast(len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> list_contains(['dup', 'error', 'slow'], x)
+                     )) AS int) AS bad_hits,
+                     len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, bad_hits,
+                   round(bad_hits / n_tokens, 6) AS bad_ratio,
+                   round(bad_hits / n_tokens, 6) > 0.06 AS blocked
+            FROM h
         """,
     }

@@ -1,0 +1,140 @@
+"""Round-5 closing operators: local clustering coefficient, CUSUM
+level-shift, BM25 retrieval, blocklist gate — hand-computed fixtures."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+    cusum_level_shift,
+)
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    local_clustering_coefficient,
+)
+from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+    blocklist_filter,
+    bm25_search,
+)
+
+
+class TestLocalClusteringCoefficient:
+    def test_triangle_plus_pendant(self, spark):
+        # Triangle (1,2,3) with pendant 4 hanging off node 3.
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+        )
+        got = {r.id: (r.degree, r.lcc) for r in local_clustering_coefficient(e).collect()}
+        assert got[1] == (2, 1.0)
+        assert got[2] == (2, 1.0)
+        assert got[3] == (3, round(2.0 * 1 / (3 * 2), 6))
+        assert got[4] == (1, 0.0)
+
+    def test_self_loop_only_node_appears_with_zero(self, spark):
+        e = spark.createDataFrame([(1, 2), (9, 9)], ["src", "dst"])
+        got = {r.id: (r.degree, r.lcc) for r in local_clustering_coefficient(e).collect()}
+        # Node 9's only edge is a self-loop: in the universe, degree 0.
+        assert got[9] == (0, 0.0)
+        assert got[1] == (1, 0.0)
+
+    def test_parallel_and_reversed_edges_dedupe(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)], ["src", "dst"]
+        )
+        got = {r.id: r.lcc for r in local_clustering_coefficient(e).collect()}
+        assert got == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+class TestCusumLevelShift:
+    def _ev(self, spark, counts_by_hour, etype="err"):
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h, n in enumerate(counts_by_hour):
+            for _ in range(n):
+                rows.append((eid, base + datetime.timedelta(hours=h, minutes=5), etype))
+                eid += 1
+        return spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+
+    def test_level_shift_grows_linearly_and_alarms(self, spark):
+        # 4 hours at 2/h then 4 hours at 18/h: n=8, T=80.
+        # d = 8*x - 80: four × -64 then four × +64.
+        # cs: -64,-128,-192,-256,-192,-128,-64,0; s = cs - min prefix:
+        # 0,0,0,0,64,128,192,256 — alarm only when s > 3*80 = 240.
+        ev = self._ev(spark, [2, 2, 2, 2, 18, 18, 18, 18])
+        got = sorted(cusum_level_shift(ev).collect(), key=lambda r: r.bucket)
+        assert [r.cusum_scaled for r in got] == [0, 0, 0, 0, 64, 128, 192, 256]
+        assert [r.alarm for r in got] == [False] * 7 + [True]
+
+    def test_isolated_spike_decays(self, spark):
+        # One spike hour in an otherwise flat signal: the max(0, ·)
+        # floor keeps the statistic from going negative before the
+        # spike, and the negative drift absorbs it afterwards.
+        ev = self._ev(spark, [5, 5, 5, 29, 5, 5, 5, 5])
+        got = sorted(cusum_level_shift(ev).collect(), key=lambda r: r.bucket)
+        # n=8, T=64: d = 8x-64 → -24 ×3, +168, then -24 ×4.
+        assert [r.cusum_scaled for r in got] == [0, 0, 0, 168, 144, 120, 96, 72]
+        assert not any(r.alarm for r in got)
+
+    def test_groups_are_independent(self, spark):
+        a = self._ev(spark, [1, 1, 1, 1], "a")
+        b = self._ev(spark, [7, 1, 1, 1], "b")
+        got = cusum_level_shift(a.union(b)).collect()
+        by = {(r.event_type, str(r.bucket)): r.cusum_scaled for r in got}
+        assert all(v == 0 for (g, _), v in by.items() if g == "a")
+        # b: n=4, T=10, d = 4x-10 → 18,-6,-6,-6; s = 18,12,6,0.
+        bvals = sorted(v for (g, _), v in by.items() if g == "b")
+        assert bvals == [0, 6, 12, 18]
+
+
+class TestBm25Search:
+    def test_exact_two_doc_scores(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "cat cat fish")], ["doc_id", "text"]
+        )
+        got = {r.doc_id: (r.score, r.rk) for r in bm25_search(docs, ["cat"], k=5).collect()}
+        idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+        s1 = round(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (2 * 2) / 5)), 6)
+        s2 = round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3 * 2) / 5)), 6)
+        assert got[1] == (s1, 2)
+        assert got[2] == (s2, 1)
+        assert s2 > s1  # higher tf wins despite longer doc
+
+    def test_non_matching_docs_absent_and_k_respected(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "cat toy") for i in range(5)] + [(99, "zebra")],
+            ["doc_id", "text"],
+        )
+        got = bm25_search(docs, ["cat"], k=3).collect()
+        assert len(got) == 3
+        assert all(r.doc_id != 99 for r in got)
+        # Equal scores: doc_id ascending tiebreak.
+        assert [r.doc_id for r in got] == [0, 1, 2]
+
+    def test_empty_query_raises(self, spark):
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            bm25_search(docs, [])
+
+
+class TestBlocklistFilter:
+    def test_hits_ratio_and_flag(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "bad bad ok ok"),          # 2/4 = 0.5 → blocked
+                (2, "ok ok ok ok ok ok ok ok ok bad"),  # 1/10 = 0.1 → not (strict >)
+                (3, "clean text only"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in blocklist_filter(docs, ["bad"], max_ratio=0.1).collect()}
+        assert (got[1].bad_hits, got[1].bad_ratio, got[1].blocked) == (2, 0.5, True)
+        assert (got[2].bad_hits, got[2].bad_ratio, got[2].blocked) == (1, 0.1, False)
+        assert (got[3].bad_hits, got[3].blocked) == (0, False)
+
+    def test_whole_token_no_substring_trap(self, spark):
+        docs = spark.createDataFrame([(1, "scunthorpe is fine")], ["doc_id", "text"])
+        got = blocklist_filter(docs, ["thorpe", "horp"]).collect()[0]
+        assert got.bad_hits == 0 and not got.blocked

@@ -181,3 +181,65 @@ def mad_outliers(
         .orderBy(F.abs(F.col("robust_z")).desc(), "id")
         .limit(k)
     )
+
+
+def cusum_level_shift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    h_factor: int = 3,
+) -> DataFrame:
+    """Integer-exact one-sided CUSUM level-shift detector over per-group
+    hourly volumes (Page 1954, the drift-vs-spike complement to the
+    point-outlier scorers above): per group, bucket events into hours,
+    take deviations from the group's own mean rate, and accumulate with
+    a floor at zero — a sustained upward shift in volume grows the
+    statistic linearly while isolated spikes decay.
+
+    Determinism: the recursive ``s_t = max(0, s_{t-1} + d_t)`` is
+    re-expressed with the prefix identity ``s_t = cs_t − min(0,
+    min_{i≤t} cs_i)`` (two plain window functions — no recursion), and
+    the deviations are scaled by the group's bucket count ``n`` so
+    everything stays in exact integer arithmetic: ``d_t = n·x_t − T``
+    (T = the group's total events; the true deviation times n). The
+    alarm fires when the scaled statistic exceeds ``h_factor · T``,
+    i.e. the raw CUSUM exceeds ``h_factor`` times the group's mean
+    hourly volume. No floats anywhere — bit-identical cross-engine.
+
+    Scale shape: one map-side-combining (group, hour) count, one
+    dimension-sized per-group aggregate broadcast back, and one
+    window partitioned by group ordered by hour — a single exchange
+    on the group key; the window state is one running sum + one
+    running min.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    counts = (
+        events.groupBy(F.col(group_col).alias("grp"), hour.alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    totals = counts.groupBy("grp").agg(
+        F.count("*").alias("n_buckets"), F.sum("x").alias("total")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.col("n_buckets") * F.col("x") - F.col("total")
+    joined = counts.join(F.broadcast(totals), "grp").withColumn(
+        "_cs", F.sum(d).over(w)
+    )
+    return joined.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        "x",
+        (F.col("_cs") - F.least(F.lit(0), F.min("_cs").over(w)))
+        .cast("long")
+        .alias("cusum_scaled"),
+        (
+            (F.col("_cs") - F.least(F.lit(0), F.min("_cs").over(w)))
+            > F.lit(h_factor) * F.col("total")
+        ).alias("alarm"),
+    )

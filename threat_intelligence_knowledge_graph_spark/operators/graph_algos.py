@@ -102,6 +102,48 @@ def triangle_count(
     )
 
 
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, degree, lcc): Watts-Strogatz local clustering coefficient
+    per node — ``2·triangles / (deg·(deg−1))`` on the simple undirected
+    graph (parallel edges deduped, self-loops dropped; GDS
+    gds.localClusteringCoefficient analog). Nodes with degree < 2 have
+    no possible wedge and score 0.0 (GDS convention); the node universe
+    is the RAW endpoint set, so self-loop-only nodes appear with
+    degree 0.
+
+    Scale shape: ``triangle_count``'s keyed three-way equi-join plus
+    one degree aggregation over the canonical edge list, then a final
+    keyed join — no new shuffle class beyond what triangle counting
+    already pays, and the division is scan-local. ``lcc`` is rounded
+    to 6 decimals (the round-before-compare discipline).
+    """
+    tri = triangle_count(edges, src, dst)
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("degree"), F.lit(0)) >= 2,
+                    F.lit(2.0) * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
 def node_similarity(
     edges: DataFrame,
     src: str = "src",

@@ -462,3 +462,116 @@ def quality_gate(
         .filter(F.col("quality") >= F.col("threshold"))
         .select(id_col, "group", "quality", "threshold")
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval (Robertson-Sparck Jones; the
+    Lucene-default k1 = 1.2, b = 0.75 pinned as literals 2.2 / 0.75 /
+    0.25 so the oracle reproduces the float expression SHAPE exactly):
+    score(d) = Σ_t idf(t) · tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl·N/Σdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism: per-(doc, term) contributions are exact-shaped double
+    chains; the per-doc sum is rounded to 6 decimals BEFORE ranking and
+    the rank key is (score DESC, id ASC) — both engines pick identical
+    rows. Only documents containing at least one query term are scored.
+
+    Scale shape: the corpus-level constants (N, Σdl) are a 1-row
+    aggregate cross-joined (broadcast) onto the matches; df is a
+    query-terms-sized aggregate, also broadcast; the token explode is
+    filtered to the query vocabulary BEFORE the shuffle so the per-term
+    tf aggregation moves only matching tokens; top-k is
+    TakeOrderedAndProject via row_number ≤ k on a rank key, never a
+    global sort of the corpus.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{2,}"), 0)
+    base = documents.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("_toks")
+    )
+    consts = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tdl")
+    )
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(F.filter(F.col("_toks"), lambda t: F.array_contains(qlit, t))).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl") * F.col("n")) / F.col("tdl")
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = contrib.groupBy(id_col).agg(F.round(F.sum("_c"), 6).alias("score"))
+    # orderBy().limit() compiles to TakeOrderedAndProject (no global
+    # sort); the rank column is assigned AFTER the cut so the window
+    # only ever sees k rows.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def blocklist_filter(
+    documents: DataFrame,
+    blocklist: list[str],
+    max_ratio: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style bad-word gate: the fraction of whitespace tokens that
+    are in the pinned ``blocklist`` (exact lowercase token match — the
+    word-boundary semantics that avoid the Scunthorpe substring trap);
+    ``blocked`` marks documents whose ratio EXCEEDS ``max_ratio``.
+    Quarantine-don't-drop: every document is returned with its ratio
+    and flag so the caller routes rejects to a quarantine sink instead
+    of silently losing them.
+
+    Determinism: hits/ratio are an exact integer count over the same
+    ``\\s+`` token split the quality metrics use, one division rounded
+    to 6; the flag is a strict > on the rounded value. Scale shape:
+    a single scan-local codegen'd projection — no shuffle, no Python.
+    """
+    wl = F.array(*[F.lit(w) for w in sorted(set(blocklist))])
+    tokens = _tokens(text_col)
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+    ratio = F.round(hits / F.size(tokens), 6)
+    return documents.select(
+        F.col(id_col),
+        hits.cast("int").alias("bad_hits"),
+        ratio.alias("bad_ratio"),
+        (ratio > F.lit(max_ratio)).alias("blocked"),
+    )
