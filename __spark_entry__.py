@@ -3150,6 +3150,49 @@ def q_text_blocklist(spark, sf_dir):
     )
 
 
+def q_search_rrf(spark, sf_dir):
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09) of two independent BM25 rankers (lexical queries
+    {merge, stream, vector} and {slow, error}): score = Σ 1/(60+rank),
+    round-6 before the fused (score DESC, id ASC) rank — a score-free
+    combiner, so differently-scaled rankers compose without
+    calibration."""
+    from threat_intelligence_knowledge_graph_spark.operators.retrieval import rrf_fuse
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        bm25_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    r1 = bm25_search(docs, ["merge", "stream", "vector"], k=20)
+    r2 = bm25_search(docs, ["slow", "error"], k=20)
+    return rrf_fuse([r1, r2], k=60, top=20)
+
+
+def q_text_ttr(spark, sf_dir):
+    """Lexical diversity (type-token ratio) per document — the
+    shuffled-repeat spam signal the consecutive-run repetition ratio
+    misses. Integer token/type counts, one round-6 division, scan-local
+    projection."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        type_token_ratio,
+    )
+
+    return type_token_ratio(_t(spark, sf_dir, "documents"))
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Fano factor (variance/mean) of per-type hourly volumes via the
+    n-scaled integer identity (n·Σx² − (Σx)²)/(n·Σx): exact-integer
+    numerator and denominator, ONE identical division per group,
+    round-6 — Poisson noise ≈ 1, campaign bursts ≫ 1, clocked beacons
+    ≪ 1."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        burstiness_fano,
+    )
+
+    return burstiness_fano(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -3297,7 +3340,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "text_bm25_search": q_text_bm25_search,
         "text_blocklist": q_text_blocklist,
+        "search_rrf": q_search_rrf,
+        "text_ttr": q_text_ttr,
+        "events_burstiness": q_events_burstiness,
     }
+
+
+def _bm25_oracle_sql(terms: list[str], k: int = 20) -> str:
+    """Okapi BM25 top-k oracle (see q_text_bm25_search): the same float
+    expression shape as operators/text_quality.py::bm25_search, round-6
+    before the (score DESC, doc_id ASC) rank. Returned as a standalone
+    query so rank-fusion oracles can nest it as a derived table."""
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+            WITH b2 AS (
+              SELECT doc_id,
+                     cast(len(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'))
+                       AS bigint) AS dl,
+                     regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS toks
+              FROM documents
+            ),
+            consts AS (
+              SELECT cast(count(*) AS bigint) AS n,
+                     cast(sum(dl) AS bigint) AS tdl
+              FROM b2
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+              FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks,
+                         t -> list_contains([{terms_sql}], t)))
+                         AS term
+                FROM b2
+              ) GROUP BY 1, 2, 3
+            ),
+            dfr AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / tdl)) AS c
+              FROM tf JOIN dfr USING (term) CROSS JOIN consts
+            ),
+            scored AS (
+              SELECT doc_id, round(sum(c), 6) AS score
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score, cast(rk AS int) AS rk FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC
+              ) AS rk FROM scored
+            ) WHERE rk <= {k}
+    """
 
 
 def _lpa_oracle_sql(iterations: int) -> str:
@@ -6786,46 +6881,61 @@ def oracle_sql() -> dict[str, str]:
         # BM25: identical float expression shape per (doc, term),
         # round-6 after the per-doc sum, (score DESC, id ASC) rank
         # (see q_text_bm25_search).
-        "text_bm25_search": """
-            WITH b2 AS (
-              SELECT doc_id,
-                     cast(len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))
-                       AS bigint) AS dl,
-                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
-              FROM documents
+        "text_bm25_search": _bm25_oracle_sql(["merge", "stream", "vector"]),
+        # RRF fusion of two BM25 rankers: 1/(60+rank) contributions,
+        # round-6 after the per-doc sum, fused (score DESC, id ASC)
+        # rank (see q_search_rrf). Each ranker nests the shared BM25
+        # oracle as a derived table.
+        "search_rrf": f"""
+            WITH u AS (
+              SELECT doc_id, 1.0 / (60 + rk) AS c
+              FROM ({_bm25_oracle_sql(["merge", "stream", "vector"])})
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rk) AS c
+              FROM ({_bm25_oracle_sql(["slow", "error"])})
             ),
-            consts AS (
-              SELECT cast(count(*) AS bigint) AS n,
-                     cast(sum(dl) AS bigint) AS tdl
-              FROM b2
-            ),
-            tf AS (
-              SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
-              FROM (
-                SELECT doc_id, dl,
-                       unnest(list_filter(toks,
-                         t -> list_contains(['merge', 'stream', 'vector'], t)))
-                         AS term
-                FROM b2
-              ) GROUP BY 1, 2, 3
-            ),
-            dfr AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY term),
-            contrib AS (
-              SELECT tf.doc_id,
-                     ln(1.0 + (n - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / tdl)) AS c
-              FROM tf JOIN dfr USING (term) CROSS JOIN consts
-            ),
-            scored AS (
+            fused AS (
               SELECT doc_id, round(sum(c), 6) AS score
-              FROM contrib GROUP BY doc_id
+              FROM u GROUP BY doc_id
             )
             SELECT doc_id, score, cast(rk AS int) AS rk FROM (
               SELECT *, row_number() OVER (
                 ORDER BY score DESC, doc_id ASC
-              ) AS rk FROM scored
+              ) AS rk FROM fused
             ) WHERE rk <= 20
+        """,
+        # Type-token ratio: same [a-z0-9]{{2,}} token class as the
+        # TF-IDF/BM25 family, one round-6 division (see q_text_ttr).
+        "text_ttr": """
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))
+                     AS int) AS n_tokens,
+                   cast(len(list_distinct(
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}')))
+                     AS int) AS n_types,
+                   round(len(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]{2,}')))
+                     / len(regexp_extract_all(lower(text), '[a-z0-9]{2,}')),
+                     6) AS ttr
+            FROM documents
+        """,
+        # Fano burstiness: exact-integer numerator/denominator, one
+        # identical division per group (see q_events_burstiness).
+        "events_burstiness": """
+            WITH c AS (
+              SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+                     cast(count(*) AS bigint) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT grp, cast(count(*) AS bigint) AS n,
+                     cast(sum(x) AS bigint) AS s1,
+                     cast(sum(x * x) AS bigint) AS s2
+              FROM c GROUP BY grp
+            )
+            SELECT grp AS event_type, n AS n_buckets,
+                   round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
+            FROM a
         """,
         # Blocklist gate: exact whole-token hits over the same \\s+
         # split, round-6 ratio, strict > flag (see q_text_blocklist).

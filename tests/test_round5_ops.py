@@ -14,9 +14,12 @@ from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
 from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
     local_clustering_coefficient,
 )
+from threat_intelligence_knowledge_graph_spark.operators.retrieval import rrf_fuse
+from threat_intelligence_knowledge_graph_spark.operators.stats import burstiness_fano
 from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
     blocklist_filter,
     bm25_search,
+    type_token_ratio,
 )
 
 
@@ -138,3 +141,63 @@ class TestBlocklistFilter:
         docs = spark.createDataFrame([(1, "scunthorpe is fine")], ["doc_id", "text"])
         got = blocklist_filter(docs, ["thorpe", "horp"]).collect()[0]
         assert got.bad_hits == 0 and not got.blocked
+
+
+class TestRrfFuse:
+    def _ranking(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["doc_id", "rk"])
+
+    def test_exact_scores_and_overlap_boost(self, spark):
+        r1 = self._ranking(spark, [(1, 1), (2, 2), (3, 3)])
+        r2 = self._ranking(spark, [(3, 1), (4, 2)])
+        got = {r.doc_id: (r.score, r.rk) for r in rrf_fuse([r1, r2], k=60).collect()}
+        # doc 3 appears in both lists: 1/63 + 1/61 beats doc 1's 1/61.
+        assert got[3][0] == round(1 / 63 + 1 / 61, 6)
+        assert got[3][1] == 1
+        assert got[1] == (round(1 / 61, 6), 2)
+        assert got[2] == (round(1 / 62, 6), 3)
+        assert got[4] == (round(1 / 62, 6), 4)  # ties break by id
+
+    def test_top_cut_and_validation(self, spark):
+        r1 = self._ranking(spark, [(i, i + 1) for i in range(10)])
+        assert rrf_fuse([r1], top=4).count() == 4
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        with pytest.raises(ValueError):
+            rrf_fuse([r1], k=0)
+
+
+class TestTypeTokenRatio:
+    def test_exact_ratio(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "all four words differ")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in type_token_ratio(docs).collect()}
+        assert (got[1].n_tokens, got[1].n_types, got[1].ttr) == (4, 1, 0.25)
+        assert (got[2].n_tokens, got[2].n_types, got[2].ttr) == (4, 4, 1.0)
+
+    def test_case_folds_to_same_type(self, spark):
+        docs = spark.createDataFrame([(1, "Spark SPARK spark")], ["doc_id", "text"])
+        got = type_token_ratio(docs).collect()[0]
+        assert (got.n_tokens, got.n_types) == (3, 1)
+
+
+class TestBurstinessFano:
+    def _ev(self, spark, counts, etype):
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (etype + str(h) + str(i), base + datetime.timedelta(hours=h), etype)
+            for h, n in enumerate(counts)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+
+    def test_constant_rate_is_zero_poisson_like_near_one(self, spark):
+        flat = self._ev(spark, [5, 5, 5, 5], "flat")
+        bursty = self._ev(spark, [1, 1, 1, 17], "bursty")
+        got = {r.event_type: r for r in burstiness_fano(flat.union(bursty)).collect()}
+        assert got["flat"].fano == 0.0
+        # bursty: n=4, s1=20, s2=292 → (4*292 - 400)/(4*20) = 768/80 = 9.6
+        assert got["bursty"].n_buckets == 4
+        assert got["bursty"].fano == 9.6

@@ -167,3 +167,47 @@ def retention_cohorts(
         .groupBy("cohort", (F.col("w") - F.col("cohort")).alias("periods_since"))
         .agg(F.count_distinct("g").cast("long").alias("n_active"))
     )
+
+
+def burstiness_fano(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of per-group
+    hourly volumes — the burstiness triage that separates Poisson-like
+    background noise (F ≈ 1) from bursty campaign traffic (F ≫ 1) and
+    clocked beacons (F ≪ 1).
+
+    Determinism: the ratio is computed from the n-scaled integer
+    identity ``var/mean = (n·Σx² − (Σx)²) / (n·Σx)`` — numerator and
+    denominator are exact integers, so both engines perform ONE
+    identical division, rounded to 6 (population variance over the
+    observed buckets).
+
+    Scale shape: one map-side-combining (group, hour) count, one
+    dimension-sized per-group aggregate — two exchanges total, no
+    window, no Python.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    counts = (
+        events.groupBy(F.col(group_col).alias("grp"), hour.alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("x").alias("_s1"),
+            F.sum(F.col("x") * F.col("x")).alias("_s2"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_n").cast("long").alias("n_buckets"),
+            F.round(
+                (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+                / (F.col("_n") * F.col("_s1")),
+                6,
+            ).alias("fano"),
+        )
+    )

@@ -575,3 +575,23 @@ def blocklist_filter(
         ratio.alias("bad_ratio"),
         (ratio > F.lit(max_ratio)).alias("blocked"),
     )
+
+
+def type_token_ratio(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical diversity (type-token ratio): distinct regexp tokens
+    over total tokens — low TTR flags template spam / keyword-stuffed
+    boilerplate that the repetition-ratio signal (consecutive-run
+    based) can miss when the repeats are shuffled. Same ``[a-z0-9]{2,}``
+    token class as the TF-IDF/BM25 family; one round-6 division;
+    scan-local codegen'd projection, zero shuffle."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{2,}"), 0)
+    return documents.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_types"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
