@@ -681,3 +681,39 @@ class TestRateLimitedBackend:
         )
         out = LlmExtractor("default", backend=rl).extract(docs)
         assert out.filter("kind='edge'").count() == 1
+
+
+class TestRound5AnalystQueries:
+    def test_dedicated_infrastructure(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            dedicated_infrastructure,
+        )
+
+        rows = dedicated_infrastructure(spark, k=10, min_degree=2).collect()
+        assert rows
+        key = [(-r.lcc, -r.degree, r.id) for r in rows]
+        assert key == sorted(key)
+        for r in rows:
+            assert r.degree >= 2
+            assert 0.0 <= r.lcc <= 1.0
+
+    def test_bursty_indicators(self, spark, warehouse):
+        import datetime
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            bursty_indicators,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("beacon", base + datetime.timedelta(hours=h)) for h in range(6)
+        ] + [
+            ("burst", base + datetime.timedelta(hours=h, minutes=m))
+            for h, n in [(0, 1), (1, 1), (2, 10)]
+            for m in range(n)
+        ]
+        ev = spark.createDataFrame(rows, ["event_type", "ts"])
+        got = bursty_indicators(spark, ev, k=5).collect()
+        assert [r.event_type for r in got] == ["burst", "beacon"]
+        assert got[0].fano > 1.0
+        assert got[1].fano == 0.0  # perfectly clocked

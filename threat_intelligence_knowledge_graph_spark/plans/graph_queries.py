@@ -636,6 +636,47 @@ def campaign_domains(spark: SparkSession, min_hosts: int = 1) -> DataFrame:
     )
 
 
+def dedicated_infrastructure(
+    spark: SparkSession, k: int = 20, min_degree: int = 2
+) -> DataFrame:
+    """Tightly-knit infrastructure pockets: nodes whose neighborhoods
+    are near-cliques (high local clustering coefficient at meaningful
+    degree). A shared public resolver or a sinkhole touches many
+    otherwise-unrelated entities (hub: high degree, LCC → 0); a
+    dedicated campaign's assets all talk to EACH OTHER (LCC → 1) — the
+    triage complement to ``report_hubs``. Ranked (lcc DESC, degree
+    DESC, id); GDS analog: ``gds.localClusteringCoefficient``."""
+    from ..operators.graph_algos import local_clustering_coefficient
+
+    edges = spark.table("triples").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return (
+        local_clustering_coefficient(edges)
+        .filter(F.col("degree") >= min_degree)
+        .orderBy(F.col("lcc").desc(), F.col("degree").desc(), "id")
+        .limit(k)
+    )
+
+
+def bursty_indicators(
+    spark: SparkSession, events: DataFrame, k: int = 20
+) -> DataFrame:
+    """Burstiness triage over an observation log keyed by indicator:
+    Fano factor of each indicator's hourly sighting volume — clocked
+    beacons (F ≪ 1) and campaign bursts (F ≫ 1) both stand out from
+    Poisson-ish background noise (F ≈ 1). Expects (ts, event_type)
+    where event_type carries the indicator/node id; most-bursty first,
+    id tiebreak."""
+    from ..operators.stats import burstiness_fano
+
+    return (
+        burstiness_fano(events)
+        .orderBy(F.col("fano").desc(), "event_type")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
