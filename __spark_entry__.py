@@ -3193,6 +3193,30 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition estimates over per-user event
+    sequences: exact-integer pair counts over the (ts, event_id) total
+    order (same-instant events sequence identically cross-engine),
+    ONE round-6 division per transition."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (boilerplate/template-phrase
+    discovery): scan-side explode into one map-side-combining count,
+    fully deterministic (n DESC, ngram ASC) rank assigned after the
+    TakeOrderedAndProject cut."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        top_ngrams,
+    )
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -3343,6 +3367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf": q_search_rrf,
         "text_ttr": q_text_ttr,
         "events_burstiness": q_events_burstiness,
+        "events_markov": q_events_markov,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
     }
 
 
@@ -6936,6 +6962,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Markov transitions: identical (ts, id) sequence order, exact
+        # integer counts, one round-6 division (see q_events_markov).
+        "events_markov": """
+            WITH p AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS src_state,
+                     event_type AS dst_state
+              FROM events
+            ),
+            c AS (
+              SELECT src_state, dst_state, cast(count(*) AS bigint) AS n
+              FROM p WHERE src_state IS NOT NULL GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT src_state, cast(sum(n) AS bigint) AS total
+              FROM c GROUP BY 1
+            )
+            SELECT c.src_state, c.dst_state, c.n,
+                   round(c.n / m.total, 6) AS prob
+            FROM c JOIN m USING (src_state)
+        """,
+        # Top bigrams: same token class, (n DESC, ngram ASC) rank
+        # (see q_corpus_top_ngrams).
+        "corpus_top_ngrams": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(
+                CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END) AS ngram
+              FROM toks
+            ),
+            c AS (SELECT ngram, cast(count(*) AS bigint) AS n FROM g GROUP BY 1)
+            SELECT ngram, n, cast(rk AS int) AS rk FROM (
+              SELECT *, row_number() OVER (ORDER BY n DESC, ngram ASC) AS rk
+              FROM c
+            ) WHERE rk <= 20
         """,
         # Blocklist gate: exact whole-token hits over the same \\s+
         # split, round-6 ratio, strict > flag (see q_text_blocklist).

@@ -201,3 +201,67 @@ class TestBurstinessFano:
         # bursty: n=4, s1=20, s2=292 → (4*292 - 400)/(4*20) = 768/80 = 9.6
         assert got["bursty"].n_buckets == 4
         assert got["bursty"].fano == 9.6
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    markov_transitions,
+)
+from threat_intelligence_knowledge_graph_spark.operators.text_quality import top_ngrams
+
+
+class TestMarkovTransitions:
+    def test_exact_probabilities(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        seq = ["a", "b", "a", "b", "a", "c"]
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 1, s)
+            for i, s in enumerate(seq)
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+        got = {(r.src_state, r.dst_state): (r.n, r.prob) for r in markov_transitions(ev).collect()}
+        # a→b twice, a→c once, b→a twice.
+        assert got[("a", "b")] == (2, round(2 / 3, 6))
+        assert got[("a", "c")] == (1, round(1 / 3, 6))
+        assert got[("b", "a")] == (2, 1.0)
+        assert ("c", "a") not in got  # no transition out of the final state
+
+    def test_no_cross_user_transitions(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (0, base, 1, "a"),
+            (1, base + datetime.timedelta(minutes=1), 2, "b"),
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+        assert markov_transitions(ev).count() == 0
+
+    def test_same_instant_orders_by_id(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        rows = [(0, base, 1, "x"), (1, base, 1, "y")]
+        ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+        got = markov_transitions(ev).collect()
+        assert [(r.src_state, r.dst_state) for r in got] == [("x", "y")]
+
+
+class TestTopNgrams:
+    def test_bigram_counts_and_rank(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick fox"), (2, "the quick dog"), (3, "so")],
+            ["doc_id", "text"],
+        )
+        got = [(r.ngram, r.n, r.rk) for r in top_ngrams(docs, n=2, k=10).collect()]
+        assert got[0] == ("the quick", 2, 1)
+        assert ("quick dog", 1) in [(g, c) for g, c, _ in got]
+        # the single-token doc contributes nothing
+        assert all(" " in g for g, _, _ in got)
+
+    def test_ties_break_lexicographically_and_k_cuts(self, spark):
+        docs = spark.createDataFrame([(1, "bb aa bb aa cc dd")], ["doc_id", "text"])
+        got = [(r.ngram, r.rk) for r in top_ngrams(docs, n=2, k=3).collect()]
+        # 'bb aa' ×2 leads; the count-1 ties rank lexicographically and
+        # k=3 cuts 'cc dd'.
+        assert got == [("bb aa", 1), ("aa bb", 2), ("aa cc", 3)]
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            top_ngrams(docs, n=0)

@@ -211,3 +211,43 @@ def burstiness_fano(
             ).alias("fano"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition estimates over per-group event
+    sequences: P(next = b | cur = a) = count(a→b) / count(a→·) from
+    consecutive pairs within each group — the behavioral-baseline model
+    (what usually follows a signup?) whose low-probability transitions
+    feed anomaly triage.
+
+    Determinism: sequence order is the total key (ts, id) so same-
+    instant events order identically cross-engine; counts are exact
+    integers and the probability is ONE round-6 division.
+
+    Scale shape: one lag window over the group exchange, then two
+    map-side-combining aggregations (pair counts, source marginals)
+    joined on the dimension-sized state key — the marginal side is
+    states², broadcastable."""
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.lag(state_col).over(w).alias("src_state"),
+            F.col(state_col).alias("dst_state"),
+        )
+        .filter(F.col("src_state").isNotNull())
+        .groupBy("src_state", "dst_state")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = pairs.groupBy("src_state").agg(F.sum("n").alias("_total"))
+    return pairs.join(F.broadcast(marg), "src_state").select(
+        "src_state",
+        "dst_state",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("_total"), 6).alias("prob"),
+    )

@@ -595,3 +595,48 @@ def type_token_ratio(
         F.size(F.array_distinct(toks)).cast("int").alias("n_types"),
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
     )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by raw count — the
+    corpus-exploration / boilerplate-discovery primitive (a bigram that
+    appears in half the corpus is a template phrase worth a dedup or
+    scrub rule). Same ``[a-z0-9]{2,}`` token class as the TF-IDF/BM25
+    family; space-joined n-grams; fully deterministic
+    (count DESC, ngram ASC) rank.
+
+    Scale shape: the explode happens scan-side and feeds ONE
+    map-side-combining count aggregation (partial aggregation absorbs
+    the Zipf head before the shuffle); top-k is a TakeOrderedAndProject
+    via orderBy().limit(), with the rank column assigned after the cut.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{2,}"), 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram").asc())
+    return top.select(
+        "ngram",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
