@@ -404,6 +404,52 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("transcript_stats_single_exchange", f"exchanges={n_ex}"))
         print(f"FAIL transcript_stats_single_exchange: exchanges={n_ex}")
+    check(
+        # BM25: top-k must be TakeOrderedAndProject (never a global
+        # sort of the scored corpus); df joins broadcast; the whole
+        # chain stays JVM-side. (The 1-row (N, Σdl) constants ride a
+        # BroadcastNestedLoopJoin by design — build side is one row.)
+        "bm25_take_ordered_broadcast_df",
+        em.q_text_bm25_search(spark, sf_dir),
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    check(
+        # Top n-grams: the Zipf head must collapse map-side (partial
+        # HashAggregate before the exchange) and the cut must be
+        # TakeOrderedAndProject.
+        "top_ngrams_take_ordered_partial_agg",
+        em.q_corpus_top_ngrams(spark, sf_dir),
+        ["TakeOrderedAndProject", "HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
+    check(
+        # Markov transitions: marginals join BROADCAST (states² rows);
+        # keyed joins only, JVM-side.
+        "markov_broadcast_marginals",
+        em.q_events_markov(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
+    check(
+        # LCC: triangle three-way join + degree agg stay keyed equi-
+        # joins — a cartesian here is the classic O(V^2) trap.
+        # (equi-join flavor — SortMergeJoin vs BroadcastHashJoin — is
+        # AQE's call at this SF; the guard is the absence of the
+        # non-keyed plans.)
+        "graph_lcc_no_cartesian",
+        em.q_graph_lcc(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
+    check(
+        # CUSUM: per-group totals join BROADCAST back onto the bucket
+        # counts; two window functions, zero Python.
+        "cusum_broadcast_totals",
+        em.q_events_cusum(spark, sf_dir),
+        ["BroadcastHashJoin", "Window"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
