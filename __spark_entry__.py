@@ -3217,6 +3217,30 @@ def q_corpus_top_ngrams(spark, sf_dir):
     return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
 
 
+def q_vocab_prune(spark, sf_dir):
+    """df-band vocabulary selection (sklearn min_df/max_df contract):
+    exact integer distinct-doc counts, floor(ratio·N) upper bound —
+    hapax noise dropped below, stopword-like ubiquity above."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        vocab_prune,
+    )
+
+    return vocab_prune(
+        _t(spark, sf_dir, "documents"), min_df=30, max_df_ratio=0.77
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Per-source Heaps'-law diagnostic: tokens, distinct types, round-6
+    ratio — a source whose types stop growing with tokens is
+    boilerplate-heavy and wants dedup before mixing."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -3369,6 +3393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": q_events_burstiness,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "vocab_prune": q_vocab_prune,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -7005,6 +7031,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY n DESC, ngram ASC) AS rk
               FROM c
             ) WHERE rk <= 20
+        """,
+        # df-band vocabulary: per-doc distinct terms, exact df counts,
+        # floor(ratio*N) bound (see q_vocab_prune).
+        "vocab_prune": """
+            WITH per_doc AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]{2,}')))
+                       AS term
+              FROM documents
+            ),
+            dfreq AS (
+              SELECT term, cast(count(*) AS bigint) AS df
+              FROM per_doc GROUP BY term
+            ),
+            n AS (SELECT cast(count(*) AS bigint) AS n FROM documents)
+            SELECT term, df
+            FROM dfreq CROSS JOIN n
+            WHERE df >= 30 AND df <= floor(0.77 * n)
+        """,
+        # Heaps'-law growth: per-source token sums + distinct types,
+        # one round-6 division (see q_vocab_growth).
+        "vocab_growth": """
+            WITH base AS (
+              SELECT source AS grp,
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+              FROM documents
+            ),
+            sums AS (
+              SELECT grp, cast(sum(len(toks)) AS bigint) AS n_tokens
+              FROM base GROUP BY grp
+            ),
+            types AS (
+              SELECT grp, cast(count(*) AS bigint) AS n_types FROM (
+                SELECT DISTINCT grp, unnest(toks) AS term FROM base
+              ) GROUP BY grp
+            )
+            SELECT sums.grp AS source, sums.n_tokens, types.n_types,
+                   round(types.n_types / sums.n_tokens, 6)
+                     AS type_token_ratio
+            FROM sums JOIN types USING (grp)
         """,
         # Blocklist gate: exact whole-token hits over the same \\s+
         # split, round-6 ratio, strict > flag (see q_text_blocklist).

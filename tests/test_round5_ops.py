@@ -265,3 +265,55 @@ class TestTopNgrams:
         docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             top_ngrams(docs, n=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+    vocab_growth,
+    vocab_prune,
+)
+
+
+class TestVocabPrune:
+    def test_band_bites_both_sides(self, spark):
+        # 'common' in all 4 docs (df=4 > floor(0.5*4)=2), 'rare' in 1
+        # (< min_df=2), 'mid' in 2 — only 'mid' survives.
+        docs = spark.createDataFrame(
+            [
+                (1, "common rare mid"),
+                (2, "common mid"),
+                (3, "common"),
+                (4, "common"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.term: r.df for r in vocab_prune(docs, min_df=2, max_df_ratio=0.5).collect()}
+        assert got == {"mid": 2}
+
+    def test_df_is_distinct_doc_count(self, spark):
+        docs = spark.createDataFrame([(1, "dup dup dup"), (2, "dup")], ["doc_id", "text"])
+        got = vocab_prune(docs, min_df=1, max_df_ratio=1.0).collect()
+        assert [(r.term, r.df) for r in got] == [("dup", 2)]
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            vocab_prune(docs, min_df=0)
+        with pytest.raises(ValueError):
+            vocab_prune(docs, max_df_ratio=0.0)
+
+
+class TestVocabGrowth:
+    def test_per_source_types_and_ratio(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb aa bb", "template"),
+                (2, "aa bb", "template"),
+                (3, "cc dd ee ff", "fresh"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        got = {r.source: r for r in vocab_growth(docs).collect()}
+        assert (got["template"].n_tokens, got["template"].n_types) == (6, 2)
+        assert got["template"].type_token_ratio == round(2 / 6, 6)
+        assert (got["fresh"].n_tokens, got["fresh"].n_types) == (4, 4)
+        assert got["fresh"].type_token_ratio == 1.0

@@ -640,3 +640,72 @@ def top_ngrams(
         F.col("n").cast("long").alias("n"),
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+def vocab_prune(
+    documents: DataFrame,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-frequency-band vocabulary selection (the sklearn
+    min_df/max_df contract): keep terms appearing in at least
+    ``min_df`` documents and at most ``floor(max_df_ratio · N)`` —
+    dropping hapax noise below and stopword-like ubiquity above —
+    the vocabulary feeding TF-IDF / hashing featurizers.
+
+    Determinism: df is an exact integer distinct-doc count; the upper
+    bound is floor(ratio·N) computed identically on both engines; the
+    output is the kept (term, df) set. Scale shape: one scan-side
+    distinct-per-doc explode into ONE map-side-combining count, then a
+    scan-local band filter against a 1-row broadcast N — the Zipf head
+    collapses before the shuffle because per-doc terms are
+    pre-distincted."""
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    if not (0.0 < max_df_ratio <= 1.0):
+        raise ValueError("max_df_ratio must be in (0, 1]")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{2,}"), 0)
+    per_doc = documents.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").alias("_n"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.floor(F.lit(max_df_ratio) * F.col("_n")))
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+
+
+def vocab_growth(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary growth (the Heaps'-law corpus diagnostic):
+    total tokens, distinct types, and their round-6 ratio per source —
+    a source whose type count stops growing with token count is
+    template/boilerplate-heavy and wants a dedup pass before mixing.
+    Scale shape: one explode into one map-side-combining
+    (source, term) distinct, then a per-source count + a per-source
+    token-sum agg joined on the dimension-sized source key."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{2,}"), 0)
+    base = documents.select(F.col(group_col).alias("grp"), toks.alias("_toks"))
+    token_sums = base.groupBy("grp").agg(F.sum(F.size("_toks")).alias("n_tokens"))
+    types = (
+        base.select("grp", F.explode("_toks").alias("term"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_types"))
+    )
+    return token_sums.join(types, "grp").select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )
