@@ -3193,6 +3193,18 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_entropy(spark, sf_dir):
+    """Shannon entropy (nats) of each user's event-type distribution —
+    scripted automation / beacons sit at H ≈ 0, organic behavior near
+    ln k. H = ln n − (Σ c·ln c)/n so every ln argument is an exact
+    integer count; round-6 after the sum (corpus_kl discipline)."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        event_entropy,
+    )
+
+    return event_entropy(_t(spark, sf_dir, "events"))
+
+
 def q_events_markov(spark, sf_dir):
     """First-order Markov transition estimates over per-user event
     sequences: exact-integer pair counts over the (ts, event_id) total
@@ -3391,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf": q_search_rrf,
         "text_ttr": q_text_ttr,
         "events_burstiness": q_events_burstiness,
+        "events_entropy": q_events_entropy,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
@@ -6987,6 +7000,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
+            FROM a
+        """,
+        # Shannon entropy: every ln argument an exact integer count via
+        # H = ln n − (Σ c·ln c)/n; round-6 after the sum (see
+        # q_events_entropy).
+        "events_entropy": """
+            WITH c AS (
+              SELECT user_id AS grp, event_type AS state,
+                     cast(count(*) AS bigint) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT grp, cast(count(*) AS bigint) AS k,
+                     cast(sum(c) AS bigint) AS n,
+                     sum(c * ln(c)) AS sclogc
+              FROM c GROUP BY grp
+            )
+            SELECT grp AS user_id, n AS n_events, k AS n_states,
+                   round(ln(n) - sclogc / n, 6) AS entropy
             FROM a
         """,
         # Markov transitions: identical (ts, id) sequence order, exact

@@ -317,3 +317,36 @@ class TestVocabGrowth:
         assert got["template"].type_token_ratio == round(2 / 6, 6)
         assert (got["fresh"].n_tokens, got["fresh"].n_types) == (4, 4)
         assert got["fresh"].type_token_ratio == 1.0
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import event_entropy
+
+
+class TestEventEntropy:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(f"e{i}", u, t) for i, (u, t) in enumerate(rows)],
+            ["event_id", "user_id", "event_type"],
+        )
+
+    def test_single_state_is_exactly_zero(self, spark):
+        df = self._ev(spark, [("beacon", "dns")] * 7)
+        (row,) = event_entropy(df).collect()
+        assert (row.n_events, row.n_states, row.entropy) == (7, 1, 0.0)
+
+    def test_uniform_k_states_is_ln_k(self, spark):
+        df = self._ev(spark, [("u", t) for t in "abcd" for _ in range(3)])
+        (row,) = event_entropy(df).collect()
+        assert row.n_events == 12 and row.n_states == 4
+        assert row.entropy == round(math.log(4), 6)
+
+    def test_hand_computed_mixed_and_group_independence(self, spark):
+        # u1: counts {a:3, b:1} → H = ln4 − (3·ln3 + 1·ln1)/4
+        df = self._ev(
+            spark,
+            [("u1", "a")] * 3 + [("u1", "b")] + [("u2", "x")] * 5,
+        )
+        got = {r.user_id: r for r in event_entropy(df).collect()}
+        assert got["u1"].entropy == round(math.log(4) - 3 * math.log(3) / 4, 6)
+        assert got["u2"].entropy == 0.0
+        assert got["u2"].n_states == 1

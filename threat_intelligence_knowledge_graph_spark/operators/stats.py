@@ -251,3 +251,49 @@ def markov_transitions(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("_total"), 6).alias("prob"),
     )
+
+
+def event_entropy(
+    events: DataFrame,
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's categorical event
+    distribution — the diversity triage that separates scripted
+    automation / clocked beacons (one repeated action, H ≈ 0) from
+    organic interactive behavior (many actions, H near ln k); on a
+    training corpus the same statistic flags template-locked sources.
+
+    Uses the identity ``H = ln n − (Σ c·ln c) / n`` so every ``ln``
+    argument is an exact integer count (no per-row probability
+    division to diverge on); a single-state group cancels exactly to
+    0.0 before rounding. Round-6 after the sum absorbs ULP-level
+    libm/summation-order differences — the ``corpus_kl`` / NPMI
+    discipline.
+
+    Scale shape: one map-side-combining (group, state) count, then one
+    per-group aggregate — two key-bounded exchanges, no window, no
+    Python, no broadcast.
+    """
+    counts = (
+        events.groupBy(
+            F.col(group_col).alias("grp"), F.col(state_col).alias("_state")
+        ).agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.count("*").alias("_k"),
+            F.sum("c").alias("_n"),
+            F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("_sclogc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_n").cast("long").alias("n_events"),
+            F.col("_k").cast("long").alias("n_states"),
+            F.round(
+                F.log(F.col("_n").cast("double")) - F.col("_sclogc") / F.col("_n"),
+                6,
+            ).alias("entropy"),
+        )
+    )
