@@ -3205,6 +3205,18 @@ def q_events_entropy(spark, sf_dir):
     return event_entropy(_t(spark, sf_dir, "events"))
 
 
+def q_events_beacons(spark, sf_dir):
+    """RITA-style beacon regularity per (user, event_type) channel:
+    cv² of epoch-integer inter-arrival gaps over the (ts, id) total
+    order via the exact-integer identity (n·Σg² − (Σg)²)/(Σg)² — ONE
+    round-6 division per channel; clocked implants ≈ 0, human ≳ 1."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        beacon_regularity,
+    )
+
+    return beacon_regularity(_t(spark, sf_dir, "events"))
+
+
 def q_events_markov(spark, sf_dir):
     """First-order Markov transition estimates over per-user event
     sequences: exact-integer pair counts over the (ts, event_id) total
@@ -3404,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "events_burstiness": q_events_burstiness,
         "events_entropy": q_events_entropy,
+        "events_beacons": q_events_beacons,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
@@ -7020,6 +7033,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS user_id, n AS n_events, k AS n_states,
                    round(ln(n) - sclogc / n, 6) AS entropy
             FROM a
+        """,
+        # Beacon regularity: epoch-integer gaps over the (ts, id) total
+        # order, cv² = (n·Σg² − (Σg)²)/(Σg)² exact-integer identity,
+        # one round-6 division per channel (see q_events_beacons).
+        "events_beacons": """
+            WITH e AS (
+              SELECT user_id AS grp, event_type AS state, ts, event_id,
+                     cast(epoch_us(ts) // 1000000 AS bigint) AS ep
+              FROM events
+            ),
+            g AS (
+              SELECT grp, state,
+                     ep - lag(ep) OVER (
+                       PARTITION BY grp, state ORDER BY ts, event_id
+                     ) AS g
+              FROM e
+            ),
+            a AS (
+              SELECT grp, state, cast(count(*) AS bigint) AS n,
+                     cast(sum(g) AS bigint) AS s1,
+                     cast(sum(g * g) AS bigint) AS s2
+              FROM g WHERE g IS NOT NULL GROUP BY grp, state
+            )
+            SELECT grp AS user_id, state AS event_type,
+                   cast(n + 1 AS bigint) AS n_events,
+                   round(s1 / n, 6) AS mean_gap_s,
+                   CASE WHEN s1 > 0
+                        THEN round((n * s2 - s1 * s1) / (s1 * s1), 6)
+                   END AS cv2
+            FROM a WHERE n >= 3
         """,
         # Markov transitions: identical (ts, id) sequence order, exact
         # integer counts, one round-6 division (see q_events_markov).

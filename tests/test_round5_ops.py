@@ -350,3 +350,55 @@ class TestEventEntropy:
         assert got["u1"].entropy == round(math.log(4) - 3 * math.log(3) / 4, 6)
         assert got["u2"].entropy == 0.0
         assert got["u2"].n_states == 1
+
+
+from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+    beacon_regularity,
+)
+
+
+class TestBeaconRegularity:
+    def _ev(self, spark, user, etype, offsets):
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (f"{user}-{etype}-{i}", user, etype,
+             base + datetime.timedelta(seconds=o))
+            for i, o in enumerate(offsets)
+        ]
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    def test_clocked_beacon_is_zero_human_is_large(self, spark):
+        beacon = self._ev(spark, "imp", "dns", [0, 60, 120, 180, 240])
+        # gaps 10,100,10,100: cv2 = (4*20200 - 220^2)/220^2 = 32400/48400
+        human = self._ev(spark, "ana", "web", [0, 10, 110, 120, 220])
+        got = {
+            (r.user_id, r.event_type): r
+            for r in beacon_regularity(beacon.union(human)).collect()
+        }
+        b = got[("imp", "dns")]
+        assert (b.n_events, b.mean_gap_s, b.cv2) == (5, 60.0, 0.0)
+        h = got[("ana", "web")]
+        assert h.cv2 == round(32400 / 48400, 6)
+        assert b.cv2 < h.cv2
+
+    def test_min_events_suppresses_short_channels(self, spark):
+        short = self._ev(spark, "u", "a", [0, 60, 120])  # 3 events < 4
+        assert beacon_regularity(short).count() == 0
+        assert beacon_regularity(short, min_events=3).count() == 1
+
+    def test_same_second_flood_null_cv2_and_channel_independence(self, spark):
+        flood = self._ev(spark, "u", "burst", [0, 0, 0, 0])
+        clock = self._ev(spark, "u", "tick", [0, 5, 10, 15])
+        got = {
+            (r.user_id, r.event_type): r
+            for r in beacon_regularity(flood.union(clock)).collect()
+        }
+        assert got[("u", "burst")].cv2 is None
+        assert got[("u", "burst")].mean_gap_s == 0.0
+        assert got[("u", "tick")].cv2 == 0.0
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            beacon_regularity(self._ev(spark, "u", "a", [0]), min_events=1)

@@ -243,3 +243,69 @@ def cusum_level_shift(
             > F.lit(h_factor) * F.col("total")
         ).alias("alarm"),
     )
+
+
+def beacon_regularity(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    min_events: int = 4,
+) -> DataFrame:
+    """RITA-style C2-beacon detection by inter-arrival REGULARITY: per
+    (group, state) channel, the squared coefficient of variation of
+    consecutive-event gaps. A clocked implant checks in every ~N
+    seconds (cv2 ≈ 0, plus jitter); human traffic is ragged (cv2 ≳ 1).
+    Complements ``stats.burstiness_fano``, which scores COUNT
+    dispersion per bucket and cannot distinguish a metronome from a
+    uniform trickle.
+
+    Determinism: gaps are epoch-second integers over the (ts, id)
+    total order (same-instant events sequence identically
+    cross-engine), and ``cv² = var/mean² = (n·Σg² − (Σg)²) / (Σg)²``
+    makes numerator and denominator exact integers — ONE identical
+    round-6 division per channel. All-zero-gap channels (same-second
+    floods, Σg = 0) are emitted with cv2 NULL rather than dropped.
+
+    Scale shape: one lag window over the (group, state) exchange, one
+    map-side-combining aggregate on the same key — the window and the
+    groupBy share ONE hash partitioning; no Python, no broadcast.
+    ``min_events`` (≥ 3 gaps by default) suppresses channels too short
+    to call periodic.
+    """
+    if min_events < 2:
+        raise ValueError("min_events must be >= 2 (need at least one gap)")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(group_col, state_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    gaps = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.col(state_col).alias("state"),
+            (epoch - F.lag(epoch).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("grp", "state").agg(
+        F.count("*").alias("_n"),
+        F.sum("g").alias("_s1"),
+        F.sum(F.col("g") * F.col("g")).alias("_s2"),
+    )
+    return (
+        agg.filter(F.col("_n") >= F.lit(min_events - 1))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("state").alias(state_col),
+            (F.col("_n") + F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.col("_s1") / F.col("_n"), 6).alias("mean_gap_s"),
+            F.when(F.col("_s1") > 0,
+                F.round(
+                    (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+                    / (F.col("_s1") * F.col("_s1")),
+                    6,
+                ),
+            ).alias("cv2"),
+        )
+    )
