@@ -717,3 +717,31 @@ class TestRound5AnalystQueries:
         assert [r.event_type for r in got] == ["burst", "beacon"]
         assert got[0].fano > 1.0
         assert got[1].fano == 0.0  # perfectly clocked
+
+    def test_clocked_beacons(self, spark, warehouse):
+        import datetime
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            clocked_beacons,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("imp-" + str(i), "implant", "dns", base + datetime.timedelta(seconds=60 * i))
+            for i in range(6)
+        ] + [
+            ("hum-" + str(i), "analyst", "web", base + datetime.timedelta(seconds=o))
+            for i, o in enumerate([0, 10, 110, 120, 400])
+        ] + [
+            ("fl-" + str(i), "flood", "burst", base) for i in range(5)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        got = clocked_beacons(spark, ev, k=5).collect()
+        # flood channel (all same-second, cv2 NULL) must be excluded
+        assert [(r.user_id, r.event_type) for r in got] == [
+            ("implant", "dns"), ("analyst", "web"),
+        ]
+        assert got[0].cv2 == 0.0 and got[0].mean_gap_s == 60.0
+        assert got[1].cv2 > 0.5

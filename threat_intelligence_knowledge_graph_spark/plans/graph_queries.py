@@ -677,6 +677,26 @@ def bursty_indicators(
     )
 
 
+def clocked_beacons(
+    spark: SparkSession, events: DataFrame, k: int = 20
+) -> DataFrame:
+    """Timing-regularity triage over an observation log: the k most
+    metronome-like (user, indicator) channels by inter-arrival cv² —
+    the RITA-style C2 check that catches what count-dispersion (Fano)
+    can't: a beacon checking in every N seconds looks identical to a
+    uniform human trickle per-hour, but its gap variance is ~0.
+    Most-regular (lowest cv², NULLs excluded) first, id tiebreak;
+    mean_gap_s in the output IS the implant's check-in period."""
+    from ..operators.anomaly import beacon_regularity
+
+    return (
+        beacon_regularity(events)
+        .filter(F.col("cv2").isNotNull())
+        .orderBy(F.col("cv2").asc(), "user_id", "event_type")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
