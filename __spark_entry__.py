@@ -3205,6 +3205,20 @@ def q_events_entropy(spark, sf_dir):
     return event_entropy(_t(spark, sf_dir, "events"))
 
 
+def q_corpus_source_gini(spark, sf_dir):
+    """Gini coefficient of per-source corpus contribution in CHARS (mixture
+    balance): rank formula G = (Σ(2i−1)·x_i − n·Σx)/(n·Σx) over totals
+    sorted by (count, source) — integer ranks over identical physical
+    rows, exact-integer numerator/denominator, ONE round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    return gini_concentration(
+        _t(spark, sf_dir, "documents"), group_col="source", weight_col="n_chars"
+    )
+
+
 def q_events_beacons(spark, sf_dir):
     """RITA-style beacon regularity per (user, event_type) channel:
     cv² of epoch-integer inter-arrival gaps over the (ts, id) total
@@ -3417,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": q_events_burstiness,
         "events_entropy": q_events_entropy,
         "events_beacons": q_events_beacons,
+        "corpus_source_gini": q_corpus_source_gini,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
@@ -7032,6 +7047,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp AS user_id, n AS n_events, k AS n_states,
                    round(ln(n) - sclogc / n, 6) AS entropy
+            FROM a
+        """,
+        # Gini concentration: integer ranks over (count, source)-sorted
+        # totals, exact-integer rank formula, one round-6 division (see
+        # q_corpus_source_gini).
+        "corpus_source_gini": """
+            WITH t AS (
+              SELECT source AS grp, cast(sum(n_chars) AS bigint) AS x
+              FROM documents GROUP BY source
+            ),
+            r AS (
+              SELECT x, cast(row_number() OVER (ORDER BY x, grp) AS bigint) AS i
+              FROM t
+            ),
+            a AS (
+              SELECT cast(count(*) AS bigint) AS n,
+                     cast(sum(x) AS bigint) AS t,
+                     cast(sum((2 * i - 1) * x) AS bigint) AS s
+              FROM r
+            )
+            SELECT n AS n_groups, t AS total,
+                   round((s - n * t) / (n * t), 6) AS gini
             FROM a
         """,
         # Beacon regularity: epoch-integer gaps over the (ts, id) total

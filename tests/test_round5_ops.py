@@ -402,3 +402,43 @@ class TestBeaconRegularity:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             beacon_regularity(self._ev(spark, "u", "a", [0]), min_events=1)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    gini_concentration,
+)
+
+
+class TestGiniConcentration:
+    def test_hand_computed_and_even_and_single(self, spark):
+        # counts a:1, b:3 -> sorted x=[1,3]: G = (1*1 + 3*3 - 2*4)/(2*4)
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("b",), ("b",)], ["source"]
+        )
+        (row,) = gini_concentration(df).collect()
+        assert (row.n_groups, row.total, row.gini) == (2, 4, 0.25)
+
+        even = spark.createDataFrame(
+            [(s,) for s in "abcd" for _ in range(5)], ["source"]
+        )
+        (row,) = gini_concentration(even).collect()
+        assert (row.n_groups, row.gini) == (4, 0.0)
+
+        (row,) = gini_concentration(
+            spark.createDataFrame([("only",)] * 9, ["source"])
+        ).collect()
+        assert (row.n_groups, row.gini) == (1, 0.0)
+
+    def test_weighted_mode_and_monotone_concentration(self, spark):
+        # chars a:10, b:10, c:80 is more concentrated than 30/30/40
+        skew = spark.createDataFrame(
+            [("a", 10), ("b", 10), ("c", 80)], ["source", "n_chars"]
+        )
+        flat = spark.createDataFrame(
+            [("a", 30), ("b", 30), ("c", 40)], ["source", "n_chars"]
+        )
+        g_skew = gini_concentration(skew, weight_col="n_chars").collect()[0]
+        g_flat = gini_concentration(flat, weight_col="n_chars").collect()[0]
+        # skew: sorted [10,10,80]: (1*10+3*10+5*80-3*100)/(3*100) = 140/300
+        assert g_skew.gini == round(140 / 300, 6)
+        assert g_flat.gini < g_skew.gini

@@ -297,3 +297,52 @@ def event_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of per-group contribution — the corpus-balance
+    diagnostic for training mixtures (is 90% of the corpus one crawl?)
+    and for infrastructure concentration (do a handful of ASNs carry
+    all sightings?). 0 = perfectly even shares, → 1 = one group owns
+    everything.
+
+    Uses the rank formula ``G = Σ(2i − n − 1)·x_i / (n·Σx)`` over
+    per-group totals sorted ascending by (x, group): ranks are integer
+    row numbers with a pinned tiebreak (both engines order identical
+    physical rows), x are exact integer counts (or integer-cast
+    weights), so numerator and denominator are exact integers — ONE
+    round-6 division. Output is one row: (n_groups, total, gini);
+    n_groups == 1 yields gini 0.0 exactly.
+
+    Scale shape: one map-side-combining count agg collapses the corpus
+    to dimension-sized group totals; the rank window over that tiny
+    frame is a single-partition sort of #groups rows (bounded by the
+    dimension, not the data), then one 1-row aggregate.
+    """
+    x = (
+        F.count("*") if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    totals = df.groupBy(F.col(group_col).alias("grp")).agg(x.alias("x"))
+    w = Window.orderBy(F.col("x"), F.col("grp"))
+    ranked = totals.select("x", F.row_number().over(w).alias("i"))
+    return (
+        ranked.agg(
+            F.count("*").alias("_n"),
+            F.sum("x").alias("_t"),
+            F.sum((2 * F.col("i") - 1) * F.col("x")).alias("_s"),
+        )
+        .select(
+            F.col("_n").cast("long").alias("n_groups"),
+            F.col("_t").cast("long").alias("total"),
+            F.round(
+                (F.col("_s") - F.col("_n") * F.col("_t"))
+                / (F.col("_n") * F.col("_t")),
+                6,
+            ).alias("gini"),
+        )
+    )
