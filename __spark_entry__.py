@@ -3205,6 +3205,18 @@ def q_events_entropy(spark, sf_dir):
     return event_entropy(_t(spark, sf_dir, "events"))
 
 
+def q_events_top_sequences(spark, sf_dir):
+    """Top-20 consecutive event-type trigrams across all users
+    (kill-chain / playbook pattern mining): n−1 lag columns over ONE
+    (user) window exchange ordered by the (ts, id) total key, exact
+    integer counts, (n DESC, pattern ASC) rank AFTER the top-k cut."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        top_event_sequences,
+    )
+
+    return top_event_sequences(_t(spark, sf_dir, "events"), n=3, k=20)
+
+
 def q_corpus_source_gini(spark, sf_dir):
     """Gini coefficient of per-source corpus contribution in CHARS (mixture
     balance): rank formula G = (Σ(2i−1)·x_i − n·Σx)/(n·Σx) over totals
@@ -3432,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy": q_events_entropy,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
+        "events_top_sequences": q_events_top_sequences,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
@@ -7048,6 +7061,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS user_id, n AS n_events, k AS n_states,
                    round(ln(n) - sclogc / n, 6) AS entropy
             FROM a
+        """,
+        # Event-sequence trigrams: (ts, id) total order, exact counts,
+        # rank after the deterministic top-k cut (see
+        # q_events_top_sequences).
+        "events_top_sequences": """
+            WITH s AS (
+              SELECT concat_ws(' > ',
+                       lag(event_type, 2) OVER w,
+                       lag(event_type, 1) OVER w,
+                       event_type) AS pattern,
+                     lag(event_type, 2) OVER w AS f
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            c AS (
+              SELECT pattern, cast(count(*) AS bigint) AS n
+              FROM s WHERE f IS NOT NULL GROUP BY pattern
+            ),
+            t AS (SELECT * FROM c ORDER BY n DESC, pattern ASC LIMIT 20)
+            SELECT pattern, n,
+                   cast(row_number() OVER (ORDER BY n DESC, pattern ASC) AS int) AS rk
+            FROM t
         """,
         # Gini concentration: integer ranks over (count, source)-sorted
         # totals, exact-integer rank formula, one round-6 division (see

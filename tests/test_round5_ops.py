@@ -442,3 +442,49 @@ class TestGiniConcentration:
         # skew: sorted [10,10,80]: (1*10+3*10+5*80-3*100)/(3*100) = 140/300
         assert g_skew.gini == round(140 / 300, 6)
         assert g_flat.gini < g_skew.gini
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    top_event_sequences,
+)
+
+
+class TestTopEventSequences:
+    def _ev(self, spark, user, seq, start=0):
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (f"{user}-{i}", user, t, base + datetime.timedelta(seconds=start + i))
+            for i, t in enumerate(seq)
+        ]
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    def test_counts_rank_and_no_cross_user_patterns(self, spark):
+        # u1: a b c a b c -> 'a > b > c' x2, 'b > c > a' x1, 'c > a > b' x1
+        u1 = self._ev(spark, "u1", list("abcabc"))
+        # u2: x y z -> 'x > y > z' x1; boundary must not splice u1+u2
+        u2 = self._ev(spark, "u2", list("xyz"))
+        got = top_event_sequences(u1.union(u2), n=3, k=10).collect()
+        m = {r.pattern: (r.n, r.rk) for r in got}
+        assert m["a > b > c"] == (2, 1)
+        assert m["b > c > a"] == (1, 2)  # ASC pattern tiebreak among n=1
+        assert m["x > y > z"][0] == 1
+        assert len(got) == 4  # no spliced cross-user trigram
+
+    def test_short_group_emits_nothing_and_k_cut(self, spark):
+        short = self._ev(spark, "s", list("ab"))
+        assert top_event_sequences(short, n=3, k=5).count() == 0
+        u = self._ev(spark, "u", list("abcd"))
+        got = top_event_sequences(u, n=3, k=1).collect()
+        assert len(got) == 1 and got[0].rk == 1
+        assert got[0].pattern == "a > b > c"  # ASC tiebreak at the cut
+
+    def test_bigram_mode_and_validation(self, spark):
+        u = self._ev(spark, "u", list("aba"))
+        got = {r.pattern: r.n for r in top_event_sequences(u, n=2, k=10).collect()}
+        assert got == {"a > b": 1, "b > a": 1}
+        with pytest.raises(ValueError):
+            top_event_sequences(u, n=1)
+        with pytest.raises(ValueError):
+            top_event_sequences(u, k=0)

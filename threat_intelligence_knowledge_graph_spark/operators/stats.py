@@ -346,3 +346,51 @@ def gini_concentration(
             ).alias("gini"),
         )
     )
+
+
+def top_event_sequences(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most frequent length-``n`` consecutive event-type
+    sequences across all groups — kill-chain / playbook pattern mining
+    (which 3-step progressions recur corpus-wide?) and, on transcript
+    roles/tools, the workflow motifs a curriculum sampler balances on.
+
+    Determinism: each group's sequence is ordered by the (ts, id)
+    total key (same-instant events order identically cross-engine);
+    counts are exact integers and the final rank is assigned by
+    (n DESC, pattern ASC) AFTER the top-k cut — the ``top_ngrams``
+    discipline.
+
+    Scale shape: ``n − 1`` lag columns over ONE group-keyed window
+    exchange (windows over the same (partition, order) key share a
+    single Exchange+Sort), then one map-side-combining count whose
+    Zipf head collapses before the shuffle, then TakeOrderedAndProject
+    for the k cut; the rank window orders k rows only.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.lag(state_col, n - 1 - j).over(w) for j in range(n)]
+    seqs = (
+        events.select(F.concat_ws(" > ", *steps).alias("pattern"),
+                      steps[0].alias("_first"))
+        .filter(F.col("_first").isNotNull())
+        .groupBy("pattern")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = seqs.orderBy(F.col("cnt").desc(), F.col("pattern").asc()).limit(k)
+    rw = Window.orderBy(F.col("cnt").desc(), F.col("pattern").asc())
+    return top.select(
+        "pattern",
+        F.col("cnt").cast("long").alias("n"),
+        F.row_number().over(rw).cast("int").alias("rk"),
+    )
