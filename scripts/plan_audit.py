@@ -450,6 +450,38 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin", "Window"],
         must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
     )
+    # Beacon regularity: the lag window and the (user, type) aggregate
+    # share ONE hash exchange — same discipline as transcript_stats.
+    bc_plan = plan_of(em.q_events_beacons(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", bc_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in bc_plan:
+        print("PASS beacons_single_exchange")
+    else:
+        failures.append(("beacons_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL beacons_single_exchange: exchanges={n_ex}")
+    # Event-sequence mining: the n−1 lag columns must share ONE window
+    # exchange (one Window operator), Zipf head collapses map-side, cut
+    # is TakeOrderedAndProject.
+    seq_plan = plan_of(em.q_events_top_sequences(spark, sf_dir))
+    n_win = len(_re.findall(r"^\(\d+\) Window", seq_plan, _re.MULTILINE))
+    if (
+        n_win <= 2  # group window + the k-row rank window
+        and "TakeOrderedAndProject" in seq_plan
+        and "EvalPython" not in seq_plan
+        and "CartesianProduct" not in seq_plan
+    ):
+        print("PASS top_sequences_shared_window_take_ordered")
+    else:
+        failures.append(("top_sequences_shared_window_take_ordered", f"windows={n_win}"))
+        print(f"FAIL top_sequences_shared_window_take_ordered: windows={n_win}")
+    check(
+        # Gini: the rank window runs over the dimension-sized totals
+        # frame (after the count agg), never the corpus; JVM-side.
+        "gini_window_over_totals_only",
+        em.q_corpus_source_gini(spark, sf_dir),
+        ["HashAggregate", "Window"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -280,15 +280,18 @@ def beacon_regularity(
     w = Window.partitionBy(group_col, state_col).orderBy(
         F.col(ts_col), F.col(id_col)
     )
+    # Keep the original column names through the gap projection: an
+    # alias here hides the window's hashpartitioning(group, state) from
+    # the aggregate and buys a second, redundant exchange.
     gaps = (
         events.select(
-            F.col(group_col).alias("grp"),
-            F.col(state_col).alias("state"),
+            F.col(group_col),
+            F.col(state_col),
             (epoch - F.lag(epoch).over(w)).alias("g"),
         )
         .filter(F.col("g").isNotNull())
     )
-    agg = gaps.groupBy("grp", "state").agg(
+    agg = gaps.groupBy(group_col, state_col).agg(
         F.count("*").alias("_n"),
         F.sum("g").alias("_s1"),
         F.sum(F.col("g") * F.col("g")).alias("_s2"),
@@ -296,8 +299,8 @@ def beacon_regularity(
     return (
         agg.filter(F.col("_n") >= F.lit(min_events - 1))
         .select(
-            F.col("grp").alias(group_col),
-            F.col("state").alias(state_col),
+            F.col(group_col),
+            F.col(state_col),
             (F.col("_n") + F.lit(1)).cast("long").alias("n_events"),
             F.round(F.col("_s1") / F.col("_n"), 6).alias("mean_gap_s"),
             F.when(F.col("_s1") > 0,
