@@ -3107,6 +3107,44 @@ def q_graph_lcc(spark, sf_dir):
     return local_clustering_coefficient(_triangle_gadget_edges(spark, sf_dir))
 
 
+def _reciprocity_gadget_edges(spark, sf_dir):
+    """Planted directed gadgets (one per 11th orderkey, nodes 4k..4k+2):
+    a→b always, b→a only for EVEN gadget keys, a→c always, the c→c
+    self-loop always (must be dropped), and a duplicate a→b (must
+    dedupe) — so reciprocity depends on the even/odd gadget mix."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k4 = (F.col("o_orderkey") * 4).alias("k4")
+    even = (F.col("o_orderkey") % 2 == 0)
+    return (
+        o.select(k4, even.alias("ev"))
+        .select("k4", F.explode(F.array(
+            F.struct(F.lit(0).alias("i"), F.lit(1).alias("j"), F.lit(True).alias("keep")),
+            F.struct(F.lit(0).alias("i"), F.lit(1).alias("j"), F.lit(True).alias("keep")),
+            F.struct(F.lit(1).alias("i"), F.lit(0).alias("j"), F.col("ev").alias("keep")),
+            F.struct(F.lit(0).alias("i"), F.lit(2).alias("j"), F.lit(True).alias("keep")),
+            F.struct(F.lit(2).alias("i"), F.lit(2).alias("j"), F.lit(True).alias("keep")),
+        )).alias("p"))
+        .filter(F.col("p.keep"))
+        .select(
+            (F.col("k4") + F.col("p.i")).alias("src"),
+            (F.col("k4") + F.col("p.j")).alias("dst"),
+        )
+    )
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity over planted gadgets whose mutual
+    fraction depends on the even/odd orderkey mix: parallel edges
+    deduped, self-loops dropped, exact-integer counts, ONE round-6
+    division; the mutual test is a keyed left-semi self-join on the
+    swapped pair."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        reciprocity,
+    )
+
+    return reciprocity(_reciprocity_gadget_edges(spark, sf_dir))
+
+
 def q_events_cusum(spark, sf_dir):
     """Integer-exact CUSUM level-shift detector over per-type hourly
     volumes: deviations scaled by the group's bucket count so the
@@ -3445,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
+        "graph_reciprocity": q_graph_reciprocity,
         "events_markov": q_events_markov,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
@@ -7061,6 +7100,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS user_id, n AS n_events, k AS n_states,
                    round(ln(n) - sclogc / n, 6) AS entropy
             FROM a
+        """,
+        # Reciprocity: identical gadget construction, distinct/self-loop
+        # conventions, EXISTS mutual test, one round-6 division (see
+        # q_graph_reciprocity).
+        "graph_reciprocity": """
+            WITH g AS (
+              SELECT o_orderkey * 4 AS k4, o_orderkey % 2 = 0 AS ev
+              FROM orders WHERE o_orderkey % 11 = 0
+            ),
+            raw AS (
+              SELECT k4 + 0 AS src, k4 + 1 AS dst FROM g
+              UNION ALL SELECT k4 + 0, k4 + 1 FROM g
+              UNION ALL SELECT k4 + 1, k4 + 0 FROM g WHERE ev
+              UNION ALL SELECT k4 + 0, k4 + 2 FROM g
+              UNION ALL SELECT k4 + 2, k4 + 2 FROM g
+            ),
+            e AS (
+              SELECT DISTINCT src AS a, dst AS b FROM raw WHERE src <> dst
+            ),
+            m AS (
+              SELECT count(*) AS n_mutual FROM e
+              WHERE EXISTS (SELECT 1 FROM e r WHERE r.a = e.b AND r.b = e.a)
+            ),
+            n AS (SELECT count(*) AS n_directed FROM e)
+            SELECT cast(n_directed AS bigint) AS n_directed,
+                   cast(n_mutual AS bigint) AS n_mutual,
+                   CASE WHEN n_directed > 0
+                        THEN round(n_mutual / n_directed, 6) END AS reciprocity
+            FROM n, m
         """,
         # Event-sequence trigrams: (ts, id) total order, exact counts,
         # rank after the deterministic top-k cut (see

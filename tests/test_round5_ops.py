@@ -488,3 +488,28 @@ class TestTopEventSequences:
             top_event_sequences(u, n=1)
         with pytest.raises(ValueError):
             top_event_sequences(u, k=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    reciprocity,
+)
+
+
+class TestReciprocity:
+    def test_conventions_and_exact_value(self, spark):
+        # mutual (1,2)/(2,1), one-way (1,3), self-loop (4,4) dropped,
+        # duplicate (1,2) deduped -> 2 of 3 directed edges mutual.
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (4, 4), (1, 2)], ["src", "dst"]
+        )
+        (row,) = reciprocity(e).collect()
+        assert (row.n_directed, row.n_mutual) == (3, 2)
+        assert row.reciprocity == round(2 / 3, 6)
+
+    def test_all_mutual_and_empty(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        (row,) = reciprocity(e).collect()
+        assert row.reciprocity == 1.0
+        empty = spark.createDataFrame([], "src int, dst int")
+        (row,) = reciprocity(empty).collect()
+        assert (row.n_directed, row.n_mutual, row.reciprocity) == (0, 0, None)

@@ -1503,3 +1503,42 @@ def connected_components_increment(
             F.coalesce(F.col("_super"), F.col("component")).alias("component"),
         )
     )
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row directed-graph reciprocity: the fraction of distinct
+    non-loop directed edges whose reverse edge also exists — GDS-style
+    graph health check and a CTI signal in its own right (C2 check-ins
+    are two-way; scan sweeps and exfil pushes are one-way, so a low
+    reciprocity COMMUNICATES_WITH subgraph reads as sweep/exfil, a
+    high one as interactive sessions).
+
+    Conventions: parallel edges deduped, self-loops dropped (a loop is
+    trivially its own reverse), empty graph → one row with NULL
+    reciprocity (never a fake 0). Exact integer numerator/denominator,
+    ONE round-6 division.
+
+    Scale shape: distinct on the edge key, then ONE keyed left-semi
+    self-join on the swapped pair (never cartesian) and two 1-row
+    aggregates — map-side partials do the heavy lifting; nothing is
+    ever collected.
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = e.join(rev, ["a", "b"], "left_semi")
+    n = e.agg(F.count("*").alias("n_directed"))
+    m = mutual.agg(F.count("*").alias("n_mutual"))
+    return n.crossJoin(m).select(
+        F.col("n_directed").cast("long"),
+        F.col("n_mutual").cast("long"),
+        F.when(
+            F.col("n_directed") > 0,
+            F.round(F.col("n_mutual") / F.col("n_directed"), 6),
+        ).alias("reciprocity"),
+    )
