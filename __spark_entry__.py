@@ -2478,6 +2478,49 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _planted_containment_docs(spark, sf_dir):
+    """Two docs per orderkey: A = 6 k-suffixed words (4 distinct
+    3-shingles), B = A's 6 words + 6 fresh x-words (10 shingles, all 4
+    of A's among them) → C(A→B) = 4/4 = 1.0 while Jaccard is only
+    4/10 — the asymmetric case. For o_orderkey % 3 == 0, B's copy of
+    A's 4th word is swapped, leaving ONE shared shingle (< min_shared,
+    and containment 1/4) — an analytically-excluded family. Vocab is
+    k-suffixed, so no cross-gadget candidates exist."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    )
+    ks = F.col("k").cast("string")
+    w = lambda p: F.concat(F.lit(p), ks)  # noqa: E731
+    a4 = F.when((F.col("j") == 1) & (F.col("k") % 3 == 0), w("we")).otherwise(
+        w("wd")
+    )
+    prefix = F.concat_ws(" ", w("wa"), w("wb"), w("wc"), a4, w("wf"), w("wg"))
+    suffix = F.concat_ws(" ", w("xa"), w("xb"), w("xc"), w("xd"), w("xe"), w("xf"))
+    text = F.when(F.col("j") == 0, prefix).otherwise(
+        F.concat_ws(" ", prefix, suffix)
+    )
+    return pairs.select(
+        (F.col("k") * 2 + F.col("j")).alias("doc_id"), text.alias("text")
+    )
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment over the planted quote-inclusion
+    corpus: every small doc sits verbatim inside its big sibling
+    (C(A→B) exactly 1.0, Jaccard only 0.4 — the pair symmetric dedup
+    misses), the k%3==0 family shares one shingle only (excluded
+    analytically by min_shared and threshold)."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _planted_containment_docs(spark, sf_dir)
+    pairs, _dropped = containment_pairs(docs, threshold=0.8)
+    return pairs
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup: even doc_ids are the existing corpus (only
     their persisted band-key index is reused — never re-shingled), odd
@@ -3382,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "canonical_map": q_canonical_map,
@@ -5721,6 +5765,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Exact n-gram Jaccard: identical cycles → jaccard exactly 1.0;
         # swapped families → 1/7 < 0.5, excluded by the exact verifier.
+        # Containment: analytic planted corpus — every non-k%3 small doc
+        # sits verbatim in its big sibling: inter 4, C(A→B) 4/4 = 1.0,
+        # C(B→A) 4/10 = 0.4 (see q_ngram_containment).
+        "ngram_containment": """
+            SELECT 2 * o_orderkey AS a,
+                   2 * o_orderkey + 1 AS b,
+                   cast(4 AS bigint) AS inter,
+                   cast(1.0 AS double) AS c_a_in_b,
+                   cast(0.4 AS double) AS c_b_in_a
+            FROM orders
+            WHERE o_orderkey % 3 <> 0
+        """,
         "ngram_jaccard": """
             SELECT 2 * o_orderkey AS a,
                    2 * o_orderkey + 1 AS b,

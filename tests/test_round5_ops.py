@@ -513,3 +513,55 @@ class TestReciprocity:
         empty = spark.createDataFrame([], "src int, dst int")
         (row,) = reciprocity(empty).collect()
         assert (row.n_directed, row.n_mutual, row.reciprocity) == (0, 0, None)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    containment_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_caught_where_jaccard_misses(self, spark):
+        small = "one two three four five six"
+        big = small + " p1 p2 p3 p4 p5 p6"
+        docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+        pairs, dropped = containment_pairs(docs, threshold=0.8)
+        (row,) = pairs.collect()
+        # A has 4 shingles, all inside B's 10: C(A->B)=1.0, C(B->A)=0.4.
+        assert (row.a, row.b, row.inter) == (1, 2, 4)
+        assert (row.c_a_in_b, row.c_b_in_a) == (1.0, 0.4)
+        assert dropped.count() == 0
+        # symmetric Jaccard at 0.5 misses the same pair (4/10 < 0.5)
+        assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+    def test_hot_shingle_cap_reports_but_inter_stays_exact(self, spark):
+        d1 = "c1 c2 c3 c4 c5 h1 h2 h3"
+        d2 = d1 + " d9"
+        boiler = [(i, f"y{i} z{i} h1 h2 h3") for i in range(3, 7)]
+        docs = spark.createDataFrame(
+            [(1, d1), (2, d2)] + boiler, ["doc_id", "text"]
+        )
+        pairs, dropped = containment_pairs(docs, threshold=0.8, max_postings=3)
+        (row,) = pairs.collect()
+        # candidacy via the 5 rare shared shingles; the dropped hot
+        # shingle h1h2h3 (df 6 > 3) still counts in the EXACT inter.
+        assert (row.a, row.b, row.inter) == (1, 2, 6)
+        assert (row.c_a_in_b, row.c_b_in_a) == (1.0, round(6 / 7, 6))
+        d = dropped.collect()
+        assert [(r.shingle, r.df) for r in d] == [("h1 h2 h3", 6)]
+
+    def test_min_shared_and_validation(self, spark):
+        # docs sharing exactly ONE shingle are never candidates
+        docs = spark.createDataFrame(
+            [(1, "a b c x1 y1"), (2, "a b c x2 y2")], ["doc_id", "text"]
+        )
+        pairs, _ = containment_pairs(docs, threshold=0.1, min_shared=2)
+        assert pairs.count() == 0
+        pairs1, _ = containment_pairs(docs, threshold=0.3, min_shared=1)
+        (row,) = pairs1.collect()
+        assert row.inter == 1 and row.c_a_in_b == round(1 / 3, 6)
+        with pytest.raises(ValueError):
+            containment_pairs(docs, threshold=0.0)
+        with pytest.raises(ValueError):
+            containment_pairs(docs, min_shared=0)

@@ -406,3 +406,83 @@ def ngram_jaccard_pairs(
     banded = lsh_band_keys(shingles, num_hashes=num_hashes, bands=bands)
     pairs, _ = lsh_candidate_pairs(banded)
     return jaccard_verify(pairs, shingles, threshold=threshold)
+
+
+def containment_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_postings: int = 64,
+    min_shared: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped_shingles) — ASYMMETRIC n-gram containment
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|: the quote-inclusion /
+    subset-duplicate detector that symmetric Jaccard structurally
+    misses (a doc fully quoted inside one 10× its size has containment
+    1.0 but Jaccard 0.1 — below every near-dup threshold, and size
+    mismatch defeats MinHash-LSH candidacy too, which is why this
+    does NOT reuse the banded machinery).
+
+    Candidates come from an inverted-index join on shingles whose
+    document frequency is ≤ ``max_postings`` (ubiquitous boilerplate
+    shingles are excluded from candidacy and RETURNED for reporting —
+    the "no silent caps" rule), pairs keep ≥ ``min_shared`` shared rare
+    shingles; the intersection is then recomputed EXACTLY over the
+    full shingle sets for candidates only, so the cap bounds the join,
+    never the reported score. Output rows (a < b): (a, b, inter,
+    c_a_in_b, c_b_in_a) where ``greatest(c_a_in_b, c_b_in_a) ≥
+    threshold``; integer counts, round-6 divisions.
+
+    Scale shape: one shingle explode + two map-side-combining counts,
+    one posting-bounded shingle self-join (≤ max_postings² pairs per
+    shingle), one candidate-restricted exact-intersection join — no
+    all-pairs stage anywhere.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    shingles = word_shingles(documents, id_col, text_col, n=n)
+    sizes = shingles.groupBy("_id").agg(F.count("*").alias("sz"))
+    dfc = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    dropped = dfc.filter(F.col("df") > max_postings)
+    kept = shingles.join(
+        dfc.filter(F.col("df") <= max_postings).select("shingle"), "shingle"
+    )
+    la = kept.select(F.col("_id").alias("a"), "shingle")
+    lb = kept.select(F.col("_id").alias("b"), "shingle")
+    cand = (
+        la.join(lb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select("a", "b")
+    )
+    sa = shingles.withColumnRenamed("_id", "a")
+    sb = shingles.withColumnRenamed("_id", "b")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_id").alias("a"), F.col("sz").alias("_sza")), "a"
+        )
+        .join(
+            sizes.select(F.col("_id").alias("b"), F.col("sz").alias("_szb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(F.col("inter") / F.col("_sza"), 6).alias("c_a_in_b"),
+            F.round(F.col("inter") / F.col("_szb"), 6).alias("c_b_in_a"),
+        )
+        .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
+    )
+    return out, dropped
