@@ -482,6 +482,27 @@ def main(sf_dir: str) -> int:
         ["HashAggregate", "Window"],
         must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
     )
+    check(
+        # Reciprocity: the mutual test stays a keyed LeftSemi equi-join
+        # on the swapped pair — never cartesian. (The final 1-row ×
+        # 1-row crossJoin rides a BroadcastNestedLoopJoin by design,
+        # build side is one row — same dispensation as BM25's
+        # constants.)
+        "reciprocity_keyed_semijoin",
+        em.q_graph_reciprocity(spark, sf_dir),
+        ["LeftSemi"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    check(
+        # Containment: candidate generation and exact-intersection
+        # joins are keyed equi-joins (shingle / pair keys) — the
+        # all-pairs cartesian is exactly what the inverted-index cap
+        # exists to avoid; whole chain JVM-side.
+        "containment_keyed_joins",
+        em.q_ngram_containment(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
