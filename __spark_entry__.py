@@ -3274,6 +3274,18 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_correlation(spark, sf_dir):
+    """Pairwise temporal correlation of per-type hourly volumes over
+    the common bucket universe: exact-integer Pearson identity
+    r² = (n·Σxy − Σx·Σy)²/((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)), sign reported
+    separately — ONE round-6 division per co-active pair."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        correlated_series,
+    )
+
+    return correlated_series(_t(spark, sf_dir, "events"))
+
+
 def q_events_entropy(spark, sf_dir):
     """Shannon entropy (nats) of each user's event-type distribution —
     scripted automation / beacons sit at H ≈ 0, organic behavior near
@@ -3524,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "events_burstiness": q_events_burstiness,
         "events_entropy": q_events_entropy,
+        "events_correlation": q_events_correlation,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
@@ -7137,6 +7150,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Temporal correlation: exact-integer Pearson identity over the
+        # common hourly bucket universe, sign separate, one round-6
+        # division (see q_events_correlation).
+        "events_correlation": """
+            WITH c AS (
+              SELECT event_type AS g, date_trunc('hour', ts) AS bucket,
+                     cast(count(*) AS bigint) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            nb AS (SELECT cast(count(DISTINCT bucket) AS bigint) AS n FROM c),
+            m AS (
+              SELECT g, cast(sum(x) AS bigint) AS s1,
+                     cast(sum(x * x) AS bigint) AS s2
+              FROM c GROUP BY g
+            ),
+            xy AS (
+              SELECT ca.g AS a, cb.g AS b,
+                     cast(sum(ca.x * cb.x) AS bigint) AS sxy,
+                     cast(count(*) AS bigint) AS ns
+              FROM c ca JOIN c cb ON ca.bucket = cb.bucket AND ca.g < cb.g
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT xy.a, xy.b, xy.ns AS n_shared,
+                   cast(sign(nb.n * xy.sxy - ma.s1 * mb.s1) AS int) AS direction,
+                   round(((nb.n * xy.sxy - ma.s1 * mb.s1)
+                          * (nb.n * xy.sxy - ma.s1 * mb.s1))
+                         / ((nb.n * ma.s2 - ma.s1 * ma.s1)
+                            * (nb.n * mb.s2 - mb.s1 * mb.s1)), 6) AS r2
+            FROM xy
+            CROSS JOIN nb
+            JOIN m ma ON ma.g = xy.a
+            JOIN m mb ON mb.g = xy.b
+            WHERE nb.n * ma.s2 - ma.s1 * ma.s1 > 0
+              AND nb.n * mb.s2 - mb.s1 * mb.s1 > 0
         """,
         # Shannon entropy: every ln argument an exact integer count via
         # H = ln n − (Σ c·ln c)/n; round-6 after the sum (see

@@ -565,3 +565,49 @@ class TestContainmentPairs:
             containment_pairs(docs, threshold=0.0)
         with pytest.raises(ValueError):
             containment_pairs(docs, min_shared=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    correlated_series,
+)
+
+
+class TestCorrelatedSeries:
+    def _ev(self, spark, series):
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for etype, counts in series.items():
+            for h, c in enumerate(counts):
+                for i in range(c):
+                    rows.append(
+                        (f"{etype}{h}{i}", etype,
+                         base + datetime.timedelta(hours=h, minutes=i % 60))
+                    )
+        return spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+
+    def test_perfect_correlation_anticorrelation_and_constant_drop(self, spark):
+        ev = self._ev(spark, {
+            "p": [1, 2, 3, 4], "q": [2, 4, 6, 8],
+            "r": [4, 3, 2, 1], "s": [5, 5, 5, 5],
+        })
+        got = {(x.a, x.b): x for x in correlated_series(ev).collect()}
+        # constant series s has zero variance: every s-pair dropped
+        assert set(got) == {("p", "q"), ("p", "r"), ("q", "r")}
+        assert (got[("p", "q")].direction, got[("p", "q")].r2) == (1, 1.0)
+        assert (got[("p", "r")].direction, got[("p", "r")].r2) == (-1, 1.0)
+        assert (got[("q", "r")].direction, got[("q", "r")].r2) == (-1, 1.0)
+        assert got[("p", "q")].n_shared == 4
+
+    def test_partial_correlation_exact_value(self, spark):
+        ev = self._ev(spark, {"p": [1, 2, 3, 4], "t": [1, 1, 4, 4]})
+        (row,) = correlated_series(ev).collect()
+        # n=4: num = 4*31-100 = 24, vars 20 and 36 -> 576/720 = 0.8
+        assert (row.direction, row.r2) == (1, 0.8)
+
+    def test_min_overlap_gate_and_validation(self, spark):
+        ev = self._ev(spark, {"p": [1, 2, 3, 4], "u": [1, 2, 0, 0]})
+        assert correlated_series(ev, min_overlap=3).count() == 0
+        got = correlated_series(ev, min_overlap=2).collect()
+        assert len(got) == 1 and got[0].n_shared == 2
+        with pytest.raises(ValueError):
+            correlated_series(ev, min_overlap=0)

@@ -394,3 +394,87 @@ def top_event_sequences(
         F.col("cnt").cast("long").alias("n"),
         F.row_number().over(rw).cast("int").alias("rk"),
     )
+
+
+def correlated_series(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Pairwise temporal correlation of per-group hourly volumes —
+    the "these indicators move together" triage that links campaign
+    infrastructure: two beacons steered by one operator spike and idle
+    in the same hours even when no single event ties them.
+
+    For each co-active pair (a < b, sharing ≥ ``min_overlap`` active
+    hours) the squared Pearson correlation of their hourly series over
+    the frame's COMMON bucket universe (absent hours are true zeros —
+    both engines see the same N from one 1-row broadcast):
+
+    ``r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))``
+
+    — numerator and denominator exact integers (no sqrt), ONE round-6
+    division, with the sign reported separately (``direction`` ∈
+    {-1, 0, 1} of n·Σxy − Σx·Σy). Zero-variance (constant) series have
+    undefined r — those pairs are dropped, never faked. Only co-active
+    pairs are scored: a pair with NO shared active hour can still be
+    (anti-)correlated in principle, but at 100 TB the co-activity join
+    is what bounds the pair space, and the triage question is "which
+    indicators surge together".
+
+    Scale shape: one (group, hour) map-side-combining count; one
+    group-keyed moment agg (dimension-sized); one bucket-keyed
+    self-join producing only co-active pair rows, aggregated to
+    Σxy per pair; per-group moments join back broadcast (groups are
+    dimension-sized). No windows, no Python.
+    """
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    counts = (
+        events.groupBy(F.col(group_col).alias("g"), hour.alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    n_buckets = counts.select("bucket").distinct().agg(
+        F.count("*").alias("_nb")
+    )
+    moments = counts.groupBy("g").agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    ca = counts.select(F.col("g").alias("a"), "bucket", F.col("x").alias("xa"))
+    cb = counts.select(F.col("g").alias("b"), "bucket", F.col("x").alias("xb"))
+    xy = (
+        ca.join(cb, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.count("*").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    ma = moments.select(
+        F.col("g").alias("a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    mb = moments.select(
+        F.col("g").alias("b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    nb = F.col("_nb")
+    num = nb * F.col("sxy") - F.col("s1a") * F.col("s1b")
+    vara = nb * F.col("s2a") - F.col("s1a") * F.col("s1a")
+    varb = nb * F.col("s2b") - F.col("s1b") * F.col("s1b")
+    return (
+        xy.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(n_buckets))
+        .filter((vara > 0) & (varb > 0))
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.signum(num).cast("int").alias("direction"),
+            F.round((num * num) / (vara * varb), 6).alias("r2"),
+        )
+    )
