@@ -503,6 +503,16 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
     )
+    check(
+        # Correlation: per-group moments join BROADCAST (dimension-
+        # sized), the pair space comes from the bucket-keyed self-join
+        # — never cartesian. (The 1-row bucket-universe constant rides
+        # a BNLJ by design — BM25-constants dispensation.)
+        "correlation_broadcast_moments",
+        em.q_events_correlation(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

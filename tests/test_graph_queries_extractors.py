@@ -745,3 +745,25 @@ class TestRound5AnalystQueries:
         ]
         assert got[0].cv2 == 0.0 and got[0].mean_gap_s == 60.0
         assert got[1].cv2 > 0.5
+
+    def test_linked_indicators(self, spark, warehouse):
+        import datetime
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            linked_indicators,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        series = {"d1": [1, 2, 3, 4], "d2": [2, 4, 6, 8], "d3": [4, 3, 2, 1]}
+        rows = [
+            (f"{t}{h}{i}", t, base + datetime.timedelta(hours=h, minutes=i))
+            for t, cs in series.items()
+            for h, c in enumerate(cs)
+            for i in range(c)
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+        got = linked_indicators(spark, ev, k=5).collect()
+        # only the positively-correlated pair survives the direction gate
+        assert [(r.a, r.b, r.direction, r.r2) for r in got] == [
+            ("d1", "d2", 1, 1.0)
+        ]

@@ -697,6 +697,25 @@ def clocked_beacons(
     )
 
 
+def linked_indicators(
+    spark: SparkSession, events: DataFrame, k: int = 20
+) -> DataFrame:
+    """Campaign-linkage triage: the k indicator pairs whose hourly
+    activity series are most POSITIVELY correlated (direction +1,
+    highest r² first, pair tiebreak) — infrastructure steered by one
+    operator surges and idles together even when no single event ties
+    the two indicators. Expects (ts, event_type) where event_type
+    carries the indicator id."""
+    from ..operators.stats import correlated_series
+
+    return (
+        correlated_series(events)
+        .filter(F.col("direction") == 1)
+        .orderBy(F.col("r2").desc(), "a", "b")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
