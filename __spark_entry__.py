@@ -3274,6 +3274,18 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_trend(spark, sf_dir):
+    """Per-type least-squares hourly-volume trend: integer hour index
+    rebased to the frame's first bucket (1-row broadcast min), exact
+    integer slope numerator/denominator, sign separate, ONE round-6
+    division; single-hour types dropped (zero denominator)."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        trend_slope,
+    )
+
+    return trend_slope(_t(spark, sf_dir, "events"))
+
+
 def q_events_correlation(spark, sf_dir):
     """Pairwise temporal correlation of per-type hourly volumes over
     the common bucket universe: exact-integer Pearson identity
@@ -3537,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": q_events_burstiness,
         "events_entropy": q_events_entropy,
         "events_correlation": q_events_correlation,
+        "events_trend": q_events_trend,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
@@ -7150,6 +7163,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Trend slope: rebased integer hour index, exact-integer LSQ
+        # identity, one round-6 division (see q_events_trend).
+        "events_trend": """
+            WITH c AS (
+              SELECT event_type AS g,
+                     cast(epoch_us(date_trunc('hour', ts)) // 3600000000
+                          AS bigint) AS h,
+                     cast(count(*) AS bigint) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT cast(min(h) AS bigint) AS h0 FROM c),
+            r AS (SELECT g, h - h0 AS t, y FROM c CROSS JOIN b),
+            a AS (
+              SELECT g, cast(count(*) AS bigint) AS n,
+                     cast(sum(t) AS bigint) AS st,
+                     cast(sum(t * t) AS bigint) AS st2,
+                     cast(sum(y) AS bigint) AS sy,
+                     cast(sum(t * y) AS bigint) AS sty
+              FROM r GROUP BY g
+            )
+            SELECT g AS event_type, n AS n_buckets,
+                   cast(sign(n * sty - st * sy) AS int) AS direction,
+                   round((n * sty - st * sy) / (n * st2 - st * st), 6) AS slope
+            FROM a WHERE n * st2 - st * st > 0
         """,
         # Temporal correlation: exact-integer Pearson identity over the
         # common hourly bucket universe, sign separate, one round-6

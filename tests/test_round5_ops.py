@@ -611,3 +611,40 @@ class TestCorrelatedSeries:
         assert len(got) == 1 and got[0].n_shared == 2
         with pytest.raises(ValueError):
             correlated_series(ev, min_overlap=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import trend_slope
+
+
+class TestTrendSlope:
+    def _ev(self, spark, series):
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for etype, counts in series.items():
+            for h, c in enumerate(counts):
+                for i in range(c):
+                    rows.append(
+                        (f"{etype}{h}{i}", etype,
+                         base + datetime.timedelta(hours=h, minutes=i))
+                    )
+        return spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+
+    def test_ramp_decline_flat_exact(self, spark):
+        ev = self._ev(spark, {
+            "up": [1, 2, 3, 4], "down": [4, 3, 2, 1],
+            "flat": [5, 5], "once": [7],
+        })
+        got = {r.event_type: r for r in trend_slope(ev).collect()}
+        # single-hour type has zero denominator: dropped
+        assert set(got) == {"up", "down", "flat"}
+        assert (got["up"].direction, got["up"].slope) == (1, 1.0)
+        assert (got["down"].direction, got["down"].slope) == (-1, -1.0)
+        assert (got["flat"].direction, got["flat"].slope) == (0, 0.0)
+        assert got["up"].n_buckets == 4
+
+    def test_gap_uses_true_hour_distance(self, spark):
+        # active hours 0 and 2 (hour 1 silent): slope spans 2 hours,
+        # (3-1)/2 = 1.0 — not the 2.0 a dense index would fake.
+        ev = self._ev(spark, {"g": [1, 0, 3]})
+        (row,) = trend_slope(ev).collect()
+        assert (row.n_buckets, row.slope) == (2, 1.0)

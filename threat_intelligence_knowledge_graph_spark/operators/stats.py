@@ -478,3 +478,61 @@ def correlated_series(
             F.round((num * num) / (vara * varb), 6).alias("r2"),
         )
     )
+
+
+def trend_slope(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-group least-squares trend of hourly volumes — the
+    ramping-up/winding-down triage that completes the timeline family
+    (CUSUM: sustained shift; Fano: dispersion; recency: still hot;
+    this: monotone drift): slope in events/hour/hour over the group's
+    observed hourly buckets.
+
+    Determinism: t is the integer hour index REBASED to the frame's
+    first bucket (one 1-row broadcast min — rebasing keeps n·Σt² far
+    from int64 even at years of span), y the exact integer bucket
+    count, and ``slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)`` has exact
+    integer numerator and denominator — ONE round-6 division, sign
+    reported separately. Groups observed in < 2 distinct hours have a
+    zero denominator (no defined trend) and are dropped, never faked.
+    Like ``burstiness_fano``, the regression runs over OBSERVED
+    buckets (an indicator absent for a year then returning is
+    recency/CUSUM territory, not a slope).
+
+    Scale shape: one (group, hour) map-side-combining count, one 1-row
+    min broadcast, one dimension-sized per-group aggregate — no
+    windows, no Python.
+    """
+    hour_idx = (
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col).cast("timestamp")))
+        / F.lit(3600)
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(group_col).alias("g"), hour_idx.alias("h"))
+        .agg(F.count("*").alias("y"))
+    )
+    base = counts.agg(F.min("h").alias("_h0"))
+    rebased = counts.crossJoin(F.broadcast(base)).select(
+        "g", (F.col("h") - F.col("_h0")).alias("t"), "y"
+    )
+    agg = rebased.groupBy("g").agg(
+        F.count("*").alias("_n"),
+        F.sum("t").alias("_st"),
+        F.sum(F.col("t") * F.col("t")).alias("_st2"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("t") * F.col("y")).alias("_sty"),
+    )
+    num = F.col("_n") * F.col("_sty") - F.col("_st") * F.col("_sy")
+    den = F.col("_n") * F.col("_st2") - F.col("_st") * F.col("_st")
+    return (
+        agg.filter(den > 0)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("_n").cast("long").alias("n_buckets"),
+            F.signum(num).cast("int").alias("direction"),
+            F.round(num / den, 6).alias("slope"),
+        )
+    )
