@@ -1,0 +1,114 @@
+"""spark-submit entry point: timeline analytics over an event/observation log.
+
+The reference stores observations in Neo4j and leaves timeline triage
+to the analyst's browser; this CLI is the distributed version of that
+triage loop over any parquet event log with columns
+(event_id, ts, user_id, event_type, ...) — each report is one of the
+oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
+
+- ``--report beacons``     inter-arrival cv² per (user, type) channel
+                           (clocked C2 ≈ 0, human ≳ 1)
+- ``--report entropy``     per-user event-type Shannon entropy
+                           (scripted ≈ 0, organic near ln k)
+- ``--report fano``        per-type burstiness (Fano factor of hourly
+                           volumes)
+- ``--report trend``       per-type hourly-volume LSQ slope
+                           (ramping up / winding down)
+- ``--report correlation`` pairwise r² of per-type hourly series
+                           (campaign-linked infrastructure)
+- ``--report cusum``       integer-exact CUSUM level-shift detection
+- ``--report mad``         robust MAD point outliers on ``value``
+- ``--report markov``      first-order event-type transition model
+- ``--report sequences``   top consecutive event-type trigrams
+- ``--report funnel``      ordered progression through --steps a,b,c
+- ``--report retention``   weekly cohort retention
+
+Invocation::
+
+    python jobs/analyze_events.py --input events.parquet --report beacons
+    python jobs/analyze_events.py --input events.parquet \
+        --report funnel --steps login,recon,exfil
+
+``--max-rows`` bounds what is printed (default 50); ``--output`` writes
+the full result as parquet instead (the 100 TB path — the driver never
+collects the result set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from threat_intelligence_knowledge_graph_spark.session import build_session
+
+REPORTS = (
+    "beacons", "entropy", "fano", "trend", "correlation",
+    "cusum", "mad", "markov", "sequences", "funnel", "retention",
+)
+
+
+def _build(report: str, events, steps: list[str]):
+    from threat_intelligence_knowledge_graph_spark.operators import anomaly, stats
+
+    if report == "beacons":
+        return anomaly.beacon_regularity(events)
+    if report == "entropy":
+        return stats.event_entropy(events)
+    if report == "fano":
+        return stats.burstiness_fano(events)
+    if report == "trend":
+        return stats.trend_slope(events)
+    if report == "correlation":
+        return stats.correlated_series(events)
+    if report == "cusum":
+        return anomaly.cusum_level_shift(events)
+    if report == "mad":
+        return anomaly.mad_outliers(events)
+    if report == "markov":
+        return stats.markov_transitions(events)
+    if report == "sequences":
+        return stats.top_event_sequences(events)
+    if report == "funnel":
+        if not steps:
+            raise SystemExit("--report funnel requires --steps a,b,c")
+        return stats.funnel(events, steps)
+    if report == "retention":
+        return stats.retention_cohorts(events)
+    raise SystemExit(f"unknown report {report!r} (choose from {REPORTS})")
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True, help="event-log parquet path")
+    ap.add_argument("--report", required=True, choices=REPORTS)
+    ap.add_argument("--steps", default=None,
+                    help="funnel: comma-separated ordered step names")
+    ap.add_argument("--max-rows", type=int, default=50)
+    ap.add_argument("--output", help="write result parquet here instead of printing")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    own_session = spark is None
+    if own_session:
+        spark = build_session("tikg-analyze", master=args.master)
+    try:
+        events = spark.read.parquet(args.input)
+        df = _build(
+            args.report, events, args.steps.split(",") if args.steps else []
+        )
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        else:
+            df.show(args.max_rows, truncate=False)
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -648,3 +648,58 @@ class TestTrendSlope:
         ev = self._ev(spark, {"g": [1, 0, 3]})
         (row,) = trend_slope(ev).collect()
         assert (row.n_buckets, row.slope) == (2, 1.0)
+
+
+class TestAnalyzeEventsCli:
+    def _mod(self):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "analyze_events",
+            _os.path.join(
+                _os.path.dirname(__file__), "..", "jobs", "analyze_events.py"
+            ),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_reports_print_and_write(self, spark, tmp_path, capsys):
+        ae = self._mod()
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (f"e{h}{i}", "u1", "dns",
+             base + datetime.timedelta(hours=h, minutes=i), float(i))
+            for h in range(4)
+            for i in range(h + 1)
+        ]
+        src = str(tmp_path / "events.parquet")
+        spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "value"]
+        ).write.parquet(src)
+
+        rc = ae.main(["--input", src, "--report", "trend"], spark=spark)
+        out = capsys.readouterr().out
+        assert rc == 0 and "slope" in out and "dns" in out
+        # session passed in is not stopped
+        assert spark.sql("SELECT 1").collect()[0][0] == 1
+
+        dst = str(tmp_path / "out.parquet")
+        rc = ae.main(
+            ["--input", src, "--report", "entropy", "--output", dst],
+            spark=spark,
+        )
+        assert rc == 0
+        got = spark.read.parquet(dst).collect()
+        assert len(got) == 1 and got[0].entropy == 0.0  # single state
+
+    def test_funnel_requires_steps(self, spark, tmp_path):
+        ae = self._mod()
+        src = str(tmp_path / "ev.parquet")
+        spark.createDataFrame(
+            [("e1", "u", "a", datetime.datetime(2024, 1, 1))],
+            ["event_id", "user_id", "event_type", "ts"],
+        ).write.parquet(src)
+        with pytest.raises(SystemExit):
+            ae.main(["--input", src, "--report", "funnel"], spark=spark)
