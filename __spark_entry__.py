@@ -3274,6 +3274,21 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_novelty(spark, sf_dir):
+    """Per-day first-seen novelty curve over (user, type) channel ids
+    (higher cardinality than the 5 event types, so the curve decays
+    non-trivially): epoch-integer day buckets, n_new = channels whose
+    min-bucket is this bucket, exact integers + ONE round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        novelty_curve,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat_ws("|", "user_id", "event_type").alias("chan"), "ts"
+    )
+    return novelty_curve(ev, group_col="chan")
+
+
 def q_events_trend(spark, sf_dir):
     """Per-type least-squares hourly-volume trend: integer hour index
     rebased to the frame's first bucket (1-row broadcast min), exact
@@ -3550,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy": q_events_entropy,
         "events_correlation": q_events_correlation,
         "events_trend": q_events_trend,
+        "events_novelty": q_events_novelty,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
@@ -7163,6 +7179,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Novelty curve: epoch-integer day buckets, first-seen min,
+        # bucket-keyed counts, one round-6 division (see
+        # q_events_novelty).
+        "events_novelty": """
+            WITH gb AS (
+              SELECT DISTINCT user_id || '|' || event_type AS g,
+                     cast((epoch_us(ts) // 1000000) // 86400 AS bigint) AS w
+              FROM events WHERE ts IS NOT NULL
+            ),
+            act AS (
+              SELECT w, cast(count(*) AS bigint) AS n_active FROM gb GROUP BY w
+            ),
+            fs AS (SELECT g, min(w) AS w FROM gb GROUP BY g),
+            nw AS (
+              SELECT w, cast(count(*) AS bigint) AS n_new FROM fs GROUP BY w
+            )
+            SELECT act.w AS bucket,
+                   cast(coalesce(nw.n_new, 0) AS bigint) AS n_new,
+                   act.n_active,
+                   round(coalesce(nw.n_new, 0) / act.n_active, 6) AS pct_new
+            FROM act LEFT JOIN nw ON act.w = nw.w
         """,
         # Trend slope: rebased integer hour index, exact-integer LSQ
         # identity, one round-6 division (see q_events_trend).

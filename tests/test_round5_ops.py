@@ -703,3 +703,39 @@ class TestAnalyzeEventsCli:
         ).write.parquet(src)
         with pytest.raises(SystemExit):
             ae.main(["--input", src, "--report", "funnel"], spark=spark)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import novelty_curve
+
+
+class TestNoveltyCurve:
+    def test_first_seen_counts_and_zero_novelty_day(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        day = datetime.timedelta(days=1)
+        rows = [
+            ("e1", "a", base),            # day 0: a, b new
+            ("e2", "b", base),
+            ("e3", "a", base + day),      # day 1: only re-sightings
+            ("e4", "b", base + day),
+            ("e5", "c", base + 2 * day),  # day 2: c new, a active
+            ("e6", "a", base + 2 * day),
+            ("e7", "a", base + 2 * day),  # dup within (group, day)
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+        got = {r.bucket: r for r in novelty_curve(ev).collect()}
+        d0 = min(got)
+        assert (got[d0].n_new, got[d0].n_active, got[d0].pct_new) == (2, 2, 1.0)
+        assert (got[d0 + 1].n_new, got[d0 + 1].n_active) == (0, 2)
+        assert got[d0 + 1].pct_new == 0.0
+        assert (got[d0 + 2].n_new, got[d0 + 2].n_active) == (1, 2)
+        assert got[d0 + 2].pct_new == 0.5
+
+    def test_null_ts_excluded_and_validation(self, spark):
+        ev = spark.createDataFrame(
+            [("e1", "a", datetime.datetime(2024, 1, 1)), ("e2", "b", None)],
+            ["event_id", "event_type", "ts"],
+        )
+        got = novelty_curve(ev).collect()
+        assert len(got) == 1 and got[0].n_new == 1
+        with pytest.raises(ValueError):
+            novelty_curve(ev, bucket_seconds=0)

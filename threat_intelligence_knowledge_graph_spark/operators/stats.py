@@ -536,3 +536,55 @@ def trend_slope(
             F.round(num / den, 6).alias("slope"),
         )
     )
+
+
+def novelty_curve(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """(bucket, n_new, n_active, pct_new): per-period count of groups
+    (indicators / entities / vocab items) seen for the FIRST time —
+    the novelty curve that tells a threat desk whether a campaign is
+    still expanding infrastructure, and a corpus pipeline whether a
+    crawl is still discovering new sources (flat n_new = the crawl is
+    re-reading itself; pair with ``vocab_growth`` for the token-level
+    view).
+
+    Epoch-integer bucketing (``floor(epoch / bucket_seconds)``, the
+    ``retention_cohorts`` discipline — engine/timezone portable);
+    n_new is the count of groups whose min-bucket is this bucket,
+    n_active the distinct groups observed in it, pct_new one round-6
+    division of exact integers. Buckets with activity but no new
+    groups still appear (n_new 0) — absence of novelty IS the signal.
+
+    Scale shape: one (group, bucket) map-side-combining distinct, one
+    group-keyed min, two bucket-keyed counts joined on the bucket key
+    (dimension-sized) — no windows, no Python.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    gb = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("w"),
+        )
+        .distinct()
+    )
+    active = gb.groupBy("w").agg(F.count("*").alias("n_active"))
+    first = gb.groupBy("g").agg(F.min("w").alias("w"))
+    new = first.groupBy("w").agg(F.count("*").alias("n_new"))
+    return (
+        active.join(new, "w", "left")
+        .select(
+            F.col("w").alias("bucket"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_active"), 6
+            ).alias("pct_new"),
+        )
+    )
