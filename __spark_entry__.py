@@ -3274,6 +3274,18 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_autocorr(spark, sf_dir):
+    """Per-type hourly-volume autocorrelation at lag 24 (diurnal-cycle
+    detector): squared-Pearson integer identity over the paired sample
+    {(x_t, x_{t+24})} for co-observed hours, sign separate, ONE round-6
+    division; zero-variance sides and short-overlap types dropped."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        autocorrelation,
+    )
+
+    return autocorrelation(_t(spark, sf_dir, "events"), lag_hours=24)
+
+
 def q_events_novelty(spark, sf_dir):
     """Per-day first-seen novelty curve over (user, type) channel ids
     (higher cardinality than the 5 event types, so the curve decays
@@ -3566,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_correlation": q_events_correlation,
         "events_trend": q_events_trend,
         "events_novelty": q_events_novelty,
+        "events_autocorr": q_events_autocorr,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
@@ -7179,6 +7192,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Autocorrelation: lag folded into the (group, hour) join key,
+        # paired-sample integer Pearson identity (see q_events_autocorr).
+        "events_autocorr": """
+            WITH c AS (
+              SELECT event_type AS g,
+                     cast(epoch_us(date_trunc('hour', ts)) // 3600000000
+                          AS bigint) AS h,
+                     cast(count(*) AS bigint) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a.g, a.x AS x, b.x AS y
+              FROM c a JOIN c b ON a.g = b.g AND b.h = a.h + 24
+            ),
+            a AS (
+              SELECT g, cast(count(*) AS bigint) AS n,
+                     cast(sum(x) AS bigint) AS sx,
+                     cast(sum(y) AS bigint) AS sy,
+                     cast(sum(x * x) AS bigint) AS sx2,
+                     cast(sum(y * y) AS bigint) AS sy2,
+                     cast(sum(x * y) AS bigint) AS sxy
+              FROM p GROUP BY g HAVING count(*) >= 3
+            )
+            SELECT g AS event_type, n AS n_pairs,
+                   cast(sign(n * sxy - sx * sy) AS int) AS direction,
+                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)),
+                         6) AS r2
+            FROM a
+            WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
         """,
         # Novelty curve: epoch-integer day buckets, first-seen min,
         # bucket-keyed counts, one round-6 division (see

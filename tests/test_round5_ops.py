@@ -739,3 +739,47 @@ class TestNoveltyCurve:
         assert len(got) == 1 and got[0].n_new == 1
         with pytest.raises(ValueError):
             novelty_curve(ev, bucket_seconds=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    autocorrelation,
+)
+
+
+class TestAutocorrelation:
+    def _ev(self, spark, series):
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for etype, counts in series.items():
+            for h, c in enumerate(counts):
+                for i in range(c):
+                    rows.append(
+                        (f"{etype}{h}{i}", etype,
+                         base + datetime.timedelta(hours=h, minutes=i))
+                    )
+        return spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+
+    def test_cycle_detected_at_its_period(self, spark):
+        # period-2 cycle 1,5,1,5,...: lag 2 aligns peaks (r2=1, +1),
+        # lag 1 anti-aligns (r2=1, -1)
+        cyc = {"c": [1, 5] * 4}
+        ev = self._ev(spark, cyc)
+        (r2,) = autocorrelation(ev, lag_hours=2).collect()
+        assert (r2.direction, r2.r2, r2.n_pairs) == (1, 1.0, 6)
+        (r1,) = autocorrelation(ev, lag_hours=1).collect()
+        assert (r1.direction, r1.r2) == (-1, 1.0)
+
+    def test_constant_series_dropped_and_min_pairs(self, spark):
+        ev = self._ev(spark, {"flat": [3] * 6, "c": [1, 5] * 3})
+        got = {r.event_type for r in autocorrelation(ev, lag_hours=2).collect()}
+        assert got == {"c"}  # zero-variance flat series dropped
+        short = self._ev(spark, {"s": [1, 5, 1, 5]})  # 2 pairs at lag 2
+        assert autocorrelation(short, lag_hours=2, min_pairs=3).count() == 0
+        assert autocorrelation(short, lag_hours=2, min_pairs=2).count() == 1
+
+    def test_validation(self, spark):
+        ev = self._ev(spark, {"a": [1, 2]})
+        with pytest.raises(ValueError):
+            autocorrelation(ev, lag_hours=0)
+        with pytest.raises(ValueError):
+            autocorrelation(ev, min_pairs=1)

@@ -588,3 +588,69 @@ def novelty_curve(
             ).alias("pct_new"),
         )
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    lag_hours: int = 24,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Per-group autocorrelation of hourly volumes at a fixed lag —
+    the cycle detector that completes the timeline family: a diurnal
+    workload shows r² ≈ 1 at lag 24, a weekly one at lag 168, and a
+    beacon whose period ISN'T a divisor of the lag shows nothing (the
+    inter-arrival cv² in ``beacon_regularity`` is the period-free
+    complement).
+
+    Statistic: the squared-Pearson integer identity (the
+    ``correlated_series`` discipline — no sqrt, sign separate) over
+    the PAIRED sample {(x_t, x_{t+lag})} for hours where both buckets
+    are observed; groups with < ``min_pairs`` pairs or a zero-variance
+    side are dropped, never faked.
+
+    Scale shape: one (group, hour) map-side-combining count, one
+    (group, hour)-keyed self-join with the lag folded into the join
+    key (never cartesian), one dimension-sized per-group aggregate.
+    """
+    if lag_hours < 1:
+        raise ValueError("lag_hours must be >= 1")
+    if min_pairs < 2:
+        raise ValueError("min_pairs must be >= 2")
+    hour_idx = (
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col).cast("timestamp")))
+        / F.lit(3600)
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(group_col).alias("g"), hour_idx.alias("h"))
+        .agg(F.count("*").alias("x"))
+    )
+    lead = counts.select(
+        "g", (F.col("h") - F.lit(lag_hours)).alias("h"), F.col("x").alias("y")
+    )
+    agg = (
+        counts.join(lead, ["g", "h"])
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("x").alias("_sx"),
+            F.sum("y").alias("_sy"),
+            F.sum(F.col("x") * F.col("x")).alias("_sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("_sy2"),
+            F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        )
+        .filter(F.col("_n") >= min_pairs)
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    vary = F.col("_n") * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    return (
+        agg.filter((varx > 0) & (vary > 0))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("_n").cast("long").alias("n_pairs"),
+            F.signum(num).cast("int").alias("direction"),
+            F.round((num * num) / (varx * vary), 6).alias("r2"),
+        )
+    )
