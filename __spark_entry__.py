@@ -3274,6 +3274,21 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_churn(spark, sf_dir):
+    """Day-over-day churn of the active (user, type) channel set:
+    exact-integer intersection/union counts from a (group, bucket)
+    keyed self-join with the period folded into the key, ONE round-6
+    division per statistic; gap days emit no row."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        set_churn,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat_ws("|", "user_id", "event_type").alias("chan"), "ts"
+    )
+    return set_churn(ev, group_col="chan")
+
+
 def q_events_autocorr(spark, sf_dir):
     """Per-type hourly-volume autocorrelation at lag 24 (diurnal-cycle
     detector): squared-Pearson integer identity over the paired sample
@@ -3579,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "events_novelty": q_events_novelty,
         "events_autocorr": q_events_autocorr,
+        "events_churn": q_events_churn,
         "events_beacons": q_events_beacons,
         "corpus_source_gini": q_corpus_source_gini,
         "events_top_sequences": q_events_top_sequences,
@@ -7192,6 +7208,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
             FROM a
+        """,
+        # Set churn: period folded into the (group, bucket) join key,
+        # exact integer set sizes, one round-6 division each (see
+        # q_events_churn).
+        "events_churn": """
+            WITH gb AS (
+              SELECT DISTINCT user_id || '|' || event_type AS g,
+                     cast((epoch_us(ts) // 1000000) // 86400 AS bigint) AS w
+              FROM events WHERE ts IS NOT NULL
+            ),
+            s AS (SELECT w, cast(count(*) AS bigint) AS n FROM gb GROUP BY w),
+            com AS (
+              SELECT a.w, cast(count(*) AS bigint) AS n_common
+              FROM gb a JOIN gb b ON a.g = b.g AND b.w = a.w - 1
+              GROUP BY a.w
+            )
+            SELECT cur.w AS bucket, cur.n AS n_cur, prv.n AS n_prev,
+                   cast(coalesce(com.n_common, 0) AS bigint) AS n_common,
+                   round(coalesce(com.n_common, 0)
+                         / (cur.n + prv.n - coalesce(com.n_common, 0)), 6)
+                     AS jaccard,
+                   round(1 - coalesce(com.n_common, 0)
+                         / (cur.n + prv.n - coalesce(com.n_common, 0)), 6)
+                     AS churn
+            FROM s cur
+            JOIN s prv ON prv.w = cur.w - 1
+            LEFT JOIN com ON com.w = cur.w
         """,
         # Autocorrelation: lag folded into the (group, hour) join key,
         # paired-sample integer Pearson identity (see q_events_autocorr).

@@ -783,3 +783,53 @@ class TestAutocorrelation:
             autocorrelation(ev, lag_hours=0)
         with pytest.raises(ValueError):
             autocorrelation(ev, min_pairs=1)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import set_churn
+
+
+class TestSetChurn:
+    def test_hand_computed_day_over_day(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        day = datetime.timedelta(days=1)
+        rows = (
+            [("a", base), ("b", base)]                       # day 0: {a,b}
+            + [("b", base + day), ("c", base + day),
+               ("b", base + day)]                            # day 1: {b,c}
+            + [("x", base + 3 * day)]                        # day 3 (gap at 2)
+        )
+        ev = spark.createDataFrame(
+            [(f"e{i}", g, t) for i, (g, t) in enumerate(rows)],
+            ["event_id", "event_type", "ts"],
+        )
+        got = {r.bucket: r for r in set_churn(ev).collect()}
+        d0 = min(
+            r.bucket - 1 for r in got.values()
+        )  # day 1 is the first emitted bucket
+        # day1 vs day0: common {b}=1, union 3 -> jaccard 1/3
+        r1 = got[d0 + 1]
+        assert (r1.n_cur, r1.n_prev, r1.n_common) == (2, 2, 1)
+        assert r1.jaccard == round(1 / 3, 6)
+        assert r1.churn == round(1 - 1 / 3, 6)
+        # day 3 has no observed day 2: no row; day 2 empty: no row
+        assert set(got) == {d0 + 1}
+
+    def test_identical_and_disjoint_days(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        day = datetime.timedelta(days=1)
+        same = [("a", base), ("a", base + day)]
+        ev = spark.createDataFrame(
+            [(f"s{i}", g, t) for i, (g, t) in enumerate(same)],
+            ["event_id", "event_type", "ts"],
+        )
+        (r,) = set_churn(ev).collect()
+        assert (r.jaccard, r.churn) == (1.0, 0.0)
+        disj = [("a", base), ("b", base + day)]
+        ev2 = spark.createDataFrame(
+            [(f"d{i}", g, t) for i, (g, t) in enumerate(disj)],
+            ["event_id", "event_type", "ts"],
+        )
+        (r2,) = set_churn(ev2).collect()
+        assert (r2.n_common, r2.jaccard, r2.churn) == (0, 0.0, 1.0)
+        with pytest.raises(ValueError):
+            set_churn(ev2, bucket_seconds=-1)

@@ -654,3 +654,62 @@ def autocorrelation(
             F.round((num * num) / (varx * vary), 6).alias("r2"),
         )
     )
+
+
+def set_churn(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """(bucket, n_cur, n_prev, n_common, jaccard, churn): period-over-
+    period stability of the ACTIVE-GROUP SET — which fraction of
+    yesterday's indicators are still firing today (campaign turnover /
+    fast-flux rotation), or of yesterday's crawl sources still
+    producing documents. ``jaccard = |cur ∩ prev| / |cur ∪ prev|``,
+    ``churn = 1 − jaccard`` — both from exact integer counts, ONE
+    round-6 division each. Only buckets with an observed PREVIOUS
+    bucket are emitted (a gap day has no defined day-over-day churn).
+
+    Scale shape: one (group, bucket) map-side-combining distinct, one
+    (group, bucket)-keyed self-join with the period folded into the
+    join key (the ``autocorrelation`` discipline), two calendar-sized
+    bucket aggs joined on the bucket key.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    gb = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("w"),
+        )
+        .distinct()
+    )
+    sizes = gb.groupBy("w").agg(F.count("*").alias("n"))
+    prev = gb.select("g", (F.col("w") + F.lit(1)).alias("w"))
+    common = gb.join(prev, ["g", "w"]).groupBy("w").agg(
+        F.count("*").alias("n_common")
+    )
+    cur_sz = sizes.select(F.col("w"), F.col("n").alias("n_cur"))
+    prev_sz = sizes.select((F.col("w") + F.lit(1)).alias("w"), F.col("n").alias("n_prev"))
+    j = F.col("n_common") / (F.col("n_cur") + F.col("n_prev") - F.col("n_common"))
+    return (
+        cur_sz.join(prev_sz, "w")
+        .join(common, "w", "left")
+        .select(
+            F.col("w").alias("bucket"),
+            F.col("n_cur").cast("long"),
+            F.col("n_prev").cast("long"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        )
+        .select(
+            "bucket",
+            "n_cur",
+            "n_prev",
+            "n_common",
+            F.round(j, 6).alias("jaccard"),
+            F.round(F.lit(1) - j, 6).alias("churn"),
+        )
+    )
