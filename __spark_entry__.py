@@ -1836,6 +1836,18 @@ _SYNTH_TRANSCRIPTS_SQL = """
 """
 
 
+def q_transcript_latency(spark, sf_dir):
+    """Role-handoff latency profile over the shared synthetic
+    transcripts (irregular-but-monotone ts grid): epoch-integer gaps
+    in turn_idx order, exact integer sums and max, ONE round-6 mean
+    division per (from_role, to_role) pair."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        response_latency,
+    )
+
+    return response_latency(_synth_transcripts(spark, sf_dir))
+
+
 def q_transcript_stats(spark, sf_dir):
     """Per-conversation transcript analytics (role mix, tool diversity,
     chars, duration, mean inter-turn gap, final role) over the
@@ -3549,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "transcript_stats": q_transcript_stats,
+        "transcript_latency": q_transcript_latency,
         "sft_pairs": q_sft_pairs,
         "conv_dedup_exact": q_conv_dedup_exact,
         "conv_near_dup": q_conv_near_dup,
@@ -5546,6 +5559,24 @@ def oracle_sql() -> dict[str, str]:
                     AND no_repeated_role AND tool_after_assistant
                     AND dense_turn_idx AND no_empty_text) AS is_valid
             FROM checks
+        """,
+        # Role-handoff latency: epoch-integer gaps over the turn order,
+        # integer sums/max, one round-6 mean (see q_transcript_latency).
+        "transcript_latency": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            t AS (
+              SELECT lag(role) OVER w AS from_role,
+                     role AS to_role,
+                     epoch - lag(epoch) OVER w AS gap
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT from_role, to_role,
+                   cast(count(*) AS bigint) AS n,
+                   round(sum(gap) / count(*), 6) AS mean_s,
+                   cast(max(gap) AS bigint) AS max_s
+            FROM t WHERE from_role IS NOT NULL AND gap IS NOT NULL
+            GROUP BY from_role, to_role
         """,
         "transcript_role_transitions": f"""
             WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),

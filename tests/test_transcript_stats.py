@@ -154,3 +154,45 @@ class TestSessionizeConversations:
         assert got == {1: 0, 2: 0, 3: 0}
         with _pytest.raises(ValueError, match="positive"):
             sessionize_conversations(self._df(spark, rows), gap_seconds=0)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+    response_latency,
+)
+
+
+class TestResponseLatency:
+    def test_hand_computed_pairs(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        s = lambda x: base + datetime.timedelta(seconds=x)  # noqa: E731
+        rows = [
+            ("c1", 1, "user", s(0)),
+            ("c1", 2, "assistant", s(5)),       # user->assistant 5s
+            ("c1", 3, "user", s(65)),           # assistant->user 60s
+            ("c1", 4, "assistant", s(80)),      # user->assistant 15s
+            ("c2", 1, "user", s(0)),
+            ("c2", 2, "assistant", s(25)),      # user->assistant 25s
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+        got = {(r.from_role, r.to_role): r for r in response_latency(df).collect()}
+        ua = got[("user", "assistant")]
+        assert (ua.n, ua.mean_s, ua.max_s) == (3, 15.0, 25)
+        au = got[("assistant", "user")]
+        assert (au.n, au.mean_s, au.max_s) == (1, 60.0, 60)
+        assert len(got) == 2  # no cross-conversation pair
+
+    def test_turn_order_not_row_order_and_null_ts(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("c", 2, "assistant", base + datetime.timedelta(seconds=9)),
+            ("c", 1, "user", base),              # rows out of order
+            ("c", 3, "tool", None),              # NULL ts pair excluded
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+        got = {(r.from_role, r.to_role): r for r in response_latency(df).collect()}
+        assert set(got) == {("user", "assistant")}
+        assert got[("user", "assistant")].mean_s == 9.0

@@ -138,3 +138,55 @@ def sessionize_conversations(
             F.col(conv_col).cast("string"), F.lit("#"), sess.cast("string")
         ).alias("session_id"),
     )
+
+
+def response_latency(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(from_role, to_role, n, mean_s, max_s): corpus-wide latency
+    profile of consecutive-turn role handoffs — how long the assistant
+    takes after a user turn, how long tool calls run before the
+    assistant consumes them. The SLA/regression view a serving team
+    watches, and a curation signal (user→assistant gaps of hours mark
+    resumed threads the sessionizer should split — tune ``gap_seconds``
+    from this table's tail).
+
+    Gaps are epoch-second integers over the ``turn_col`` order (the
+    ``conversation_stats`` discipline: turn order, not row order);
+    mean is ONE round-6 division of exact integer sums, max an exact
+    integer. Pairs with either ``ts`` NULL are excluded. Same single
+    conv_id exchange as ``role_transitions``; the (from, to) aggregate
+    reduces map-side to ≤ |roles|² rows.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    pairs = (
+        turns.select(
+            F.col(conv_col),
+            F.col(turn_col),
+            F.col(role_col).alias("to_role"),
+            epoch.alias("_e"),
+        )
+        .withColumn("from_role", F.lag("to_role").over(w))
+        .withColumn("gap", F.col("_e") - F.lag("_e").over(w))
+        .filter(F.col("from_role").isNotNull() & F.col("gap").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_role", "to_role")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("gap").alias("_sg"),
+            F.max("gap").alias("_mx"),
+        )
+        .select(
+            "from_role",
+            "to_role",
+            F.col("_n").cast("long").alias("n"),
+            F.round(F.col("_sg") / F.col("_n"), 6).alias("mean_s"),
+            F.col("_mx").cast("long").alias("max_s"),
+        )
+    )
