@@ -16,6 +16,10 @@ oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
                            (ramping up / winding down)
 - ``--report correlation`` pairwise r² of per-type hourly series
                            (campaign-linked infrastructure)
+- ``--report autocorr``    per-type lag-24 autocorrelation (diurnal
+                           cycles; ``--lag`` overrides)
+- ``--report novelty``     per-day first-seen indicator counts
+- ``--report churn``       day-over-day active-set Jaccard churn
 - ``--report cusum``       integer-exact CUSUM level-shift detection
 - ``--report mad``         robust MAD point outliers on ``value``
 - ``--report markov``      first-order event-type transition model
@@ -45,12 +49,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from threat_intelligence_knowledge_graph_spark.session import build_session
 
 REPORTS = (
-    "beacons", "entropy", "fano", "trend", "correlation",
-    "cusum", "mad", "markov", "sequences", "funnel", "retention",
+    "beacons", "entropy", "fano", "trend", "correlation", "autocorr",
+    "novelty", "churn", "cusum", "mad", "markov", "sequences",
+    "funnel", "retention",
 )
 
 
-def _build(report: str, events, steps: list[str]):
+def _build(report: str, events, steps: list[str], lag: int = 24):
     from threat_intelligence_knowledge_graph_spark.operators import anomaly, stats
 
     if report == "beacons":
@@ -63,6 +68,12 @@ def _build(report: str, events, steps: list[str]):
         return stats.trend_slope(events)
     if report == "correlation":
         return stats.correlated_series(events)
+    if report == "autocorr":
+        return stats.autocorrelation(events, lag_hours=lag)
+    if report == "novelty":
+        return stats.novelty_curve(events)
+    if report == "churn":
+        return stats.set_churn(events)
     if report == "cusum":
         return anomaly.cusum_level_shift(events)
     if report == "mad":
@@ -86,6 +97,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--report", required=True, choices=REPORTS)
     ap.add_argument("--steps", default=None,
                     help="funnel: comma-separated ordered step names")
+    ap.add_argument("--lag", type=int, default=24,
+                    help="autocorr: lag in hours (default 24)")
     ap.add_argument("--max-rows", type=int, default=50)
     ap.add_argument("--output", help="write result parquet here instead of printing")
     ap.add_argument("--master", default=None)
@@ -97,7 +110,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     try:
         events = spark.read.parquet(args.input)
         df = _build(
-            args.report, events, args.steps.split(",") if args.steps else []
+            args.report, events,
+            args.steps.split(",") if args.steps else [], lag=args.lag,
         )
         if args.output:
             df.write.mode("overwrite").parquet(args.output)

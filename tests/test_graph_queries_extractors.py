@@ -767,3 +767,25 @@ class TestRound5AnalystQueries:
         assert [(r.a, r.b, r.direction, r.r2) for r in got] == [
             ("d1", "d2", 1, 1.0)
         ]
+
+    def test_ramping_indicators(self, spark, warehouse):
+        import datetime
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            ramping_indicators,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        series = {"up": [1, 2, 3, 4], "steep": [1, 3, 5, 7], "down": [4, 3, 2, 1]}
+        rows = [
+            (f"{t}{h}{i}", t, base + datetime.timedelta(hours=h, minutes=i))
+            for t, cs in series.items()
+            for h, c in enumerate(cs)
+            for i in range(c)
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+        got = ramping_indicators(spark, ev, k=5).collect()
+        # declining indicator gated out; steepest ramp first
+        assert [(r.event_type, r.slope) for r in got] == [
+            ("steep", 2.0), ("up", 1.0)
+        ]

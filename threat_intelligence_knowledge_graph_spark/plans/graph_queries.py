@@ -716,6 +716,23 @@ def linked_indicators(
     )
 
 
+def ramping_indicators(
+    spark: SparkSession, events: DataFrame, k: int = 20
+) -> DataFrame:
+    """Escalation triage: the k indicators whose hourly volume is
+    ramping up fastest (positive LSQ slope, steepest first, id
+    tiebreak) — the "what is getting worse right now" complement to
+    recency-decay's "what is still hot"."""
+    from ..operators.stats import trend_slope
+
+    return (
+        trend_slope(events)
+        .filter(F.col("direction") == 1)
+        .orderBy(F.col("slope").desc(), "event_type")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
