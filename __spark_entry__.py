@@ -2518,6 +2518,23 @@ def _planted_containment_docs(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplicate matrix over documents ∪ a planted
+    'mirror' source that re-publishes every 7th doc verbatim: md5
+    content identity, scan-side per-source distinct, ONE hash-keyed
+    self-join, exact-integer shares (round-6)."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        source_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mirror = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(F.lit("zz_mirror").alias("source"), "text")
+    )
+    return source_overlap(d.select("source", "text").unionByName(mirror))
+
+
 def q_ngram_containment(spark, sf_dir):
     """Asymmetric n-gram containment over the planted quote-inclusion
     corpus: every small doc sits verbatim inside its big sibling
@@ -3504,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "source_overlap": q_source_overlap,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "canonical_map": q_canonical_map,
@@ -5867,6 +5885,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Exact n-gram Jaccard: identical cycles → jaccard exactly 1.0;
         # swapped families → 1/7 < 0.5, excluded by the exact verifier.
+        # Source overlap: identical mirror construction + md5 identity +
+        # hash-keyed self-join (see q_source_overlap).
+        "source_overlap": """
+            WITH docs AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'zz_mirror' AS source, text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            sh AS (SELECT DISTINCT source AS s, md5(text) AS h FROM docs),
+            sz AS (SELECT s, cast(count(*) AS bigint) AS n FROM sh GROUP BY s),
+            com AS (
+              SELECT a.s AS src_a, b.s AS src_b,
+                     cast(count(*) AS bigint) AS n_common
+              FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+              GROUP BY 1, 2
+            )
+            SELECT com.src_a, com.src_b, com.n_common,
+                   round(com.n_common / za.n, 6) AS share_a,
+                   round(com.n_common / zb.n, 6) AS share_b
+            FROM com
+            JOIN sz za ON za.s = com.src_a
+            JOIN sz zb ON zb.s = com.src_b
+        """,
         # Containment: analytic planted corpus — every non-k%3 small doc
         # sits verbatim in its big sibling: inter 4, C(A→B) 4/4 = 1.0,
         # C(B→A) 4/10 = 0.4 (see q_ngram_containment).

@@ -833,3 +833,32 @@ class TestSetChurn:
         assert (r2.n_common, r2.jaccard, r2.churn) == (0, 0.0, 1.0)
         with pytest.raises(ValueError):
             set_churn(ev2, bucket_seconds=-1)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.dedup import source_overlap
+
+
+class TestSourceOverlap:
+    def test_mirror_shares_and_no_overlap_absent(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("A", "d1"), ("A", "d2"), ("A", "d3"), ("A", "d4"),
+                ("B", "d1"), ("B", "d2"),          # B: 100% inside A
+                ("C", "zz"),                        # C: disjoint
+                ("A", "d1"),                        # within-source dup collapses
+            ],
+            ["source", "text"],
+        )
+        got = {(r.src_a, r.src_b): r for r in source_overlap(docs).collect()}
+        assert set(got) == {("A", "B")}  # C emits no row
+        r = got[("A", "B")]
+        assert r.n_common == 2
+        assert r.share_a == 0.5      # 2 of A's 4 distinct docs
+        assert r.share_b == 1.0      # all of B is a mirror
+
+    def test_pair_order_pinned_by_source_name(self, spark):
+        docs = spark.createDataFrame(
+            [("zeta", "x"), ("alpha", "x")], ["source", "text"]
+        )
+        (r,) = source_overlap(docs).collect()
+        assert (r.src_a, r.src_b) == ("alpha", "zeta")

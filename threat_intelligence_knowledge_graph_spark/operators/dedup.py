@@ -486,3 +486,60 @@ def containment_pairs(
         .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
     )
     return out, dropped
+
+
+def source_overlap(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src_a, src_b, n_common, share_a, share_b): cross-source
+    EXACT-duplicate matrix — how much of source A's distinct content
+    also appears in source B. The corpus-composition diagnostic that
+    catches mirror crawls ("drop B, it is 90% a re-crawl of A") before
+    mixture sampling double-counts them; on a CTI feed the same table
+    shows which vendors republish each other's reports.
+
+    Content identity is md5(text) (the exact-dedup key); per-source
+    hash sets are distinct'd scan-side, the pair intersection is ONE
+    hash-keyed self-join (a < b pinned by source name), and the shares
+    are exact-integer divisions (round-6) against each source's
+    distinct-hash count. Sources with no overlap emit no row.
+
+    Scale shape: one (source, hash) map-side distinct, one hash-keyed
+    self-join whose per-hash blowup is bounded by the number of
+    sources carrying that hash (≤ #sources, a dimension), one
+    dimension-sized agg + broadcast size joins.
+    """
+    sh = (
+        documents.select(
+            F.col(source_col).alias("s"), F.md5(F.col(text_col)).alias("h")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("s").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("s").alias("src_a"), "h")
+    b = sh.select(F.col("s").alias("src_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("s").alias("src_a"), F.col("n").alias("_na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("src_b"), F.col("n").alias("_nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") / F.col("_na"), 6).alias("share_a"),
+            F.round(F.col("n_common") / F.col("_nb"), 6).alias("share_b"),
+        )
+    )
