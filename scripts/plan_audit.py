@@ -513,6 +513,15 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    check(
+        # Source overlap: the pair intersection is a hash-keyed
+        # self-join; dimension-sized size tables join BROADCAST;
+        # JVM-side throughout.
+        "source_overlap_hash_keyed",
+        em.q_source_overlap(spark, sf_dir),
+        ["BroadcastHashJoin", "HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
