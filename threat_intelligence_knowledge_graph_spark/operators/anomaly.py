@@ -277,6 +277,10 @@ def beacon_regularity(
     if min_events < 2:
         raise ValueError("min_events must be >= 2 (need at least one gap)")
     epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    # NULL ts rows are excluded up front: engines disagree on NULL sort
+    # placement (Spark NULLS FIRST vs DuckDB NULLS LAST), so letting a
+    # NULL into the sequence would make the pairing engine-dependent.
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(group_col, state_col).orderBy(
         F.col(ts_col), F.col(id_col)
     )

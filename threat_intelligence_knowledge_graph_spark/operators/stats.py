@@ -378,6 +378,9 @@ def top_event_sequences(
         raise ValueError("n must be >= 2")
     if k < 1:
         raise ValueError("k must be >= 1")
+    # NULL ts excluded: engines disagree on NULL sort placement, which
+    # would make the sequence pairing engine-dependent.
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
     steps = [F.lag(state_col, n - 1 - j).over(w) for j in range(n)]
     seqs = (
@@ -432,6 +435,9 @@ def correlated_series(
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
     hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    # NULL ts would form a NULL bucket that Spark's distinct keeps
+    # but COUNT(DISTINCT) elsewhere drops — excluded up front.
+    events = events.filter(F.col(ts_col).isNotNull())
     counts = (
         events.groupBy(F.col(group_col).alias("g"), hour.alias("bucket"))
         .agg(F.count("*").alias("x"))
@@ -510,6 +516,9 @@ def trend_slope(
         F.unix_timestamp(F.date_trunc("hour", F.col(ts_col).cast("timestamp")))
         / F.lit(3600)
     ).cast("long")
+    # NULL ts excluded up front (a NULL hour index would form a group
+    # whose handling differs between engines).
+    events = events.filter(F.col(ts_col).isNotNull())
     counts = (
         events.groupBy(F.col(group_col).alias("g"), hour_idx.alias("h"))
         .agg(F.count("*").alias("y"))
@@ -622,6 +631,7 @@ def autocorrelation(
         F.unix_timestamp(F.date_trunc("hour", F.col(ts_col).cast("timestamp")))
         / F.lit(3600)
     ).cast("long")
+    events = events.filter(F.col(ts_col).isNotNull())  # NULL ts excluded
     counts = (
         events.groupBy(F.col(group_col).alias("g"), hour_idx.alias("h"))
         .agg(F.count("*").alias("x"))
