@@ -2635,6 +2635,24 @@ def q_minhash_dedup_survivors(spark, sf_dir):
     return minhash_dedup(docs, jaccard_threshold=0.8).select("doc_id")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Score-aware near-dup survivor selection on the planted corpus
+    with score = (doc_id·7) mod 13: each jaccard-1.0 family {2k, 2k+1}
+    keeps its argmax-score member (tie min id), the 1/7 families and
+    all singletons survive whole — the expected keep-set is a CASE
+    expression, analytic per orderkey."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = _planted_near_dup_docs(spark, sf_dir).withColumn(
+        "score", (F.col("doc_id") * 7 % 13).cast("int")
+    )
+    return dedup_keep_best(docs, "score", jaccard_threshold=0.8).select(
+        "doc_id", "score"
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup PAIRS on a planted sub-corpus. Sound to oracle
     exactly: signatures are SQL-reproducible (md5 token hash) and the
@@ -3524,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "dedup_keep_best": q_dedup_keep_best,
         "canonical_map": q_canonical_map,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
@@ -5908,6 +5927,29 @@ def oracle_sql() -> dict[str, str]:
             FROM com
             JOIN sz za ON za.s = com.src_a
             JOIN sz zb ON zb.s = com.src_b
+        """,
+        # Keep-best survivors: clusters are the analytic jaccard-1.0
+        # families {2k, 2k+1} (k%3 != 0); survivor = argmax((id*7)%13,
+        # tie min id) (see q_dedup_keep_best).
+        "dedup_keep_best": """
+            WITH fam AS (
+              SELECT o_orderkey AS k,
+                     2 * o_orderkey AS a, 2 * o_orderkey + 1 AS b,
+                     (2 * o_orderkey * 7) % 13 AS sa,
+                     ((2 * o_orderkey + 1) * 7) % 13 AS sb
+              FROM orders
+            )
+            SELECT doc_id, cast(score AS int) AS score FROM (
+              -- merged families keep the argmax-score member
+              SELECT CASE WHEN sb > sa THEN b ELSE a END AS doc_id,
+                     CASE WHEN sb > sa THEN sb ELSE sa END AS score
+              FROM fam WHERE k % 3 <> 0
+              UNION ALL
+              -- below-threshold families survive whole
+              SELECT a, sa FROM fam WHERE k % 3 = 0
+              UNION ALL
+              SELECT b, sb FROM fam WHERE k % 3 = 0
+            )
         """,
         # Containment: analytic planted corpus — every non-k%3 small doc
         # sits verbatim in its big sibling: inter 4, C(A→B) 4/4 = 1.0,

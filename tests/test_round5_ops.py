@@ -862,3 +862,34 @@ class TestSourceOverlap:
         )
         (r,) = source_overlap(docs).collect()
         assert (r.src_a, r.src_b) == ("alpha", "zeta")
+
+
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    dedup_keep_best,
+)
+
+
+class TestDedupKeepBest:
+    def test_best_copy_survives_exact_and_near_stages(self, spark):
+        # near-dup family: same 4-word cycle repeated 5x vs 7x
+        # (the planted-corpus construction: jaccard exactly 1.0)
+        cyc = "wa wb wc wd"
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join([cyc] * 5), 3),   # near-dup of 2, worse score
+                (2, " ".join([cyc] * 7), 9),   # best of the cluster
+                (10, "same exact text here", 1),
+                (11, "same exact text here", 8),  # exact dup, better score
+                (20, "completely unrelated singleton doc", 0),
+            ],
+            ["doc_id", "text", "score"],
+        )
+        got = {r.doc_id for r in dedup_keep_best(docs, "score").collect()}
+        assert got == {2, 11, 20}
+
+    def test_score_tie_falls_back_to_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(5, "dup dup", 4), (3, "dup dup", 4)], ["doc_id", "text", "score"]
+        )
+        got = [r.doc_id for r in dedup_keep_best(docs, "score").collect()]
+        assert got == [3]

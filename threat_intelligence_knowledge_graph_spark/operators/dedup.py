@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .minhash import (
@@ -543,3 +543,58 @@ def source_overlap(
             F.round(F.col("n_common") / F.col("_nb"), 6).alias("share_b"),
         )
     )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Near-dup removal keeping the BEST copy per duplicate cluster —
+    the curation-grade survivor policy: ``minhash_dedup`` keeps the
+    min-id copy (stable, but id order is ingestion accident), while a
+    training pipeline wants the highest-quality rendition of each
+    duplicated document (cleanest OCR, least-truncated mirror). The
+    survivor is argmax(``score_col``, ties broken by min id) — applied
+    at BOTH stages, so an exact duplicate with a better score also
+    wins (the min-id exact pre-pass would silently discard the better
+    copy before clustering).
+
+    Same candidate machinery as ``minhash_dedup`` (exact pre-pass →
+    LSH pairs → connected components); the survivor pick is one
+    cluster-keyed window, rows never rewritten. Returns surviving full
+    rows.
+
+    100 TB note: the singleton fast path matters — docs in no pair
+    never enter the component map, so the window runs over
+    pair-involved rows only (duplicates are a small fraction of a
+    deduped corpus), joined back left-anti.
+    """
+    # Exact stage, score-aware: per content hash keep argmax(score, min id).
+    h = F.md5(F.col(text_col))
+    wex = Window.partitionBy("_h").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    exact = (
+        documents.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(wex))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+    pairs = minhash_near_duplicates(exact, id_col, text_col, **kwargs)
+    components = connected_components(pairs.select("a", "b"))
+    member = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_c")
+    )
+    clustered = exact.join(member, id_col)  # pair-involved rows only
+    wcl = Window.partitionBy("_c").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    losers = (
+        clustered.withColumn("_rn", F.row_number().over(wcl))
+        .filter(F.col("_rn") > 1)
+        .select(F.col(id_col))
+    )
+    return exact.join(losers, id_col, "left_anti")
