@@ -2535,6 +2535,27 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(d.select("source", "text").unionByName(mirror))
 
 
+def q_select_sources(spark, sf_dir):
+    """Greedy set cover over documents ∪ a planted aggregator source
+    (every 3rd doc from all sources — the biggest distinct set, so it
+    wins round 1) ∪ a planted every-7th mirror: 4 rounds, exact-integer
+    gains, (n DESC, source ASC) picks. Oracle: the greedy REPLAYED as
+    4 unrolled CTE rounds."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        select_sources_greedy,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    agg = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("zz_union").alias("source"), "text"
+    )
+    mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("zz_mirror").alias("source"), "text"
+    )
+    docs = d.select("source", "text").unionByName(agg).unionByName(mirror)
+    return select_sources_greedy(docs, k=4)
+
+
 def q_ngram_containment(spark, sf_dir):
     """Asymmetric n-gram containment over the planted quote-inclusion
     corpus: every small doc sits verbatim inside its big sibling
@@ -3539,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_docs": q_minhash_near_dup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "select_sources": q_select_sources,
         "source_overlap": q_source_overlap,
         "minhash_incremental": q_minhash_incremental,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
@@ -5904,6 +5926,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Exact n-gram Jaccard: identical cycles → jaccard exactly 1.0;
         # swapped families → 1/7 < 0.5, excluded by the exact verifier.
+        # Greedy set cover replayed: 4 unrolled rounds, each pick the
+        # (gain DESC, source ASC) argmax over the uncovered incidence
+        # (see q_select_sources).
+        "select_sources": """
+            WITH docs AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'zz_union', text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'zz_mirror', text FROM documents WHERE doc_id % 7 = 0
+            ),
+            sh AS (SELECT DISTINCT source AS s, md5(text) AS h FROM docs),
+            p1 AS (
+              SELECT s, cast(count(*) AS bigint) AS n FROM sh
+              GROUP BY s ORDER BY n DESC, s LIMIT 1
+            ),
+            u1 AS (
+              SELECT * FROM sh WHERE h NOT IN
+                (SELECT h FROM sh WHERE s = (SELECT s FROM p1))
+            ),
+            p2 AS (
+              SELECT s, cast(count(*) AS bigint) AS n FROM u1
+              GROUP BY s ORDER BY n DESC, s LIMIT 1
+            ),
+            u2 AS (
+              SELECT * FROM u1 WHERE h NOT IN
+                (SELECT h FROM u1 WHERE s = (SELECT s FROM p2))
+            ),
+            p3 AS (
+              SELECT s, cast(count(*) AS bigint) AS n FROM u2
+              GROUP BY s ORDER BY n DESC, s LIMIT 1
+            ),
+            u3 AS (
+              SELECT * FROM u2 WHERE h NOT IN
+                (SELECT h FROM u2 WHERE s = (SELECT s FROM p3))
+            ),
+            p4 AS (
+              SELECT s, cast(count(*) AS bigint) AS n FROM u3
+              GROUP BY s ORDER BY n DESC, s LIMIT 1
+            )
+            SELECT cast(1 AS int) AS rank, s AS source, n AS n_new,
+                   n AS n_covered FROM p1
+            UNION ALL
+            SELECT 2, s, n, (SELECT n FROM p1) + n FROM p2
+            UNION ALL
+            SELECT 3, s, n,
+                   (SELECT n FROM p1) + (SELECT n FROM p2) + n FROM p3
+            UNION ALL
+            SELECT 4, s, n,
+                   (SELECT n FROM p1) + (SELECT n FROM p2)
+                   + (SELECT n FROM p3) + n FROM p4
+        """,
         # Source overlap: identical mirror construction + md5 identity +
         # hash-keyed self-join (see q_source_overlap).
         "source_overlap": """

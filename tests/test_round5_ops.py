@@ -893,3 +893,35 @@ class TestDedupKeepBest:
         )
         got = [r.doc_id for r in dedup_keep_best(docs, "score").collect()]
         assert got == [3]
+
+
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    select_sources_greedy,
+)
+
+
+class TestSelectSourcesGreedy:
+    def test_greedy_order_and_zero_gain_early_stop(self, spark):
+        docs = spark.createDataFrame(
+            [("A", t) for t in ("x1", "x2", "x3")]
+            + [("B", t) for t in ("x1", "x2", "x3", "x4")]
+            + [("C", "y1")]
+            + [("D", "x1")],
+            ["source", "text"],
+        )
+        got = select_sources_greedy(docs, k=4).collect()
+        # B covers everything A/D have plus x4; C adds y1; then every
+        # remaining source gains 0 -> early stop despite k=4
+        assert [(r.rank, r.source, r.n_new, r.n_covered) for r in got] == [
+            (1, "B", 4, 4),
+            (2, "C", 1, 5),
+        ]
+
+    def test_tie_breaks_by_source_name_and_validation(self, spark):
+        docs = spark.createDataFrame(
+            [("zeta", "a"), ("alpha", "b")], ["source", "text"]
+        )
+        got = select_sources_greedy(docs, k=2).collect()
+        assert [r.source for r in got] == ["alpha", "zeta"]
+        with pytest.raises(ValueError):
+            select_sources_greedy(docs, k=0)

@@ -598,3 +598,57 @@ def dedup_keep_best(
         .select(F.col(id_col))
     )
     return exact.join(losers, id_col, "left_anti")
+
+
+def select_sources_greedy(
+    documents: DataFrame,
+    k: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, source, n_new, n_covered): greedy weighted set cover
+    over sources — "which k feeds/crawls cover the most distinct
+    content" — the licensing/acquisition question a corpus team
+    actually budgets with, and on a CTI desk the feed-subscription
+    version of it. Round r picks the source adding the most NOT-YET-
+    COVERED distinct md5 contents (ties by source name ASC); the
+    classic (1 − 1/e)-approximation, made engine-deterministic by the
+    exact-integer gain counts and the pinned tiebreak.
+
+    Mechanics: the (source, hash) incidence is distinct'd once and
+    cached by the caller if reused; each of the ≤ k rounds is ONE
+    aggregate over the uncovered incidence plus a 1-row driver pick
+    (the ``k_core``/``funnel`` bounded-driver-action discipline) and a
+    hash-keyed left-anti join to shrink the uncovered set. k is
+    dimension-bounded (≤ #sources), never data-bounded.
+
+    Stops early when every remaining source adds zero new content
+    (fully-mirrored tails never pad the result).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sh = (
+        documents.select(
+            F.col(source_col).alias("s"), F.md5(F.col(text_col)).alias("h")
+        )
+        .distinct()
+    )
+    spark = documents.sparkSession
+    uncovered = sh
+    picks = []
+    covered = 0
+    for r in range(1, k + 1):
+        gains = uncovered.groupBy("s").agg(F.count("*").alias("n"))
+        top = gains.orderBy(F.col("n").desc(), F.col("s").asc()).take(1)
+        if not top or top[0]["n"] == 0:
+            break
+        s, n = top[0]["s"], top[0]["n"]
+        covered += n
+        picks.append((r, s, n, covered))
+        won = uncovered.filter(F.col("s") == s).select("h")
+        uncovered = uncovered.join(won, "h", "left_anti").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        picks, "rank int, source string, n_new long, n_covered long"
+    )
