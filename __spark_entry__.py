@@ -3506,6 +3506,28 @@ def q_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: 6 merge iterations over the
+    DISTINCT word vocabulary (Heaps'-law small vs the corpus), each a
+    pair-count agg + 1-row argmax collect + one codegen'd replace
+    projection; deterministic (cnt DESC, left ASC, right ASC) argmax."""
+    from threat_intelligence_knowledge_graph_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), k=6)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token stats under the corpus-trained 6-merge BPE:
+    char-level vs post-merge counts + round-6 compression ratio; the
+    merge loop touches only the distinct-word vocab, per-doc work is a
+    word-count explode joined back on the word key."""
+    from threat_intelligence_knowledge_graph_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), k=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -3675,7 +3697,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "vocab_prune": q_vocab_prune,
         "vocab_growth": q_vocab_growth,
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
     }
+
+
+def _bpe_vocab_chain_sql(k: int) -> str:
+    """The unrolled BPE merge recurrence as a WITH-clause body (no
+    leading WITH): v0 is the delimiter-wrapped word vocabulary, each
+    step i computes pair counts p{i}, the deterministic argmax b{i}
+    (cnt DESC, left ASC, right ASC), and the rewritten vocab v{i} via
+    the engine's native left-to-right all-occurrence replace — the
+    per-token double-U+001F wrapping makes adjacent matches disjoint,
+    so replace() IS the greedy BPE merge (operators/bpe.py docstring).
+    Shared by the bpe_train and bpe_token_counts oracles."""
+    sep = "\x1f"
+    parts = [
+        f"""
+            v0 AS (
+              SELECT word, cast(count(*) AS bigint) AS freq,
+                     regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g') AS s
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS word FROM documents)
+              GROUP BY word
+            )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+            p{i} AS (
+              SELECT tok[i] AS l, tok[i + 1] AS r,
+                     cast(sum(freq) AS bigint) AS cnt
+              FROM (SELECT freq,
+                           string_split(trim(s, '{sep}'), '{sep}{sep}') AS tok
+                    FROM v{i - 1}),
+                   unnest(range(1, len(tok))) AS u(i)
+              GROUP BY 1, 2
+            ),
+            b{i} AS (SELECT l, r, cnt FROM p{i}
+                     ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+            v{i} AS (
+              SELECT v.word, v.freq,
+                     replace(v.s, '{sep}' || b.l || '{sep}{sep}' || b.r || '{sep}',
+                                  '{sep}' || b.l || b.r || '{sep}') AS s
+              FROM v{i - 1} v CROSS JOIN b{i} b
+            )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_train_oracle_sql(k: int) -> str:
+    """Merge-rule table oracle (see q_bpe_train)."""
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, l, r, cnt FROM b{i}" for i in range(1, k + 1)
+    )
+    return f"""
+        WITH {_bpe_vocab_chain_sql(k)}
+        SELECT cast(step AS int) AS step, l AS left_sym, r AS right_sym, cnt
+        FROM ({union}) ORDER BY step
+    """
+
+
+def _bpe_token_counts_oracle_sql(k: int) -> str:
+    """Per-doc tokenization oracle over the trained vocab
+    (see q_bpe_token_counts); INNER join drops wordless docs."""
+    sep = "\x1f"
+    return f"""
+        WITH {_bpe_vocab_chain_sql(k)},
+        per_word AS (
+          SELECT word,
+                 cast(len(string_split(trim(s, '{sep}'), '{sep}{sep}'))
+                   AS bigint) AS n_tok,
+                 cast(length(word) AS bigint) AS n_chr
+          FROM v{k}
+        ),
+        dw AS (
+          SELECT doc_id, word, cast(count(*) AS bigint) AS n
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS word FROM documents)
+          GROUP BY 1, 2
+        )
+        SELECT dw.doc_id,
+               cast(sum(dw.n * pw.n_chr) AS bigint) AS n_chars,
+               cast(sum(dw.n * pw.n_tok) AS bigint) AS n_tokens,
+               round(sum(dw.n * pw.n_tok) / sum(dw.n * pw.n_chr), 6)
+                 AS compression
+        FROM dw JOIN per_word pw USING (word)
+        GROUP BY dw.doc_id
+    """
 
 
 def _bm25_oracle_sql(terms: list[str], k: int = 20) -> str:
@@ -7762,4 +7872,8 @@ def oracle_sql() -> dict[str, str]:
                    round(bad_hits / n_tokens, 6) > 0.06 AS blocked
             FROM h
         """,
+        # BPE merge training / application: unrolled 6-step recurrence
+        # (see q_bpe_train / q_bpe_token_counts / operators/bpe.py).
+        "bpe_train": _bpe_train_oracle_sql(6),
+        "bpe_token_counts": _bpe_token_counts_oracle_sql(6),
     }

@@ -522,6 +522,15 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin", "HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
     )
+    check(
+        # BPE tokenize: per-doc word counts join the trained vocab on
+        # the word hash key; JVM-side throughout (the delimiter-replace
+        # merge is a codegen'd projection, never Python); no cartesian.
+        "bpe_tokenize_hash_join_no_python",
+        em.q_bpe_token_counts(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
