@@ -1848,6 +1848,19 @@ def q_transcript_latency(spark, sf_dir):
     return response_latency(_synth_transcripts(spark, sf_dir))
 
 
+def q_transcript_tool_profile(spark, sf_dir):
+    """Per-tool fleet profile over the shared synthetic transcripts:
+    n_calls / conversation reach / post-call stall stats (epoch gap to
+    the NEXT turn), last-turn calls counted but excluded from gap
+    stats (n_gaps carries the effective sample size), ONE round-6
+    mean division per tool."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        tool_profile,
+    )
+
+    return tool_profile(_synth_transcripts(spark, sf_dir))
+
+
 def q_transcript_stats(spark, sf_dir):
     """Per-conversation transcript analytics (role mix, tool diversity,
     chars, duration, mean inter-turn gap, final role) over the
@@ -3699,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
+        "transcript_tool_profile": q_transcript_tool_profile,
     }
 
 
@@ -5746,6 +5760,28 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(gap) AS bigint) AS max_s
             FROM t WHERE from_role IS NOT NULL AND gap IS NOT NULL
             GROUP BY from_role, to_role
+        """,
+        # Per-tool profile over the shared synthetic-transcripts CTE:
+        # lead-window stall gaps, NULL-safe mean (see
+        # q_transcript_tool_profile).
+        "transcript_tool_profile": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            t AS (
+              SELECT role, tool, conv_id,
+                     lead(epoch) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) - epoch AS gap
+              FROM tr
+            )
+            SELECT tool,
+                   cast(count(*) AS bigint) AS n_calls,
+                   cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+                   cast(count(gap) AS bigint) AS n_gaps,
+                   CASE WHEN count(gap) > 0
+                        THEN round(sum(gap) / count(gap), 6) END
+                     AS mean_next_gap_s,
+                   cast(max(gap) AS bigint) AS max_next_gap_s
+            FROM t WHERE role = 'tool' AND tool IS NOT NULL
+            GROUP BY tool
         """,
         "transcript_role_transitions": f"""
             WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),

@@ -196,3 +196,57 @@ class TestResponseLatency:
         got = {(r.from_role, r.to_role): r for r in response_latency(df).collect()}
         assert set(got) == {("user", "assistant")}
         assert got[("user", "assistant")].mean_s == 9.0
+
+
+class TestToolProfile:
+    def _df(self, spark, rows):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, sec long",
+        )
+        return df.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            tool_profile,
+        )
+
+        rows = [
+            # conv a: search call stalls 30s, python call is the LAST
+            # turn (counts in n_calls, excluded from gap stats)
+            ("a", 1, "user", "q", None, 1_700_000_000),
+            ("a", 2, "tool", "r", "search", 1_700_000_010),
+            ("a", 3, "assistant", "ok", None, 1_700_000_040),
+            ("a", 4, "tool", "r", "python", 1_700_000_050),
+            # conv b: second search call stalls 50s; NULL-ts next turn
+            # drops the sql call's gap but not the call itself
+            ("b", 1, "tool", "r", "search", 1_700_000_100),
+            ("b", 2, "assistant", "ok", None, 1_700_000_150),
+            ("b", 3, "tool", "r", "sql", 1_700_000_160),
+            ("b", 4, "assistant", "late", None, None),
+        ]
+        out = {r.tool: r for r in tool_profile(self._df(spark, rows)).collect()}
+        s = out["search"]
+        assert (s.n_calls, s.n_convs, s.n_gaps) == (2, 2, 2)
+        assert s.mean_next_gap_s == 40.0  # (30 + 50) / 2
+        assert s.max_next_gap_s == 50
+        p = out["python"]
+        assert (p.n_calls, p.n_convs, p.n_gaps) == (1, 1, 0)
+        assert p.mean_next_gap_s is None and p.max_next_gap_s is None
+        q = out["sql"]
+        assert (q.n_calls, q.n_gaps) == (1, 0)  # NULL-ts successor
+
+    def test_non_tool_roles_never_counted(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            tool_profile,
+        )
+
+        rows = [  # tool name on a non-tool turn is a malformed trace;
+            ("c", 1, "assistant", "x", "search", 1_700_000_000),
+            ("c", 2, "tool", "r", None, 1_700_000_010),  # NULL tool name
+        ]
+        assert tool_profile(self._df(spark, rows)).count() == 0

@@ -190,3 +190,64 @@ def response_latency(
             F.col("_mx").cast("long").alias("max_s"),
         )
     )
+
+
+def tool_profile(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(tool, n_calls, n_convs, n_gaps, mean_next_gap_s, max_next_gap_s):
+    the per-TOOL fleet profile of an agent corpus — how often each tool
+    is invoked, how many conversations rely on it, and how long the
+    conversation stalls after a call (epoch gap to the NEXT turn,
+    whoever speaks it) — the dashboard a serving team watches per tool
+    where ``response_latency`` watches per role pair, and a curation
+    signal (a tool whose post-call gaps dwarf the rest marks traces to
+    split or down-weight).
+
+    A call with no following turn (tool speaks last) or a NULL ts on
+    either side counts in ``n_calls`` but not in the gap stats —
+    ``n_gaps`` carries the effective sample size, mean is ONE round-6
+    division of exact integer sums (NULL when n_gaps = 0, never 0/0).
+
+    Scale shape: the lead window shares the family's single conv_id
+    exchange; the per-tool aggregate reduces map-side to ≤ |tools|
+    rows — a dimension, not a turn count.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    calls = (
+        turns.select(
+            F.col(conv_col),
+            F.col(turn_col),
+            F.col(role_col),
+            F.col(tool_col),
+            epoch.alias("_e"),
+        )
+        .withColumn("_gap", F.lead("_e").over(w) - F.col("_e"))
+        .filter((F.col(role_col) == "tool") & F.col(tool_col).isNotNull())
+    )
+    return (
+        calls.groupBy(F.col(tool_col).alias("tool"))
+        .agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.count_distinct(F.col(conv_col)).cast("long").alias("n_convs"),
+            F.count("_gap").cast("long").alias("n_gaps"),
+            F.sum("_gap").alias("_sg"),
+            F.max("_gap").cast("long").alias("max_next_gap_s"),
+        )
+        .select(
+            "tool",
+            "n_calls",
+            "n_convs",
+            "n_gaps",
+            F.when(
+                F.col("n_gaps") > 0, F.round(F.col("_sg") / F.col("n_gaps"), 6)
+            ).alias("mean_next_gap_s"),
+            "max_next_gap_s",
+        )
+    )
