@@ -1883,6 +1883,96 @@ def q_transcript_role_transitions(spark, sf_dir):
     return role_transitions(_synth_transcripts(spark, sf_dir))
 
 
+def _triage_loop_corpus(spark, sf_dir):
+    """Synthetic transcripts with planted stutter runs: every 11th
+    conversation has turns 3-5 overwritten with one constant string (a
+    3-turn loop where the conversation is long enough) and every 23rd
+    has turns 2-3 overwritten with another (a 2-turn stutter, below the
+    min_run=3 looping bar). Base texts embed (conv, turn) so no
+    accidental run exists — the planted runs are the only ones."""
+    tr = _synth_transcripts(spark, sf_dir)
+    key = F.col("conv_id").cast("long")
+    return tr.withColumn(
+        "text",
+        F.when(
+            (key % 11 == 0) & F.col("turn_idx").between(3, 5),
+            F.lit("retrying tool call"),
+        )
+        .when(
+            (key % 23 == 0) & F.col("turn_idx").between(2, 3),
+            F.lit("echo"),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def q_transcript_loops(spark, sf_dir):
+    """Stuck-agent detection over the loop-planted transcripts:
+    NULL-safe consecutive-text run lengths via a lag-flag cumulative
+    sum, is_looping at min_run=3 — everything on ONE conv_id
+    exchange."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        loop_detection,
+    )
+
+    return loop_detection(_triage_loop_corpus(spark, sf_dir), min_run=3)
+
+
+def q_transcript_context_growth(spark, sf_dir):
+    """Context-budget profile at budget_chars=150 over the shared
+    synthetic transcripts (turn texts ~30 chars, conversations 2-8
+    turns, so the corpus straddles the budget): first turn over budget,
+    turns-over count and round-6 share, per conversation."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        context_growth,
+    )
+
+    return context_growth(_synth_transcripts(spark, sf_dir), budget_chars=150)
+
+
+def _triage_error_corpus(spark, sf_dir):
+    """Synthetic transcripts with planted tool failures: every tool
+    turn where (conv_key + turn_idx) % 5 = 0 gets ' ERROR: tool failed'
+    appended — a deterministic ~20% failure rate spread across all four
+    tools. Base texts never match the error pattern."""
+    tr = _synth_transcripts(spark, sf_dir)
+    key = F.col("conv_id").cast("long")
+    return tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("role") == "tool")
+                & ((key + F.col("turn_idx")) % 5 == 0),
+                F.lit(" ERROR: tool failed"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_transcript_tool_errors(spark, sf_dir):
+    """Per-tool failure profile over the error-planted transcripts:
+    regex error detection (scan-local), round-6 error rate,
+    conversation blast radius — one map-side aggregate to |tools|
+    rows."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        tool_errors,
+    )
+
+    return tool_errors(_triage_error_corpus(spark, sf_dir))
+
+
+def q_transcript_tool_chains(spark, sf_dir):
+    """Tool-workflow graph of the agent fleet: consecutive tool-call
+    transitions (user/assistant turns skipped) with conversation reach,
+    from a scan-local filter + one conv_id lag window."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        tool_chains,
+    )
+
+    return tool_chains(_synth_transcripts(spark, sf_dir))
+
+
 def _conv_dedup_corpus(spark, sf_dir):
     """Synthetic transcripts + planted duplicate families: every 13th
     conversation replayed byte-identically under a fresh key (_dup),
@@ -3713,6 +3803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
         "transcript_tool_profile": q_transcript_tool_profile,
+        "transcript_loops": q_transcript_loops,
+        "transcript_context_growth": q_transcript_context_growth,
+        "transcript_tool_errors": q_transcript_tool_errors,
+        "transcript_tool_chains": q_transcript_tool_chains,
     }
 
 
@@ -5782,6 +5876,127 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(gap) AS bigint) AS max_next_gap_s
             FROM t WHERE role = 'tool' AND tool IS NOT NULL
             GROUP BY tool
+        """,
+        # Stuck-agent detection over the loop-planted corpus: NULL-safe
+        # lag-flag run ids, run lengths, min_run=3 (see
+        # q_transcript_loops / _triage_loop_corpus).
+        "transcript_loops": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN cast(conv_id AS bigint) % 11 = 0
+                               AND turn_idx BETWEEN 3 AND 5
+                          THEN 'retrying tool call'
+                          WHEN cast(conv_id AS bigint) % 23 = 0
+                               AND turn_idx BETWEEN 2 AND 3
+                          THEN 'echo'
+                          ELSE text END AS text
+              FROM tr
+            ),
+            f AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN row_number() OVER w > 1
+                               AND lag(text) OVER w
+                                   IS NOT DISTINCT FROM text
+                          THEN 0 ELSE 1 END AS brk
+              FROM c
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            r AS (
+              SELECT conv_id, brk,
+                     sum(brk) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS run
+              FROM f
+            ),
+            runs AS (
+              SELECT conv_id, run, count(*) AS len
+              FROM r GROUP BY conv_id, run
+            ),
+            per_turn AS (
+              SELECT conv_id,
+                     cast(count(*) AS bigint) AS n_turns,
+                     cast(sum(1 - brk) AS bigint) AS n_stuttered_turns
+              FROM r GROUP BY conv_id
+            ),
+            per_conv AS (
+              SELECT conv_id, cast(max(len) AS bigint) AS max_stutter_run
+              FROM runs GROUP BY conv_id
+            )
+            SELECT t.conv_id, n_turns, max_stutter_run, n_stuttered_turns,
+                   max_stutter_run >= 3 AS is_looping
+            FROM per_turn t JOIN per_conv p USING (conv_id)
+        """,
+        # Context-budget profile at 150 chars: inclusive running char
+        # sums, first-over turn, round-6 over-budget share (see
+        # q_transcript_context_growth).
+        "transcript_context_growth": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     coalesce(length(text), 0) AS chars,
+                     sum(coalesce(length(text), 0))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS cum
+              FROM tr
+            )
+            SELECT conv_id,
+                   cast(count(*) AS bigint) AS n_turns,
+                   cast(sum(chars) AS bigint) AS total_chars,
+                   min(CASE WHEN cum > 150 THEN turn_idx END)
+                     AS first_over_idx,
+                   cast(count(*) FILTER (WHERE cum > 150) AS bigint)
+                     AS n_turns_over,
+                   round(count(*) FILTER (WHERE cum > 150)
+                         / count(*), 6) AS frac_over
+            FROM c GROUP BY conv_id
+        """,
+        # Per-tool failure profile over the error-planted corpus:
+        # case-insensitive regex, round-6 rate, conversation blast
+        # radius (see q_transcript_tool_errors / _triage_error_corpus).
+        "transcript_tool_errors": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, role, tool,
+                     text || CASE WHEN role = 'tool'
+                                   AND (cast(conv_id AS bigint) + turn_idx)
+                                       % 5 = 0
+                                  THEN ' ERROR: tool failed'
+                                  ELSE '' END AS text
+              FROM tr
+            ),
+            calls AS (
+              SELECT tool, conv_id,
+                     coalesce(regexp_matches(
+                       text, 'error|exception|traceback|failed', 'i'),
+                       FALSE) AS err
+              FROM c WHERE role = 'tool' AND tool IS NOT NULL
+            )
+            SELECT tool,
+                   cast(count(*) AS bigint) AS n_calls,
+                   cast(count(*) FILTER (WHERE err) AS bigint) AS n_errors,
+                   round(count(*) FILTER (WHERE err) / count(*), 6)
+                     AS error_rate,
+                   cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+                   cast(count(DISTINCT CASE WHEN err THEN conv_id END)
+                        AS bigint) AS n_convs_with_error
+            FROM calls GROUP BY tool
+        """,
+        # Tool-workflow bigrams: lag over the tool-turn subset only
+        # (WHERE applies before the window in both engines), transition
+        # counts + conversation reach (see q_transcript_tool_chains).
+        "transcript_tool_chains": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            calls AS (
+              SELECT conv_id, tool AS to_tool,
+                     lag(tool) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS from_tool
+              FROM tr WHERE role = 'tool' AND tool IS NOT NULL
+            )
+            SELECT from_tool, to_tool,
+                   cast(count(*) AS bigint) AS n,
+                   cast(count(DISTINCT conv_id) AS bigint) AS n_convs
+            FROM calls WHERE from_tool IS NOT NULL
+            GROUP BY from_tool, to_tool
         """,
         "transcript_role_transitions": f"""
             WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),

@@ -531,6 +531,48 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
     )
+    # Agent-trace triage family: loop detection must stay on ONE
+    # conv_id exchange (lag window, run-id cumsum, per-run position
+    # window, per-conv agg — the (conv, run) window key is a superset
+    # of conv_id so only a local re-sort is added) with no self-join;
+    # the whole family is JVM-side.
+    lp_plan = plan_of(em.q_transcript_loops(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", lp_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in lp_plan and "Join" not in lp_plan:
+        print("PASS transcript_loops_single_exchange_no_join")
+    else:
+        failures.append(
+            ("transcript_loops_single_exchange_no_join", f"exchanges={n_ex}")
+        )
+        print(f"FAIL transcript_loops_single_exchange_no_join: exchanges={n_ex}")
+    cg_plan = plan_of(em.q_transcript_context_growth(spark, sf_dir))
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", cg_plan, _re.MULTILINE))
+    if n_ex <= 1 and "EvalPython" not in cg_plan:
+        print("PASS transcript_context_growth_single_exchange")
+    else:
+        failures.append(
+            ("transcript_context_growth_single_exchange", f"exchanges={n_ex}")
+        )
+        print(
+            f"FAIL transcript_context_growth_single_exchange: exchanges={n_ex}"
+        )
+    check(
+        # Tool errors: scan-local regex filter + ONE map-side-combining
+        # aggregate (the 2nd exchange is the exact-distinct conv count's
+        # (tool, conv) pre-shuffle — inherent to exactness); tool chains:
+        # the family's conv_id lag window + the |tools|²-row transition
+        # aggregate. Both JVM-side, never cartesian.
+        "tool_errors_jvm_side",
+        em.q_transcript_tool_errors(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "SortMergeJoin"],
+    )
+    check(
+        "tool_chains_jvm_side",
+        em.q_transcript_tool_chains(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "SortMergeJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

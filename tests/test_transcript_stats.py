@@ -250,3 +250,149 @@ class TestToolProfile:
             ("c", 2, "tool", "r", None, 1_700_000_010),  # NULL tool name
         ]
         assert tool_profile(self._df(spark, rows)).count() == 0
+
+
+class TestLoopDetection:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    def test_planted_run_and_clean_conv(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            loop_detection,
+        )
+
+        rows = [
+            # conv a: x, retry, retry, retry, y -> run of 3, 2 stuttered
+            ("a", 1, "x"), ("a", 2, "retry"), ("a", 3, "retry"),
+            ("a", 4, "retry"), ("a", 5, "y"),
+            # conv b: all distinct
+            ("b", 1, "p"), ("b", 2, "q"),
+        ]
+        out = {
+            r.conv_id: r
+            for r in loop_detection(self._df(spark, rows), min_run=3).collect()
+        }
+        a, b = out["a"], out["b"]
+        assert (a.n_turns, a.max_stutter_run, a.n_stuttered_turns) == (5, 3, 2)
+        assert a.is_looping
+        assert (b.n_turns, b.max_stutter_run, b.n_stuttered_turns) == (2, 1, 0)
+        assert not b.is_looping
+
+    def test_null_texts_stutter_null_safely(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            loop_detection,
+        )
+
+        rows = [("c", 1, None), ("c", 2, None), ("c", 3, "z")]
+        r = loop_detection(self._df(spark, rows), min_run=2).collect()[0]
+        assert (r.max_stutter_run, r.n_stuttered_turns) == (2, 1)
+        assert r.is_looping
+
+    def test_run_uses_turn_order_and_min_run_validated(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            loop_detection,
+        )
+
+        # out-of-order rows: texts identical only in turn order 2,3
+        rows = [("d", 3, "s"), ("d", 1, "t"), ("d", 2, "s")]
+        r = loop_detection(self._df(spark, rows), min_run=2).collect()[0]
+        assert r.max_stutter_run == 2 and r.is_looping
+        with _pytest.raises(ValueError):
+            loop_detection(self._df(spark, rows), min_run=1)
+
+
+class TestContextGrowth:
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            context_growth,
+        )
+
+        rows = [
+            ("a", 1, "12345"), ("a", 2, "12345"), ("a", 3, "12345"),
+            ("b", 1, None),  # NULL text counts 0, never over
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        out = {
+            r.conv_id: r for r in context_growth(df, budget_chars=12).collect()
+        }
+        a, b = out["a"], out["b"]
+        # cum 5, 10, 15 -> only turn 3 over the 12-char budget
+        assert (a.total_chars, a.first_over_idx, a.n_turns_over) == (15, 3, 1)
+        assert a.frac_over == round(1 / 3, 6)
+        assert (b.total_chars, b.first_over_idx, b.n_turns_over) == (0, None, 0)
+        assert b.frac_over == 0.0
+
+    def test_budget_validated(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            context_growth,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, "x")], "conv_id string, turn_idx int, text string"
+        )
+        with _pytest.raises(ValueError):
+            context_growth(df, budget_chars=0)
+
+
+class TestToolErrors:
+    def test_rates_and_blast_radius(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            tool_errors,
+        )
+
+        rows = [
+            # search: 2 calls, 1 error, both in conv a
+            ("a", 1, "tool", "ok", "search"),
+            ("a", 2, "tool", "ERROR: boom", "search"),
+            # python: 1 call, NULL text -> not an error
+            ("b", 1, "tool", None, "python"),
+            # assistant row mentioning error is NOT a tool call
+            ("b", 2, "assistant", "there was an error", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        )
+        out = {r.tool: r for r in tool_errors(df).collect()}
+        s, p = out["search"], out["python"]
+        assert (s.n_calls, s.n_errors, s.error_rate) == (2, 1, 0.5)
+        assert (s.n_convs, s.n_convs_with_error) == (1, 1)
+        assert (p.n_calls, p.n_errors, p.n_convs_with_error) == (1, 0, 0)
+        assert set(out) == {"search", "python"}
+
+
+class TestToolChains:
+    def test_skips_non_tool_turns_and_conv_boundaries(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            tool_chains,
+        )
+
+        rows = [
+            # conv a: search -> (assistant) -> python -> sql
+            ("a", 1, "tool", "search"),
+            ("a", 2, "assistant", None),
+            ("a", 3, "tool", "python"),
+            ("a", 4, "tool", "sql"),
+            # conv b: single call -> no transition; must not chain to a
+            ("b", 1, "tool", "search"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, tool string"
+        )
+        out = {
+            (r.from_tool, r.to_tool): (r.n, r.n_convs)
+            for r in tool_chains(df).collect()
+        }
+        assert out == {
+            ("search", "python"): (1, 1),
+            ("python", "sql"): (1, 1),
+        }

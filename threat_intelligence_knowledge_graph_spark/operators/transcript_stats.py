@@ -251,3 +251,191 @@ def tool_profile(
             "max_next_gap_s",
         )
     )
+
+
+def loop_detection(
+    turns: DataFrame,
+    min_run: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stuck-agent detector: one row per conversation with
+    ``n_turns``, ``max_stutter_run`` (longest run of consecutive turns
+    — ``turn_col`` order — whose ``text`` is byte-identical),
+    ``n_stuttered_turns`` (turns whose text equals the previous
+    turn's), and ``is_looping`` (max run ≥ ``min_run``). Repeated
+    identical content is the classic failure signature of a retrying
+    agent (same tool call re-emitted, same apology re-generated);
+    training on such traces teaches the loop, so curation wants them
+    flagged. Text equality is NULL-safe (two NULL texts count as a
+    stutter — an empty-turn loop is still a loop).
+
+    Scale shape: ONE conv_id hash exchange serves everything — the lag
+    window, the run-id cumulative sum, the per-run position window
+    (its (conv, run) partition key is a superset of conv_id, so only a
+    partition-local re-sort is inserted, never a shuffle), and the
+    final per-conv aggregation (``max(_pos)`` per conversation IS the
+    longest run's length — no per-run groupBy, no self-join).
+    """
+    if min_run < 2:
+        raise ValueError("min_run must be >= 2")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = turns.select(
+        F.col(conv_col), F.col(turn_col), F.col(text_col).alias("_t")
+    ).select(
+        conv_col,
+        turn_col,
+        # NULL-safe: a turn "breaks" the run iff text differs from prev.
+        # The first turn of a conv always breaks — tested explicitly via
+        # row_number, because lag()'s NULL would null-safe-equal a NULL
+        # first text and silently fuse it into a phantom run.
+        F.when(
+            (F.row_number().over(w) > 1)
+            & F.lag("_t").over(w).eqNullSafe(F.col("_t")),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("_brk"),
+    )
+    runs = flagged.withColumn("_run", F.sum("_brk").over(cum))
+    pos = runs.withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy(conv_col, "_run").orderBy(turn_col)
+        ),
+    )
+    return pos.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.max("_pos").cast("long").alias("max_stutter_run"),
+        F.sum(F.lit(1) - F.col("_brk")).cast("long").alias(
+            "n_stuttered_turns"
+        ),
+        (F.max("_pos") >= min_run).alias("is_looping"),
+    )
+
+
+def context_growth(
+    turns: DataFrame,
+    budget_chars: int = 4000,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window budget profile: one row per conversation with
+    ``n_turns``, ``total_chars`` (NULL text counts 0), ``first_over_idx``
+    (smallest ``turn_col`` whose INCLUSIVE running char total exceeds
+    ``budget_chars`` — NULL if the conversation never exceeds it),
+    ``n_turns_over`` and ``frac_over`` (round-6 share of turns past the
+    budget). The planning table for serving and SFT packing: how deep
+    into a conversation the context budget dies, and what fraction of
+    turns would be truncated at a given budget.
+
+    ONE conv_id exchange: the cumulative-sum window and the final
+    aggregation share the partition key; everything else is scan-local
+    integer arithmetic.
+    """
+    if budget_chars <= 0:
+        raise ValueError("budget_chars must be positive")
+    w = Window.partitionBy(conv_col).orderBy(turn_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = turns.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_chars"),
+    ).withColumn("_cum", F.sum("_chars").over(w))
+    over = F.col("_cum") > budget_chars
+    return cum.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.min(F.when(over, F.col(turn_col))).alias("first_over_idx"),
+        F.count(F.when(over, 1)).cast("long").alias("n_turns_over"),
+        F.round(
+            F.count(F.when(over, 1)) / F.count("*"), 6
+        ).alias("frac_over"),
+    )
+
+
+def tool_errors(
+    turns: DataFrame,
+    error_pattern: str = "(?i)error|exception|traceback|failed",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """(tool, n_calls, n_errors, error_rate, n_convs, n_convs_with_error):
+    per-tool failure profile — the fraction of a tool's result turns
+    whose text matches ``error_pattern`` (RE2-safe, case-insensitive by
+    default) and the conversation blast radius of those failures. The
+    reliability dashboard that pairs with ``tool_profile``'s latency
+    view, and a curation signal (traces dominated by failing tool calls
+    are poor SFT material). NULL text never matches (rlike → NULL →
+    not-an-error).
+
+    Scale shape: pure scan-local filter + regex, then ONE map-side-
+    combining aggregate to ≤ |tools| rows. No window, no second
+    exchange — the cheapest operator in the family.
+    """
+    is_err = F.coalesce(
+        F.col(text_col).rlike(error_pattern), F.lit(False)
+    )
+    calls = turns.filter(
+        (F.col(role_col) == "tool") & F.col(tool_col).isNotNull()
+    ).select(
+        F.col(tool_col).alias("tool"),
+        F.col(conv_col).alias("_conv"),
+        is_err.alias("_err"),
+    )
+    return calls.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.count(F.when(F.col("_err"), 1)).cast("long").alias("n_errors"),
+        F.round(
+            F.count(F.when(F.col("_err"), 1)) / F.count("*"), 6
+        ).alias("error_rate"),
+        F.count_distinct("_conv").cast("long").alias("n_convs"),
+        F.count_distinct(F.when(F.col("_err"), F.col("_conv"))).cast(
+            "long"
+        ).alias("n_convs_with_error"),
+    )
+
+
+def tool_chains(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """(from_tool, to_tool, n, n_convs): corpus-wide counts of
+    consecutive TOOL-call transitions — the tool-workflow graph of an
+    agent fleet (search→browser→python chains), skipping the user /
+    assistant turns between calls. ``role_transitions`` profiles the
+    dialogue loop; this profiles the tool pipeline inside it. Feed the
+    result to the graph operators (PageRank on the tool graph = which
+    tool the fleet's workflows load-bear on).
+
+    Scale shape: scan-local filter to tool turns only (usually a small
+    fraction of a 10^12-turn table), ONE conv_id exchange for the lag
+    window over the filtered rows, then a map-side-combining aggregate
+    to ≤ |tools|² rows.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    calls = turns.filter(
+        (F.col(role_col) == "tool") & F.col(tool_col).isNotNull()
+    ).select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(tool_col).alias("to_tool"),
+    ).withColumn("from_tool", F.lag("to_tool").over(w))
+    return (
+        calls.filter(F.col("from_tool").isNotNull())
+        .groupBy("from_tool", "to_tool")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct(F.col(conv_col)).cast("long").alias(
+                "n_convs"
+            ),
+        )
+    )
