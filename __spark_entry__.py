@@ -1973,6 +1973,47 @@ def q_transcript_tool_chains(spark, sf_dir):
     return tool_chains(_synth_transcripts(spark, sf_dir))
 
 
+def _curate_transcripts_corpus(spark, sf_dir):
+    """Synthetic transcripts with one planted failure per curation
+    stage: every 19th conversation gets turn 2 emptied (structural
+    invalid), every 11th gets turns 3-5 overwritten with one constant
+    (a stuck-agent loop), and every 13th is replayed byte-identically
+    under a fresh ``_dup`` key AFTER the transforms (so the replay
+    fingerprints identically). Plantings touch disjoint turns, so a
+    conversation can carry several and the fixed precedence decides."""
+    tr = _synth_transcripts(spark, sf_dir)
+    key = F.col("conv_id").cast("long")
+    base = tr.withColumn(
+        "text",
+        F.when((key % 19 == 0) & (F.col("turn_idx") == 2), F.lit(""))
+        .when(
+            (key % 11 == 0) & F.col("turn_idx").between(3, 5),
+            F.lit("retrying tool call"),
+        )
+        .otherwise(F.col("text")),
+    )
+    dups = base.filter(key % 13 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
+    )
+    return base.unionByName(dups)
+
+
+def q_curate_transcripts(spark, sf_dir):
+    """Composed conversation-level curation over the planted corpus:
+    structural validity → loop rejection → exact replay dedup →
+    context-budget gate (200 chars), first matching reason wins;
+    every stage bites on its planted family."""
+    from threat_intelligence_knowledge_graph_spark.plans.transcript_curation import (
+        curate_transcripts,
+    )
+
+    return curate_transcripts(
+        _curate_transcripts_corpus(spark, sf_dir),
+        min_run=3,
+        budget_chars=200,
+    )
+
+
 def _conv_dedup_corpus(spark, sf_dir):
     """Synthetic transcripts + planted duplicate families: every 13th
     conversation replayed byte-identically under a fresh key (_dup),
@@ -3804,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "transcript_tool_profile": q_transcript_tool_profile,
         "transcript_loops": q_transcript_loops,
+        "curate_transcripts": q_curate_transcripts,
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
@@ -5876,6 +5918,93 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(gap) AS bigint) AS max_next_gap_s
             FROM t WHERE role = 'tool' AND tool IS NOT NULL
             GROUP BY tool
+        """,
+        # Composed transcript curation over the planted corpus: each
+        # stage's CTE is the already-oracled operator chain, the CASE
+        # is the fixed rejection precedence (see q_curate_transcripts
+        # / _curate_transcripts_corpus).
+        "curate_transcripts": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            base AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN cast(conv_id AS bigint) % 19 = 0
+                               AND turn_idx = 2 THEN ''
+                          WHEN cast(conv_id AS bigint) % 11 = 0
+                               AND turn_idx BETWEEN 3 AND 5
+                          THEN 'retrying tool call'
+                          ELSE text END AS text
+              FROM tr
+            ),
+            corpus AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT conv_id || '_dup', turn_idx, role, text
+              FROM base WHERE cast(conv_id AS bigint) % 13 = 0
+            ),
+            struct_ AS (
+              SELECT conv_id,
+                     cast(count(*) AS bigint) AS n_turns,
+                     cast(sum(coalesce(length(text), 0)) AS bigint)
+                       AS total_chars,
+                     (min(turn_idx) = 1 AND max(turn_idx) = count(*)
+                      AND count(DISTINCT turn_idx) = count(*)
+                      AND count(*) FILTER (WHERE text IS NULL
+                                             OR length(text) = 0) = 0)
+                       AS ok
+              FROM corpus GROUP BY conv_id
+            ),
+            brk AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN row_number() OVER w > 1
+                               AND lag(text) OVER w
+                                   IS NOT DISTINCT FROM text
+                          THEN 0 ELSE 1 END AS brk
+              FROM corpus
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            runs AS (
+              SELECT conv_id, turn_idx,
+                     sum(brk) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS run
+              FROM brk
+            ),
+            lp AS (
+              SELECT conv_id, max(pos) >= 3 AS is_looping FROM (
+                SELECT conv_id,
+                       row_number() OVER (PARTITION BY conv_id, run
+                                          ORDER BY turn_idx) AS pos
+                FROM runs
+              ) GROUP BY conv_id
+            ),
+            fp AS (
+              SELECT conv_id,
+                     md5(string_agg(coalesce(role, '') || chr(31)
+                                    || coalesce(text, ''),
+                                    chr(30) ORDER BY turn_idx))
+                       AS fingerprint
+              FROM corpus GROUP BY conv_id
+            ),
+            canon AS (
+              SELECT fingerprint, min(conv_id) AS canonical_conv_id
+              FROM fp GROUP BY 1
+            ),
+            dd AS (
+              SELECT conv_id, conv_id <> canonical_conv_id AS is_dup
+              FROM fp JOIN canon USING (fingerprint)
+            )
+            SELECT conv_id, n_turns, total_chars, reason,
+                   reason IS NULL AS accepted
+            FROM (
+              SELECT s.conv_id, s.n_turns, s.total_chars,
+                     CASE WHEN NOT s.ok THEN 'invalid'
+                          WHEN lp.is_looping THEN 'looping'
+                          WHEN dd.is_dup THEN 'exact_dup'
+                          WHEN s.total_chars > 200 THEN 'over_budget'
+                          END AS reason
+              FROM struct_ s
+              JOIN lp USING (conv_id)
+              JOIN dd USING (conv_id)
+            )
         """,
         # Stuck-agent detection over the loop-planted corpus: NULL-safe
         # lag-flag run ids, run lengths, min_run=3 (see
