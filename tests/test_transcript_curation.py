@@ -99,3 +99,57 @@ class TestCurateTranscripts:
             curate_transcripts(
                 _df(spark, [("a", 1, "user", "x")]), min_run=1
             )
+
+
+class TestCurateTranscriptsCli:
+    def _mod(self):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "curate_transcripts_job",
+            _os.path.join(
+                _os.path.dirname(__file__), "..", "jobs",
+                "curate_transcripts.py",
+            ),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_funnel_and_outputs(self, spark, tmp_path, capsys):
+        import json
+
+        rows = [
+            ("ok", 1, "user", "hi"),
+            ("ok", 2, "assistant", "hello"),
+            ("inv", 1, "user", "hi"),
+            ("inv", 2, "assistant", ""),
+            ("big", 1, "user", "x" * 500),
+        ]
+        src = str(tmp_path / "turns.parquet")
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        ).write.parquet(src)
+
+        vd, out = str(tmp_path / "v"), str(tmp_path / "c")
+        rc = self._mod().main(
+            [
+                "--input", src, "--budget-chars", "100",
+                "--verdicts", vd, "--output", out,
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert funnel == {
+            "conversations": 3,
+            "accepted": 1,
+            "rejected": {"invalid": 1, "over_budget": 1},
+        }
+        # curated turn table contains exactly the accepted conversation
+        kept = spark.read.parquet(out)
+        assert sorted(r.conv_id for r in kept.select("conv_id").distinct().collect()) == ["ok"]
+        assert kept.count() == 2
+        # session injected -> not stopped
+        assert spark.sql("SELECT 1").count() == 1
