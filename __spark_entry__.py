@@ -5976,13 +5976,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM runs
               ) GROUP BY conv_id
             ),
+            reaching AS (
+              SELECT s.conv_id FROM struct_ s JOIN lp USING (conv_id)
+              WHERE s.ok AND NOT lp.is_looping
+            ),
             fp AS (
               SELECT conv_id,
                      md5(string_agg(coalesce(role, '') || chr(31)
                                     || coalesce(text, ''),
                                     chr(30) ORDER BY turn_idx))
                        AS fingerprint
-              FROM corpus GROUP BY conv_id
+              FROM corpus
+              WHERE conv_id IN (SELECT conv_id FROM reaching)
+              GROUP BY conv_id
             ),
             canon AS (
               SELECT fingerprint, min(conv_id) AS canonical_conv_id
@@ -6003,7 +6009,7 @@ def oracle_sql() -> dict[str, str]:
                           END AS reason
               FROM struct_ s
               JOIN lp USING (conv_id)
-              JOIN dd USING (conv_id)
+              LEFT JOIN dd USING (conv_id)
             )
         """,
         # Stuck-agent detection over the loop-planted corpus: NULL-safe

@@ -60,10 +60,29 @@ class TestCurateTranscripts:
         out = _verdicts(spark, rows, min_run=3, budget_chars=10_000)
         assert out["both"].reason == "invalid"
 
+    def test_invalid_twin_does_not_canonicalize_valid_copy(self, spark):
+        # the dense_turn_idx corner (module docstring): a gapped-index
+        # conversation fingerprint-equals its dense twin (fingerprint
+        # orders BY turn_idx without including values). With the min
+        # conv_id on the INVALID copy, full-input dedup would mark the
+        # valid twin exact_dup — rejecting both. The survivor-universe
+        # dedup keeps exactly one valid copy per content family.
+        rows = [
+            ("a0", 1, "user", "hi"),
+            ("a0", 2, "assistant", "yo"),
+            ("a0", 4, "assistant", "ok"),  # gap: dense_turn_idx fails
+            ("a1", 1, "user", "hi"),
+            ("a1", 2, "assistant", "yo"),
+            ("a1", 3, "assistant", "ok"),
+        ]
+        out = _verdicts(spark, rows, min_run=3, budget_chars=10_000)
+        assert out["a0"].reason == "invalid"
+        assert out["a1"].accepted and out["a1"].reason is None
+
     def test_looping_replay_rejected_as_loop_not_dup(self, spark):
         # a replay of a looping conversation: content-determined stages
         # agree across the fingerprint family, so both copies say
-        # 'looping' (dedup ordering is immune — see module docstring)
+        # 'looping' (neither reaches the dedup universe)
         rows = []
         for cid in ("a", "a_dup"):
             rows += [
@@ -99,6 +118,115 @@ class TestCurateTranscripts:
             curate_transcripts(
                 _df(spark, [("a", 1, "user", "x")]), min_run=1
             )
+
+
+class TestCurateTranscriptsIncrement:
+    def _catalog(self, tmp_path):
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        return LocalTableCatalog(str(tmp_path / "wh"))
+
+    def _increment(self, spark, catalog, rows, **kw):
+        from threat_intelligence_knowledge_graph_spark.plans.transcript_curation import (
+            curate_transcripts_increment,
+        )
+
+        out = curate_transcripts_increment(
+            spark, _df(spark, rows), catalog, **kw
+        )
+        return {r.conv_id: r for r in out.collect()}
+
+    # Two batches exercising every cross-batch corner; conv ids are
+    # monotone across batches (batch 1 = a*, batch 2 = b*).
+    BATCH1 = [
+        ("a_ok", 1, "user", "hi"),
+        ("a_ok", 2, "assistant", "hello"),
+        ("a_big", 1, "user", "x" * 500),  # over_budget, still indexed
+        ("a_gap", 1, "user", "q"),
+        ("a_gap", 3, "assistant", "r"),  # invalid (gap) — NOT indexed
+        ("a_loop", 1, "assistant", "retry"),
+        ("a_loop", 2, "assistant", "retry"),
+        ("a_loop", 3, "assistant", "retry"),  # looping — NOT indexed
+    ]
+    BATCH2 = [
+        # replay of an accepted batch-1 conversation -> exact_dup
+        ("b_replay_ok", 1, "user", "hi"),
+        ("b_replay_ok", 2, "assistant", "hello"),
+        # replay of the OVER-BUDGET batch-1 conversation -> exact_dup
+        # (it reached dedup and is canonical for its family)
+        ("b_replay_big", 1, "user", "x" * 500),
+        # dense valid twin of batch-1's INVALID gapped conversation:
+        # must be ADMITTED (the cross-batch gapped-twin corner)
+        ("b_twin", 1, "user", "q"),
+        ("b_twin", 2, "assistant", "r"),
+        # within-batch dup pair: min id survives
+        ("b_new1", 1, "user", "fresh"),
+        ("b_new2", 1, "user", "fresh"),
+    ]
+
+    def test_two_increments_match_batch_over_union(self, spark, tmp_path):
+        from threat_intelligence_knowledge_graph_spark.plans.transcript_curation import (
+            curate_transcripts,
+        )
+
+        catalog = self._catalog(tmp_path)
+        kw = dict(min_run=3, budget_chars=100)
+        out1 = self._increment(spark, catalog, self.BATCH1, **kw)
+        out2 = self._increment(spark, catalog, self.BATCH2, **kw)
+        assert out1["a_ok"].accepted
+        assert out1["a_big"].reason == "over_budget"
+        assert out1["a_gap"].reason == "invalid"
+        assert out1["a_loop"].reason == "looping"
+        assert out2["b_replay_ok"].reason == "exact_dup"
+        assert out2["b_replay_big"].reason == "exact_dup"
+        assert out2["b_twin"].accepted
+        assert out2["b_new1"].accepted
+        assert out2["b_new2"].reason == "exact_dup"
+        # verdict-for-verdict equality with batch mode over the union
+        batch = {
+            r.conv_id: r
+            for r in curate_transcripts(
+                _df(spark, self.BATCH1 + self.BATCH2), **kw
+            ).collect()
+        }
+        incr = {**out1, **out2}
+        assert set(batch) == set(incr)
+        for cid in batch:
+            assert (batch[cid].reason, batch[cid].accepted) == (
+                incr[cid].reason,
+                incr[cid].accepted,
+            ), cid
+        # corpus holds exactly the accepted conversations' turns
+        corpus = catalog.read(spark, "curated_transcripts")
+        kept = sorted(
+            r.conv_id for r in corpus.select("conv_id").distinct().collect()
+        )
+        assert kept == ["a_ok", "b_new1", "b_twin"]
+
+    def test_crash_rerun_is_idempotent(self, spark, tmp_path):
+        catalog = self._catalog(tmp_path)
+        kw = dict(min_run=3, budget_chars=100)
+        self._increment(spark, catalog, self.BATCH1, **kw)
+        n_corpus = catalog.read(spark, "curated_transcripts").count()
+        n_fps = catalog.read(spark, "curated_transcripts_fps").count()
+        # same batch again: content-derived run_id resumes — identical
+        # verdicts, no duplicate appends
+        again = self._increment(spark, catalog, self.BATCH1, **kw)
+        assert again["a_ok"].accepted  # NOT exact_dup against itself
+        assert catalog.read(spark, "curated_transcripts").count() == n_corpus
+        assert catalog.read(spark, "curated_transcripts_fps").count() == n_fps
+
+    def test_over_budget_fp_indexed_but_not_in_corpus(self, spark, tmp_path):
+        catalog = self._catalog(tmp_path)
+        kw = dict(min_run=3, budget_chars=100)
+        self._increment(spark, catalog, self.BATCH1, **kw)
+        fps = catalog.read(spark, "curated_transcripts_fps")
+        indexed = sorted(r.conv_id for r in fps.collect())
+        # reaching conversations only: accepted + over_budget; the
+        # invalid/looping ones must NOT be indexed
+        assert indexed == ["a_big", "a_ok"]
 
 
 class TestCurateTranscriptsCli:
