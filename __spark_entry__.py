@@ -1973,17 +1973,15 @@ def q_transcript_tool_chains(spark, sf_dir):
     return tool_chains(_synth_transcripts(spark, sf_dir))
 
 
-def _curate_transcripts_corpus(spark, sf_dir):
-    """Synthetic transcripts with one planted failure per curation
+def _curate_transcripts_base(spark, sf_dir):
+    """Synthetic transcripts with one planted failure per content
     stage: every 19th conversation gets turn 2 emptied (structural
     invalid), every 11th gets turns 3-5 overwritten with one constant
-    (a stuck-agent loop), and every 13th is replayed byte-identically
-    under a fresh ``_dup`` key AFTER the transforms (so the replay
-    fingerprints identically). Plantings touch disjoint turns, so a
+    (a stuck-agent loop). Plantings touch disjoint turns, so a
     conversation can carry several and the fixed precedence decides."""
     tr = _synth_transcripts(spark, sf_dir)
     key = F.col("conv_id").cast("long")
-    base = tr.withColumn(
+    return tr.withColumn(
         "text",
         F.when((key % 19 == 0) & (F.col("turn_idx") == 2), F.lit(""))
         .when(
@@ -1992,7 +1990,14 @@ def _curate_transcripts_corpus(spark, sf_dir):
         )
         .otherwise(F.col("text")),
     )
-    dups = base.filter(key % 13 == 0).withColumn(
+
+
+def _curate_transcripts_corpus(spark, sf_dir):
+    """``_curate_transcripts_base`` plus every 13th conversation
+    replayed byte-identically under a fresh ``_dup`` key AFTER the
+    transforms (so the replay fingerprints identically)."""
+    base = _curate_transcripts_base(spark, sf_dir)
+    dups = base.filter(F.col("conv_id").cast("long") % 13 == 0).withColumn(
         "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
     )
     return base.unionByName(dups)
@@ -2012,6 +2017,86 @@ def q_curate_transcripts(spark, sf_dir):
         min_run=3,
         budget_chars=200,
     )
+
+
+def q_curate_transcripts_increment(spark, sf_dir):
+    """Steady-state incremental transcript curation
+    (plans/transcript_curation.py::curate_transcripts_increment) — TWO
+    increments against a throwaway warehouse, every verdict analytic:
+
+    Batch 1 = the planted base corpus (empty-turn invalids every 19th
+    conv, stuck loops every 11th; budget 200 chars). Batch 2 (conv ids
+    z-prefixed, so monotone above batch 1's digit keys): every 13th
+    base conv replayed byte-identically as ``z<k>r`` (→ ``invalid`` /
+    ``looping`` when the original fails its own content stage, else
+    ``exact_dup`` via the persisted fingerprint table — INCLUDING
+    originals that were rejected ``over_budget``, which reached dedup
+    and are canonical for their family), every 26th replayed AGAIN as
+    ``z<k>r2`` (within-batch-2 dup of ``z<k>r``), and a fresh 2-turn
+    conversation ``z<k>f`` per every-7th key (→ ``accepted``).
+
+    Output: (batch, conv_id, status); the oracle replays both batches'
+    verdict pipelines in SQL with the known-fingerprint set = batch 1's
+    dedup-reaching fingerprints."""
+    import shutil
+    import tempfile
+
+    from threat_intelligence_knowledge_graph_spark.plans.transcript_curation import (
+        curate_transcripts_increment,
+    )
+    from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+        LocalTableCatalog,
+    )
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    b1 = _curate_transcripts_base(spark, sf_dir).select(*cols)
+    key = F.col("conv_id").cast("long")
+
+    def z(suffix):
+        return F.concat(F.lit("z"), F.col("conv_id"), F.lit(suffix))
+
+    replays = b1.filter(key % 13 == 0).withColumn("conv_id", z("r"))
+    replays2 = b1.filter(key % 26 == 0).withColumn("conv_id", z("r2"))
+    fresh = (
+        b1.select("conv_id")
+        .distinct()
+        .filter(key % 7 == 0)
+        .select(z("f").alias("conv_id"))
+        .select(
+            "conv_id",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("_i"),
+        )
+        .select(
+            "conv_id",
+            F.col("_i").cast("int").alias("turn_idx"),
+            F.when(F.col("_i") == 1, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.concat(
+                F.lit("fresh "),
+                F.col("conv_id"),
+                F.lit(" "),
+                F.col("_i").cast("string"),
+            ).alias("text"),
+        )
+    )
+    b2 = replays.unionByName(replays2).unionByName(fresh)
+
+    wh = tempfile.mkdtemp(prefix="tikg-contract-tincr-")
+    try:
+        catalog = LocalTableCatalog(wh)
+        kw = dict(min_run=3, budget_chars=200)
+        v1 = curate_transcripts_increment(spark, b1, catalog, run_id="b1", **kw)
+        v2 = curate_transcripts_increment(spark, b2, catalog, run_id="b2", **kw)
+        tag = lambda df, b: df.select(  # noqa: E731
+            F.lit(b).alias("batch"),
+            "conv_id",
+            F.coalesce(F.col("reason"), F.lit("accepted")).alias("status"),
+        )
+        # materialize before the warehouse dir disappears
+        return tag(v1, 1).unionByName(tag(v2, 2)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def _conv_dedup_corpus(spark, sf_dir):
@@ -3846,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_profile": q_transcript_tool_profile,
         "transcript_loops": q_transcript_loops,
         "curate_transcripts": q_curate_transcripts,
+        "curate_transcripts_increment": q_curate_transcripts_increment,
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
@@ -6010,6 +6096,123 @@ def oracle_sql() -> dict[str, str]:
               FROM struct_ s
               JOIN lp USING (conv_id)
               LEFT JOIN dd USING (conv_id)
+            )
+        """,
+        # Incremental transcript curation replayed in SQL: both
+        # batches' verdict pipelines share the per-(batch, conv_id)
+        # stage CTEs; batch 2's known-fingerprint set is exactly what
+        # the increment persists — batch 1's dedup-REACHING distinct
+        # fingerprints (over_budget included, invalid/looping not; see
+        # curate_transcripts_increment docstring) — and within-batch
+        # dedup is the min-conv_id canonical (see
+        # q_curate_transcripts_increment).
+        "curate_transcripts_increment": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            b1 AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN cast(conv_id AS bigint) % 19 = 0
+                               AND turn_idx = 2 THEN ''
+                          WHEN cast(conv_id AS bigint) % 11 = 0
+                               AND turn_idx BETWEEN 3 AND 5
+                          THEN 'retrying tool call'
+                          ELSE text END AS text
+              FROM tr
+            ),
+            corpus AS (
+              SELECT cast(1 AS int) AS batch, conv_id, turn_idx, role,
+                     text
+              FROM b1
+              UNION ALL
+              SELECT 2, 'z' || conv_id || 'r', turn_idx, role, text
+              FROM b1 WHERE cast(conv_id AS bigint) % 13 = 0
+              UNION ALL
+              SELECT 2, 'z' || conv_id || 'r2', turn_idx, role, text
+              FROM b1 WHERE cast(conv_id AS bigint) % 26 = 0
+              UNION ALL
+              SELECT 2, f.conv_id, cast(t.i AS int),
+                     CASE WHEN t.i = 1 THEN 'user'
+                          ELSE 'assistant' END,
+                     'fresh ' || f.conv_id || ' '
+                       || cast(t.i AS varchar)
+              FROM (SELECT DISTINCT 'z' || conv_id || 'f' AS conv_id
+                    FROM b1 WHERE cast(conv_id AS bigint) % 7 = 0) f,
+                   UNNEST([1, 2]) AS t(i)
+            ),
+            struct_ AS (
+              SELECT batch, conv_id,
+                     cast(sum(coalesce(length(text), 0)) AS bigint)
+                       AS total_chars,
+                     (min(turn_idx) = 1 AND max(turn_idx) = count(*)
+                      AND count(DISTINCT turn_idx) = count(*)
+                      AND count(*) FILTER (WHERE text IS NULL
+                                             OR length(text) = 0) = 0)
+                       AS ok
+              FROM corpus GROUP BY batch, conv_id
+            ),
+            brk AS (
+              SELECT batch, conv_id, turn_idx,
+                     CASE WHEN row_number() OVER w > 1
+                               AND lag(text) OVER w
+                                   IS NOT DISTINCT FROM text
+                          THEN 0 ELSE 1 END AS brk
+              FROM corpus
+              WINDOW w AS (PARTITION BY batch, conv_id ORDER BY turn_idx)
+            ),
+            runs AS (
+              SELECT batch, conv_id, turn_idx,
+                     sum(brk) OVER (PARTITION BY batch, conv_id
+                                    ORDER BY turn_idx) AS run
+              FROM brk
+            ),
+            lp AS (
+              SELECT batch, conv_id, max(pos) >= 3 AS is_looping FROM (
+                SELECT batch, conv_id,
+                       row_number() OVER (PARTITION BY batch, conv_id,
+                                          run ORDER BY turn_idx) AS pos
+                FROM runs
+              ) GROUP BY batch, conv_id
+            ),
+            reaching AS (
+              SELECT s.batch, s.conv_id
+              FROM struct_ s JOIN lp USING (batch, conv_id)
+              WHERE s.ok AND NOT lp.is_looping
+            ),
+            fp AS (
+              SELECT c.batch, c.conv_id,
+                     md5(string_agg(coalesce(c.role, '') || chr(31)
+                                    || coalesce(c.text, ''),
+                                    chr(30) ORDER BY c.turn_idx))
+                       AS fingerprint
+              FROM corpus c JOIN reaching USING (batch, conv_id)
+              GROUP BY c.batch, c.conv_id
+            ),
+            known AS (
+              SELECT DISTINCT fingerprint FROM fp WHERE batch = 1
+            ),
+            canon AS (
+              SELECT batch, fingerprint, min(conv_id) AS canon
+              FROM fp GROUP BY 1, 2
+            ),
+            dd AS (
+              SELECT f.batch, f.conv_id,
+                     (f.conv_id <> c.canon
+                      OR (f.batch = 2 AND f.fingerprint IN
+                            (SELECT fingerprint FROM known)))
+                       AS is_dup
+              FROM fp f JOIN canon c USING (batch, fingerprint)
+            )
+            SELECT batch, conv_id,
+                   coalesce(reason, 'accepted') AS status
+            FROM (
+              SELECT s.batch, s.conv_id,
+                     CASE WHEN NOT s.ok THEN 'invalid'
+                          WHEN lp.is_looping THEN 'looping'
+                          WHEN dd.is_dup THEN 'exact_dup'
+                          WHEN s.total_chars > 200 THEN 'over_budget'
+                          END AS reason
+              FROM struct_ s
+              JOIN lp USING (batch, conv_id)
+              LEFT JOIN dd USING (batch, conv_id)
             )
         """,
         # Stuck-agent detection over the loop-planted corpus: NULL-safe

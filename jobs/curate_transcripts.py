@@ -18,6 +18,14 @@ and prints the rejection funnel as ONE JSON line::
   corpora that promise it; default is the structural pair every log
   must satisfy (dense turn_idx, no empty text).
 
+Steady-state mode: ``--increment --warehouse <dir>`` admits the input
+as a NEW batch against the warehouse's already-curated transcript
+corpus in O(batch) (``curate_transcripts_increment``): accepted turns
+and the batch's new content fingerprints are APPENDED so the next
+increment sees them. The default run id is a batch content fingerprint
+— a crash-rerun of the same batch resumes idempotently (summary gains
+``"resumed": true``); different batches always get distinct ids.
+
 The funnel JSON is dict-of-counts — one bounded collect over ≤ 5 rows.
 """
 
@@ -41,6 +49,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--full-grammar", action="store_true")
     ap.add_argument("--verdicts", help="write verdict parquet here")
     ap.add_argument("--output", help="write curated turn parquet here")
+    ap.add_argument("--increment", action="store_true",
+                    help="admit input as a new batch against --warehouse")
+    ap.add_argument("--warehouse", default=None,
+                    help="curated-transcripts warehouse dir (required "
+                    "with --increment)")
+    ap.add_argument("--run-id", default=None,
+                    help="resume id for --increment; default derives a "
+                    "content fingerprint of the batch")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -48,13 +64,70 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from threat_intelligence_knowledge_graph_spark.plans.transcript_curation import (
         curate_transcripts,
+        curate_transcripts_increment,
+        transcripts_batch_run_id,
     )
+
+    if args.increment and not args.warehouse:
+        raise SystemExit("--increment requires --warehouse")
 
     own_session = spark is None
     if own_session:
         spark = build_session("tikg-curate-transcripts", master=args.master)
     try:
         turns = spark.read.parquet(args.input)
+        if args.increment:
+            from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+                LocalTableCatalog,
+            )
+
+            catalog = LocalTableCatalog(args.warehouse)
+            run_id = args.run_id or transcripts_batch_run_id(turns)
+            # Both stage commits already present for this run id means
+            # a full rerun of an already-committed batch: the appends
+            # are no-ops and the verdicts were recomputed against the
+            # PRE-batch state — surface that in the summary.
+            resumed = all(
+                catalog.committed(t, run_id, s)
+                for t, s in [
+                    ("curated_transcripts_fps", "fps"),
+                    ("curated_transcripts", "turns"),
+                ]
+            )
+            verdicts = curate_transcripts_increment(
+                spark,
+                turns,
+                catalog,
+                min_run=args.min_run,
+                budget_chars=args.budget_chars,
+                full_grammar=args.full_grammar,
+                run_id=run_id,
+            )
+            funnel = {
+                (r["reason"] or "accepted"): r["n"]
+                for r in verdicts.groupBy("reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if args.verdicts:
+                verdicts.write.mode("overwrite").parquet(args.verdicts)
+            summary = {
+                "conversations": sum(funnel.values()),
+                "accepted": funnel.get("accepted", 0),
+                "rejected": {
+                    k: v for k, v in sorted(funnel.items())
+                    if k != "accepted"
+                },
+                "corpus_convs": catalog.read(spark, "curated_transcripts")
+                .select("conv_id")
+                .distinct()
+                .count(),
+                "run_id": run_id,
+            }
+            if resumed:
+                summary["resumed"] = True
+            print(json.dumps(summary, sort_keys=True))
+            return 0
         verdicts = curate_transcripts(
             turns,
             min_run=args.min_run,

@@ -281,3 +281,49 @@ class TestCurateTranscriptsCli:
         assert kept.count() == 2
         # session injected -> not stopped
         assert spark.sql("SELECT 1").count() == 1
+
+    def test_increment_mode(self, spark, tmp_path, capsys):
+        import json
+
+        b1 = [
+            ("a1", 1, "user", "hi"),
+            ("a1", 2, "assistant", "hello"),
+            ("a2", 1, "user", "other"),
+        ]
+        b2 = [
+            ("b1", 1, "user", "hi"),  # replay of a1 -> exact_dup
+            ("b1", 2, "assistant", "hello"),
+            ("b2", 1, "user", "fresh"),
+        ]
+        p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+        for rows, p in ((b1, p1), (b2, p2)):
+            spark.createDataFrame(
+                rows, "conv_id string, turn_idx int, role string, text string"
+            ).write.parquet(p)
+        wh = str(tmp_path / "wh")
+        mod = self._mod()
+        assert mod.main(
+            ["--input", p1, "--increment", "--warehouse", wh,
+             "--budget-chars", "100"], spark=spark,
+        ) == 0
+        s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert s1["accepted"] == 2 and s1["corpus_convs"] == 2
+        assert "resumed" not in s1
+        assert mod.main(
+            ["--input", p2, "--increment", "--warehouse", wh,
+             "--budget-chars", "100"], spark=spark,
+        ) == 0
+        s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert s2["rejected"] == {"exact_dup": 1}
+        assert s2["accepted"] == 1 and s2["corpus_convs"] == 3
+        # rerun batch 2: content-derived run id -> resumed, no growth
+        assert mod.main(
+            ["--input", p2, "--increment", "--warehouse", wh,
+             "--budget-chars", "100"], spark=spark,
+        ) == 0
+        s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert s3.get("resumed") is True
+        assert s3["corpus_convs"] == 3 and s3["run_id"] == s2["run_id"]
+        # missing --warehouse is a clean one-line exit
+        with pytest.raises(SystemExit):
+            mod.main(["--input", p2, "--increment"], spark=spark)
