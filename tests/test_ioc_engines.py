@@ -319,3 +319,45 @@ def test_relation_span_path_equals_containment_path(corpus):
         {"id": "c", "type": "Domain", "value": "evil.com"},
     ]
     assert KE._extract_relations(ents, text) == _containment_relations(ents, text)
+
+
+def test_relation_span_path_fuzz_repeats_and_overlaps():
+    """Stress the span-path occurrence loop (monotone sentence index +
+    restart-past-accepted-match): values that repeat many times inside
+    one sentence, straddle separators, overlap each other (domain
+    inside URL), and self-overlap ('aaa' in 'aaaaa') must group
+    byte-identically to the containment scan."""
+    import random
+
+    from threat_intelligence_knowledge_graph_spark.kernel import extract as KE
+
+    rng = random.Random(23)
+    # (type, value) pool chosen so STIX mapping exists and values
+    # overlap: the domain is a substring of the URL, the ipv4 repeats,
+    # and the self-overlapping 'aaa'/'aaaaa' pair draws 'aaaa…' runs.
+    pool = [
+        ("Domain", "evil.com"),
+        ("URL", "http://evil.com/x"),
+        ("IPv4", "10.1.2.3"),
+        ("Hash", "aaa"),
+        ("Domain", "aaaaa"),
+        ("FilePath", "deadbeef"),
+    ]
+    seps = [". ", "! ", "? ", "\n", " "]
+    checked = 0
+    for _ in range(2500):
+        n_ent = rng.randint(2, 5)
+        ents = rng.sample(pool, n_ent)
+        entities = [
+            {"id": KE.create_node_id(t, v), "type": t, "value": v}
+            for t, v in ents
+        ]
+        parts = []
+        for _ in range(rng.randint(2, 14)):
+            parts.append(rng.choice([v for _, v in pool] + ["filler", "a"]))
+            parts.append(rng.choice(seps))
+        text = "".join(parts)
+        got = KE._extract_relations(entities, text)
+        assert got == _containment_relations(entities, text), text
+        checked += len(got)
+    assert checked > 500  # non-vacuous

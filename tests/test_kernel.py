@@ -203,6 +203,52 @@ class TestExtractDocument:
         assert locs["location_Russia"]["name"] == "Russia"
         assert locs["location_Ukraine"]["type"] == "nation"
 
+    def test_location_alternation_scan_equals_per_entry_scan(self):
+        """The one-pass overlapping alternation scan must equal the
+        per-entry `in` scan byte-for-byte (order, dedup, properties) —
+        fuzz over nationality fragments so prefix-collision and
+        adjacency corners are drawn."""
+        import random
+
+        from threat_intelligence_knowledge_graph_spark.kernel.extract import (
+            _extract_locations,
+        )
+        from threat_intelligence_knowledge_graph_spark.kernel.extract import (
+            create_node_id,
+        )
+        from threat_intelligence_knowledge_graph_spark.rules.locations import (
+            NATIONALITY_KB,
+        )
+
+        def per_entry(raw_text):
+            text_lower = raw_text.lower()
+            seen, out = set(), []
+            for nationality, nation in NATIONALITY_KB:
+                if len(nationality) < 4:
+                    continue
+                if nationality in text_lower:
+                    node_id = create_node_id("Location", nation)
+                    if node_id in seen:
+                        continue
+                    seen.add(node_id)
+                    out.append(
+                        (node_id, "Location", {"name": nation, "type": "nation"})
+                    )
+            return out
+
+        rng = random.Random(7)
+        names = [n for n, _ in NATIONALITY_KB]
+        frags = names + [n[: rng.randint(2, len(n))] for n in names] + [
+            " ", "x", "RUSSIAN", "Chinese", ""
+        ]
+        checked_hits = 0
+        for _ in range(4000):
+            s = "".join(rng.choice(frags) for _ in range(rng.randint(1, 6)))
+            got = _extract_locations(s)
+            assert got == per_entry(s), s
+            checked_hits += len(got)
+        assert checked_hits > 1000  # non-vacuous
+
     def test_empty_doc(self):
         g = extract_document("   ")
         assert g.nodes == [] and g.edges == []

@@ -148,7 +148,14 @@ def _entity_properties(node_type: str, ioc_class: str, value: str) -> dict[str, 
 
 def _extract_locations(raw_text: str) -> list[tuple[str, str, dict[str, str]]]:
     """Nationality substring scan over RAW text
-    (reference ner_extractor.py:165-216)."""
+    (reference ner_extractor.py:165-216).
+
+    Scan strategy note (r5, measured): 35 C-speed ``in`` scans beat a
+    single alternation regex pass by 2-9× on the kernel corpus (stdlib
+    ``re`` has no literal-prefix optimization for alternations and the
+    ``regex`` engine's is slower than memchr here) — the per-entry loop
+    IS the fast path. Semantics pinned by
+    tests/test_kernel.py::test_location_alternation_scan_equals_per_entry_scan."""
     text_lower = raw_text.lower()
     seen: set[str] = set()
     out: list[tuple[str, str, dict[str, str]]] = []
@@ -229,17 +236,35 @@ def _extract_relations(
         sentences = None  # sliced lazily from spans below
         by_sentence: dict[int, list[tuple[str, str, str, str]]] = {}
         find = raw_text.find
-        for ent in ents:
-            value = ent[2]
-            vlen = len(value)
-            p = find(value)
-            hit: set[int] = set()
-            while p != -1:
-                si = bisect_right(starts, p) - 1
-                if p + vlen <= spans[si][1] and si not in hit:
-                    hit.add(si)
-                    by_sentence.setdefault(si, []).append(ent)
-                p = find(value, p + 1)
+        if len(spans) == 1:
+            # Separator-free document: every occurrence is wholly inside
+            # the single span, so presence alone decides.
+            for ent in ents:
+                if find(ent[2]) != -1:
+                    by_sentence.setdefault(0, []).append(ent)
+        else:
+            for ent in ents:
+                value = ent[2]
+                vlen = len(value)
+                p = find(value)
+                last_si = -1
+                while p != -1:
+                    si = bisect_right(starts, p) - 1
+                    if p + vlen <= spans[si][1]:
+                        # Occurrences scan left→right, so si is
+                        # non-decreasing — an int compare replaces the
+                        # per-entity hit set.
+                        if si != last_si:
+                            last_si = si
+                            by_sentence.setdefault(si, []).append(ent)
+                        # Any overlapping occurrence in [p+1, p+vlen)
+                        # that lies wholly inside a sentence lies inside
+                        # THIS one (sentences are disjoint contiguous
+                        # ranges and p+vlen ≤ its end) — already counted,
+                        # so restart past the accepted match.
+                        p = find(value, p + vlen)
+                    else:
+                        p = find(value, p + 1)
     else:
         # Punkt (or any opt-in splitter): sentences need not be
         # contiguous substrings of raw_text, so keep the reference's
