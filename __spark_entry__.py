@@ -2099,6 +2099,78 @@ def q_curate_transcripts_increment(spark, sf_dir):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _line_dedup_corpus(spark, sf_dir):
+    """Documents rebuilt as multi-line texts with planted boilerplate:
+    every 3rd doc gains a constant header line, every 4th a constant
+    footer, every 5th repeats its body line — so corpus-duplicated
+    lines (headers/footers), within-doc repeats, and clean docs all
+    occur. concat_ws skips NULL parts in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(key % 3 == 0, F.lit("=== boilerplate header ===")),
+            F.col("text"),
+            F.when(key % 5 == 0, F.col("text")),
+            F.when(key % 4 == 0, F.lit("-- generated footer --")),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level line dedup (keep the globally first
+    occurrence of any line occurring >= 2 times) over the planted
+    boilerplate corpus: one md5-keyed count+min-position aggregation,
+    one join back, per-doc ordered rejoin. Oracle: window count + first
+    rank over the identical line stream."""
+    from threat_intelligence_knowledge_graph_spark.operators.line_dedup import (
+        dedup_lines,
+    )
+
+    return dedup_lines(_line_dedup_corpus(spark, sf_dir), min_count=2)
+
+
+def q_transcript_outcomes(spark, sf_dir):
+    """Per-conversation terminal-state triage labels over planted
+    failures: every 11th conv gets a 3-turn stutter (→ looping when
+    long enough), every 7th conv's tool turns become tracebacks
+    (→ tool_failure unless looping wins precedence), conversations
+    naturally ending on a user turn → abandoned, rest completed."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        conversation_outcomes,
+    )
+
+    tr = _synth_transcripts(spark, sf_dir)
+    key = F.col("conv_id").cast("long")
+    planted = tr.withColumn(
+        "text",
+        F.when(
+            (key % 11 == 0) & F.col("turn_idx").between(3, 5),
+            F.lit("retrying tool call"),
+        )
+        .when(
+            (key % 7 == 0) & (F.col("role") == "tool"),
+            F.lit("Traceback: tool exploded"),
+        )
+        .otherwise(F.col("text")),
+    )
+    return conversation_outcomes(planted, min_run=3)
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity over the planted 3-clique+pendant gadgets:
+    identical disjoint gadgets make the coefficient analytic and
+    gadget-count-invariant (r = -20/28 = -0.714286 — the hub-to-leaf
+    C2-star signature). Exact bigint sums, ONE round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_triangle_gadget_edges(spark, sf_dir))
+
+
 def _conv_dedup_corpus(spark, sf_dir):
     """Synthetic transcripts + planted duplicate families: every 13th
     conversation replayed byte-identically under a fresh key (_dup),
@@ -3932,6 +4004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_loops": q_transcript_loops,
         "curate_transcripts": q_curate_transcripts,
         "curate_transcripts_increment": q_curate_transcripts_increment,
+        "line_dedup": q_line_dedup,
+        "transcript_outcomes": q_transcript_outcomes,
+        "graph_assortativity": q_graph_assortativity,
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
@@ -6214,6 +6289,153 @@ def oracle_sql() -> dict[str, str]:
               JOIN lp USING (batch, conv_id)
               LEFT JOIN dd USING (batch, conv_id)
             )
+        """,
+        # C4-style line dedup over the planted boilerplate corpus:
+        # window count + first-occurrence rank over the identical line
+        # stream (Spark groups by md5(line) — same equality classes),
+        # string_agg rejoin in line order (see q_line_dedup).
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '=== boilerplate header ===' END,
+                       text,
+                       CASE WHEN doc_id % 5 = 0 THEN text END,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '-- generated footer --' END) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, i - 1 AS line_idx, parts[i] AS line
+              FROM (SELECT doc_id,
+                           string_split(coalesce(text, ''), chr(10))
+                             AS parts
+                    FROM d),
+                   UNNEST(generate_series(1, len(parts))) AS t(i)
+            ),
+            flagged AS (
+              SELECT doc_id, line_idx, line,
+                     count(*) OVER (PARTITION BY line) AS cnt,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_idx) AS rn
+              FROM lines
+            )
+            SELECT d.doc_id,
+                   coalesce(k.text, '') AS text,
+                   f.n_lines, f.n_removed
+            FROM d
+            JOIN (SELECT doc_id,
+                         cast(count(*) AS bigint) AS n_lines,
+                         cast(count(*) FILTER (WHERE cnt >= 2 AND rn > 1)
+                              AS bigint) AS n_removed
+                  FROM flagged GROUP BY doc_id) f USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(line, chr(10)
+                                         ORDER BY line_idx) AS text
+                       FROM flagged
+                       WHERE cnt < 2 OR rn = 1
+                       GROUP BY doc_id) k USING (doc_id)
+        """,
+        # Terminal-state triage over the failure-planted transcripts:
+        # the loop CTE is transcript_loops' (min_run=3), last-turn and
+        # last-tool-turn signals via arg_max, fixed precedence CASE
+        # (see q_transcript_outcomes).
+        "transcript_outcomes": f"""
+            WITH tr AS ({_SYNTH_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN cast(conv_id AS bigint) % 11 = 0
+                               AND turn_idx BETWEEN 3 AND 5
+                          THEN 'retrying tool call'
+                          WHEN cast(conv_id AS bigint) % 7 = 0
+                               AND role = 'tool'
+                          THEN 'Traceback: tool exploded'
+                          ELSE text END AS text
+              FROM tr
+            ),
+            f AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN row_number() OVER w > 1
+                               AND lag(text) OVER w
+                                   IS NOT DISTINCT FROM text
+                          THEN 0 ELSE 1 END AS brk
+              FROM c
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            runs AS (
+              SELECT conv_id, turn_idx,
+                     sum(brk) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS run
+              FROM f
+            ),
+            lp AS (
+              SELECT conv_id, max(pos) >= 3 AS is_looping FROM (
+                SELECT conv_id,
+                       row_number() OVER (PARTITION BY conv_id, run
+                                          ORDER BY turn_idx) AS pos
+                FROM runs
+              ) GROUP BY conv_id
+            ),
+            last AS (
+              SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+                     arg_max(role, turn_idx) AS last_role
+              FROM c GROUP BY conv_id
+            ),
+            te AS (
+              SELECT conv_id,
+                     coalesce(regexp_matches(
+                       arg_max(text, turn_idx),
+                       'error|exception|traceback|failed', 'i'),
+                       FALSE) AS terr
+              FROM c WHERE role = 'tool' GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns, last_role,
+                   CASE WHEN lp.is_looping THEN 'looping'
+                        WHEN coalesce(te.terr, FALSE) THEN 'tool_failure'
+                        WHEN last_role = 'user' THEN 'abandoned'
+                        ELSE 'completed' END AS outcome
+            FROM last
+            JOIN lp USING (conv_id)
+            LEFT JOIN te USING (conv_id)
+        """,
+        # Newman degree assortativity over the 3-clique+pendant gadget
+        # union: exact bigint sums over edge-endpoint degrees, the
+        # 4M²-scaled integer numerator/denominator, ONE round-6
+        # division (see q_graph_assortativity).
+        "graph_assortativity": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 13 = 0),
+            e0 AS (
+              SELECT 3 * k AS s, 3 * k + 1 AS d FROM ks
+              UNION ALL SELECT 3 * k + 1, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k, 3 * k + 2 FROM ks
+              UNION ALL SELECT 3 * k + 2, 3 * k + 3 FROM ks
+            ),
+            e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                  FROM e0 WHERE s <> d),
+            deg AS (
+              SELECT id, count(*) AS dg FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY id
+            ),
+            s AS (
+              SELECT cast(count(*) AS bigint) AS m,
+                     cast(sum(da.dg * db.dg) AS bigint) AS s1,
+                     cast(sum(da.dg + db.dg) AS bigint) AS s2,
+                     cast(sum(da.dg * da.dg + db.dg * db.dg) AS bigint)
+                       AS s3
+              FROM e
+              JOIN deg da ON e.a = da.id
+              JOIN deg db ON e.b = db.id
+            )
+            SELECT (SELECT cast(count(*) AS bigint) FROM deg) AS n_nodes,
+                   m AS n_edges,
+                   CASE WHEN m > 0 AND 2 * m * s3 - s2 * s2 <> 0
+                        THEN round((4 * m * s1 - s2 * s2)
+                                   / (2 * m * s3 - s2 * s2), 6) END
+                     AS assortativity
+            FROM s
         """,
         # Stuck-agent detection over the loop-planted corpus: NULL-safe
         # lag-flag run ids, run lengths, min_run=3 (see

@@ -573,6 +573,35 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "CartesianProduct", "SortMergeJoin"],
     )
+    check(
+        # Line dedup: ONE md5-keyed count+min aggregation, keyed join
+        # back, per-doc ordered rejoin (sort_array inside the agg) —
+        # JVM-side, never cartesian, and NO full-corpus window (the
+        # first-occurrence pick is the min-struct aggregate, not a
+        # rank over every line).
+        "line_dedup_keyed_join_no_window",
+        em.q_line_dedup(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "Window"],
+    )
+    check(
+        # Outcomes: loop_detection's conv_id window family + max_by
+        # aggregates + conv_id-keyed verdict joins; JVM-side, never
+        # cartesian.
+        "transcript_outcomes_keyed_joins",
+        em.q_transcript_outcomes(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct"],
+    )
+    check(
+        # Assortativity: keyed degree equi-joins + 1-row aggregates
+        # (the 1-row×1-row combine broadcasts; a row-explosive
+        # cartesian never appears).
+        "assortativity_keyed_joins",
+        em.q_graph_assortativity(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -439,3 +439,78 @@ def tool_chains(
             ),
         )
     )
+
+
+def conversation_outcomes(
+    turns: DataFrame,
+    min_run: int = 3,
+    error_pattern: str = "(?i)error|exception|traceback|failed",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation terminal-state label — the triage rollup a
+    fleet dashboard and an SFT-curation pass both read first:
+
+    ``(conv_id, n_turns, last_role, outcome)`` with outcome decided by
+    fixed precedence (first match wins):
+
+    1. ``looping``      — a run of ``min_run`` byte-identical
+       consecutive turn texts anywhere (``loop_detection``'s signal:
+       the retry spiral dominates whatever happened after it);
+    2. ``tool_failure`` — the conversation's LAST tool-role turn (by
+       ``turn_col``) matches ``error_pattern`` (NULL-safe: no tool
+       turns, or a non-matching last tool text, is not a failure) —
+       the agent's final tool interaction errored and nothing
+       recovered it;
+    3. ``abandoned``    — the last turn is a ``user`` turn: the user
+       asked and nobody answered (cut-off or gave-up trace);
+    4. ``completed``    — everything else.
+
+    Scale shape: the loop signal reuses ``loop_detection`` (ONE conv_id
+    exchange), the last-turn and last-tool-turn signals are max_by
+    aggregates over the same conv_id key (map-side partials), and the
+    verdict assembly is conv_id-keyed joins of N_convs-sized frames.
+    Nothing collects; no window beyond loop_detection's.
+    """
+    lp = loop_detection(
+        turns,
+        min_run=min_run,
+        conv_col=conv_col,
+        turn_col=turn_col,
+        text_col=text_col,
+    ).select(conv_col, "is_looping")
+    last = turns.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.max_by(F.col(role_col), F.col(turn_col)).alias("last_role"),
+    )
+    last_tool_err = (
+        turns.filter(F.col(role_col) == "tool")
+        .groupBy(conv_col)
+        .agg(
+            F.coalesce(
+                F.max_by(F.col(text_col), F.col(turn_col)).rlike(
+                    error_pattern
+                ),
+                F.lit(False),
+            ).alias("_tool_err")
+        )
+    )
+    outcome = (
+        F.when(F.col("is_looping"), F.lit("looping"))
+        .when(
+            F.coalesce(F.col("_tool_err"), F.lit(False)),
+            F.lit("tool_failure"),
+        )
+        .when(F.col("last_role") == "user", F.lit("abandoned"))
+        .otherwise(F.lit("completed"))
+    )
+    return (
+        last.join(lp, conv_col)
+        .join(last_tool_err, conv_col, "left")
+        .select(
+            conv_col, "n_turns", "last_role", outcome.alias("outcome")
+        )
+    )
