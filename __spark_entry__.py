@@ -2171,6 +2171,81 @@ def q_graph_assortativity(spark, sf_dir):
     return degree_assortativity(_triangle_gadget_edges(spark, sf_dir))
 
 
+def _mmr_vectors(spark, sf_dir):
+    """(vec_id, embedding): dim-8 Pythagorean-direction vectors
+    s·[x_d, y_d, 0…] with (x_d, y_d) ∈ {(1,0), (4,3), (3,4), (0,1)} by
+    key%4 and integer scale s = key%3+1, one vector per 199th orderkey.
+    Norms are perfect squares (5s or s), so every query and pairwise
+    cosine is ONE correctly-rounded division of exact integers —
+    bit-identical in any engine and under either cosine formula
+    (dot/(na·nb) ≡ dot/sqrt(sa·sb) when all operands are exact)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 199 == 0)
+    k = F.col("o_orderkey")
+    s = (k % 3 + 1).cast("double")
+    d = k % 4
+    x = (
+        F.when(d == 0, 1.0).when(d == 1, 4.0).when(d == 2, 3.0).otherwise(0.0)
+    )
+    y = (
+        F.when(d == 0, 0.0).when(d == 1, 3.0).when(d == 2, 4.0).otherwise(1.0)
+    )
+    return o.select(
+        k.alias("vec_id"),
+        F.array(s * x, s * y, *[F.lit(0.0)] * 6).alias("embedding"),
+    )
+
+
+def q_similarity_mmr(spark, sf_dir):
+    """MMR diversity re-ranking (lam=0.3, k=4) over the Pythagorean
+    direction corpus: the greedy trace is exact-arithmetic (query
+    cosines 1.0/0.8/0.6/0.0, pairwise 0.96/0.8/0.6), so redundant
+    same-direction picks lose to fresh directions deterministically.
+    Oracle: the pool CTE + four unrolled argmax steps, each scoring
+    lam·cos − (1−lam)·max-cos-to-selected with identical literals."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    return mmr_rerank(
+        _mmr_vectors(spark, sf_dir), _QVEC8, k=4, lam=0.3, pool=50
+    ).select(
+        "rank",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+def q_corpus_fertility(spark, sf_dir):
+    """Per-source tokenizer-fertility diagnostic over documents: exact
+    bigint char/BPE-token sums, two round-6 divisions."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        corpus_fertility,
+    )
+
+    return corpus_fertility(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_family_sizes(spark, sf_dir):
+    """Exact-duplicate family-size histogram over documents with
+    planted replay families (every 7th doc replayed twice → size-3
+    families, every 13th once → size-2, %91 docs → size-4): md5
+    content classes → size → histogram, two cascaded integer
+    aggregates, only hashes shuffle."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        family_size_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    corpus = (
+        d.unionByName(d.filter(k % 7 == 0))
+        .unionByName(d.filter(k % 7 == 0))
+        .unionByName(d.filter(k % 13 == 0))
+    )
+    return family_size_histogram(corpus)
+
+
 def _conv_dedup_corpus(spark, sf_dir):
     """Synthetic transcripts + planted duplicate families: every 13th
     conversation replayed byte-identically under a fresh key (_dup),
@@ -4007,6 +4082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "transcript_outcomes": q_transcript_outcomes,
         "graph_assortativity": q_graph_assortativity,
+        "similarity_mmr": q_similarity_mmr,
+        "corpus_fertility": q_corpus_fertility,
+        "dedup_family_sizes": q_dedup_family_sizes,
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
@@ -6289,6 +6367,131 @@ def oracle_sql() -> dict[str, str]:
               JOIN lp USING (batch, conv_id)
               LEFT JOIN dd USING (batch, conv_id)
             )
+        """,
+        # MMR diversity re-ranking: pool CTE (exact cosine top-50) +
+        # four unrolled greedy argmax steps; every score is
+        # 0.3·cos − (1.0 − 0.3)·max-cos-to-selected with the SAME
+        # literals the operator computes, and every cosine on the
+        # Pythagorean corpus is one correctly-rounded division of
+        # exact integers (see q_similarity_mmr / _mmr_vectors).
+        "similarity_mmr": """
+            WITH v AS (
+              SELECT o_orderkey AS vec_id,
+                     [cast(o_orderkey % 3 + 1 AS double)
+                        * (CASE o_orderkey % 4 WHEN 0 THEN 1.0
+                                WHEN 1 THEN 4.0 WHEN 2 THEN 3.0
+                                ELSE 0.0 END),
+                      cast(o_orderkey % 3 + 1 AS double)
+                        * (CASE o_orderkey % 4 WHEN 0 THEN 0.0
+                                WHEN 1 THEN 3.0 WHEN 2 THEN 4.0
+                                ELSE 1.0 END),
+                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS emb
+              FROM orders WHERE o_orderkey % 199 = 0
+            ),
+            pool AS (
+              SELECT vec_id, emb,
+                     list_cosine_similarity(emb,
+                       [1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]) AS cos
+              FROM v
+              ORDER BY cos DESC, vec_id LIMIT 50
+            ),
+            s1 AS (SELECT vec_id, cos, 0.3 * cos AS score FROM pool
+                   ORDER BY 0.3 * cos DESC, vec_id LIMIT 1),
+            m2 AS (
+              SELECT p.vec_id, p.cos,
+                     0.3 * p.cos - (1.0 - 0.3)
+                       * max(list_cosine_similarity(p.emb, s.emb))
+                       AS score
+              FROM pool p, pool s
+              WHERE s.vec_id IN (SELECT vec_id FROM s1)
+                AND p.vec_id NOT IN (SELECT vec_id FROM s1)
+              GROUP BY p.vec_id, p.cos
+            ),
+            s2 AS (SELECT vec_id, cos, score FROM m2
+                   ORDER BY score DESC, vec_id LIMIT 1),
+            m3 AS (
+              SELECT p.vec_id, p.cos,
+                     0.3 * p.cos - (1.0 - 0.3)
+                       * max(list_cosine_similarity(p.emb, s.emb))
+                       AS score
+              FROM pool p, pool s
+              WHERE s.vec_id IN (SELECT vec_id FROM s1
+                                 UNION ALL SELECT vec_id FROM s2)
+                AND p.vec_id NOT IN (SELECT vec_id FROM s1
+                                     UNION ALL SELECT vec_id FROM s2)
+              GROUP BY p.vec_id, p.cos
+            ),
+            s3 AS (SELECT vec_id, cos, score FROM m3
+                   ORDER BY score DESC, vec_id LIMIT 1),
+            m4 AS (
+              SELECT p.vec_id, p.cos,
+                     0.3 * p.cos - (1.0 - 0.3)
+                       * max(list_cosine_similarity(p.emb, s.emb))
+                       AS score
+              FROM pool p, pool s
+              WHERE s.vec_id IN (SELECT vec_id FROM s1
+                                 UNION ALL SELECT vec_id FROM s2
+                                 UNION ALL SELECT vec_id FROM s3)
+                AND p.vec_id NOT IN (SELECT vec_id FROM s1
+                                     UNION ALL SELECT vec_id FROM s2
+                                     UNION ALL SELECT vec_id FROM s3)
+              GROUP BY p.vec_id, p.cos
+            ),
+            s4 AS (SELECT vec_id, cos, score FROM m4
+                   ORDER BY score DESC, vec_id LIMIT 1)
+            SELECT cast(1 AS int) AS rank, vec_id,
+                   round(cos, 6) AS cosine, round(score, 6) AS mmr_score
+            FROM s1
+            UNION ALL SELECT 2, vec_id, round(cos, 6), round(score, 6)
+            FROM s2
+            UNION ALL SELECT 3, vec_id, round(cos, 6), round(score, 6)
+            FROM s3
+            UNION ALL SELECT 4, vec_id, round(cos, 6), round(score, 6)
+            FROM s4
+        """,
+        # Per-source tokenizer fertility: exact bigint sums of chars and
+        # BPE-regex tokens, two round-6 divisions (see
+        # q_corpus_fertility).
+        "corpus_fertility": rf"""
+            SELECT source AS "group",
+                   cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(coalesce(length(text), 0)) AS bigint)
+                     AS total_chars,
+                   cast(sum(len(regexp_extract_all(
+                     text, '{BPE_TOKEN_REGEX}'))) AS bigint)
+                     AS total_tokens,
+                   CASE WHEN sum(len(regexp_extract_all(
+                              text, '{BPE_TOKEN_REGEX}'))) > 0
+                        THEN round(sum(coalesce(length(text), 0))
+                                   / sum(len(regexp_extract_all(
+                                       text, '{BPE_TOKEN_REGEX}'))), 6)
+                   END AS chars_per_token,
+                   CASE WHEN count(*) > 0
+                        THEN round(sum(len(regexp_extract_all(
+                               text, '{BPE_TOKEN_REGEX}')))
+                             / count(*), 6)
+                   END AS tokens_per_doc
+            FROM documents GROUP BY source
+        """,
+        # Exact-dup family-size histogram over the replay-planted
+        # corpus: md5 content classes → family sizes → histogram,
+        # integer-only (see q_dedup_family_sizes).
+        "dedup_family_sizes": """
+            WITH corpus AS (
+              SELECT text FROM documents
+              UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+              UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+              UNION ALL SELECT text FROM documents WHERE doc_id % 13 = 0
+            ),
+            fam AS (
+              SELECT md5(coalesce(text, '')) AS h,
+                     cast(count(*) AS bigint) AS family_size
+              FROM corpus GROUP BY 1
+            )
+            SELECT family_size,
+                   cast(count(*) AS bigint) AS n_families,
+                   cast(family_size * count(*) AS bigint) AS n_docs
+            FROM fam GROUP BY family_size
         """,
         # C4-style line dedup over the planted boilerplate corpus:
         # window count + first-occurrence rank over the identical line

@@ -602,6 +602,22 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "CartesianProduct"],
     )
+    check(
+        # Fertility: scan-local regex token count + ONE map-side-
+        # combining aggregate to <= |sources| rows; family histogram:
+        # two cascaded integer aggregates (hash keys only), no window,
+        # no join at all.
+        "corpus_fertility_single_agg",
+        em.q_corpus_fertility(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "Window", "Join"],
+    )
+    check(
+        "dedup_family_sizes_cascaded_aggs",
+        em.q_dedup_family_sizes(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "Window", "Join"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -652,3 +652,36 @@ def select_sources_greedy(
     return spark.createDataFrame(
         picks, "rank int, source string, n_new long, n_covered long"
     )
+
+
+def family_size_histogram(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate family-size histogram — the corpus-health view a
+    dedup pass is judged by: ``(family_size, n_families, n_docs)``
+    where a *family* is an md5-equal content class. family_size 1 rows
+    are the unique mass; the heavy tail (one text in 10^6 docs) is what
+    the dedup operators above exist to remove, and watching this
+    histogram across ingest batches shows whether duplication is
+    growing faster than the corpus.
+
+    Scale shape: two cascaded map-side-combining aggregates — the first
+    keyed by the 32-hex md5 (only hashes shuffle, never text), the
+    second by the bigint family size (<= log-ish distinct sizes). The
+    classic hot-key case (a single huge family) is exactly ONE row into
+    the second aggregate. Nothing collects.
+    """
+    fam = documents.groupBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+    ).agg(F.count("*").cast("long").alias("family_size"))
+    return (
+        fam.groupBy("family_size")
+        .agg(F.count("*").cast("long").alias("n_families"))
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

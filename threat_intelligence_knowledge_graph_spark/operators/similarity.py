@@ -590,3 +590,81 @@ def pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.3,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): select ``k`` results that balance query relevance against
+    redundancy with what is already selected —
+
+        mmr(d) = lam * cos(q, d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    (the max over an empty S is 0, so the first pick is the plain
+    cosine argmax). The retrieval-diversity pass RAG stacks and
+    dedup-aware sampling both want; ties break on the smaller id at
+    every step, making the trace deterministic.
+
+    Returns ``(rank, vec_id, cosine, mmr_score)`` — ``mmr_score`` is
+    the score the row was selected AT (rank 1's is ``lam * cosine``).
+
+    Scale shape: stage 1 is the distributed exact top-``pool`` cosine
+    scan (TakeOrderedAndProject; zero-norm vectors excluded, the
+    ADVICE-r4 convention); stage 2 is the inherently-sequential greedy
+    selection over the ≤ ``pool`` collected candidates — a BOUNDED
+    driver action (pool × k pairwise cosines in plain Python, the
+    ``n_centroids``-collect precedent), not a driver loop over the
+    corpus. Python mirrors the engine arithmetic exactly: sequential
+    dot fold, ``sqrt(sum-of-squares)`` norms, one division — so on
+    exact-arithmetic corpora the trace is bit-identical to SQL.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need k >= 1 and pool >= k")
+    cands = (
+        with_cosine(embeddings, query_vec, vec_col)
+        .filter(_norm(F.col(vec_col).cast("array<double>")) > 0)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = 0.0
+        sa = 0.0
+        sb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            sa += x * x
+            sb += y * y
+        import math
+
+        return d / (math.sqrt(sa) * math.sqrt(sb))
+
+    remaining = [(r[id_col], list(r[vec_col]), float(r["cosine"])) for r in cands]
+    selected: list[tuple] = []
+    out = []
+    while remaining and len(out) < k:
+        best = None
+        best_score = None
+        for item in remaining:
+            div = max((cos(item[1], s[1]) for s in selected), default=0.0)
+            score = lam * item[2] - (1.0 - lam) * div
+            if best is None or score > best_score or (
+                score == best_score and item[0] < best[0]
+            ):
+                best, best_score = item, score
+        selected.append(best)
+        remaining.remove(best)
+        out.append((len(out) + 1, best[0], best[2], best_score))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, schema=f"rank int, {id_col} long, cosine double, mmr_score double"
+    )

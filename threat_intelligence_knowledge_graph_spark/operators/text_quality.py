@@ -709,3 +709,51 @@ def vocab_growth(
         F.col("n_types").cast("long").alias("n_types"),
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
     )
+
+
+def corpus_fertility(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source tokenizer-fertility diagnostic: ``(group, n_docs,
+    total_chars, total_tokens, chars_per_token, tokens_per_doc)`` using
+    the BPE-ish regex tokens of ``token_counts``. chars/token is the
+    compression-ratio proxy pretraining mixes are balanced by (a source
+    whose fertility is far off the corpus norm is either non-prose or
+    mis-encoded); tokens/doc sizes the packing budget per source.
+
+    Exact bigint sums, two round-6 divisions (NULL when the denominator
+    is 0, never a fake value). ONE map-side-combining aggregate to
+    <= |sources| rows; the regex token count is scan-local.
+    """
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), 0))
+    chars = F.coalesce(F.length(F.col(text_col)), F.lit(0))
+    return (
+        documents.select(
+            F.col(group_col).alias("group"),
+            chars.alias("_c"),
+            toks.alias("_t"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_c").cast("long").alias("total_chars"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(F.col("total_chars") / F.col("total_tokens"), 6),
+            ).alias("chars_per_token"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("total_tokens") / F.col("n_docs"), 6),
+            ).alias("tokens_per_doc"),
+        )
+    )
