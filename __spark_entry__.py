@@ -139,6 +139,43 @@ def _html_to_text_oracle_sql() -> str:
     """
 
 
+_KERNEL_NODES_SQL = """
+    SELECT 'Domain' AS node_label,
+           'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS node_id
+    FROM orders
+    UNION
+    SELECT 'Ipv4' AS node_label,
+           'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
+             || cast((o_orderkey * 7) % 250 AS varchar) || '_'
+             || cast((o_orderkey % 249) + 1 AS varchar) AS node_id
+    FROM orders
+    UNION
+    SELECT 'Url' AS node_label,
+           'Url_Https___Evil-' || cast(o_orderkey AS varchar)
+             || '_Example_Net_P' || cast(o_orderkey AS varchar) AS node_id
+    FROM orders
+    UNION
+    SELECT 'Vulnerability' AS node_label,
+           'Vulnerability_Cve-2021-' || cast((o_orderkey % 9000) + 1000 AS varchar) AS node_id
+    FROM orders
+    UNION
+    SELECT 'Vulnerability' AS node_label,
+           'Vulnerability_Cve-2017-0144' AS node_id
+    FROM orders
+"""
+
+
+def _uuid_sql(expr: str) -> str:
+    """SQL for the UUID-shaped 8-4-4-4-12 rendering of md5(expr) — the
+    oracle twin of operators/stix_export._uuidish."""
+    h = f"md5({expr})"
+    return (
+        f"substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-' || "
+        f"substr({h}, 13, 4) || '-' || substr({h}, 17, 4) || '-' || "
+        f"substr({h}, 21, 12)"
+    )
+
+
 _KERNEL_TRIPLES_SQL = """
     SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS subj,
            'RESOLVES_TO' AS pred,
@@ -2171,6 +2208,94 @@ def q_graph_assortativity(spark, sf_dir):
     return degree_assortativity(_triangle_gadget_edges(spark, sf_dir))
 
 
+def q_stix_objects(spark, sf_dir):
+    """STIX 2.1 SDO/SCO skeleton export of the kernel's node set over
+    the constructed CTI corpus: store label → STIX type, id =
+    '<type>--<uuid-shaped md5(node_id)>' (deterministic content-derived
+    ids, re-export-stable). Oracle: the analytic node-set SQL projected
+    through the same CASE mapping + md5 formatting."""
+    from threat_intelligence_knowledge_graph_spark.operators.stix_export import (
+        stix_objects,
+    )
+
+    records = extract_graph_records(_cti_docs(spark, sf_dir))
+    nodes = (
+        records.filter(F.col("kind") == "node")
+        .select("node_label", "node_id")
+        .distinct()
+    )
+    return stix_objects(nodes)
+
+
+def q_stix_relationships(spark, sf_dir):
+    """STIX SRO export of the kernel's edge set (RESOLVES_TO /
+    CONTAINS over the CTI corpus): relationship_type = store rel
+    lowered with '_'→'-', refs derived exactly as q_stix_objects, SRO
+    id hashes the full (src, rel, dst) identity."""
+    from threat_intelligence_knowledge_graph_spark.operators.stix_export import (
+        stix_relationships,
+    )
+
+    records = extract_graph_records(_cti_docs(spark, sf_dir))
+    edges = (
+        records.filter(F.col("kind") == "edge")
+        .select("src_label", "src_id", "rel_type", "dst_label", "dst_id")
+        .distinct()
+    )
+    return stix_relationships(edges)
+
+
+def _cve_mention_rows(spark, sf_dir):
+    """(value, conv_id) CVE mention feed over the CTI corpus."""
+    docs = _cti_docs(spark, sf_dir)
+    return docs.select(
+        F.explode(
+            F.regexp_extract_all("doc_text", F.lit(_CVE_RX), 0)
+        ).alias("value"),
+        "conv_id",
+    )
+
+
+def _cve_watchlist(spark, sf_dir):
+    """Planted analyst watchlist: CVE-2017-0144 (mentioned everywhere)
+    plus the century-spaced CVE-2021 grid — the high grid values exceed
+    the corpus's orderkey range, so silent (0,0) watch rows exist."""
+    o = _t(spark, sf_dir, "orders")
+    grid = o.select(
+        F.concat(
+            F.lit("CVE-2021-"),
+            ((F.col("o_orderkey") % 90) * 100 + 1000).cast("string"),
+        ).alias("value")
+    ).distinct()
+    return grid.unionByName(
+        o.limit(1).select(F.lit("CVE-2017-0144").alias("value"))
+    )
+
+
+def q_watchlist_alerts(spark, sf_dir):
+    """Alert feed: (value, conv_id) rows for watched CVE mentions —
+    mention stream inner-joined against the broadcast watchlist."""
+    from threat_intelligence_knowledge_graph_spark.operators.alerts import (
+        watchlist_alerts,
+    )
+
+    return watchlist_alerts(
+        _cve_mention_rows(spark, sf_dir), _cve_watchlist(spark, sf_dir)
+    ).distinct()
+
+
+def q_watchlist_summary(spark, sf_dir):
+    """Per-watched-value rollup INCLUDING silent entries: watched CVEs
+    with no mention report (0, 0) — silence is signal."""
+    from threat_intelligence_knowledge_graph_spark.operators.alerts import (
+        watchlist_summary,
+    )
+
+    return watchlist_summary(
+        _cve_mention_rows(spark, sf_dir), _cve_watchlist(spark, sf_dir)
+    )
+
+
 def _mmr_vectors(spark, sf_dir):
     """(vec_id, embedding): dim-8 Pythagorean-direction vectors
     s·[x_d, y_d, 0…] with (x_d, y_d) ∈ {(1,0), (4,3), (3,4), (0,1)} by
@@ -4085,6 +4210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_mmr": q_similarity_mmr,
         "corpus_fertility": q_corpus_fertility,
         "dedup_family_sizes": q_dedup_family_sizes,
+        "stix_objects": q_stix_objects,
+        "stix_relationships": q_stix_relationships,
+        "watchlist_alerts": q_watchlist_alerts,
+        "watchlist_summary": q_watchlist_summary,
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
@@ -5453,29 +5582,86 @@ def oracle_sql() -> dict[str, str]:
         # set (single-chunk docs; the mock emits the kernel's graph as
         # function-call JSON, with every 3rd payload truncated → repaired).
         "kg_llm_mock_triples": _KERNEL_TRIPLES_SQL,
-        "kg_nodes_from_kernel": """
-            SELECT 'Domain' AS node_label,
-                   'Domain_Evil-' || cast(o_orderkey AS varchar) || '_Example_Net' AS node_id
-            FROM orders
-            UNION
-            SELECT 'Ipv4' AS node_label,
-                   'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
-                     || cast((o_orderkey * 7) % 250 AS varchar) || '_'
-                     || cast((o_orderkey % 249) + 1 AS varchar) AS node_id
-            FROM orders
-            UNION
-            SELECT 'Url' AS node_label,
-                   'Url_Https___Evil-' || cast(o_orderkey AS varchar)
-                     || '_Example_Net_P' || cast(o_orderkey AS varchar) AS node_id
-            FROM orders
-            UNION
-            SELECT 'Vulnerability' AS node_label,
-                   'Vulnerability_Cve-2021-' || cast((o_orderkey % 9000) + 1000 AS varchar) AS node_id
-            FROM orders
-            UNION
-            SELECT 'Vulnerability' AS node_label,
-                   'Vulnerability_Cve-2017-0144' AS node_id
-            FROM orders
+        "kg_nodes_from_kernel": _KERNEL_NODES_SQL,
+        # STIX 2.1 exports: the analytic node/edge sets projected
+        # through the SAME label→type CASE and md5-uuid formatting the
+        # operator computes (see q_stix_objects / q_stix_relationships
+        # and operators/stix_export.py).
+        "stix_objects": f"""
+            WITH n AS ({_KERNEL_NODES_SQL}),
+            t AS (
+              SELECT node_label, node_id,
+                     CASE node_label
+                          WHEN 'Domain' THEN 'domain-name'
+                          WHEN 'Ipv4' THEN 'ipv4-addr'
+                          WHEN 'Url' THEN 'url'
+                          WHEN 'Vulnerability' THEN 'vulnerability'
+                     END AS stix_type
+              FROM n
+            )
+            SELECT stix_type || '--' || {_uuid_sql("node_id")} AS stix_id,
+                   stix_type, node_label, node_id
+            FROM t
+        """,
+        "stix_relationships": f"""
+            WITH tr AS ({_KERNEL_TRIPLES_SQL}),
+            e AS (
+              SELECT subj AS src_id, pred AS rel_type, obj AS dst_id,
+                     CASE pred WHEN 'RESOLVES_TO' THEN 'domain-name'
+                               ELSE 'url' END AS src_type,
+                     CASE pred WHEN 'RESOLVES_TO' THEN 'ipv4-addr'
+                               ELSE 'domain-name' END AS dst_type
+              FROM tr
+            )
+            SELECT 'relationship--'
+                   || {_uuid_sql("src_id || chr(31) || rel_type || chr(31) || dst_id")}
+                     AS stix_id,
+                   lower(replace(rel_type, '_', '-')) AS relationship_type,
+                   src_type || '--' || {_uuid_sql("src_id")} AS source_ref,
+                   dst_type || '--' || {_uuid_sql("dst_id")} AS target_ref
+            FROM e
+        """,
+        # Watchlist alerting over the CTI mention stream: the planted
+        # century-grid watchlist joined to per-occurrence CVE mentions;
+        # the summary LEFT-joins so silent watch values report (0, 0)
+        # (see q_watchlist_alerts / q_watchlist_summary).
+        "watchlist_alerts": f"""
+            WITH docs AS ({_CTI_TEXT_SQL}),
+            m AS (
+              SELECT u.v AS value, doc_id AS conv_id
+              FROM docs, UNNEST(regexp_extract_all(text, '{_CVE_RX}'))
+                     AS u(v)
+            ),
+            wl AS (
+              SELECT DISTINCT 'CVE-2021-'
+                || cast((o_orderkey % 90) * 100 + 1000 AS varchar) AS value
+              FROM orders
+              UNION SELECT 'CVE-2017-0144'
+            )
+            SELECT DISTINCT m.value, m.conv_id FROM m JOIN wl USING (value)
+        """,
+        "watchlist_summary": f"""
+            WITH docs AS ({_CTI_TEXT_SQL}),
+            m AS (
+              SELECT u.v AS value, doc_id AS conv_id
+              FROM docs, UNNEST(regexp_extract_all(text, '{_CVE_RX}'))
+                     AS u(v)
+            ),
+            wl AS (
+              SELECT DISTINCT 'CVE-2021-'
+                || cast((o_orderkey % 90) * 100 + 1000 AS varchar) AS value
+              FROM orders
+              UNION SELECT 'CVE-2017-0144'
+            ),
+            a AS (
+              SELECT value, cast(count(*) AS bigint) AS n_mentions,
+                     cast(count(DISTINCT conv_id) AS bigint) AS n_convs
+              FROM m JOIN wl USING (value) GROUP BY value
+            )
+            SELECT w.value,
+                   cast(coalesce(a.n_mentions, 0) AS bigint) AS n_mentions,
+                   cast(coalesce(a.n_convs, 0) AS bigint) AS n_convs
+            FROM wl w LEFT JOIN a USING (value)
         """,
         "kg_edge_dedup": """
             SELECT DISTINCT 'part_' || cast(l_partkey AS varchar) AS subj,
