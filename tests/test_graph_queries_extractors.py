@@ -275,6 +275,35 @@ class TestAnalystQueries:
             assert 1 <= len(r.sample) <= 10
             assert list(r.sample) == sorted(r.sample)
 
+    def test_campaign_cards(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.operators.louvain import (
+            louvain_communities,
+        )
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            campaign_cards,
+        )
+
+        rows = campaign_cards(spark, iterations=4, min_size=2).collect()
+        assert rows
+        sizes = [r.n_members for r in rows]
+        assert sizes == sorted(sizes, reverse=True)
+        t = spark.table("triples")
+        edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        comm = {
+            r.id: r.community
+            for r in louvain_communities(edges, iterations=4).collect()
+        }
+        preds = {r.pred for r in t.select("pred").distinct().collect()}
+        for r in rows:
+            # exemplar belongs to its own community
+            assert comm[r.exemplar] == r.community
+            assert r.exemplar_rank > 0
+            # top_pred is a real predicate with a sane share (a
+            # community whose members never appear subj-side has NULLs)
+            if r.top_pred is not None:
+                assert r.top_pred in preds
+                assert 0 < r.top_pred_share <= 1.0
+
     def test_community_quality(self, spark, warehouse):
         from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
             community_quality,

@@ -9,7 +9,7 @@ run (neighbors, typed edges, degree, 2-hop paths) maps to one of these.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tableio import LocalTableCatalog
 
@@ -264,6 +264,81 @@ def community_quality(
         conductance(edges, comm)
         .filter(F.col("n_members") >= min_size)
         .orderBy(F.col("conductance").desc(), F.col("community"))
+    )
+
+
+def campaign_cards(
+    spark: SparkSession, iterations: int = 4, min_size: int = 2
+) -> DataFrame:
+    """One operational card per campaign community — the triage view an
+    analyst opens instead of three separate queries: ``(community,
+    n_members, exemplar, exemplar_rank, top_pred, top_pred_share)``
+    where ``exemplar`` is the community's top-PageRank member (the node
+    to open first), and ``top_pred`` the community's dominant internal
+    relationship type with its round-6 share of the community's
+    subj-side triples. Largest communities first.
+
+    Composition of the already-tested pieces (louvain communities +
+    uniform PageRank + one triple aggregation); every per-community
+    pick is a community-keyed window ordered (score DESC, id) /
+    (count DESC, pred) — fully deterministic under ties.
+
+    Scale shape: the window partitions by community (N_nodes-sized
+    frames, never the triple table); the predicate mix aggregates the
+    triple scan once, keyed by (community, pred)."""
+    from ..operators.louvain import louvain_communities
+    from ..operators.pagerank import pagerank
+
+    triples = spark.table("triples")
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    comm = louvain_communities(edges, iterations=iterations)
+    pr = pagerank(
+        edges.select(
+            F.col("src").alias("src_id"), F.col("dst").alias("dst_id")
+        ),
+        iterations=iterations,
+    )
+    w = Window.partitionBy("community").orderBy(
+        F.col("rank").desc(), F.col("id")
+    )
+    exemplar = (
+        comm.join(pr, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "community",
+            F.col("id").alias("exemplar"),
+            F.round("rank", 6).alias("exemplar_rank"),
+        )
+    )
+    sizes = comm.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    pred_mix = (
+        triples.join(
+            comm.select(F.col("id").alias("subj"), "community"), "subj"
+        )
+        .groupBy("community", "pred")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    wp = Window.partitionBy("community").orderBy(
+        F.col("_n").desc(), F.col("pred")
+    )
+    top_pred = (
+        pred_mix.withColumn("_tot", F.sum("_n").over(Window.partitionBy("community")))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "community",
+            F.col("pred").alias("top_pred"),
+            F.round(F.col("_n") / F.col("_tot"), 6).alias("top_pred_share"),
+        )
+    )
+    return (
+        sizes.filter(F.col("n_members") >= min_size)
+        .join(exemplar, "community")
+        .join(top_pred, "community", "left")
+        .orderBy(F.col("n_members").desc(), "community")
     )
 
 
