@@ -2208,6 +2208,46 @@ def q_graph_assortativity(spark, sf_dir):
     return degree_assortativity(_triangle_gadget_edges(spark, sf_dir))
 
 
+def _gopher_corpus(spark, sf_dir):
+    """Documents with one planted failure per Gopher rule (first
+    matching plant wins): %7 3-word shorts, %11 hash-prefixed, %13
+    digit-only words, %17 no-stopword prose, %19 one-char words, %3
+    bullet-heavy, %5 ellipsis-terminated."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.when(k % 7 == 0, F.lit("tiny doc only"))
+        .when(k % 11 == 0, F.concat(F.lit("#### ## "), F.col("text")))
+        .when(k % 13 == 0, F.repeat(F.lit("111 "), 60))
+        .when(k % 17 == 0, F.repeat(F.lit("zap "), 60))
+        .when(k % 19 == 0, F.repeat(F.lit("a "), 60))
+        .when(k % 3 == 0, F.concat(F.lit("- a\n- b\n- c\n"), F.col("text")))
+        .when(k % 5 == 0, F.concat(F.col("text"), F.lit("...")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021) verdict frame over the
+    rule-planted corpus: fixed precedence word_count → mean_word_len →
+    symbol_ratio → bullet_lines → ellipsis_lines → alpha_words →
+    stopwords; exact int/int ratios, round-6 reported columns.
+    Thresholds tuned to the corpus (min_words=10, bullet 0.5,
+    min_stopwords=1) so every rule bites."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        gopher_rules,
+    )
+
+    return gopher_rules(
+        _gopher_corpus(spark, sf_dir),
+        min_words=10,
+        max_bullet_frac=0.5,
+        min_stopwords=1,
+    )
+
+
 def q_stix_objects(spark, sf_dir):
     """STIX 2.1 SDO/SCO skeleton export of the kernel's node set over
     the constructed CTI corpus: store label → STIX type, id =
@@ -4210,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_mmr": q_similarity_mmr,
         "corpus_fertility": q_corpus_fertility,
         "dedup_family_sizes": q_dedup_family_sizes,
+        "gopher_rules": q_gopher_rules,
         "stix_objects": q_stix_objects,
         "stix_relationships": q_stix_relationships,
         "watchlist_alerts": q_watchlist_alerts,
@@ -5583,6 +5624,117 @@ def oracle_sql() -> dict[str, str]:
         # function-call JSON, with every 3rd payload truncated → repaired).
         "kg_llm_mock_triples": _KERNEL_TRIPLES_SQL,
         "kg_nodes_from_kernel": _KERNEL_NODES_SQL,
+        # Gopher rules over the rule-planted corpus: identical signal
+        # arithmetic (whitespace-split words, non-ws char totals,
+        # replace-based symbol counts, line filters, distinct-stopword
+        # membership) and the same precedence CASE (see q_gopher_rules
+        # / operators/text_quality.py::gopher_rules).
+        "gopher_rules": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'tiny doc only'
+                          WHEN doc_id % 11 = 0 THEN '#### ## ' || text
+                          WHEN doc_id % 13 = 0 THEN repeat('111 ', 60)
+                          WHEN doc_id % 17 = 0 THEN repeat('zap ', 60)
+                          WHEN doc_id % 19 = 0 THEN repeat('a ', 60)
+                          WHEN doc_id % 3 = 0
+                            THEN '- a' || chr(10) || '- b' || chr(10)
+                                 || '- c' || chr(10) || text
+                          WHEN doc_id % 5 = 0 THEN text || '...'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(lower(coalesce(text, '')))) = 0
+                          THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\s+'))
+                     END AS n_words,
+                     length(regexp_replace(lower(coalesce(text, '')),
+                                           '\s+', '', 'g')) AS chars,
+                     (length(lower(coalesce(text, '')))
+                      - length(replace(lower(coalesce(text, '')), '#', '')))
+                     + (length(lower(coalesce(text, '')))
+                        - length(replace(lower(coalesce(text, '')),
+                                         '...', ''))) / 3 AS symbols,
+                     len(string_split(lower(coalesce(text, '')), chr(10)))
+                       AS n_lines,
+                     len(list_filter(
+                           string_split(lower(coalesce(text, '')), chr(10)),
+                           x -> starts_with(x, '- ')
+                                OR starts_with(x, '* '))) AS n_bullets,
+                     len(list_filter(
+                           string_split(lower(coalesce(text, '')), chr(10)),
+                           x -> ends_with(x, '...'))) AS n_ell,
+                     len(list_filter(
+                           regexp_split_to_array(
+                             trim(lower(coalesce(text, ''))), '\s+'),
+                           w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     (CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'the')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'be')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'to')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'of')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'and')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'that')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'have')
+                        THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(regexp_split_to_array(
+                        trim(lower(coalesce(text, ''))), '\s+'), 'with')
+                        THEN 1 ELSE 0 END) AS n_stop
+              FROM c
+            ),
+            r AS (
+              SELECT doc_id,
+                     cast(n_words AS bigint) AS n_words,
+                     CASE WHEN n_words > 0
+                          THEN chars / n_words END AS mean_len,
+                     CASE WHEN n_words > 0
+                          THEN symbols / n_words END AS sym,
+                     n_bullets / n_lines AS bullet,
+                     n_ell / n_lines AS ell,
+                     CASE WHEN n_words > 0
+                          THEN n_alpha / n_words END AS alpha,
+                     cast(n_stop AS bigint) AS n_stopwords
+              FROM sig
+            )
+            SELECT doc_id, n_words,
+                   round(mean_len, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_ratio,
+                   round(bullet, 6) AS bullet_frac,
+                   round(ell, 6) AS ellipsis_frac,
+                   round(alpha, 6) AS alpha_frac,
+                   n_stopwords,
+                   reason,
+                   reason IS NULL AS passed
+            FROM (
+              SELECT *,
+                     CASE WHEN n_words < 10 OR n_words > 100000
+                          THEN 'word_count'
+                          WHEN mean_len < 3.0 OR mean_len > 10.0
+                          THEN 'mean_word_len'
+                          WHEN sym > 0.1 THEN 'symbol_ratio'
+                          WHEN bullet > 0.5 THEN 'bullet_lines'
+                          WHEN ell > 0.3 THEN 'ellipsis_lines'
+                          WHEN alpha < 0.8 THEN 'alpha_words'
+                          WHEN n_stopwords < 1 THEN 'stopwords'
+                     END AS reason
+              FROM r
+            )
+        """,
         # STIX 2.1 exports: the analytic node/edge sets projected
         # through the SAME label→type CASE and md5-uuid formatting the
         # operator computes (see q_stix_objects / q_stix_relationships

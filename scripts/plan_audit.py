@@ -618,6 +618,15 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "CartesianProduct", "Window", "Join"],
     )
+    check(
+        # Gopher rules: one codegen'd projection — split/regexp/length
+        # arithmetic on the row, no exchange at all.
+        "gopher_rules_scan_local",
+        em.q_gopher_rules(spark, sf_dir),
+        ["Project"],
+        must_not=["EvalPython", "CartesianProduct", "Window", "Join",
+                  "Exchange"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

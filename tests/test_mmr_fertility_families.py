@@ -118,3 +118,65 @@ class TestFamilySizeHistogram:
         }
         # NULL and '' coalesce into one size-2 family.
         assert got == {3: (1, 3), 2: (2, 4), 1: (1, 1)}
+
+
+class TestGopherRules:
+    def _rules(self, spark, rows, **kw):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            gopher_rules,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r.doc_id: r for r in gopher_rules(df, **kw).collect()}
+
+    def test_each_rule_and_precedence(self, spark):
+        prose = ("the quick brown fox jumps over the lazy dog and keeps "
+                 "going to be sure of that with more text here now") * 2
+        rows = [
+            (1, prose),                          # passes everything
+            (2, "too short"),                    # word_count
+            (3, "a " * 60),                      # mean_word_len (1 < 3)
+            (4, "#### ## " + prose),             # symbol_ratio
+            (5, "- a\n- b\n- c\n" + prose),      # bullet_lines @ 0.5
+            (6, prose + "..."),                  # ellipsis_lines (1/1)
+            (7, "111 " * 60),                    # alpha_words
+            (8, "zap flux " * 30),               # stopwords (none of 8)
+            (9, None),                           # NULL -> word_count
+        ]
+        got = self._rules(
+            spark, rows, min_words=10, max_bullet_frac=0.5, min_stopwords=2
+        )
+        assert got[1].passed and got[1].reason is None
+        assert got[2].reason == "word_count"
+        assert got[3].reason == "mean_word_len"
+        assert got[4].reason == "symbol_ratio"
+        assert got[5].reason == "bullet_lines"
+        assert got[6].reason == "ellipsis_lines"
+        assert got[7].reason == "alpha_words"
+        assert got[8].reason == "stopwords"
+        assert got[9].reason == "word_count" and got[9].n_words == 0
+
+    def test_signal_values(self, spark):
+        got = self._rules(spark, [(1, "ab cd  ef\n- gh ...")], min_words=1,
+                          min_stopwords=0)
+        r = got[1]
+        # words: ab cd ef - gh ... -> 6; chars(no ws): 2+2+2+1+2+3 = 12
+        assert r.n_words == 6
+        assert r.mean_word_len == 2.0
+        # one '...' -> symbols 1.0/6; 2 lines, 1 bullet, 1 ellipsis-end
+        assert r.symbol_ratio == round(1.0 / 6, 6)
+        assert r.bullet_frac == 0.5 and r.ellipsis_frac == 0.5
+        # alpha words: ab cd ef gh = 4/6
+        assert r.alpha_frac == round(4 / 6, 6)
+
+    def test_word_count_upper_bound(self, spark):
+        got = self._rules(spark, [(1, "w " * 30)], min_words=5, max_words=20)
+        assert got[1].reason == "word_count" and got[1].n_words == 30
+
+    def test_published_defaults_on_prose(self, spark):
+        prose = (
+            "the quick brown fox jumps over the lazy dog and that is fine "
+            "to be sure of it with many more ordinary words appearing here "
+        ) * 5
+        got = self._rules(spark, [(1, prose)])
+        assert got[1].passed

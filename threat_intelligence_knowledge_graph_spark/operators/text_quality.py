@@ -757,3 +757,115 @@ def corpus_fertility(
             ).alias("tokens_per_doc"),
         )
     )
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, App. A1.1) as one
+    verdict frame: ``(id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stopwords, reason,
+    passed)`` — ``reason`` is the FIRST failing rule under the fixed
+    precedence word_count → mean_word_len → symbol_ratio →
+    bullet_lines → ellipsis_lines → alpha_words → stopwords (NULL when
+    passed). The published defaults are the parameter defaults; tune
+    per corpus (agent transcripts run shorter than web pages).
+
+    Signal definitions (pinned, oracle-checked): words =
+    whitespace-split of the lowercased trimmed text; mean word length
+    = non-whitespace chars / words (exactly the split's total since
+    words partition the non-space text); symbols = '#' occurrences +
+    non-overlapping '...' occurrences; lines = '\\n'-split, bullets =
+    lines starting '- ' or '* ', ellipsis lines end '...'; alpha words
+    contain at least one ASCII letter; stopwords counted as DISTINCT
+    members of the pinned 8-word Gopher set present. Ratios are exact
+    int/int divisions; rules compare raw doubles (round-6 only for the
+    REPORTED columns), NULL-free.
+
+    Scale shape: one codegen'd projection — every signal is split/
+    regexp/length arithmetic on the row; no exchange, no UDF, no join.
+    """
+    stop_set = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.split(F.trim(low), r"\s+")
+    # split('') yields [''] — count real words only.
+    n_words = F.when(F.length(F.trim(low)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    n_chars_no_ws = F.length(F.regexp_replace(low, r"\s+", ""))
+    n_hash = F.length(low) - F.length(F.regexp_replace(low, "#", ""))
+    n_ellipsis = (
+        F.length(low) - F.length(F.replace(low, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(low, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ") | ln.startswith("* "),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = sum(
+        F.array_contains(words, s).cast("int") for s in stop_set
+    )
+
+    d = documents.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars_no_ws.cast("long").alias("_chars"),
+        (n_hash + n_ellipsis).alias("_symbols"),
+        n_lines.cast("long").alias("_lines"),
+        n_bullet.cast("long").alias("_bullets"),
+        n_ell_lines.cast("long").alias("_ell"),
+        n_alpha.cast("long").alias("_alpha"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    # Zero-word documents fail word_count first; NULL-guarding the
+    # ratios keeps the projection total (no divide-by-zero) and
+    # engine-aligned.
+    nz = F.col("n_words") > 0
+    mean_len = F.when(nz, F.col("_chars") / F.col("n_words"))
+    sym = F.when(nz, F.col("_symbols") / F.col("n_words"))
+    bullet = F.col("_bullets") / F.col("_lines")  # n_lines >= 1 always
+    ell = F.col("_ell") / F.col("_lines")
+    alpha = F.when(nz, F.col("_alpha") / F.col("n_words"))
+    reason = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            F.lit("word_count"),
+        )
+        .when(
+            (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
+            F.lit("mean_word_len"),
+        )
+        .when(sym > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(bullet > max_bullet_frac, F.lit("bullet_lines"))
+        .when(ell > max_ellipsis_frac, F.lit("ellipsis_lines"))
+        .when(alpha < min_alpha_frac, F.lit("alpha_words"))
+        .when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords"))
+    )
+    return d.select(
+        id_col,
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        F.round(bullet, 6).alias("bullet_frac"),
+        F.round(ell, 6).alias("ellipsis_frac"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        "n_stopwords",
+        reason.alias("reason"),
+        reason.isNull().alias("passed"),
+    )
