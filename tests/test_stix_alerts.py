@@ -122,3 +122,64 @@ class TestWatchlist:
         plan = watchlist_alerts(mentions, wl)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestExportStixCli:
+    def test_end_to_end(self, spark, tmp_path, capsys):
+        import importlib.util
+        import json
+        import os
+
+        import pandas as pd
+
+        from threat_intelligence_knowledge_graph_spark.datagen import (
+            transcripts_rows,
+        )
+        from threat_intelligence_knowledge_graph_spark.plans.pipeline import (
+            run_pipeline,
+        )
+        from threat_intelligence_knowledge_graph_spark.schemas import (
+            TRANSCRIPTS_SCHEMA,
+        )
+        from threat_intelligence_knowledge_graph_spark.sources.tableio import (
+            LocalTableCatalog,
+        )
+
+        wh = str(tmp_path / "wh")
+        catalog = LocalTableCatalog(wh)
+        transcripts = spark.createDataFrame(
+            pd.DataFrame(transcripts_rows(10)), schema=TRANSCRIPTS_SCHEMA
+        )
+        run_pipeline(spark, transcripts, catalog, run_id="s1", fused=True)
+
+        spec = importlib.util.spec_from_file_location(
+            "export_stix",
+            os.path.join(os.path.dirname(__file__), "..", "jobs",
+                         "export_stix.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = str(tmp_path / "stix")
+        assert mod.main(
+            ["--warehouse", wh, "--output", out], spark=spark
+        ) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        objs = spark.read.parquet(out + "/objects")
+        rels = spark.read.parquet(out + "/relationships")
+        assert summary["objects"] == objs.count() == catalog.read(
+            spark, "nodes"
+        ).count()
+        assert summary["relationships"] == rels.count() == catalog.read(
+            spark, "edges"
+        ).count()
+        assert sum(summary["by_type"].values()) == summary["objects"]
+        # every relationship ref resolves to an exported object id
+        ids = {r.stix_id for r in objs.select("stix_id").collect()}
+        for r in rels.select("source_ref", "target_ref").collect():
+            assert r.source_ref in ids and r.target_ref in ids
+        # deterministic re-export: identical object ids
+        assert mod.main(
+            ["--warehouse", wh, "--output", out], spark=spark
+        ) == 0
+        assert {r.stix_id for r in spark.read.parquet(out + "/objects")
+                .select("stix_id").collect()} == ids
