@@ -4069,6 +4069,95 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(_t(spark, sf_dir, "documents"), k=6)
 
 
+def _eval_planted_triples(spark, sf_dir):
+    """Planted predicted/gold triple pair for the evaluation entries:
+    gold is one triple per orderkey (pred cycles through the three KG
+    relation names on k%3); predicted drops every k%5==0 triple (pure
+    FN) and corrupts the object of every surviving k%7==0 one (an FP
+    plus its FN). Both sides are pure Catalyst projections of the same
+    scan, so the oracle rebuilds them verbatim."""
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    pred_name = (
+        F.when(k % 3 == 0, "RESOLVES_TO")
+        .when(k % 3 == 1, "COMMUNICATES_WITH")
+        .otherwise("CONTAINS")
+    )
+    gold = o.select(
+        F.concat(F.lit("E"), k).alias("subj"),
+        pred_name.alias("pred"),
+        F.concat(F.lit("T"), k).alias("obj"),
+    )
+    predicted = o.filter(k % 5 != 0).select(
+        F.concat(F.lit("E"), k).alias("subj"),
+        pred_name.alias("pred"),
+        F.when(k % 7 == 0, F.concat(F.lit("X"), k))
+        .otherwise(F.concat(F.lit("T"), k))
+        .alias("obj"),
+    )
+    return predicted, gold
+
+
+def q_eval_triple_pr(spark, sf_dir):
+    """Corpus-level triple P/R/F1 (operators/evaluation.py::eval_triples)
+    — the north-rule acceptance metric (triple set match P/R >= 0.95 vs
+    the reference extractor) as a first-class distributed computation:
+    set-distinct both sides, ONE broadcastable left-outer join on the
+    composite key, one count-agg; every count exact integer, each ratio
+    a single two-integer double division (bit-stable cross-engine). The
+    reference's own harness records counts only
+    (evaluation/model_evaluation.py:129-138) and its README concedes
+    counts != quality (README.md:119) — this operator closes that gap."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        eval_triples,
+    )
+
+    predicted, gold = _eval_planted_triples(spark, sf_dir)
+    return eval_triples(predicted, gold, broadcast_gold=True)
+
+
+def q_eval_triple_pr_by_pred(spark, sf_dir):
+    """Per-predicate P/R/F1 breakdown
+    (operators/evaluation.py::eval_triples_by_pred): a regression in a
+    single relation rule stays visible even when the corpus aggregate
+    clears the bar. Three dimension-sized per-predicate frames
+    full-outer-joined on pred (rows = |predicate vocabulary|)."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        eval_triples_by_pred,
+    )
+
+    predicted, gold = _eval_planted_triples(spark, sf_dir)
+    return eval_triples_by_pred(predicted, gold).orderBy("pred")
+
+
+def q_eval_cluster_pairwise(spark, sf_dir):
+    """Pairwise clustering P/R/F1 for entity canonicalization
+    (operators/evaluation.py::eval_clusters_pairwise): gold groups
+    orderkeys in runs of 8 (floor(k/8)); predicted uses coarser runs of
+    16 but splits every k%5==0 item into a singleton — so both merge
+    and split errors are exercised. Computed via contingency cells
+    (three keyed count-aggs, C(n,2) in exact bigints via shiftright) —
+    no pair set ever materializes, which is what makes the metric
+    computable under a hot mega-cluster at 100 TB."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        eval_clusters_pairwise,
+    )
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    gold = o.select(
+        F.concat(F.lit("I"), k).alias("item"),
+        F.concat(F.lit("g"), F.floor(k / 8)).alias("cluster_id"),
+    )
+    predicted = o.select(
+        F.concat(F.lit("I"), k).alias("item"),
+        F.when(k % 5 == 0, F.concat(F.lit("s"), k))
+        .otherwise(F.concat(F.lit("p"), F.floor(k / 16)))
+        .alias("cluster_id"),
+    )
+    return eval_clusters_pairwise(predicted, gold)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -4129,6 +4218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "dedup_keep_best": q_dedup_keep_best,
         "canonical_map": q_canonical_map,
+        "eval_triple_pr": q_eval_triple_pr,
+        "eval_triple_pr_by_pred": q_eval_triple_pr_by_pred,
+        "eval_cluster_pairwise": q_eval_cluster_pairwise,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
         "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -7519,6 +7611,142 @@ def oracle_sql() -> dict[str, str]:
         # Survivors after exact-pass + LSH + connected components: in a
         # jaccard-1.0 family the min id (2k) survives and 2k+1 drops;
         # 1/7 families are below threshold and survive whole.
+        # The evaluation entries rebuild the planted predicted/gold
+        # sides verbatim (see _eval_planted_triples), then compute the
+        # metric independently with plain joins — every count BIGINT,
+        # every ratio one two-integer double division, f1 the same
+        # left-associated 2.0*p*r/(p+r) expression Spark evaluates.
+        "eval_triple_pr": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders),
+            g AS (
+              SELECT 'E' || k AS subj,
+                     CASE k % 3 WHEN 0 THEN 'RESOLVES_TO'
+                                WHEN 1 THEN 'COMMUNICATES_WITH'
+                                ELSE 'CONTAINS' END AS pred,
+                     'T' || k AS obj
+              FROM ks
+            ),
+            p AS (
+              SELECT 'E' || k AS subj,
+                     CASE k % 3 WHEN 0 THEN 'RESOLVES_TO'
+                                WHEN 1 THEN 'COMMUNICATES_WITH'
+                                ELSE 'CONTAINS' END AS pred,
+                     CASE WHEN k % 7 = 0 THEN 'X' || k
+                          ELSE 'T' || k END AS obj
+              FROM ks WHERE k % 5 <> 0
+            ),
+            c AS (
+              SELECT (SELECT count(*) FROM p) AS n_predicted,
+                     (SELECT count(*) FROM g) AS n_gold,
+                     (SELECT count(*) FROM p
+                      JOIN g USING (subj, pred, obj)) AS tp
+            ),
+            r AS (
+              SELECT n_predicted, n_gold, tp,
+                     n_predicted - tp AS fp, n_gold - tp AS fn,
+                     CASE WHEN n_predicted <> 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+                     END AS precision,
+                     CASE WHEN n_gold <> 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE)
+                     END AS recall
+              FROM c
+            )
+            SELECT n_predicted, n_gold, tp, fp, fn, precision, recall,
+                   CASE WHEN precision + recall <> 0 THEN
+                     2.0 * precision * recall / (precision + recall)
+                   END AS f1
+            FROM r
+        """,
+        "eval_triple_pr_by_pred": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders),
+            g AS (
+              SELECT 'E' || k AS subj,
+                     CASE k % 3 WHEN 0 THEN 'RESOLVES_TO'
+                                WHEN 1 THEN 'COMMUNICATES_WITH'
+                                ELSE 'CONTAINS' END AS pred,
+                     'T' || k AS obj
+              FROM ks
+            ),
+            p AS (
+              SELECT 'E' || k AS subj,
+                     CASE k % 3 WHEN 0 THEN 'RESOLVES_TO'
+                                WHEN 1 THEN 'COMMUNICATES_WITH'
+                                ELSE 'CONTAINS' END AS pred,
+                     CASE WHEN k % 7 = 0 THEN 'X' || k
+                          ELSE 'T' || k END AS obj
+              FROM ks WHERE k % 5 <> 0
+            ),
+            np AS (SELECT pred, count(*) AS n_predicted FROM p GROUP BY pred),
+            ng AS (SELECT pred, count(*) AS n_gold FROM g GROUP BY pred),
+            tp AS (
+              SELECT pred, count(*) AS tp
+              FROM p JOIN g USING (subj, pred, obj) GROUP BY pred
+            ),
+            r AS (
+              SELECT pred,
+                     coalesce(n_predicted, 0) AS n_predicted,
+                     coalesce(n_gold, 0) AS n_gold,
+                     coalesce(tp, 0) AS tp
+              FROM np FULL OUTER JOIN ng USING (pred)
+                      FULL OUTER JOIN tp USING (pred)
+            ),
+            r2 AS (
+              SELECT pred, n_predicted, n_gold, tp,
+                     CASE WHEN n_predicted <> 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+                     END AS precision,
+                     CASE WHEN n_gold <> 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE)
+                     END AS recall
+              FROM r
+            )
+            SELECT pred, n_predicted, n_gold, tp, precision, recall,
+                   CASE WHEN precision + recall <> 0 THEN
+                     2.0 * precision * recall / (precision + recall)
+                   END AS f1
+            FROM r2 ORDER BY pred
+        """,
+        "eval_cluster_pairwise": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders),
+            a AS (
+              SELECT 'I' || k AS item,
+                     CASE WHEN k % 5 = 0 THEN 's' || k
+                          ELSE 'p' || CAST(k // 16 AS BIGINT) END AS pc,
+                     'g' || CAST(k // 8 AS BIGINT) AS gc
+              FROM ks
+            ),
+            cells AS (SELECT pc, gc, count(*) AS n FROM a GROUP BY pc, gc),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_items,
+                     CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs
+              FROM cells
+            ),
+            pp AS (
+              SELECT CAST(sum(np * (np - 1) // 2) AS BIGINT) AS pred_pairs
+              FROM (SELECT sum(n) AS np FROM cells GROUP BY pc)
+            ),
+            gp AS (
+              SELECT CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS gold_pairs
+              FROM (SELECT sum(n) AS ng FROM cells GROUP BY gc)
+            ),
+            r AS (
+              SELECT n_items, pred_pairs, gold_pairs, tp_pairs,
+                     CASE WHEN pred_pairs <> 0 THEN
+                       CAST(tp_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+                     END AS precision,
+                     CASE WHEN gold_pairs <> 0 THEN
+                       CAST(tp_pairs AS DOUBLE) / CAST(gold_pairs AS DOUBLE)
+                     END AS recall
+              FROM tot, pp, gp
+            )
+            SELECT n_items, pred_pairs, gold_pairs, tp_pairs,
+                   precision, recall,
+                   CASE WHEN precision + recall <> 0 THEN
+                     2.0 * precision * recall / (precision + recall)
+                   END AS f1
+            FROM r
+        """,
         "canonical_map": """
             WITH ks AS (
               SELECT md5(cast(o_orderkey AS varchar)) AS k8,

@@ -627,6 +627,27 @@ def main(sf_dir: str) -> int:
         must_not=["EvalPython", "CartesianProduct", "Window", "Join",
                   "Exchange"],
     )
+    check(
+        # Triple P/R: the composite-key join against the gold slice
+        # must honor the explicit broadcast hint (gold is labeled data,
+        # small by construction) — never a sort-merge of the corpus.
+        "eval_triple_pr_broadcast_gold",
+        em.q_eval_triple_pr(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["EvalPython", "CartesianProduct", "SortMergeJoin"],
+    )
+    check(
+        # Pairwise clustering P/R via contingency cells: keyed
+        # count-aggs only — the item table is never joined with itself,
+        # so a hot mega-cluster cannot explode the plan. (The three
+        # 1-row metric frames combine via broadcast nested loop, which
+        # is 1-row x 1-row — cheap; a CartesianProduct over row data
+        # must not appear.)
+        "eval_cluster_pairwise_no_pair_explosion",
+        em.q_eval_cluster_pairwise(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
