@@ -1174,6 +1174,51 @@ def q_graph_pagerank_personalized(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_graph_pagerank_delta(spark, sf_dir):
+    """Centrality shift between two planted edge snapshots of the
+    nation graph (operators/pagerank.py::pagerank_delta — the "rising
+    infrastructure" analyst primitive): window BEFORE is the bare
+    25-cycle n→(n+1)%25 (no dangling, no r-nodes); window AFTER is the
+    shifted cycle n→(n+2)%25 plus nation→region edges (r-nodes appear,
+    dangling). Each window is 3 synchronous power steps at d=0.85;
+    delta = rank_after − rank_before on the union universe with absent-
+    window rank 0.0 (the r-nodes exist only after → maximally rising).
+    The DuckDB oracle unrolls BOTH float recurrences (suffixes a/b) and
+    full-outer-joins them; both sides round to 9 decimals."""
+    from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+        pagerank_delta,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    before = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst_id"),
+    )
+    after = nat.select(
+        nkey.alias("src_id"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 2) % 25).cast("string")
+        ).alias("dst_id"),
+    ).union(
+        nat.select(
+            nkey.alias("src_id"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                "dst_id"
+            ),
+        )
+    )
+    d = pagerank_delta(before, after, iterations=3, damping=0.85)
+    return d.select(
+        "id",
+        F.round("rank_before", 9).alias("rank_before"),
+        F.round("rank_after", 9).alias("rank_after"),
+        F.round("delta", 9).alias("delta"),
+    )
+
+
 def _cypher_graph(spark, sf_dir):
     """Planted node/edge store for the Cypher-lite entries: every 31st
     orderkey k gets Malware m{k} (props name=mal{k}, size=k%10), two
@@ -4232,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "graph_pagerank_delta": q_graph_pagerank_delta,
         "graph_stats": q_graph_stats,
         "graph_kcore": q_graph_kcore,
         "graph_diameter": q_graph_diameter,
@@ -5388,6 +5434,85 @@ def _pagerank_oracle_sql(
         )
     parts.append(
         f"SELECT id, round(rank, 9) AS rank FROM it{iterations}"
+    )
+    return "".join(parts)
+
+
+def _pagerank_delta_oracle_sql(iterations: int, damping: float) -> str:
+    """Unrolled TWO-window PageRank-delta recurrence over the planted
+    nation snapshots (see q_graph_pagerank_delta): window a = bare
+    25-cycle n→(n+1)%25, window b = shifted cycle n→(n+2)%25 plus
+    nation→region edges. Each window's CTE chain is the exact
+    arithmetic of _pagerank_oracle_sql (uniform teleport, dangling
+    redistribution, rank*(1.0/out_deg) contributions), suffixed a/b;
+    the final select full-outer-joins the two it{N} frames with
+    absent-window rank coalesced to 0.0 — mirroring
+    operators/pagerank.py::pagerank_delta — and rounds to 9."""
+    d = repr(damping)
+    heads = {
+        "a": """
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS dst
+          FROM nation
+        """,
+        "b": """
+          SELECT 'n' || cast(n_nationkey AS varchar) AS src,
+                 'n' || cast((n_nationkey + 2) % 25 AS varchar) AS dst
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        """,
+    }
+    parts = ["WITH "]
+    for s, e0 in heads.items():
+        parts.append(
+            f"""e0{s} AS ({e0}),
+        e{s} AS (SELECT DISTINCT src, dst FROM e0{s}),
+        nodes{s} AS (SELECT src AS id FROM e{s} UNION SELECT dst AS id FROM e{s}),
+        cnt{s} AS (SELECT cast(count(*) AS double) AS n FROM nodes{s}),
+        outdeg{s} AS (SELECT src, count(*) AS out_deg FROM e{s} GROUP BY src),
+        w{s} AS (
+          SELECT e{s}.src, e{s}.dst, cast(1.0 AS double) / outdeg{s}.out_deg AS w
+          FROM e{s} JOIN outdeg{s} USING (src)
+        ),
+        it0{s} AS (SELECT id, (SELECT 1.0 / n FROM cnt{s}) AS rank FROM nodes{s}),
+        """
+        )
+        for i in range(1, iterations + 1):
+            parts.append(
+                f"""dang{i}{s} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dm
+          FROM it{i - 1}{s} r LEFT JOIN outdeg{s} o ON r.id = o.src
+          WHERE o.src IS NULL
+        ),
+        contrib{i}{s} AS (
+          SELECT w{s}.dst AS id, sum(r.rank * w{s}.w) AS c
+          FROM w{s} JOIN it{i - 1}{s} r ON w{s}.src = r.id
+          GROUP BY w{s}.dst
+        ),
+        it{i}{s} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / cnt{s}.n
+                   + {d} * (coalesce(c.c, 0.0) + dang{i}{s}.dm / cnt{s}.n) AS rank
+          FROM nodes{s} nd
+          CROSS JOIN cnt{s}
+          CROSS JOIN dang{i}{s}
+          LEFT JOIN contrib{i}{s} c ON c.id = nd.id
+        ),
+        """
+            )
+    # Drop the trailing comma of the last CTE block.
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(
+        f"""
+        SELECT coalesce(a.id, b.id) AS id,
+               round(coalesce(a.rank, 0.0), 9) AS rank_before,
+               round(coalesce(b.rank, 0.0), 9) AS rank_after,
+               round(coalesce(b.rank, 0.0) - coalesce(a.rank, 0.0), 9) AS delta
+        FROM it{iterations}a a FULL OUTER JOIN it{iterations}b b ON a.id = b.id
+        """
     )
     return "".join(parts)
 
@@ -8260,6 +8385,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_pagerank_personalized": _pagerank_oracle_sql(
             iterations=3, damping=0.85, seeds=("n0", "n12", "r2")
+        ),
+        "graph_pagerank_delta": _pagerank_delta_oracle_sql(
+            iterations=3, damping=0.85
         ),
         # Cypher-lite entries: the oracle replays the planted-store
         # semantics (see _cypher_graph) directly in SQL.

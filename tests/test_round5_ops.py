@@ -925,3 +925,102 @@ class TestSelectSourcesGreedy:
         assert [r.source for r in got] == ["alpha", "zeta"]
         with pytest.raises(ValueError):
             select_sources_greedy(docs, k=0)
+
+
+class TestPagerankDelta:
+    def test_new_node_rises_from_zero(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+            pagerank_delta,
+        )
+
+        # Before: 2-cycle a<->b. After: same cycle + both point at c.
+        before = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], ["src_id", "dst_id"]
+        )
+        after = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c")],
+            ["src_id", "dst_id"],
+        )
+        got = {
+            r.id: r for r in pagerank_delta(before, after, iterations=4).collect()
+        }
+        assert set(got) == {"a", "b", "c"}
+        # c exists only in the after window: rank_before pinned 0.0.
+        assert got["c"].rank_before == 0.0
+        assert got["c"].rank_after > 0.0
+        assert got["c"].delta == got["c"].rank_after
+        # a and b lose rank mass (they now split their out-flow with c
+        # and the after-universe is larger), so their delta is negative.
+        assert got["a"].delta < 0.0 and got["b"].delta < 0.0
+        # Symmetric roles → identical values.
+        assert got["a"].delta == pytest.approx(got["b"].delta, abs=1e-12)
+        # Per-window masses each sum to 1 → deltas sum to ~0.
+        assert sum(r.delta for r in got.values()) == pytest.approx(0.0, abs=1e-9)
+
+    def test_equal_windows_zero_delta(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+            pagerank_delta,
+        )
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], ["src_id", "dst_id"]
+        )
+        for r in pagerank_delta(e, e, iterations=3).collect():
+            assert r.delta == 0.0  # identical recurrence → exact zero
+
+    def test_weighted_shift(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.pagerank import (
+            pagerank,
+            pagerank_delta,
+        )
+
+        before = spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+            ["src_id", "dst_id", "wt"],
+        )
+        # After: a's out-flow shifts 3:1 toward c.
+        after = spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "c", 3.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+            ["src_id", "dst_id", "wt"],
+        )
+        got = {
+            r.id: r
+            for r in pagerank_delta(
+                before, after, iterations=5, weight="wt"
+            ).collect()
+        }
+        assert got["c"].delta > 0.0 > got["b"].delta
+        # Window columns ARE the standalone operator's outputs.
+        solo = {r.id: r.rank for r in pagerank(before, iterations=5, weight="wt").collect()}
+        for nid, row in got.items():
+            assert row.rank_before == pytest.approx(solo[nid], abs=0.0)
+
+
+class TestRisingInfrastructure:
+    def test_planted_consolidation(self, spark):
+        import datetime as _dt
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            rising_infrastructure,
+        )
+
+        t0 = _dt.datetime(2026, 1, 1)
+        rows = []
+        # Before the split: 4 users each sight their own indicator once;
+        # user 1 also sights 'evil.net'.
+        for u in range(1, 5):
+            rows.append((t0, u, f"ind{u}"))
+        rows.append((t0, 1, "evil.net"))
+        # After the split: ALL 4 users converge on 'evil.net' (its
+        # sighting graph position consolidates), own indicators go
+        # quiet except user 2's.
+        t1 = _dt.datetime(2026, 1, 2)
+        for u in range(1, 5):
+            rows.append((t1, u, "evil.net"))
+        rows.append((t1, 2, "ind2"))
+        events = spark.createDataFrame(rows, ["ts", "user_id", "event_type"])
+        top = rising_infrastructure(
+            spark, events, "2026-01-01 12:00:00", k=3, iterations=4
+        ).collect()
+        assert top[0].id == "evil.net"
+        assert top[0].delta > 0.0

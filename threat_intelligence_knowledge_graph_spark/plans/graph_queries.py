@@ -808,6 +808,50 @@ def ramping_indicators(
     )
 
 
+def rising_infrastructure(
+    spark: SparkSession,
+    events: DataFrame,
+    split_ts: str,
+    k: int = 20,
+    iterations: int = 5,
+) -> DataFrame:
+    """Centrality-shift triage: the k indicators whose PageRank in the
+    observer→indicator sighting graph rose most from the window before
+    ``split_ts`` to the window at/after it — the "what is becoming
+    structurally important" complement to ``ramping_indicators``'s
+    raw-volume slope. A beacon whose sighting VOLUME is flat still
+    rises here when NEW observers start reporting it (its rank mass
+    consolidates); conversely a noisy-but-isolated indicator does not.
+
+    Expects (ts, user_id, event_type); edges are user→indicator
+    weighted by per-window sighting count. Most-risen first, id
+    tiebreak. At scale the two windows are partition-pruned time-slice
+    scans (ts-partitioned events table), never co-resident."""
+    from ..operators.pagerank import pagerank_delta
+
+    obs = events.select(
+        F.col("ts"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src_id"),
+        F.col("event_type").alias("dst_id"),
+    ).filter(F.col("ts").isNotNull() & F.col("dst_id").isNotNull())
+    cut = F.lit(split_ts).cast("timestamp")
+    win = lambda pred: (  # noqa: E731 — two symmetric window slices
+        obs.filter(pred)
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("wt"))
+    )
+    return (
+        pagerank_delta(
+            win(F.col("ts") < cut),
+            win(F.col("ts") >= cut),
+            iterations=iterations,
+            weight="wt",
+        )
+        .orderBy(F.col("delta").desc(), "id")
+        .limit(k)
+    )
+
+
 def flagship_query(spark: SparkSession) -> DataFrame:
     """SURVEY.md §7: "Which infrastructure does each malware family
     communicate with, and which CVEs are exploited?"."""
