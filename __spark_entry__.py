@@ -3928,6 +3928,34 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_fano(_t(spark, sf_dir, "events"))
 
 
+def q_events_dormancy(spark, sf_dir):
+    """Resurrected-infrastructure triage (operators/anomaly.py::
+    dormancy_reactivation): per synthetic indicator (event_type #
+    user_id%29 — wider than the 5 bare types so dormancy varies),
+    quiet-gap structure of the DISTINCT-timestamp sighting timeline at
+    a 200,000 s dormancy threshold: gap count over the threshold,
+    longest gap, the gap preceding the newest sighting, and the
+    reactivated flag. Gaps are exact integer microseconds; the only
+    float op is the shared /1e6 (round 6). Distinct-ts gaps make the
+    multiset total-order-free — no tiebreak column, identical
+    cross-engine."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        dormancy_reactivation,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            (F.col("user_id") % 29).cast("string"),
+        ).alias("ind"),
+        "ts",
+    )
+    return dormancy_reactivation(
+        ev, min_quiet_s=200000.0, key_col="ind"
+    ).withColumnRenamed("key", "ind")
+
+
 def q_events_churn(spark, sf_dir):
     """Day-over-day churn of the active (user, type) channel set:
     exact-integer intersection/union counts from a (group, bucket)
@@ -4362,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf": q_search_rrf,
         "text_ttr": q_text_ttr,
         "events_burstiness": q_events_burstiness,
+        "events_dormancy": q_events_dormancy,
         "events_entropy": q_events_entropy,
         "events_correlation": q_events_correlation,
         "events_trend": q_events_trend,
@@ -9214,6 +9243,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp AS event_type, n AS n_buckets,
                    round((n * s2 - s1 * s1) / (n * s1), 6) AS fano
+            FROM a
+        """,
+        "events_dormancy": """
+            WITH e AS (
+              SELECT DISTINCT
+                     event_type || '#' || cast(user_id % 29 AS varchar) AS ind,
+                     epoch_us(ts) AS us
+              FROM events WHERE ts IS NOT NULL
+            ),
+            g AS (
+              SELECT ind, us,
+                     us - lag(us) OVER (PARTITION BY ind ORDER BY us) AS gap
+              FROM e
+            ),
+            a AS (
+              SELECT ind,
+                     cast(count(*) AS bigint) AS n_sightings,
+                     cast(sum(CASE WHEN gap > 200000000000 THEN 1 ELSE 0 END)
+                          AS bigint) AS n_reactivations,
+                     max(gap) AS max_gap,
+                     arg_max(gap, us) AS last_gap
+              FROM g GROUP BY ind
+            )
+            SELECT ind, n_sightings, n_reactivations,
+                   round(max_gap / cast(1000000 AS double), 6) AS max_quiet_s,
+                   round(last_gap / cast(1000000 AS double), 6) AS last_quiet_s,
+                   coalesce(last_gap > 200000000000, false) AS reactivated
             FROM a
         """,
         # Set churn: period folded into the (group, bucket) join key,

@@ -1024,3 +1024,97 @@ class TestRisingInfrastructure:
         ).collect()
         assert top[0].id == "evil.net"
         assert top[0].delta > 0.0
+
+
+class TestDormancyReactivation:
+    def _run(self, spark, rows, quiet):
+        import datetime as _dt
+
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            dormancy_reactivation,
+        )
+
+        t0 = _dt.datetime(2026, 3, 1)
+        data = [
+            (t0 + _dt.timedelta(seconds=s), k) for k, secs in rows for s in secs
+        ]
+        ev = spark.createDataFrame(data, ["ts", "event_type"])
+        return {
+            r.key: r for r in dormancy_reactivation(ev, quiet).collect()
+        }
+
+    def test_planted_timelines(self, spark):
+        got = self._run(
+            spark,
+            [
+                # dormant then back: gaps 10, 1000, 10 → one quiet gap,
+                # but NOT the last one → reactivated False.
+                ("cold_mid", [0, 10, 1010, 1020]),
+                # resurrected: gaps 10, 2000 → last gap quiet → True.
+                ("resurrected", [0, 10, 2010]),
+                # steady: gaps all 10.
+                ("steady", [0, 10, 20, 30]),
+                # singleton: no gaps at all.
+                ("once", [0]),
+            ],
+            quiet=100.0,
+        )
+        cm = got["cold_mid"]
+        assert (cm.n_sightings, cm.n_reactivations) == (4, 1)
+        assert cm.max_quiet_s == 1000.0 and cm.last_quiet_s == 10.0
+        assert not cm.reactivated
+        rs = got["resurrected"]
+        assert (rs.n_reactivations, rs.last_quiet_s, rs.reactivated) == (
+            1, 2000.0, True,
+        )
+        st = got["steady"]
+        assert (st.n_reactivations, st.reactivated) == (0, False)
+        on = got["once"]
+        assert (on.n_sightings, on.n_reactivations) == (1, 0)
+        assert on.max_quiet_s is None and on.last_quiet_s is None
+        assert on.reactivated is False  # NULL-gap coalesced, not dropped
+
+    def test_duplicate_instant_not_a_gap(self, spark):
+        # Three sightings at the SAME instant then one later: the burst
+        # is one distinct observation, so n_sightings=2 and the only
+        # gap is the real one.
+        got = self._run(
+            spark, [("burst", [0, 0, 0, 500])], quiet=100.0
+        )["burst"]
+        assert got.n_sightings == 2
+        assert (got.n_reactivations, got.last_quiet_s, got.reactivated) == (
+            1, 500.0, True,
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            dormancy_reactivation,
+        )
+
+        ev = spark.createDataFrame([], "ts timestamp, event_type string")
+        with _pytest.raises(ValueError):
+            dormancy_reactivation(ev, 0.0)
+
+
+class TestResurrectedIndicators:
+    def test_ordering_and_filter(self, spark):
+        import datetime as _dt
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            resurrected_indicators,
+        )
+
+        t0 = _dt.datetime(2026, 3, 1)
+        rows = []
+        for k, secs in [
+            ("deep_sleeper", [0, 5000]),
+            ("light_sleeper", [0, 300]),
+            ("steady", [0, 10, 20]),
+        ]:
+            rows += [(t0 + _dt.timedelta(seconds=s), 1, k) for s in secs]
+        ev = spark.createDataFrame(rows, ["ts", "user_id", "event_type"])
+        top = resurrected_indicators(spark, ev, min_quiet_s=100.0, k=5).collect()
+        assert [r.key for r in top] == ["deep_sleeper", "light_sleeper"]
+        assert top[0].last_quiet_s == 5000.0

@@ -316,3 +316,76 @@ def beacon_regularity(
             ).alias("cv2"),
         )
     )
+
+
+def dormancy_reactivation(
+    events: DataFrame,
+    min_quiet_s: float,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Resurrected-infrastructure triage: per indicator, quiet-period
+    structure of its sighting timeline — ``(key, n_sightings,
+    n_reactivations, max_quiet_s, last_quiet_s, reactivated)``.
+
+    Infrastructure that goes dark and returns is a classic
+    campaign-reuse signal (a parked domain re-armed, a C2 IP rotated
+    back in): ``n_reactivations`` counts quiet gaps longer than
+    ``min_quiet_s`` anywhere in the history, and ``reactivated`` flags
+    indicators whose MOST RECENT sighting follows such a gap — "came
+    back from the dead and is live right now", the triage cut.
+    Complements ``recency_weighted_counts`` (still hot) and
+    ``stats.novelty_curve`` (first ever seen): this is *seen before,
+    vanished, now back*.
+
+    Determinism: gaps are taken between consecutive DISTINCT sighting
+    timestamps (same-instant duplicate sightings are one observation —
+    a burst is not a gap), so the gap multiset and the last-gap are
+    total-order-free: no tiebreak column needed, identical
+    cross-engine. Gap arithmetic is exact integer microseconds
+    (``unix_micros`` / DuckDB ``epoch_us``) divided by the double
+    1e6 once at the output seam (round 6).
+
+    Singleton indicators (one distinct sighting) are kept with
+    n_reactivations 0 and NULL quiet columns — never silently dropped.
+
+    Scale shape: distinct on (key, ts), ONE lag window over the key
+    exchange, one map-side-combining aggregate on the same key (window
+    and groupBy share one hash partitioning); output is
+    indicator-sized. No Python, no broadcast, no collect.
+    """
+    if min_quiet_s <= 0:
+        raise ValueError("min_quiet_s must be > 0")
+    quiet_us = int(min_quiet_s * 1_000_000)
+    e = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("_us")
+    gaps = e.select(
+        "key",
+        "_us",
+        (F.col("_us") - F.lag("_us").over(w)).alias("_gap"),
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count("*").alias("n_sightings"),
+        F.sum(
+            F.when(F.col("_gap") > F.lit(quiet_us), 1).otherwise(0)
+        ).alias("n_reactivations"),
+        F.max("_gap").alias("_max_gap"),
+        F.max_by("_gap", "_us").alias("_last_gap"),
+    )
+    return agg.select(
+        "key",
+        "n_sightings",
+        F.col("n_reactivations").cast("long").alias("n_reactivations"),
+        F.round(F.col("_max_gap") / F.lit(1e6), 6).alias("max_quiet_s"),
+        F.round(F.col("_last_gap") / F.lit(1e6), 6).alias("last_quiet_s"),
+        F.coalesce(
+            F.col("_last_gap") > F.lit(quiet_us), F.lit(False)
+        ).alias("reactivated"),
+    )

@@ -808,6 +808,28 @@ def ramping_indicators(
     )
 
 
+def resurrected_indicators(
+    spark: SparkSession,
+    events: DataFrame,
+    min_quiet_s: float = 86400.0,
+    k: int = 20,
+) -> DataFrame:
+    """Came-back-from-the-dead triage: the k indicators whose MOST
+    RECENT sighting follows a quiet period longer than ``min_quiet_s``
+    — parked domains re-armed, C2 IPs rotated back in. Longest-dormant
+    first, id tiebreak. Expects (ts, event_type); complements
+    ``ramping_indicators`` (getting louder) and ``rising_infrastructure``
+    (gaining position): this one is *seen before, vanished, now back*."""
+    from ..operators.anomaly import dormancy_reactivation
+
+    return (
+        dormancy_reactivation(events, min_quiet_s)
+        .filter(F.col("reactivated"))
+        .orderBy(F.col("last_quiet_s").desc(), "key")
+        .limit(k)
+    )
+
+
 def rising_infrastructure(
     spark: SparkSession,
     events: DataFrame,
