@@ -4231,6 +4231,196 @@ def q_eval_cluster_pairwise(spark, sf_dir):
     return eval_clusters_pairwise(predicted, gold)
 
 
+def _synth_pref_transcripts(spark, sf_dir):
+    """Preference-mining transcript corpus: strict user/assistant
+    alternation (odd turn = user), PROMPTS SHARED ACROSS CONVERSATIONS
+    (keyed by o_orderkey % 200, so each prompt collects candidates
+    from many conversations with different terminal outcomes), and
+    responses of varying length (repeat('x', okey % 9) suffix) so the
+    longest-completed-response selection is non-trivial. Planted
+    failures (precedence mirrors the oracle exactly): every 7th conv's
+    LAST turn becomes a tool traceback (tool_failure), every 11th
+    conv's turns 2..4 stutter 'retrying tool call' (looping when ≥3
+    such turns survive the tool plant), odd-length convs end on a user
+    turn (abandoned)."""
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    n = okey % 5 + 2
+    rows = o.select(
+        okey,
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(1).cast("long"), n)).alias("turn_idx"),
+    )
+    i = F.col("turn_idx")
+    k = okey % 200
+    step = F.floor((i + 1) / 2)
+    is_tool_plant = (okey % 7 == 0) & (i == F.col("_n"))
+    role = (
+        F.when(is_tool_plant, F.lit("tool"))
+        .when(i % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    text = (
+        F.when(is_tool_plant, F.lit("Traceback: tool exploded"))
+        .when(
+            (okey % 11 == 0) & i.between(2, 4), F.lit("retrying tool call")
+        )
+        .when(
+            i % 2 == 1,
+            F.concat(
+                F.lit("prompt "), k.cast("string"),
+                F.lit(" step "), step.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("answer p"), k.cast("string"),
+                F.lit(" s"), step.cast("string"),
+                F.lit(" "),
+                F.repeat(F.lit("x"), (okey % 9).cast("int")),
+            )
+        )
+    )
+    ts_sec = F.lit(1600000000) + okey * 1000 + i * 40
+    return rows.select(
+        okey.cast("string").alias("conv_id"),
+        i.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", F.lit("python")).alias("tool"),
+        F.timestamp_seconds(ts_sec).alias("ts"),
+    )
+
+
+_SYNTH_PREF_TRANSCRIPTS_SQL = """
+          SELECT cast(o_orderkey AS varchar) AS conv_id,
+                 cast(i AS int) AS turn_idx,
+                 CASE WHEN o_orderkey % 7 = 0
+                           AND i = (o_orderkey % 5) + 2 THEN 'tool'
+                      WHEN i % 2 = 1 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN o_orderkey % 7 = 0
+                           AND i = (o_orderkey % 5) + 2
+                        THEN 'Traceback: tool exploded'
+                      WHEN o_orderkey % 11 = 0 AND i BETWEEN 2 AND 4
+                        THEN 'retrying tool call'
+                      WHEN i % 2 = 1
+                        THEN 'prompt ' || cast(o_orderkey % 200 AS varchar)
+                             || ' step ' || cast((i + 1) // 2 AS varchar)
+                      ELSE 'answer p' || cast(o_orderkey % 200 AS varchar)
+                           || ' s' || cast((i + 1) // 2 AS varchar)
+                           || ' '
+                           || repeat('x', cast(o_orderkey % 9 AS int))
+                 END AS text
+          FROM orders,
+               UNNEST(generate_series(1, (o_orderkey % 5) + 2)) AS t(i)
+"""
+
+# Shared oracle scaffolding over the preference corpus: the sft
+# adjacency pairs CTE and the conversation_outcomes CTE chain (loop
+# runs / last turn / last-tool-error, fixed precedence) — composed by
+# the dpo_pairs and best_of_n_pairs oracles below.
+_PREF_PAIRS_OUTCOMES_SQL = f"""
+            WITH tr AS ({_SYNTH_PREF_TRANSCRIPTS_SQL}),
+            p AS (
+              SELECT conv_id, turn_idx AS prompt_turn_idx, role,
+                     text AS prompt,
+                     lead(role) OVER w AS next_role,
+                     lead(text) OVER w AS response
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+              SELECT conv_id, prompt_turn_idx, prompt, response
+              FROM p
+              WHERE role = 'user' AND next_role = 'assistant'
+                AND length(coalesce(prompt, '')) >= 1
+                AND length(coalesce(response, '')) >= 1
+            ),
+            f AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN row_number() OVER w > 1
+                               AND lag(text) OVER w
+                                   IS NOT DISTINCT FROM text
+                          THEN 0 ELSE 1 END AS brk
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            runs AS (
+              SELECT conv_id, turn_idx,
+                     sum(brk) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS run
+              FROM f
+            ),
+            lp AS (
+              SELECT conv_id, max(pos) >= 3 AS is_looping FROM (
+                SELECT conv_id,
+                       row_number() OVER (PARTITION BY conv_id, run
+                                          ORDER BY turn_idx) AS pos
+                FROM runs
+              ) GROUP BY conv_id
+            ),
+            last AS (
+              SELECT conv_id, arg_max(role, turn_idx) AS last_role
+              FROM tr GROUP BY conv_id
+            ),
+            te AS (
+              SELECT conv_id,
+                     coalesce(regexp_matches(
+                       arg_max(text, turn_idx),
+                       'error|exception|traceback|failed', 'i'),
+                       FALSE) AS terr
+              FROM tr WHERE role = 'tool' GROUP BY conv_id
+            ),
+            oc AS (
+              SELECT last.conv_id,
+                     CASE WHEN lp.is_looping THEN 'looping'
+                          WHEN coalesce(te.terr, FALSE)
+                            THEN 'tool_failure'
+                          WHEN last_role = 'user' THEN 'abandoned'
+                          ELSE 'completed' END AS outcome
+              FROM last
+              JOIN lp USING (conv_id)
+              LEFT JOIN te USING (conv_id)
+            ),
+            lab AS (
+              SELECT pairs.*, oc.outcome
+              FROM pairs JOIN oc USING (conv_id)
+            )
+"""
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """DPO preference pairs over the shared-prompt preference corpus:
+    per prompt, the longest completed-conversation response (chosen)
+    vs the worst-outcome failing response (rejected, severity looping
+    > tool_failure > abandoned), both deterministically tie-broken;
+    inner join drops prompts lacking either side."""
+    from threat_intelligence_knowledge_graph_spark.operators.preference import (
+        dpo_pairs,
+    )
+
+    return dpo_pairs(_synth_pref_transcripts(spark, sf_dir))
+
+
+def q_best_of_n_pairs(spark, sf_dir):
+    """Best-of-n rejection sampling over the preference corpus's SFT
+    pairs, scored by response length: per prompt keep the single
+    highest-scoring response (ties → lowest conv_id, turn) plus the
+    candidate-group size."""
+    from threat_intelligence_knowledge_graph_spark.operators.preference import (
+        best_of_n,
+    )
+    from threat_intelligence_knowledge_graph_spark.operators.sft import (
+        sft_pairs,
+    )
+
+    return best_of_n(
+        sft_pairs(_synth_pref_transcripts(spark, sf_dir)),
+        "n_response_chars",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -4413,6 +4603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_transcripts_increment": q_curate_transcripts_increment,
         "line_dedup": q_line_dedup,
         "transcript_outcomes": q_transcript_outcomes,
+        "dpo_pairs": q_dpo_pairs,
+        "best_of_n_pairs": q_best_of_n_pairs,
         "graph_assortativity": q_graph_assortativity,
         "similarity_mmr": q_similarity_mmr,
         "corpus_fertility": q_corpus_fertility,
@@ -7185,6 +7377,72 @@ def oracle_sql() -> dict[str, str]:
             FROM last
             JOIN lp USING (conv_id)
             LEFT JOIN te USING (conv_id)
+        """,
+        # DPO preference pairs over the shared-prompt preference
+        # corpus: sft adjacency pairs + transcript_outcomes CTE chain,
+        # per-prompt rank windows (length DESC for chosen, severity
+        # ASC for rejected, identical tie-breaks), inner join keeps
+        # prompts with both sides (see q_dpo_pairs).
+        "dpo_pairs": f"""
+            {_PREF_PAIRS_OUTCOMES_SQL},
+            ch AS (
+              SELECT prompt, response AS chosen,
+                     conv_id AS chosen_conv_id,
+                     prompt_turn_idx AS chosen_turn_idx,
+                     row_number() OVER (
+                       PARTITION BY prompt
+                       ORDER BY length(response) DESC,
+                                conv_id ASC, prompt_turn_idx ASC
+                     ) AS rn,
+                     cast(count(*) OVER (PARTITION BY prompt) AS bigint)
+                       AS n_chosen
+              FROM lab WHERE outcome = 'completed'
+            ),
+            rj AS (
+              SELECT prompt, response AS rejected,
+                     conv_id AS rejected_conv_id,
+                     prompt_turn_idx AS rejected_turn_idx,
+                     outcome AS rejected_outcome,
+                     row_number() OVER (
+                       PARTITION BY prompt
+                       ORDER BY CASE outcome
+                                  WHEN 'looping' THEN 0
+                                  WHEN 'tool_failure' THEN 1
+                                  ELSE 2 END ASC,
+                                conv_id ASC, prompt_turn_idx ASC
+                     ) AS rn,
+                     cast(count(*) OVER (PARTITION BY prompt) AS bigint)
+                       AS n_rejected
+              FROM lab WHERE outcome <> 'completed'
+            )
+            SELECT prompt, chosen, rejected, chosen_conv_id,
+                   chosen_turn_idx, rejected_conv_id, rejected_turn_idx,
+                   rejected_outcome, n_chosen, n_rejected
+            FROM ch JOIN rj USING (prompt)
+            WHERE ch.rn = 1 AND rj.rn = 1
+        """,
+        # Best-of-n rejection sampling over the same corpus's SFT
+        # pairs, scored by response length: per-prompt rank window
+        # (score DESC, conv/turn ASC), rn=1 winner + group size
+        # (see q_best_of_n_pairs).
+        "best_of_n_pairs": f"""
+            {_PREF_PAIRS_OUTCOMES_SQL},
+            ranked AS (
+              SELECT prompt, response,
+                     cast(length(response) AS int) AS n_response_chars,
+                     conv_id, prompt_turn_idx,
+                     row_number() OVER (
+                       PARTITION BY prompt
+                       ORDER BY length(response) DESC,
+                                conv_id ASC, prompt_turn_idx ASC
+                     ) AS rn,
+                     cast(count(*) OVER (PARTITION BY prompt) AS bigint)
+                       AS n_candidates
+              FROM pairs
+            )
+            SELECT prompt, response, n_response_chars, conv_id,
+                   prompt_turn_idx, n_candidates
+            FROM ranked WHERE rn = 1
         """,
         # Newman degree assortativity over the 3-clique+pendant gadget
         # union: exact bigint sums over edge-endpoint degrees, the
