@@ -648,6 +648,44 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "CartesianProduct"],
     )
+    # Preference mining: the chosen/rejected rank windows and their
+    # group aggregates must SHARE the prompt exchange (window partition
+    # key == groupBy key — one shuffle per side, then the prompt-keyed
+    # join); everything JVM-side, never cartesian.
+    dpo_plan = plan_of(em.q_dpo_pairs(spark, sf_dir))
+    n_prompt_ex = len(
+        _re.findall(
+            r"^\(\d+\) Exchange hashpartitioning\(prompt", dpo_plan, _re.MULTILINE
+        )
+    )
+    if (
+        n_prompt_ex <= 3  # chosen side, rejected side, (AQE may reuse)
+        and "EvalPython" not in dpo_plan
+        and "CartesianProduct" not in dpo_plan
+    ):
+        print("PASS dpo_pairs_shared_prompt_exchange")
+    else:
+        failures.append(
+            ("dpo_pairs_shared_prompt_exchange", f"prompt_exchanges={n_prompt_ex}")
+        )
+        print(f"FAIL dpo_pairs_shared_prompt_exchange: prompt_exchanges={n_prompt_ex}")
+    bon_plan = plan_of(em.q_best_of_n_pairs(spark, sf_dir))
+    n_prompt_ex = len(
+        _re.findall(
+            r"^\(\d+\) Exchange hashpartitioning\(prompt", bon_plan, _re.MULTILINE
+        )
+    )
+    if (
+        n_prompt_ex <= 1
+        and "EvalPython" not in bon_plan
+        and "Join" not in bon_plan
+    ):
+        print("PASS best_of_n_single_prompt_exchange")
+    else:
+        failures.append(
+            ("best_of_n_single_prompt_exchange", f"prompt_exchanges={n_prompt_ex}")
+        )
+        print(f"FAIL best_of_n_single_prompt_exchange: prompt_exchanges={n_prompt_ex}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
