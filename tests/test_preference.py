@@ -151,3 +151,71 @@ class TestBestOfN:
         # one exchange for conv_id (sft window), one for prompt; the
         # rank window and the agg share the prompt partitioning.
         assert plan.count("Exchange hashpartitioning(prompt") <= 1
+
+
+class TestMinePreferencesCli:
+    def _mod(self):
+        import importlib
+
+        return importlib.import_module("jobs.mine_preferences")
+
+    def test_dpo_mode(self, spark, tmp_path, capsys):
+        import json
+
+        rows = [
+            ("a", 1, "user", "P"),
+            ("a", 2, "assistant", "good long answer"),
+            ("b", 1, "user", "P"),
+            ("b", 2, "assistant", "meh"),
+            ("b", 3, "user", "hello?"),
+        ]
+        src = str(tmp_path / "turns.parquet")
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        ).write.parquet(src)
+        out = str(tmp_path / "dpo")
+        rc = self._mod().main(
+            ["--input", src, "--mode", "dpo", "--output", out], spark=spark
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["pairs"] == 1
+        assert summary["rejected_outcomes"] == {"abandoned": 1}
+        got = spark.read.parquet(out).collect()
+        assert got[0].chosen == "good long answer"
+
+    def test_best_of_n_mode_and_bad_score_col(self, spark, tmp_path, capsys):
+        import json
+
+        import pytest as _pytest
+
+        rows = [
+            ("a", 1, "user", "P"),
+            ("a", 2, "assistant", "aa"),
+            ("b", 1, "user", "P"),
+            ("b", 2, "assistant", "bbbb"),
+        ]
+        src = str(tmp_path / "turns.parquet")
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        ).write.parquet(src)
+        out = str(tmp_path / "bon")
+        rc = self._mod().main(
+            ["--input", src, "--mode", "best-of-n", "--output", out],
+            spark=spark,
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary == {
+            "candidates": 2,
+            "mode": "best-of-n",
+            "output": out,
+            "prompts": 1,
+            "score_col": "n_response_chars",
+        }
+        assert spark.read.parquet(out).collect()[0].response == "bbbb"
+        with _pytest.raises(SystemExit, match="score column 'nope'"):
+            self._mod().main(
+                ["--input", src, "--mode", "best-of-n", "--score-col", "nope"],
+                spark=spark,
+            )
