@@ -2891,6 +2891,29 @@ def q_similarity_batch_topk(spark, sf_dir):
     return batch_topk(emb, queries, k=5)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard negatives: for each labeled (query,
+    positive) pair (query = every 97th embedding, positive = the next
+    vec_id), the top-3 highest-cosine corpus vectors excluding both
+    pair members — broadcast probe set, one corpus scan, per-pair
+    window rank on the rounded cosine."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"))
+        .join(
+            emb.select((F.col("vec_id") - 1).alias("query_id"),
+                       F.col("vec_id").alias("pos_id")),
+            "query_id",
+        )
+    )
+    return hard_negatives(emb, pairs, k=3)
+
+
 def q_events_extremes(spark, sf_dir):
     """Monitoring-style outlier surfacing: the K most extreme values per
     event_type in each direction, by exact rank (value, event_id tie
@@ -4457,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_extremes": q_events_extremes,
         "similarity_batch_topk": q_similarity_batch_topk,
+        "hard_negatives": q_hard_negatives,
         "latest_event_per_user": q_latest_event_per_user,
         "asof_join_events_orders": q_asof_join_events_orders,
         "interval_join_events": q_interval_join_events,
@@ -6395,6 +6419,38 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        # Contrastive hard negatives: labeled pairs (every 97th id,
+        # next id as positive), cross-scored corpus minus the pair
+        # members, per-pair rounded-cosine rank (see q_hard_negatives).
+        "hard_negatives": """
+            WITH pr AS (
+              SELECT e1.vec_id AS query_id, e2.vec_id AS pos_id,
+                     e1.embedding AS qv
+              FROM embeddings e1
+              JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+              WHERE e1.vec_id % 97 = 0
+                AND sqrt(list_dot_product(cast(e1.embedding AS double[]),
+                                          cast(e1.embedding AS double[]))) > 0
+            ),
+            sc AS (
+              SELECT pr.query_id, pr.pos_id, e.vec_id AS neg_id,
+                     round(list_cosine_similarity(
+                       cast(e.embedding AS double[]),
+                       cast(pr.qv AS double[])), 3) AS neg_cosine
+              FROM embeddings e CROSS JOIN pr
+              WHERE sqrt(list_dot_product(cast(e.embedding AS double[]),
+                                          cast(e.embedding AS double[]))) > 0
+                AND e.vec_id <> pr.query_id AND e.vec_id <> pr.pos_id
+            )
+            SELECT query_id, pos_id, neg_id, neg_cosine,
+                   cast(rn AS int) AS neg_rank
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id, pos_id
+                       ORDER BY neg_cosine DESC, neg_id ASC) AS rn
+              FROM sc
+            ) WHERE rn <= 3
         """,
         "similarity_batch_topk": """
             SELECT query_id, vec_id, cosine

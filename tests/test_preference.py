@@ -219,3 +219,63 @@ class TestMinePreferencesCli:
                 ["--input", src, "--mode", "best-of-n", "--score-col", "nope"],
                 spark=spark,
             )
+
+
+class TestHardNegatives:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+        )
+
+    def test_excludes_self_and_positive(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(
+            spark,
+            [
+                (1, [1.0, 0.0]),   # query
+                (2, [0.9, 0.1]),   # labeled positive (most similar)
+                (3, [0.8, 0.2]),   # the hard negative
+                (4, [0.0, 1.0]),   # easy negative
+                (5, [0.0, 0.0]),   # zero-norm, must never rank
+            ],
+        )
+        pairs = spark.createDataFrame([(1, 2)], "query_id long, pos_id long")
+        out = hard_negatives(emb, pairs, k=2).collect()
+        assert [(r.neg_id, r.neg_rank) for r in out] == [(3, 1), (4, 2)]
+        assert all(r.pos_id == 2 for r in out)
+
+    def test_missing_query_vector_yields_nothing(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.5, 0.5])])
+        pairs = spark.createDataFrame(
+            [(99, 2)], "query_id long, pos_id long"
+        )
+        assert hard_negatives(emb, pairs, k=1).count() == 0
+
+    def test_k_validation_and_broadcast_plan(self, spark):
+        import pytest as _pytest
+
+        from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.5, 0.5])])
+        pairs = spark.createDataFrame([(1, 2)], "query_id long, pos_id long")
+        with _pytest.raises(ValueError, match="k must be"):
+            hard_negatives(emb, pairs, k=0)
+        plan = (
+            hard_negatives(emb, pairs, k=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # corpus never shuffles: the probe set broadcasts, the rank
+        # window partitions the per-query candidates only.
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan

@@ -668,3 +668,86 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, schema=f"rank int, {id_col} long, cosine double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive / dual-encoder training data)
+# ---------------------------------------------------------------------------
+
+def hard_negatives(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    round_digits: int = 3,
+) -> DataFrame:
+    """(query_id, pos_id, neg_id, neg_cosine, neg_rank): for each
+    labeled (query, positive) retrieval pair, the ``k`` highest-cosine
+    corpus vectors that are NEITHER the query's own vector NOR its
+    labeled positive — the standard hard-negative mining step that
+    turns a positives-only pair table into (anchor, positive, negative)
+    triplets for contrastive / dual-encoder training. The near-misses
+    ranked just below the positive are exactly the negatives a trained
+    retriever most needs to push away.
+
+    Query vectors are resolved from the corpus by ``query_id`` (a pair
+    whose query id has no embedding, or a zero-norm query, yields no
+    triplets). Ranking is on the ROUNDED cosine (ties → lowest neg id)
+    so top-k membership is engine-portable — the ``batch_topk``
+    discipline; zero-norm corpus vectors are excluded for the same
+    reason.
+
+    100 TB shape: the labeled pair set is training supervision — small
+    by construction — so it broadcasts twice (once to resolve query
+    vectors, once as the scored probe set) and the corpus streams
+    through ONE scan with no shuffle; the per-query window ranks only
+    that query's scored candidates. For pair sets too large to
+    broadcast, generate candidates with the LSH/IVF paths and score
+    candidates only (same contract as ``batch_topk``).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = (
+        pairs.select(F.col(query_id_col), F.col(pos_id_col))
+        .join(
+            F.broadcast(
+                embeddings.select(
+                    F.col(id_col).alias(query_id_col),
+                    F.col(vec_col).cast("array<double>").alias("_qv"),
+                )
+            ),
+            query_id_col,
+        )
+        .filter(_norm(F.col("_qv")) > 0)
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        embeddings.filter(_norm(v) > 0)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(id_col) != F.col(pos_id_col))
+        )
+        .select(
+            query_id_col,
+            pos_id_col,
+            F.col(id_col).alias("neg_id"),
+            F.round(
+                _dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv"))),
+                round_digits,
+            ).alias("neg_cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col, pos_id_col).orderBy(
+        F.desc("neg_cosine"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_id_col, pos_id_col, "neg_id", "neg_cosine", "neg_rank")
+    )
