@@ -1567,6 +1567,26 @@ def q_feature_hash(spark, sf_dir):
     return feature_hash(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+def q_quality_model_score(spark, sf_dir):
+    """Model-based quality filtering (fastText/DCLM-style): a pinned
+    linear model over the dim=1024 hashing-trick features —
+    score = round(sigmoid(dot + bias), 6), keep = score >= 0.5.
+    Weights come from the deterministic md5 hash grid (the stand-in
+    for a trained model's exported (idx, w) frame), so the oracle
+    recomputes the exact same model; the corpus is scanned once and
+    the weight table is broadcast."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        hash_grid_weights,
+        quality_model_score,
+    )
+
+    return quality_model_score(
+        _t(spark, sf_dir, "documents"),
+        hash_grid_weights(spark, dim=1024),
+        dim=1024,
+    )
+
+
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-filter semi-join pruning end-to-end: build a deliberately
     tight 4096-bit / 3-hash filter over the o_orderkey%7 member set,
@@ -4549,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_registrable": q_domain_registrable,
         "bloom_prefilter": q_bloom_prefilter,
         "feature_hash": q_feature_hash,
+        "quality_model_score": q_quality_model_score,
         "ip_cidr_enrich": q_ip_cidr_enrich,
         "graph_scc": q_graph_scc,
         "graph_random_walks": q_graph_random_walks,
@@ -6549,6 +6570,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, idx, cast(sum(sign) AS bigint) AS weight
             FROM hashed GROUP BY 1, 2 HAVING sum(sign) <> 0
+        """,
+        "quality_model_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     cast(md5_number_upper('fh:' || term) % 1024 AS bigint) AS idx,
+                     cast(md5_number_upper('fhs:' || term) % 2 AS bigint) * 2 - 1 AS sign
+              FROM toks
+            ),
+            feats AS (
+              SELECT doc_id, idx, cast(sum(sign) AS bigint) AS weight
+              FROM hashed GROUP BY 1, 2 HAVING sum(sign) <> 0
+            ),
+            model AS (
+              SELECT i AS idx,
+                     (cast(md5_number_upper('qw:' || i) % 2001 AS bigint) - 1000)
+                       / 1000.0 AS w
+              FROM range(1024) t(i)
+            ),
+            dots AS (
+              SELECT f.doc_id, sum(f.weight * m.w) AS dot
+              FROM feats f JOIN model m USING (idx) GROUP BY 1
+            ),
+            scored AS (
+              SELECT d.doc_id,
+                     round(1.0 / (1.0 + exp(-(coalesce(dot, 0) + 0.0))), 6)
+                       AS score
+              FROM documents d LEFT JOIN dots USING (doc_id)
+            )
+            SELECT doc_id, score, score >= 0.5 AS keep FROM scored
         """,
         "bloom_prefilter": """
             WITH members AS (

@@ -447,3 +447,96 @@ class TestQualityGate:
             quality_gate(df, q=0.0, group_col="source")
         with _pytest.raises(ValueError, match="q must be"):
             quality_gate(df, q=1.0, group_col="source")
+
+
+class TestQualityModelScore:
+    """Model-based quality filtering: pinned linear model over
+    feature_hash features (fastText/DCLM-style filter stage)."""
+
+    def _weights(self, spark, dim=64):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            hash_grid_weights,
+        )
+
+        return hash_grid_weights(spark, dim=dim)
+
+    def test_matches_local_recomputation(self, spark):
+        """Scores agree with a hashlib/math recomputation of the same
+        model on a tiny corpus (feature hash, grid weights, sigmoid)."""
+        import hashlib
+        import math
+        from collections import Counter
+        import re
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_model_score,
+        )
+
+        def md5u(s):
+            return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+        dim = 64
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "alpha beta gamma delta"),
+            (3, ""),  # no features -> sigmoid(0) = 0.5 exactly
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.score, r.keep)
+            for r in quality_model_score(
+                df, self._weights(spark, dim), dim=dim
+            ).collect()
+        }
+        for doc_id, text in rows:
+            cells = Counter()
+            for term in re.findall(r"[a-z0-9]{2,}", text.lower()):
+                idx = md5u(f"fh:{term}") % dim
+                sign = (md5u(f"fhs:{term}") % 2) * 2 - 1
+                cells[idx] += sign
+            dot = sum(
+                w * ((md5u(f"qw:{i}") % 2001 - 1000) / 1000.0)
+                for i, w in cells.items()
+                if w != 0
+            )
+            score = round(1.0 / (1.0 + math.exp(-dot)), 6)
+            assert got[doc_id] == (score, score >= 0.5), doc_id
+
+    def test_empty_doc_scores_half_and_keeps(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_model_score,
+        )
+
+        df = spark.createDataFrame([(7, "")], ["doc_id", "text"])
+        r = quality_model_score(df, self._weights(spark), dim=64).first()
+        assert r.score == 0.5 and r.keep is True
+
+    def test_bias_shifts_scores_monotonically(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_model_score,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "some moderately long quality text here")], ["doc_id", "text"]
+        )
+        w = self._weights(spark, 64)
+        lo = quality_model_score(df, w, dim=64, bias=-2.0).first().score
+        hi = quality_model_score(df, w, dim=64, bias=2.0).first().score
+        assert lo < hi
+
+    def test_model_broadcast_no_sortmerge(self, spark):
+        """The weight table must broadcast — the corpus never shuffles
+        for the model join."""
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            quality_model_score,
+        )
+
+        df = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+        plan = quality_model_score(df, self._weights(spark), dim=64)._jdf.queryExecution().executedPlan().toString()
+        # model (idx) join: broadcast; the only sort-merge allowed is the
+        # final doc_id LeftOuter (doc-keyed, shuffle-join correct at scale)
+        assert "BroadcastHashJoin [idx" in plan
+        import re as _re
+
+        smj = _re.findall(r"SortMergeJoin \[(\w+)", plan)
+        assert all(c.startswith("doc_id") for c in smj), smj

@@ -869,3 +869,87 @@ def gopher_rules(
         reason.alias("reason"),
         reason.isNull().alias("passed"),
     )
+
+
+def hash_grid_weights(
+    spark,
+    dim: int = 1024,
+    salt: str = "qw",
+    scale: int = 1000,
+) -> DataFrame:
+    """``(idx, w)`` weight table on the md5 hash grid: ``w(idx) =
+    (md5_number_upper(salt || ':' || idx) % (2·scale+1) - scale) /
+    scale`` — a dense, engine-portable rational grid in [-1, 1]. The
+    deterministic stand-in for a TRAINED quality-model weight vector
+    (the real artifact is whatever ``(idx, w)`` frame the modeling job
+    exports); using the grid keeps oracles and fixtures reproducible
+    without shipping a model file."""
+    from .packing import _md5_bucket
+
+    return spark.range(dim).select(
+        F.col("id").alias("idx"),
+        (
+            (_md5_bucket(F.col("id").cast("string"), salt, 2 * scale + 1) - scale)
+            / F.lit(float(scale))
+        ).alias("w"),
+    )
+
+
+def quality_model_score(
+    documents: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Model-based quality filtering (the fastText / DCLM-style filter
+    stage): score every document with a PINNED linear model over
+    hashing-trick features and return ``(id, score, keep)`` —
+    ``score = round(sigmoid(Σ feature_weight·w + bias), 6)``, ``keep =
+    score ≥ threshold``. Complements the heuristic gates
+    (``gopher_rules``/``quality_gate``): heuristics encode rules,
+    this encodes a trained preference (classifier weights over the
+    same ``feature_hash`` features it was trained on).
+
+    ``weights`` is the model: an ``(idx:long, w:double)`` frame with
+    ``idx < dim`` (see ``hash_grid_weights`` for the deterministic
+    test grid). Docs with no surviving features (empty text, or every
+    cell sign-cancelled or unweighted) score ``sigmoid(bias)``.
+
+    Determinism: the dot product is a float sum (cell weights are
+    exact longs, model weights rationals), so only last-ulp sum-order
+    noise enters; ``round(·, 6)`` AFTER the sigmoid collapses it, and
+    ``keep`` compares the ROUNDED score so both engines see the same
+    boundary (the tfidf/unigram_logprob discipline). ``dot + bias = 0``
+    exactly yields score 0.500000, keep true.
+
+    100 TB shape: corpus scanned ONCE (explode → (doc, idx) partial
+    agg, map-side combined); the model is dimension-sized (dim ≤ a few
+    million cells ≪ corpus) and BROADCAST, so scoring never shuffles
+    the corpus beyond the feature agg's own doc-keyed exchange; the
+    final per-doc sum rides the same key. No Python anywhere; swapping
+    in real trained weights changes no plan shape.
+    """
+    feats = feature_hash(documents, id_col, text_col, dim, min_term_len)
+    dots = (
+        feats.join(F.broadcast(weights), "idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("w")).alias("_dot"))
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(bias)))),
+        6,
+    )
+    return (
+        documents.select(id_col)
+        .join(dots, id_col, "left")
+        .select(
+            id_col,
+            score.alias("score"),
+            (score >= F.lit(threshold)).alias("keep"),
+        )
+    )
