@@ -1445,6 +1445,44 @@ def q_graph_sssp_weighted(spark, sf_dir):
     return sssp_weighted(chain.union(cuts), src, max_iter=12)
 
 
+def q_graph_mst(spark, sf_dir):
+    """Minimum spanning forest via distributed Borůvka
+    (operators/mst.py::boruvka_mst — the single-linkage-clustering
+    backbone) over a planted analytic graph from `orders`: nodes are
+    the first 256 row_number ranks, path edges (i, i+1) with zig-zag
+    weights 100·(i%2)+i+10 (phase 1 selects only the even edges, so
+    multi-phase contraction is genuinely exercised) and chords
+    (i, i+2) at weight 100000+i — each chord is the unique heaviest
+    edge of its triangle, so the MSF is EXACTLY the path, which the
+    oracle selects analytically (weight < 100000). Distinct weights →
+    unique MSF; integer-valued doubles → exact cross-engine."""
+    from threat_intelligence_knowledge_graph_spark.operators.mst import (
+        boruvka_mst,
+    )
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    idx = (
+        o.select(
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("i")
+        )
+        .filter(F.col("i") < 256)
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    ai = F.col("a.i")
+    path = a.join(b, F.col("b.i") == ai + 1).select(
+        ai.alias("src"),
+        F.col("b.i").alias("dst"),
+        (F.lit(100) * (ai % 2) + ai + 10).cast("double").alias("weight"),
+    )
+    chords = a.join(b, F.col("b.i") == ai + 2).select(
+        ai.alias("src"),
+        F.col("b.i").alias("dst"),
+        (F.lit(100000) + ai).cast("double").alias("weight"),
+    )
+    return boruvka_mst(path.unionByName(chords))
+
+
 def q_graph_betweenness(spark, sf_dir):
     """Sampled Brandes betweenness over a planted directed graph from
     `nation`: chain n0→…→n11, parallel rails n_i→p_i→n_{i+2} at
@@ -1936,6 +1974,136 @@ _SYNTH_TRANSCRIPTS_SQL = """
           FROM orders,
                UNNEST(generate_series(1, (o_orderkey % 7) + 2)) AS t(i)
 """
+
+
+def _synth_transcripts_pii(spark, sf_dir):
+    """The shared synthetic transcripts with DETERMINISTIC planted PII:
+    modulo-gated suffixes append an email, a formatted phone, a bare
+    10-digit phone, an SSN, a 16-digit card, and a 15-digit Amex —
+    every PII_PATTERNS class occurs, gated on coprime moduli (5, 7, 11,
+    13, 17) so classes overlap on some turns and miss others. The
+    oracle rebuilds the identical text in SQL (same concat, same lpad,
+    same moduli)."""
+    t = _synth_transcripts(spark, sf_dir)
+    o = F.col("conv_id").cast("long")
+    i = F.col("turn_idx").cast("long")
+
+    def pad4(e):
+        return F.lpad(e.cast("string"), 4, "0")
+
+    sfx = F.concat(
+        F.when(
+            (o + i) % 5 == 0,
+            F.concat(
+                F.lit(" reach me at agent"),
+                (o % 97).cast("string"),
+                F.lit("@corp.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (o + i) % 7 == 1,
+            F.concat(F.lit(" call (555) 123-"), pad4((o * 3 + i) % 10000)),
+        ).otherwise(F.lit("")),
+        F.when(
+            (o + i) % 7 == 3,
+            F.concat(F.lit(" or 555123"), pad4((o + i * 11) % 10000)),
+        ).otherwise(F.lit("")),
+        F.when(
+            (o + i) % 11 == 2,
+            F.concat(F.lit(" ssn 123-45-"), pad4((o + i) % 10000)),
+        ).otherwise(F.lit("")),
+        F.when(
+            (o + i) % 13 == 3,
+            F.concat(F.lit(" card 4111 1111 1111 "), pad4((o + i) % 10000)),
+        ).otherwise(F.lit("")),
+        F.when((o + i) % 17 == 4, F.lit(" amex 3714 496353 98431")).otherwise(
+            F.lit("")
+        ),
+    )
+    return t.withColumn("text", F.concat(F.col("text"), sfx))
+
+
+_SYNTH_PII_SUFFIX_SQL = """
+            || CASE WHEN (o + i) % 5 = 0
+                 THEN ' reach me at agent' || cast(o % 97 AS varchar)
+                      || '@corp.example.com' ELSE '' END
+            || CASE WHEN (o + i) % 7 = 1
+                 THEN ' call (555) 123-'
+                      || lpad(cast((o * 3 + i) % 10000 AS varchar), 4, '0')
+                 ELSE '' END
+            || CASE WHEN (o + i) % 7 = 3
+                 THEN ' or 555123'
+                      || lpad(cast((o + i * 11) % 10000 AS varchar), 4, '0')
+                 ELSE '' END
+            || CASE WHEN (o + i) % 11 = 2
+                 THEN ' ssn 123-45-'
+                      || lpad(cast((o + i) % 10000 AS varchar), 4, '0')
+                 ELSE '' END
+            || CASE WHEN (o + i) % 13 = 3
+                 THEN ' card 4111 1111 1111 '
+                      || lpad(cast((o + i) % 10000 AS varchar), 4, '0')
+                 ELSE '' END
+            || CASE WHEN (o + i) % 17 = 4
+                 THEN ' amex 3714 496353 98431' ELSE '' END
+"""
+
+
+def q_transcript_pii_audit(spark, sf_dir):
+    """PII-leakage audit over the planted-PII transcripts
+    (operators/text_quality.py::pii_audit): per (role, pii_class)
+    total occurrences, leaking turns, and distinct leaking
+    conversations, counted SEQUENTIALLY in scrub order (class k counted
+    with classes 0..k-1 already replaced — exactly the placeholders
+    scrub_pii would emit). All-integer output; the oracle interpolates
+    the same PII_PATTERNS strings under RE2."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        pii_audit,
+    )
+
+    return pii_audit(_synth_transcripts_pii(spark, sf_dir))
+
+
+def _pii_audit_oracle_sql() -> str:
+    """Per-class sequential counts generated from PII_PATTERNS (same
+    strings, same order) over the SQL twin of the planted-PII
+    transcripts."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        PII_PATTERNS,
+    )
+
+    arms = []
+    for k, (pat, repl) in enumerate(PII_PATTERNS):
+        cls = repl.strip("<>")
+        expr = "text"
+        for ppat, prepl in PII_PATTERNS[:k]:
+            expr = f"regexp_replace({expr}, '{ppat}', '{prepl}', 'g')"
+        arms.append(
+            f"SELECT role, conv_id, '{cls}' AS pii_class,\n"
+            f"       len(regexp_extract_all({expr}, '{pat}')) AS cnt FROM t"
+        )
+    union = "\n          UNION ALL\n          ".join(arms)
+    return f"""
+        WITH base AS ({_SYNTH_TRANSCRIPTS_SQL}),
+        b2 AS (
+          SELECT role, conv_id, text,
+                 cast(conv_id AS bigint) AS o,
+                 cast(turn_idx AS bigint) AS i
+          FROM base
+        ),
+        t AS (
+          SELECT role, conv_id, text {_SYNTH_PII_SUFFIX_SQL} AS text
+          FROM b2
+        ),
+        c AS (
+          {union}
+        )
+        SELECT role, pii_class,
+               cast(sum(cnt) AS bigint) AS n_hits,
+               cast(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS bigint)
+                 AS n_turns,
+               count(DISTINCT CASE WHEN cnt > 0 THEN conv_id END) AS n_convs
+        FROM c GROUP BY role, pii_class
+    """
 
 
 def q_transcript_latency(spark, sf_dir):
@@ -4548,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
+        "graph_mst": q_graph_mst,
         "graph_betweenness": q_graph_betweenness,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
@@ -4584,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "transcript_stats": q_transcript_stats,
+        "transcript_pii_audit": q_transcript_pii_audit,
         "transcript_latency": q_transcript_latency,
         "sft_pairs": q_sft_pairs,
         "conv_dedup_exact": q_conv_dedup_exact,
@@ -8888,6 +9058,21 @@ def oracle_sql() -> dict[str, str]:
             FROM md WHERE d > 0 GROUP BY id
         """,
         "graph_sssp_weighted": _sssp_oracle_sql(iterations=12),
+        # The planted MSF is analytic: chords (i, i+2) are each the
+        # unique heaviest edge of their triangle, so Borůvka's answer
+        # is exactly the path — selected here by the weight rule.
+        "graph_mst": """
+            WITH idx AS (
+              SELECT i FROM (
+                SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+                FROM orders
+              ) WHERE i < 256
+            )
+            SELECT a.i AS src, b.i AS dst,
+                   cast(100 * (a.i % 2) + a.i + 10 AS double) AS weight
+            FROM idx a JOIN idx b ON b.i = a.i + 1
+        """,
+        "transcript_pii_audit": _pii_audit_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(levels=13),
         "table_checks": """
             WITH a AS (

@@ -156,6 +156,37 @@ class TestScrubPii:
         assert scrub_pii(df).first().text == "x <EMAIL> y"
 
 
+class TestPiiAudit:
+    def test_counts_mirror_scrub_order(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            pii_audit,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # two emails in one turn; the email's digits never count
+                # as a phone (sequential counting = scrub order)
+                ("c1", "user", "a@x.io and 555-123-4567@evil.example.com"),
+                ("c1", "assistant", "call (555) 123-4567 or 5551234567"),
+                ("c2", "assistant", "ssn 123-45-6789 card 4111 1111 1111 1111"),
+                ("c2", "user", "clean"),
+            ],
+            ["conv_id", "role", "text"],
+        )
+        got = {
+            (r.role, r.pii_class): (r.n_hits, r.n_turns, r.n_convs)
+            for r in pii_audit(df).collect()
+        }
+        assert got[("user", "EMAIL")] == (2, 1, 1)
+        assert got[("user", "PHONE")] == (0, 0, 0)
+        assert got[("assistant", "PHONE")] == (2, 1, 1)
+        assert got[("assistant", "SSN")] == (1, 1, 1)
+        assert got[("assistant", "CARD")] == (1, 1, 1)
+        assert got[("user", "CARD")] == (0, 0, 0)
+        # every (role, class) pair present, even all-zero ones
+        assert len(got) == 8
+
+
 class TestRepetitionRatio:
     def test_values(self, spark):
         from threat_intelligence_knowledge_graph_spark.operators.text_quality import (

@@ -158,6 +158,56 @@ def scrub_pii(
     return documents.select(F.col(id_col), out.alias(text_col))
 
 
+def pii_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "role",
+    doc_col: str = "conv_id",
+) -> DataFrame:
+    """(group, pii_class, n_hits, n_turns, n_convs): PII-leakage audit —
+    the privacy report a transcript-derived training corpus needs BEFORE
+    deciding to train (which roles leak emails/phones/SSNs/cards, how
+    often, across how many conversations), the reporting twin of
+    ``scrub_pii``.
+
+    Counting is **sequential**, mirroring the scrub's pattern order:
+    class k is counted on the text with classes 0..k-1 already replaced,
+    so a digit run consumed by an earlier class (an email's digits, a
+    phone inside what a card grabbed) is never double-counted — the
+    counts are exactly "how many placeholders would scrub_pii emit".
+
+    Pure Catalyst: one projection (regexp_count over nested
+    regexp_replace), one explode, one hash aggregate — scan-local until
+    the tiny (group × class) rollup. All-integer output, exact
+    cross-engine."""
+    structs = []
+    for k, (pat, repl) in enumerate(PII_PATTERNS):
+        cls = repl.strip("<>")
+        scrubbed = F.col(text_col)
+        for ppat, prepl in PII_PATTERNS[:k]:
+            scrubbed = F.regexp_replace(scrubbed, ppat, prepl)
+        structs.append(
+            F.struct(
+                F.lit(cls).alias("pii_class"),
+                F.regexp_count(scrubbed, F.lit(pat)).alias("cnt"),
+            )
+        )
+    hit = F.col("x.cnt") > 0
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(doc_col),
+            F.explode(F.array(*structs)).alias("x"),
+        )
+        .groupBy(group_col, F.col("x.pii_class").alias("pii_class"))
+        .agg(
+            F.sum("x.cnt").alias("n_hits"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_turns"),
+            F.countDistinct(F.when(hit, F.col(doc_col))).alias("n_convs"),
+        )
+    )
+
+
 def tfidf_top_terms(
     documents: DataFrame,
     id_col: str = "doc_id",
