@@ -1483,6 +1483,43 @@ def q_graph_mst(spark, sf_dir):
     return boruvka_mst(path.unionByName(chords))
 
 
+def q_graph_single_linkage(spark, sf_dir):
+    """Single-linkage clusters (operators/mst.py::single_linkage_labels
+    — cut the Borůvka MSF at a distance threshold; components ARE the
+    dendrogram level) over the same planted chord-triangle graph as
+    q_graph_mst, threshold 109: even path edges (i, i+1) with i ≤ 98
+    survive (weight i+10 ≤ 108), every odd edge (weight 110+i) and
+    every later even edge (weight ≥ 110) is cut — clusters are
+    analytically the pairs {2k, 2k+1} for i ≤ 99 and singletons above,
+    which the oracle states in closed form (i − i%2 below 100, i
+    above)."""
+    from threat_intelligence_knowledge_graph_spark.operators.mst import (
+        single_linkage_labels,
+    )
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    idx = (
+        o.select(
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("i")
+        )
+        .filter(F.col("i") < 256)
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    ai = F.col("a.i")
+    path = a.join(b, F.col("b.i") == ai + 1).select(
+        ai.alias("src"),
+        F.col("b.i").alias("dst"),
+        (F.lit(100) * (ai % 2) + ai + 10).cast("double").alias("weight"),
+    )
+    chords = a.join(b, F.col("b.i") == ai + 2).select(
+        ai.alias("src"),
+        F.col("b.i").alias("dst"),
+        (F.lit(100000) + ai).cast("double").alias("weight"),
+    )
+    return single_linkage_labels(path.unionByName(chords), threshold=109.0)
+
+
 def q_graph_betweenness(spark, sf_dir):
     """Sampled Brandes betweenness over a planted directed graph from
     `nation`: chain n0→…→n11, parallel rails n_i→p_i→n_{i+2} at
@@ -4717,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
         "graph_sssp_weighted": q_graph_sssp_weighted,
         "graph_mst": q_graph_mst,
+        "graph_single_linkage": q_graph_single_linkage,
         "graph_betweenness": q_graph_betweenness,
         "table_checks": q_table_checks,
         "curate_corpus": q_curate_corpus,
@@ -9073,6 +9111,21 @@ def oracle_sql() -> dict[str, str]:
             FROM idx a JOIN idx b ON b.i = a.i + 1
         """,
         "transcript_pii_audit": _pii_audit_oracle_sql(),
+        # Closed-form single-linkage clusters at threshold 109 on the
+        # planted graph: pairs {2k, 2k+1} while even-edge weights
+        # (i + 10) stay ≤ 109, singletons beyond; cluster labels are
+        # min-id per component, matching connected_components.
+        "graph_single_linkage": """
+            WITH idx AS (
+              SELECT i FROM (
+                SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+                FROM orders
+              ) WHERE i < 256
+            )
+            SELECT i AS id,
+                   CASE WHEN i <= 99 THEN i - (i % 2) ELSE i END AS cluster
+            FROM idx
+        """,
         "graph_betweenness": _betweenness_oracle_sql(levels=13),
         "table_checks": """
             WITH a AS (
