@@ -38,6 +38,39 @@ def _ktruss_round_plan(em, spark, sf_dir):
     )
 
 
+def _mst_phase_plan(em, spark, sf_dir):
+    """One Borůvka phase's un-checkpointed selection plan over the
+    planted chord-triangle graph (the q_graph_mst input)."""
+    from pyspark.sql import functions as F
+    from threat_intelligence_knowledge_graph_spark.operators.mst import (
+        _canonical_edges,
+        _phase_select,
+    )
+
+    from pyspark.sql import Window
+
+    o = em._t(spark, sf_dir, "orders").select("o_orderkey")
+    idx = o.select(
+        (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("i")
+    ).filter(F.col("i") < 256)
+    a, b = idx.alias("a"), idx.alias("b")
+    ai = F.col("a.i")
+    edges = a.join(b, F.col("b.i") == ai + 1).select(
+        ai.alias("src"),
+        F.col("b.i").alias("dst"),
+        (F.lit(100) * (ai % 2) + ai + 10).cast("double").alias("weight"),
+    )
+    e = _canonical_edges(edges, "src", "dst", "weight")
+    comp = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    _, sel = _phase_select(e, comp)
+    return sel
+
+
 def main(sf_dir: str) -> int:
     spark = build_session("plan-audit", master="local[4]", shuffle_partitions=8)
     import __spark_entry__ as em
@@ -219,6 +252,16 @@ def main(sf_dir: str) -> int:
         "ktruss_round_no_cartesian",
         _ktruss_round_plan(em, spark, sf_dir),
         ["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
+        # Borůvka phase: endpoint→component labels are two keyed
+        # equi-joins, min-edge selection is a hash aggregate with a
+        # map-side partial (partial_min in the plan) — never a
+        # cartesian pair blowup, never Python.
+        "mst_phase_no_cartesian",
+        _mst_phase_plan(em, spark, sf_dir),
+        ["Join", "partial_min"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
     check(

@@ -49,6 +49,26 @@ def _canonical_edges(
     )
 
 
+def _phase_select(e: DataFrame, comp: DataFrame):
+    """One Borůvka phase's (cross-component edges, selected min edges) —
+    un-checkpointed so the plan is auditable: two keyed equi-joins
+    (endpoint → component label) + one min(struct) hash aggregate with
+    a map-side partial; never a cartesian product, never Python."""
+    ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
+    cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+    cross = e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
+    pick = F.struct(F.col("w"), F.col("a"), F.col("b"))
+    sel = (
+        cross.select(F.col("ca").alias("c"), pick.alias("p"))
+        .union(cross.select(F.col("cb").alias("c"), pick.alias("p")))
+        .groupBy("c")
+        .agg(F.min("p").alias("p"))
+        .select("p.a", "p.b", "p.w")
+        .distinct()
+    )
+    return cross, sel
+
+
 def boruvka_mst(
     edges: DataFrame,
     src: str = "src",
@@ -80,23 +100,8 @@ def boruvka_mst(
     )
     msf = None
     for _ in range(max_phases):
-        # label both endpoints, keep only edges crossing components
-        ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
-        cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
-        cross = (
-            e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
-        )
-        # min outgoing edge per component, deterministic tie-break
-        pick = F.struct(F.col("w"), F.col("a"), F.col("b"))
-        sel = (
-            cross.select(F.col("ca").alias("c"), pick.alias("p"))
-            .union(cross.select(F.col("cb").alias("c"), pick.alias("p")))
-            .groupBy("c")
-            .agg(F.min("p").alias("p"))
-            .select("p.a", "p.b", "p.w")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        cross, sel = _phase_select(e, comp)
+        sel = sel.localCheckpoint(eager=True)
         if sel.limit(1).count() == 0:
             break
         msf = sel if msf is None else msf.unionByName(sel).distinct()
