@@ -1565,6 +1565,29 @@ def q_text_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality signal (order-2 of the CCNet/KenLM perplexity
+    family): mean ln p(w2|w1) per document under the corpus's own MLE
+    bigram model. Same tokenizer as unigram_logprob; rounded
+    post-mean."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_source_datasheet(spark, sf_dir):
+    """Per-source dataset-card rollup: doc counts, exact-dup rate
+    (md5 identity), language spread, distinct vocabulary — the
+    composition sheet next to corpus_fertility's token budget."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        source_datasheet,
+    )
+
+    return source_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): every document
     scored by the smoothed log-likelihood ratio of its hashed
@@ -4770,6 +4793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_similarity": q_graph_node_similarity,
         "graph_link_prediction": q_graph_link_prediction,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "source_datasheet": q_source_datasheet,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -6905,6 +6930,58 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "text_bigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(2, len(toks) + 1),
+                            i -> toks[i - 1] || ' ' || toks[i])) AS bg
+              FROM tk WHERE len(toks) >= 2
+            ),
+            tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            cts AS (SELECT bg, sum(tf) AS ct FROM tf GROUP BY 1),
+            ctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(ct) AS ctx
+              FROM cts GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   cast(sum(tf.tf) AS bigint) AS n_bigrams,
+                   round(sum(tf.tf * ln(cts.ct / ctx.ctx)) / sum(tf.tf), 6)
+                     AS avg_logprob2
+            FROM tf
+            JOIN cts USING (bg)
+            JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+            GROUP BY tf.doc_id
+        """,
+        "source_datasheet": """
+            WITH base AS (
+              SELECT source,
+                     cast(count(*) AS bigint) AS n_docs,
+                     cast(count(DISTINCT md5(text)) AS bigint)
+                       AS n_distinct_texts,
+                     cast(count(DISTINCT lang) AS bigint) AS n_langs
+              FROM documents GROUP BY 1
+            ),
+            vb AS (
+              SELECT source, cast(count(DISTINCT t) AS bigint) AS vocab_size
+              FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]{2,}')) AS t
+                FROM documents
+              )
+              GROUP BY 1
+            )
+            SELECT base.source, base.n_docs, base.n_distinct_texts,
+                   round(1.0 - base.n_distinct_texts / base.n_docs, 6)
+                     AS dup_rate,
+                   base.n_langs, vb.vocab_size
+            FROM base JOIN vb USING (source)
         """,
         "dsir_weights": _dsir_weights_sql(512)
         + """

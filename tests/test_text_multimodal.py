@@ -338,6 +338,82 @@ class TestUnigramLogprob:
         assert got == {2}
 
 
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            bigram_logprob,
+        )
+
+        # corpus bigrams: doc1 'aa bb','bb aa'; doc2 'bb aa'; doc3 none
+        # ct('aa bb')=1, ct('bb aa')=2; ctx('aa')=1, ctx('bb')=2
+        df = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, "bb aa"), (3, "aa")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+        # p('bb'|'aa') = 1/1 = 1; p('aa'|'bb') = 2/2 = 1
+        assert set(got) == {1, 2}  # single-token doc 3 absent
+        assert got[1].n_bigrams == 2 and got[2].n_bigrams == 1
+        assert got[1].avg_logprob2 == 0.0
+        assert got[2].avg_logprob2 == 0.0
+        # now break determinism of the trivial case: add a competing
+        # continuation so p('bb'|'aa') < 1
+        df2 = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa cc"), (3, "aa bb")],
+            ["doc_id", "text"],
+        )
+        got2 = {r.doc_id: r for r in bigram_logprob(df2).collect()}
+        # ctx('aa') = 3; p(bb|aa) = 2/3, p(cc|aa) = 1/3
+        assert got2[1].avg_logprob2 == round(math.log(2 / 3), 6)
+        assert got2[2].avg_logprob2 == round(math.log(1 / 3), 6)
+        # phrasing typicality: the common continuation scores higher
+        assert got2[1].avg_logprob2 > got2[2].avg_logprob2
+
+    def test_shuffled_text_craters_bigram_not_unigram(self, spark):
+        """The signal bigram adds over unigram: same bag of words,
+        atypical ordering → same unigram score, lower bigram score."""
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        rows = [(i, "the quick fox jumps over the lazy dog") for i in range(1, 9)]
+        rows.append((9, "dog the over lazy jumps quick the fox"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+        bi = {r.doc_id: r.avg_logprob2 for r in bigram_logprob(df).collect()}
+        assert uni[9] == uni[1]  # identical bag → identical unigram
+        assert bi[9] < bi[1]  # atypical phrasing → lower bigram
+
+
+class TestSourceDatasheet:
+    def test_rollup(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            source_datasheet,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta", "en", "s1"),
+                (2, "alpha beta", "en", "s1"),  # exact dup inside s1
+                (3, "gamma", "de", "s1"),
+                (4, "alpha beta", "en", "s2"),  # dup content, other source
+            ],
+            ["doc_id", "text", "lang", "source"],
+        )
+        got = {r.source: r for r in source_datasheet(df).collect()}
+        s1 = got["s1"]
+        assert s1.n_docs == 3 and s1.n_distinct_texts == 2
+        assert s1.dup_rate == round(1 - 2 / 3, 6)
+        assert s1.n_langs == 2
+        assert s1.vocab_size == 3  # alpha beta gamma
+        s2 = got["s2"]
+        assert s2.n_docs == 1 and s2.dup_rate == 0.0
+        assert s2.n_langs == 1 and s2.vocab_size == 2
+
+
 class TestFeatureHash:
     def test_signed_counts_and_determinism(self, spark):
         from threat_intelligence_knowledge_graph_spark.operators.text_quality import (

@@ -359,6 +359,78 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob2): mean ln p(w2 | w1) under the
+    corpus's OWN bigram LM — the order-2 member of the CCNet/KenLM
+    perplexity-filter family next to :func:`unigram_logprob` (order 1).
+    The bigram score separates corpus-typical PHRASING from merely
+    corpus-typical vocabulary: shuffled or template-stitched text keeps
+    its unigram score but craters here. ``p(w2|w1) = ct(w1 w2) /
+    ct(w1 ·)`` (MLE — every scored bigram is in the corpus model by
+    construction, so no smoothing is needed); docs with fewer than two
+    tokens are absent from the result.
+
+    Determinism: round-6 AFTER the per-doc mean (the unigram_logprob
+    discipline — ln of a rational never sits on a rounding boundary;
+    only last-ulp sum-order noise is collapsed).
+
+    100 TB shape: scan-local tokenize + adjacent-pair explode (the
+    ``transform(sequence(...))`` pair build is per-row, no shuffle) →
+    (doc, bigram) tf agg → bigram-vocabulary re-agg (map-side
+    combining, Zipf-bounded like the unigram vocab) → a second
+    dimension-sized agg folds bigram counts to left-context counts →
+    two keyed joins + per-doc agg. No Python anywhere; the bigram
+    dictionary is larger than the unigram one but still sublinear in
+    corpus size, and both model aggs combine map-side.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]{{{min_term_len},}}', 0)"
+        ).alias("_toks"),
+    )
+    bigr = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_toks)), "
+                    "i -> concat(_toks[i-2], ' ', _toks[i-1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    tf = bigr.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    cts = tf.groupBy("bg").agg(F.sum("tf").alias("ct"))
+    ctx = cts.groupBy(
+        F.substring_index(F.col("bg"), " ", 1).alias("_w1")
+    ).agg(F.sum("ct").alias("ctx"))
+    return (
+        tf.join(cts, "bg")
+        .withColumn("_w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(ctx, "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("ct") / F.col("ctx").cast("double"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob2"),
+        )
+    )
+
+
 def feature_hash(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -805,6 +877,81 @@ def corpus_fertility(
                 F.col("n_docs") > 0,
                 F.round(F.col("total_tokens") / F.col("n_docs"), 6),
             ).alias("tokens_per_doc"),
+        )
+    )
+
+
+def source_datasheet(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Per-source dataset-card rollup ``(source, n_docs,
+    n_distinct_texts, dup_rate, n_langs, vocab_size)`` — the
+    "datasheets for datasets" composition sheet a pretraining mix is
+    reviewed against, orthogonal to :func:`corpus_fertility` (which
+    carries the token/char budget): exact-duplicate rate inside each
+    source (md5 content identity, the exact-dedup key), language
+    spread, and per-source distinct vocabulary (a crawl whose vocab
+    plateaus while docs grow is boilerplate).
+
+    ``dup_rate = 1 - n_distinct_texts / n_docs`` (round-6, 0 for a
+    fully-distinct source). Three independent map-side-distinct
+    aggregates (hash, lang, term — each keyed by source, each
+    dimension-sized after its distinct) joined back on the source
+    dimension; no multi-distinct expand on one agg, so each pass
+    combines map-side. The term explode is scan-local.
+    """
+    base = documents.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    hashes = (
+        documents.select(
+            F.col(group_col).alias("source"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_distinct_texts"))
+    )
+    langs = (
+        documents.select(
+            F.col(group_col).alias("source"), F.col(lang_col).alias("_l")
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_langs"))
+    )
+    vocab = (
+        documents.select(
+            F.col(group_col).alias("source"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z0-9]{{{min_term_len},}}', 0)"
+                )
+            ).alias("_t"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    return (
+        base.join(hashes, "source")
+        .join(langs, "source")
+        .join(vocab, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "n_langs",
+            "vocab_size",
         )
     )
 
