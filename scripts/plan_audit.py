@@ -729,6 +729,24 @@ def main(sf_dir: str) -> int:
             ("best_of_n_single_prompt_exchange", f"prompt_exchanges={n_prompt_ex}")
         )
         print(f"FAIL best_of_n_single_prompt_exchange: prompt_exchanges={n_prompt_ex}")
+    # 60: bigram LM stays JVM-side — no Python eval, hash (not sort)
+    # aggregates throughout, and no cartesian anywhere in the two
+    # model joins.
+    check(
+        "bigram_logprob_jvm_only",
+        em.q_text_bigram_logprob(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "SortAggregate", "CartesianProduct"],
+    )
+    # 61: datasheet avoids the multi-distinct expand — three separate
+    # map-side-distinct aggregates, so no Expand node in the plan, and
+    # no Python eval.
+    check(
+        "source_datasheet_no_expand",
+        em.q_source_datasheet(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["Expand", "EvalPython", "CartesianProduct"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
