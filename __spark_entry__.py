@@ -3004,6 +3004,43 @@ def q_dedup_exact_docs(spark, sf_dir):
     )
 
 
+def q_dedup_bow(spark, sf_dir):
+    """Order-insensitive bag-of-words dedup: families whose sorted
+    token multisets are identical (catches word-reordered spins that
+    byte-exact dedup misses); md5 fingerprint, min-id survivor. The
+    base corpus has no reorderings (dedup_bow would be vacuously
+    empty), so every 20th doc gets a deterministic token-REVERSED twin
+    planted at doc_id+1_000_000 — same bag, different byte string —
+    and each planted pair must come back as one family with the
+    original id surviving."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        bow_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.reverse(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]{2,}', 0)")
+            ),
+        ).alias("text"),
+    )
+    return bow_duplicates(d.unionByName(twins))
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum bucketing: token-count difficulty staged into 4
+    buckets via deterministic-sample nearest-rank boundaries (the
+    TeraSort range-boundary shape, md5-drawn sample)."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        curriculum_order,
+    )
+
+    return curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 def q_text_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
@@ -4795,6 +4832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
         "source_datasheet": q_source_datasheet,
+        "dedup_bow": q_dedup_bow,
+        "curriculum_order": q_curriculum_order,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -6930,6 +6969,76 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "dedup_bow": """
+            WITH twins AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       list_reverse(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]{2,}')),
+                       ' ') AS text
+              FROM documents WHERE doc_id % 20 = 0
+            ),
+            all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM twins
+            ),
+            h AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                           list_sort(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]{2,}')),
+                           ' ')) AS bow_hash,
+                     len(regexp_extract_all(lower(text),
+                                            '[a-z0-9]{2,}')) AS nt
+              FROM all_docs
+            )
+            SELECT bow_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+            FROM h WHERE nt > 0
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "curriculum_order": """
+            WITH sc AS (
+              SELECT doc_id AS key,
+                     cast(len(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]{2,}'))
+                          AS bigint) AS difficulty
+              FROM documents
+            ),
+            smp AS (
+              SELECT * FROM sc
+              WHERE md5_number_upper('curriculum:'
+                      || cast(key AS varchar)) % 1000000 < 50000
+            ),
+            r AS (
+              SELECT difficulty,
+                     row_number() OVER (ORDER BY difficulty ASC, key ASC)
+                       AS rn,
+                     count(*) OVER () AS n
+              FROM smp
+            ),
+            b AS (
+              SELECT max(CASE WHEN rn = (1 * n + 3) // 4
+                              THEN difficulty END) AS b1,
+                     max(CASE WHEN rn = (2 * n + 3) // 4
+                              THEN difficulty END) AS b2,
+                     max(CASE WHEN rn = (3 * n + 3) // 4
+                              THEN difficulty END) AS b3
+              FROM r
+            )
+            SELECT sc.key, sc.difficulty,
+                   cast(1
+                        + (CASE WHEN b.b1 IS NOT NULL
+                                 AND sc.difficulty > b.b1
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN b.b2 IS NOT NULL
+                                 AND sc.difficulty > b.b2
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN b.b3 IS NOT NULL
+                                 AND sc.difficulty > b.b3
+                                THEN 1 ELSE 0 END)
+                     AS integer) AS bucket
+            FROM sc CROSS JOIN b
         """,
         "text_bigram_logprob": """
             WITH tk AS (

@@ -53,6 +53,43 @@ class TestExactDedup:
         assert 0 < deduped <= n
 
 
+class TestBowDedup:
+    def test_reordering_collapses_byte_dup_does_not(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            bow_duplicates,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "gamma alpha beta"),  # reordering of 1 → same bag
+                (3, "alpha beta"),  # subset, NOT a bag match
+                (4, "alpha beta gamma gamma"),  # multiset differs
+                (5, ""),  # zero tokens: excluded
+                (6, ""),  # even though 5 and 6 share the empty bag
+            ],
+            ["doc_id", "text"],
+        )
+        fams = {r.bow_hash: r for r in bow_duplicates(df).collect()}
+        assert len(fams) == 1
+        (fam,) = fams.values()
+        assert fam.n_copies == 2 and fam.keep_id == 1
+        # byte-exact dedup sees nothing here
+        assert exact_duplicates(df.filter("doc_id <= 4")).count() == 0
+
+    def test_case_and_punct_normalized(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            bow_duplicates,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "world... HELLO")],
+            ["doc_id", "text"],
+        )
+        fams = bow_duplicates(df).collect()
+        assert len(fams) == 1 and fams[0].n_copies == 2
+
+
 class TestMinhashDedup:
     def test_near_dup_pair_found(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again " * 5

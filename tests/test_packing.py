@@ -206,6 +206,46 @@ class TestMixtureSample:
         assert got.filter("src = 'web'").count() == 400  # web binding, whole
 
 
+class TestCurriculumOrder:
+    def test_buckets_monotone_in_difficulty(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            curriculum_order,
+        )
+
+        # 200 docs, token count = (i % 40) + 1 → difficulties 1..40
+        rows = [(i, " ".join(f"tk{j}" for j in range((i % 40) + 1))) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = curriculum_order(df, n_buckets=4, sample_pct=50).collect()
+        assert len(got) == 200
+        assert {r.bucket for r in got} <= {1, 2, 3, 4}
+        # monotone: a harder doc never lands in a lower bucket
+        by_diff = sorted(got, key=lambda r: (r.difficulty, r.key))
+        buckets = [r.bucket for r in by_diff]
+        assert buckets == sorted(buckets)
+        # equal difficulty → equal bucket (boundaries are value-based)
+        seen = {}
+        for r in got:
+            assert seen.setdefault(r.difficulty, r.bucket) == r.bucket
+        # with a 50% sample and 4 buckets each bucket is populated
+        assert len({r.bucket for r in got}) == 4
+
+    def test_determinism_and_tiny_input(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.packing import (
+            curriculum_order,
+        )
+
+        rows = [(i, "aa bb cc"[: 2 + 3 * (i % 3)]) for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = {(r.key, r.bucket) for r in curriculum_order(df).collect()}
+        b = {(r.key, r.bucket) for r in curriculum_order(df).collect()}
+        assert a == b
+        # n_buckets=1 → everything in bucket 1, no sampling stage
+        one = curriculum_order(df, n_buckets=1).collect()
+        assert {r.bucket for r in one} == {1}
+        # empty input → empty output, no crash on the empty sample
+        assert curriculum_order(df.filter("doc_id < 0")).count() == 0
+
+
 class TestSplitOversized:
     def test_pieces_reconstruct_document(self, spark):
         from threat_intelligence_knowledge_graph_spark.operators.packing import (

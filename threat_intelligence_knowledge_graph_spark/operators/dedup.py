@@ -60,6 +60,44 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return documents.join(keep, id_col, "left_semi")
 
 
+def bow_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(bow_hash, n_copies, keep_id): ORDER-INSENSITIVE exact dedup —
+    content identity is the md5 of the doc's sorted token MULTISET, so
+    two docs that are word-reorderings of each other (template
+    stitching, sentence-shuffled spins of one article, column-reordered
+    exports) collapse to one family even though byte-level
+    :func:`exact_duplicates` sees them as distinct. The cheap middle
+    rung of the dedup ladder: byte-exact < bag-of-words < MinHash.
+
+    Same plan shape as exact dedup: the tokenize + ``array_sort`` +
+    fingerprint is scan-local, then ONE 32-byte-key groupBy shuffles.
+    Token order inside the fingerprint is bytewise-lexicographic, which
+    for the ``[a-z0-9]+`` token alphabet is engine-independent. Docs
+    with zero tokens all share the empty fingerprint by construction
+    and are excluded (an empty bag is not evidence of duplication).
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), "
+        f"'[a-z0-9]{{{min_term_len},}}', 0)"
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("bow_hash"),
+            F.size(toks).alias("_nt"),
+        )
+        .filter(F.col("_nt") > 0)
+        .groupBy("bow_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup
 # ---------------------------------------------------------------------------

@@ -260,6 +260,88 @@ def temperature_mixture(
     return mixture_sample(df, key_col, source_col, shares, salt=salt)
 
 
+def curriculum_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4,
+    sample_pct: int = 5,
+    salt: str = "curriculum",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(key, difficulty, bucket): curriculum-learning bucket assignment
+    — docs staged easy→hard by token count (the standard length-as-
+    difficulty proxy; Bengio et al. 2009's curriculum applied to
+    corpus ordering). ``bucket`` ∈ [1, n_buckets] ascending difficulty;
+    a training loader feeds bucket 1 first.
+
+    A GLOBAL ntile would be a single-partition sort of the corpus, so
+    the boundaries come the TeraSort/RangePartitioner way, made
+    deterministic: a ``sample_pct``% md5-drawn sample (partition- and
+    run-independent, the mixture_sample draw), nearest-rank percentiles
+    at k/n_buckets over the sample ordered by (difficulty, key) — the
+    ``exact_percentiles`` ceil-rank integer arithmetic — then the
+    n_buckets−1 boundary values come back in ONE bounded collect and
+    bucket assignment is a scan-local broadcast-literal comparison:
+    ``bucket = 1 + #{boundaries < difficulty}`` (strictly-less, so a
+    value equal to a boundary stays in the lower bucket; duplicate
+    boundary values skip buckets on both engines identically). Empty
+    sample (tiny input) → every doc lands in bucket 1.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not 0 < sample_pct <= 100:
+        raise ValueError("sample_pct must be in (0, 100]")
+    diff = F.size(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]{{{min_term_len},}}', 0)"
+        )
+    ).cast("long")
+    scored = df.select(
+        F.col(key_col).alias("key"), diff.alias("difficulty")
+    )
+    boundaries: list[int] = []
+    if n_buckets > 1:
+        thresh = sample_pct * (_FRAC_DENOM // 100)
+        sample = scored.filter(
+            _md5_bucket("key", salt) < F.lit(thresh)
+        )
+        w = Window.orderBy(F.col("difficulty").asc(), F.col("key").asc())
+        ranked = sample.select(
+            "difficulty",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy()).alias("_n"),
+        )
+        conds = [
+            F.max(
+                F.when(
+                    F.col("_rn")
+                    == F.expr(
+                        f"CAST(({k} * _n + {n_buckets - 1}) "
+                        f"DIV {n_buckets} AS BIGINT)"
+                    ),
+                    F.col("difficulty"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, n_buckets)
+        ]
+        row = ranked.agg(*conds).collect()[0]
+        boundaries = [
+            row[f"b{k}"]
+            for k in range(1, n_buckets)
+            if row[f"b{k}"] is not None
+        ]
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + F.when(
+            F.col("difficulty") > F.lit(int(b)), F.lit(1)
+        ).otherwise(F.lit(0))
+    return scored.select(
+        "key", "difficulty", bucket.cast("int").alias("bucket")
+    )
+
+
 def split_oversized(
     documents: DataFrame,
     token_budget: int,
