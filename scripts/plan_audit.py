@@ -747,6 +747,25 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["Expand", "EvalPython", "CartesianProduct"],
     )
+    # 62: curriculum assignment is a pure scan-local projection — the
+    # boundary collect happens at build time; the returned frame must
+    # have NO sort, exchange, join, or aggregate (a global-ntile
+    # implementation would show a SinglePartition sort here).
+    check(
+        "curriculum_scan_local_assignment",
+        em.q_curriculum_order(spark, sf_dir),
+        ["Scan parquet"],
+        must_not=["Sort", "Exchange", "Join", "HashAggregate", "EvalPython"],
+    )
+    # 63: bag-of-words dedup = ONE 32-byte-key exchange (plus AQE
+    # union reads), fingerprint scan-local, no Python.
+    check(
+        "dedup_bow_single_hash_exchange",
+        em.q_dedup_bow(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "SortAggregate", "CartesianProduct"],
+        max_counts={"Exchange hashpartitioning": 1},
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
