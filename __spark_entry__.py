@@ -3030,6 +3030,18 @@ def q_dedup_bow(spark, sf_dir):
     return bow_duplicates(d.unionByName(twins))
 
 
+def q_jaccard_prefix_join(spark, sf_dir):
+    """Exact all-pairs token-set Jaccard >= 0.9 via the AllPairs/PPJoin
+    prefix filter (rarest-token join keys + length filter). The oracle
+    is an INDEPENDENT brute-force all-pairs join — the prefix filter's
+    no-false-negative theorem is what makes the two methods agree."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    return prefix_filter_pairs(_t(spark, sf_dir, "documents"), tau=0.9)
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum bucketing: token-count difficulty staged into 4
     buckets via deterministic-sample nearest-rank boundaries (the
@@ -4834,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_datasheet": q_source_datasheet,
         "dedup_bow": q_dedup_bow,
         "curriculum_order": q_curriculum_order,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -6969,6 +6982,34 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "jaccard_prefix_join": """
+            -- independent brute-force oracle: ALL pairs sharing any
+            -- token, exact integer threshold 10*inter >= 9*union.
+            -- The Spark side runs the prefix-filter algorithm; the
+            -- no-false-negative theorem makes the outputs identical.
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]{2,}')) AS term
+              FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM toks a
+              JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   cast(n_inter AS bigint) AS n_inter,
+                   cast(sa.n + sb.n - n_inter AS bigint) AS n_union,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE 10 * n_inter >= 9 * (sa.n + sb.n - n_inter)
         """,
         "dedup_bow": """
             WITH twins AS (

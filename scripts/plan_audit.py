@@ -766,6 +766,20 @@ def main(sf_dir: str) -> int:
         must_not=["EvalPython", "SortAggregate", "CartesianProduct"],
         max_counts={"Exchange hashpartitioning": 1},
     )
+    # 64: prefix-filter Jaccard join — keyed equi-joins only (the
+    # candidate join keys on prefix tokens, verification on ids); a
+    # naive all-pairs implementation would show CartesianProduct or
+    # BroadcastNestedLoopJoin here.
+    check(
+        "jaccard_prefix_join_no_cartesian",
+        em.q_jaccard_prefix_join(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=[
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "EvalPython",
+        ],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -90,6 +90,73 @@ class TestBowDedup:
         assert len(fams) == 1 and fams[0].n_copies == 2
 
 
+class TestPrefixFilterPairs:
+    def test_hand_case(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            prefix_filter_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "aa bb cc dd ee"),
+                (2, "aa bb cc dd ff"),  # J(1,2) = 4/6 = 0.667
+                (3, "aa bb cc dd ee xx yy zz ww vv"),  # J(1,3) = 5/10
+                (4, "aa bb cc dd ee"),  # J(1,4) = 1.0
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id_a, r.id_b): r
+            for r in prefix_filter_pairs(df, tau=0.6).collect()
+        }
+        assert set(got) == {(1, 2), (1, 4), (2, 4)}
+        assert got[(1, 4)].jaccard == 1.0 and got[(1, 4)].n_inter == 5
+        assert got[(1, 2)].n_inter == 4 and got[(1, 2)].n_union == 6
+        # tau above 4/6 drops the (1,2)/(2,4) pairs
+        strict = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_pairs(df, tau=0.9).collect()
+        }
+        assert strict == {(1, 4)}
+
+    def test_matches_brute_force(self, spark):
+        """The no-false-negative theorem, empirically: the prefix-filter
+        output equals brute-force all-pairs Jaccard on a seeded random
+        corpus with planted near-dup families."""
+        import random
+
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            prefix_filter_pairs,
+        )
+
+        rng = random.Random(42)
+        vocab = [f"w{i:02d}" for i in range(60)]
+        docs = []
+        for i in range(40):
+            base = rng.sample(vocab, rng.randint(5, 15))
+            docs.append((i, " ".join(base)))
+            if i % 4 == 0:  # plant a near-dup: drop one token
+                docs.append((1000 + i, " ".join(base[:-1])))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        tau = 0.7
+        got = {
+            (r.id_a, r.id_b, r.n_inter, r.n_union)
+            for r in prefix_filter_pairs(df, tau=tau).collect()
+        }
+        # brute force in plain Python
+        sets = {i: set(t.lower().split()) for i, t in docs}
+        exp = set()
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ni = len(sets[a] & sets[b])
+                nu = len(sets[a] | sets[b])
+                if nu and 10 * ni >= 7 * nu:
+                    exp.add((a, b, ni, nu))
+        assert got == exp and len(exp) > 0
+
+
 class TestMinhashDedup:
     def test_near_dup_pair_found(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again " * 5

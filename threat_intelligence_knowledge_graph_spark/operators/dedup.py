@@ -20,6 +20,7 @@ cluster (deterministic, join-free to express).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -95,6 +96,121 @@ def bow_duplicates(
         .groupBy("bow_hash")
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_copies") > 1)
+    )
+
+
+def prefix_filter_pairs(
+    documents: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard join at threshold ``tau`` via
+    the prefix filter (AllPairs/PPJoin, Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08) — the deterministic complement to MinHash-LSH:
+    no probabilistic misses, every pair with ``J(A,B) >= tau`` is
+    returned, and the filter is what makes that affordable — two sets
+    can reach Jaccard tau only if they share a token among each one's
+    ``|X| - ceil(tau·|X|) + 1`` RAREST tokens, so only prefix tokens
+    are join keys instead of all tokens.
+
+    Output: ``(id_a, id_b, n_inter, n_union, jaccard)`` with
+    ``id_a < id_b``; the threshold compare is exact integer arithmetic
+    (``den·inter >= num·union`` with tau read back as the decimal the
+    caller wrote), never a float boundary.
+
+    100 TB shape: token sets are scan-side distinct; document
+    frequency is a Zipf-bounded dimension agg; the global rarity order
+    (df ASC, term ASC — total and engine-independent) ranks tokens
+    per doc with a doc-partitioned window; the candidate join keys on
+    prefix tokens only, with the PPJoin LENGTH filter
+    (``tau·|A| <= |B| <= |A|/tau``, integer form) pruning inside the
+    join; verification joins each candidate pair back to the two
+    (sorted) token arrays and intersects in one projection. Candidate
+    fan-out per join key is bounded by that token's df *within
+    prefixes* — rare tokens by construction; there is no cartesian
+    anywhere.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    fr = Fraction(str(tau))
+    num, den = fr.numerator, fr.denominator
+
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z0-9]{{{min_term_len},}}', 0)"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    ranked = (
+        toks.join(dfreq, "term")
+        .select("doc_id", "term", F.row_number().over(w).alias("rk"))
+        .join(sizes, "doc_id")
+    )
+    # prefix length = n - ceil(tau*n) + 1, ceil in exact integers
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"CAST(({num} * n + {den - 1}) DIV {den} AS BIGINT)")
+        + F.lit(1)
+    ).select("doc_id", "term", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "term")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # PPJoin length filter: tau*na <= nb <= na/tau (either
+            # order — apply symmetrically in integer form)
+            & (F.lit(den) * F.col("nb") >= F.lit(num) * F.col("na"))
+            & (F.lit(num) * F.col("nb") <= F.lit(den) * F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("term")).alias("ts")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (F.size("ta") + F.size("tb")
+             - F.size(F.array_intersect("ta", "tb"))).cast("long").alias("n_union"),
+        )
+        .filter(F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
     )
 
 
