@@ -3042,6 +3042,17 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(_t(spark, sf_dir, "documents"), tau=0.9)
 
 
+def q_events_benford(spark, sf_dir):
+    """Benford first-significant-digit chi-square per event type — the
+    volume-tamper screen; exact fixed-point digit extraction (no float
+    log10), absent-digit-safe chi2 identity, round-6 post-sum."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        benford_deviation,
+    )
+
+    return benford_deviation(_t(spark, sf_dir, "events"))
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum bucketing: token-count difficulty staged into 4
     buckets via deterministic-sample nearest-rank boundaries (the
@@ -4847,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bow": q_dedup_bow,
         "curriculum_order": q_curriculum_order,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "events_benford": q_events_benford,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -6982,6 +6994,26 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "events_benford": """
+            WITH digits AS (
+              SELECT event_type AS "group",
+                     cast(left(cast(cast(round(value * 100) AS bigint)
+                                    AS varchar), 1) AS integer) AS d,
+                     count(*) AS c
+              FROM events
+              WHERE value IS NOT NULL AND value >= 0.01
+              GROUP BY 1, 2
+            ),
+            terms AS (
+              SELECT "group", c,
+                     c * c / (ln((d + 1.0) / d) / ln(10.0)) AS cc_over_p
+              FROM digits
+            )
+            SELECT "group",
+                   cast(sum(c) AS bigint) AS n,
+                   round(sum(cc_over_p) / sum(c) - sum(c), 6) AS chi2
+            FROM terms GROUP BY 1
         """,
         "jaccard_prefix_join": """
             -- independent brute-force oracle: ALL pairs sharing any

@@ -299,6 +299,62 @@ def event_entropy(
     )
 
 
+def benford_deviation(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, n, chi2): per-group chi-square deviation of the
+    first-significant-digit distribution from Benford's law — the
+    classic fraud/tamper screen for volume-like measurements
+    (exfil byte counts, billing records, beacon sizes): organically
+    generated magnitudes follow ``p(d) = log10(1 + 1/d)``; fabricated
+    or clipped ones don't, and the group's chi2 spikes.
+
+    The first significant digit is taken WITHOUT float log10 games:
+    values are fixed-point at two decimals, so ``round(value·100)``
+    is an exact integer and its leading decimal digit IS the first
+    significant digit of the value (valid for any value >= 0.01;
+    smaller/NULL rows are excluded as digit-less). chi2 uses the
+    absent-digit-safe identity ``Σ_d (c_d − n·p_d)²/(n·p_d) =
+    Σ_present c_d²/(n·p_d) − n`` so digits with zero observations
+    need no synthetic rows. round-6 AFTER the ≤9-term sum (the
+    logprob discipline: the expected counts are transcendental, only
+    last-ulp sum-order noise collapses).
+
+    100 TB shape: one scan-local digit projection, one (group, digit)
+    map-side-combining count agg (≤ 9·|groups| rows out), one
+    dimension-sized re-agg. No window, no join, no Python.
+    """
+    v = F.round(F.col(value_col) * 100).cast("long")
+    digits = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0.01))
+        .select(
+            F.col(group_col).alias("group"),
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("d"),
+        )
+        .groupBy("group", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    # p(d) = ln((d+1)/d) / ln(10), built from the same double ops on
+    # both engines
+    p = F.log((F.col("d") + F.lit(1.0)) / F.col("d")) / F.log(F.lit(10.0))
+    return (
+        digits.select(
+            "group",
+            "c",
+            (F.col("c") * F.col("c") / p).alias("_cc_over_p"),
+        )
+        .groupBy("group")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(
+                F.sum("_cc_over_p") / F.sum("c") - F.sum("c"), 6
+            ).alias("chi2"),
+        )
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     group_col: str = "source",
