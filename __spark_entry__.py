@@ -3042,6 +3042,31 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(_t(spark, sf_dir, "documents"), tau=0.9)
 
 
+def q_search_ndcg(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking for the pinned {merge, stream,
+    vector} query against graded relevance rel(d) = number of distinct
+    query terms present in d (0..3) — the ranking-quality member of
+    the evaluation family; both sums bounded by k, no global sort."""
+    from threat_intelligence_knowledge_graph_spark.operators.retrieval import (
+        ndcg_eval,
+    )
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        bm25_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["merge", "stream", "vector"]
+    ranking = bm25_search(d, terms, k=10)
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]{2,}', 0)")
+    rel = d.select(
+        "doc_id",
+        sum(
+            F.array_contains(toks, t).cast("int") for t in terms
+        ).alias("rel"),
+    )
+    return ndcg_eval(ranking, rel, k=10)
+
+
 def q_events_benford(spark, sf_dir):
     """Benford first-significant-digit chi-square per event type — the
     volume-tamper screen; exact fixed-point digit extraction (no float
@@ -4859,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "events_benford": q_events_benford,
+        "search_ndcg": q_search_ndcg,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -6994,6 +7020,81 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "search_ndcg": """
+            WITH b2 AS (
+              SELECT doc_id,
+                     cast(len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))
+                       AS bigint) AS dl,
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+              FROM documents
+            ),
+            consts AS (
+              SELECT cast(count(*) AS bigint) AS n,
+                     cast(sum(dl) AS bigint) AS tdl
+              FROM b2
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+              FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks,
+                         t -> list_contains(['merge', 'stream', 'vector'], t)))
+                         AS term
+                FROM b2
+              ) GROUP BY 1, 2, 3
+            ),
+            dfr AS (SELECT term, cast(count(*) AS bigint) AS df
+                    FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / tdl)) AS c
+              FROM tf JOIN dfr USING (term) CROSS JOIN consts
+            ),
+            scored AS (
+              SELECT doc_id, round(sum(c), 6) AS score
+              FROM contrib GROUP BY doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, rk FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC
+                ) AS rk FROM scored
+              ) WHERE rk <= 10
+            ),
+            rel AS (
+              SELECT doc_id,
+                     (CASE WHEN list_contains(toks, 'merge')
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'stream')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'vector')
+                             THEN 1 ELSE 0 END) AS rel
+              FROM b2
+            ),
+            dcg AS (
+              SELECT coalesce(sum((pow(2.0, coalesce(rel.rel, 0)) - 1.0)
+                       / log2(cast(rk AS double) + 1.0)), 0.0) AS d
+              FROM ranked LEFT JOIN rel USING (doc_id)
+            ),
+            ideal AS (
+              SELECT rel, row_number() OVER (
+                ORDER BY rel DESC, doc_id ASC
+              ) AS pos
+              FROM rel WHERE rel > 0
+            ),
+            idcg AS (
+              SELECT coalesce(sum((pow(2.0, rel) - 1.0)
+                       / log2(cast(pos AS double) + 1.0)), 0.0) AS i
+              FROM ideal WHERE pos <= 10
+            )
+            SELECT cast(10 AS int) AS k,
+                   round(d, 6) AS dcg,
+                   round(i, 6) AS idcg,
+                   CASE WHEN i > 0 THEN round(d / i, 6) END AS ndcg
+            FROM dcg CROSS JOIN idcg
         """,
         "events_benford": """
             WITH digits AS (

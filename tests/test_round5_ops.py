@@ -1118,3 +1118,46 @@ class TestResurrectedIndicators:
         top = resurrected_indicators(spark, ev, min_quiet_s=100.0, k=5).collect()
         assert [r.key for r in top] == ["deep_sleeper", "light_sleeper"]
         assert top[0].last_quiet_s == 5000.0
+
+
+class TestNdcgEval:
+    def test_hand_computed(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.retrieval import (
+            ndcg_eval,
+        )
+
+        # ranking: docs 10, 20, 30 at positions 1, 2, 3
+        ranking = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], ["doc_id", "rk"]
+        )
+        # grades: 10→1, 20→3, 30→0 (absent = 0), 40→2 (relevant, unranked)
+        rel = spark.createDataFrame(
+            [(10, 1), (20, 3), (40, 2)], ["doc_id", "rel"]
+        )
+        row = ndcg_eval(ranking, rel, k=3).collect()[0]
+        dcg = (2**1 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3) + 0.0
+        # ideal order by (rel desc, id asc): 20(3), 40(2), 10(1)
+        idcg = (
+            (2**3 - 1) / math.log2(2)
+            + (2**2 - 1) / math.log2(3)
+            + (2**1 - 1) / math.log2(4)
+        )
+        assert row.k == 3
+        assert abs(row.dcg - dcg) < 1e-6
+        assert abs(row.idcg - idcg) < 1e-6
+        assert row.ndcg == round(dcg / idcg, 6)
+
+    def test_perfect_and_empty(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.retrieval import (
+            ndcg_eval,
+        )
+
+        rel = spark.createDataFrame([(1, 2), (2, 1)], ["doc_id", "rel"])
+        perfect = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rk"])
+        assert ndcg_eval(perfect, rel, k=2).collect()[0].ndcg == 1.0
+        # no relevant docs at all → idcg 0 → ndcg NULL, not 0/0
+        none_rel = spark.createDataFrame([(9, 0)], ["doc_id", "rel"])
+        row = ndcg_eval(perfect, none_rel, k=2).collect()[0]
+        assert row.idcg == 0.0 and row.ndcg is None

@@ -57,3 +57,70 @@ def rrf_fuse(
 
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return fused.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def ndcg_eval(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """One-row NDCG@k (Järvelin & Kekäläinen, TOIS'02) of a produced
+    ``ranking`` (id, rank) against graded ``relevance`` (id, rel >= 0
+    integer grades) — the ranking-quality member of the evaluation
+    family next to eval_triple_pr's extraction P/R: DCG@k =
+    Σ_{pos<=k} (2^rel − 1)/log2(pos+1), IDCG@k the same sum over the
+    top-k of the relevance pool ordered (rel DESC, id ASC), ndcg =
+    dcg/idcg.
+
+    Determinism: rel grades are exact integers so 2^rel − 1 is exact;
+    the only float ops are the log2 divisions and two bounded sums
+    (<= k terms each, round-6 after the division). Unranked-but-
+    relevant docs count against the score through IDCG only — the
+    standard convention. IDCG = 0 (no relevant docs anywhere) yields
+    ndcg NULL, never a fake 0/0.
+
+    Scale shape: the ranking side is <= k rows by construction; the
+    ideal side is ``orderBy().limit(k)`` over the relevance pool —
+    TakeOrderedAndProject, never a global sort; the final combine is
+    a 1-row × 1-row cross join.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gain = (F.pow(F.lit(2.0), F.col(rel_col)) - F.lit(1.0)) / F.log2(
+        F.col("_pos") + F.lit(1.0)
+    )
+    dcg = (
+        ranking.filter(F.col(rank_col) <= k)
+        .select(F.col(id_col), F.col(rank_col).cast("double").alias("_pos"))
+        .join(relevance.select(id_col, rel_col), id_col, "left")
+        .fillna({rel_col: 0})
+        .select(gain.alias("_g"))
+        .agg(F.coalesce(F.sum("_g"), F.lit(0.0)).alias("_dcg"))
+    )
+    from pyspark.sql import Window
+
+    ideal_top = (
+        relevance.filter(F.col(rel_col) > 0)
+        .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+    idcg = (
+        ideal_top.withColumn("_pos", F.row_number().over(w).cast("double"))
+        .select(gain.alias("_g"))
+        .agg(F.coalesce(F.sum("_g"), F.lit(0.0)).alias("_idcg"))
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.round(F.col("_dcg"), 6).alias("dcg"),
+            F.round(F.col("_idcg"), 6).alias("idcg"),
+            F.when(
+                F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), 6)
+            ).alias("ndcg"),
+        )
+    )
