@@ -3042,6 +3042,27 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(_t(spark, sf_dir, "documents"), tau=0.9)
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured path extraction: parse the events.props JSON
+    column in-plan (Catalyst GetJsonObject — no Python, no UDF) and
+    aggregate the extracted field per event type. The JSON-path probe
+    of the relational surface: rows whose props lack the key (or are
+    NULL/malformed) drop out via the cast, never error."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+            F.countDistinct("_k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_search_ndcg(spark, sf_dir):
     """NDCG@10 of the BM25 ranking for the pinned {merge, stream,
     vector} query against graded relevance rel(d) = number of distinct
@@ -4885,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "events_benford": q_events_benford,
         "search_ndcg": q_search_ndcg,
+        "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "cms_user_counts": q_cms_user_counts,
@@ -7020,6 +7042,20 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_logprob
             FROM tf JOIN cts USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
+        """,
+        "events_json_props": """
+            WITH x AS (
+              SELECT event_type,
+                     cast(json_extract_string(props, '$.k') AS bigint) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   cast(count(*) AS bigint) AS n,
+                   cast(sum(k) AS bigint) AS sum_k,
+                   round(avg(k), 6) AS avg_k,
+                   cast(count(DISTINCT k) AS bigint) AS n_distinct_k
+            FROM x WHERE k IS NOT NULL
+            GROUP BY event_type
         """,
         "search_ndcg": """
             WITH b2 AS (
