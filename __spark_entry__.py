@@ -3010,16 +3010,18 @@ def q_dedup_bow(spark, sf_dir):
     byte-exact dedup misses); md5 fingerprint, min-id survivor. The
     base corpus has no reorderings (dedup_bow would be vacuously
     empty), so every 20th doc gets a deterministic token-REVERSED twin
-    planted at doc_id+1_000_000 — same bag, different byte string —
-    and each planted pair must come back as one family with the
-    original id surviving."""
+    planted at doc_id + 10^12 — far above any real doc_id at every
+    shipped SF (the offset must exceed max(doc_id), or twin ids would
+    collide with real docs and corrupt keep_id) — same bag, different
+    byte string — and each planted pair must come back as one family
+    with the original id surviving."""
     from threat_intelligence_knowledge_graph_spark.operators.dedup import (
         bow_duplicates,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     twins = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(1_000_000_000_000)).alias("doc_id"),
         F.concat_ws(
             " ",
             F.reverse(
@@ -3046,13 +3048,17 @@ def q_events_json_props(spark, sf_dir):
     """Semi-structured path extraction: parse the events.props JSON
     column in-plan (Catalyst GetJsonObject — no Python, no UDF) and
     aggregate the extracted field per event type. The JSON-path probe
-    of the relational surface: rows whose props lack the key (or are
-    NULL/malformed) drop out via the cast, never error."""
+    of the relational surface: rows whose props lack the key, are
+    NULL, or whose k is not a plain integer literal drop out via an
+    explicit integer-regex gate BEFORE the cast — never an ANSI cast
+    error on Spark, and never DuckDB's cast('1.5' AS bigint)=2
+    rounding divergence."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ks = F.get_json_object(F.col("props"), "$.k")
     return (
-        e.select("event_type", k.alias("_k"))
-        .filter(F.col("_k").isNotNull())
+        e.select("event_type", ks.alias("_ks"))
+        .filter(F.col("_ks").rlike("^-?[0-9]+$"))
+        .select("event_type", F.col("_ks").cast("bigint").alias("_k"))
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -7046,15 +7052,20 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": """
             WITH x AS (
               SELECT event_type,
-                     cast(json_extract_string(props, '$.k') AS bigint) AS k
-              FROM events
+                     cast(ks AS bigint) AS k
+              FROM (
+                SELECT event_type,
+                       json_extract_string(props, '$.k') AS ks
+                FROM events
+              )
+              WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?[0-9]+$')
             )
             SELECT event_type,
                    cast(count(*) AS bigint) AS n,
                    cast(sum(k) AS bigint) AS sum_k,
                    round(avg(k), 6) AS avg_k,
                    cast(count(DISTINCT k) AS bigint) AS n_distinct_k
-            FROM x WHERE k IS NOT NULL
+            FROM x
             GROUP BY event_type
         """,
         "search_ndcg": """
@@ -7182,7 +7193,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_bow": """
             WITH twins AS (
-              SELECT doc_id + 1000000 AS doc_id,
+              SELECT doc_id + 1000000000000 AS doc_id,
                      array_to_string(
                        list_reverse(regexp_extract_all(lower(text),
                                                        '[a-z0-9]{2,}')),
@@ -7299,8 +7310,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT base.source, base.n_docs, base.n_distinct_texts,
                    round(1.0 - base.n_distinct_texts / base.n_docs, 6)
                      AS dup_rate,
-                   base.n_langs, vb.vocab_size
-            FROM base JOIN vb USING (source)
+                   base.n_langs,
+                   coalesce(vb.vocab_size, 0) AS vocab_size
+            FROM base LEFT JOIN vb USING (source)
         """,
         "dsir_weights": _dsir_weights_sql(512)
         + """

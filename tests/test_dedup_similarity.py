@@ -119,6 +119,25 @@ class TestPrefixFilterPairs:
         }
         assert strict == {(1, 4)}
 
+    def test_repr_long_tau_no_overflow(self, spark):
+        """tau=2/3 has a 16-digit repr; Fraction(str(tau)) would give
+        den~5e15 and den*|set| overflows bigint under ANSI mode.
+        limit_denominator recovers 2/3 exactly — large token sets must
+        not crash and must return the right pair."""
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            prefix_filter_pairs,
+        )
+
+        rows = [
+            (1, " ".join(f"tk{i}" for i in range(800))),
+            (2, " ".join(f"tk{i}" for i in range(700))),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = prefix_filter_pairs(df, tau=2 / 3).collect()
+        assert [(r.id_a, r.id_b, r.n_inter, r.n_union) for r in got] == [
+            (1, 2, 700, 800)
+        ]
+
     def test_matches_brute_force(self, spark):
         """The no-false-negative theorem, empirically: the prefix-filter
         output equals brute-force all-pairs Jaccard on a seeded random

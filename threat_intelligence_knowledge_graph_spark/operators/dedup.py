@@ -134,7 +134,12 @@ def prefix_filter_pairs(
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError("tau must be in (0, 1]")
-    fr = Fraction(str(tau))
+    # limit_denominator bounds den <= 1e6 so den*|set| stays far from
+    # bigint overflow for any real token-set size (a repr-long tau like
+    # 2/3 -> str() gives 16 digits -> den ~ 5e15, and den*nb would
+    # overflow under ANSI mode); short decimals (0.9, 0.85) are exact,
+    # and 2/3-style floats recover their true small fraction.
+    fr = Fraction(str(tau)).limit_denominator(10**6)
     num, den = fr.numerator, fr.denominator
 
     toks = (

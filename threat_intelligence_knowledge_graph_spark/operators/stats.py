@@ -303,6 +303,7 @@ def benford_deviation(
     df: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
+    scale: int = 100,
 ) -> DataFrame:
     """(group, n, chi2): per-group chi-square deviation of the
     first-significant-digit distribution from Benford's law — the
@@ -312,10 +313,15 @@ def benford_deviation(
     or clipped ones don't, and the group's chi2 spikes.
 
     The first significant digit is taken WITHOUT float log10 games:
-    values are fixed-point at two decimals, so ``round(value·100)``
-    is an exact integer and its leading decimal digit IS the first
-    significant digit of the value (valid for any value >= 0.01;
-    smaller/NULL rows are excluded as digit-less). chi2 uses the
+    PRECONDITION — values must be fixed-point on the ``1/scale`` grid
+    (default scale=100: two decimals, the events.value granularity).
+    Then ``round(value·scale)`` is an exact integer and its leading
+    decimal digit IS the first significant digit of the value (valid
+    for any value >= 1/scale; smaller/NULL rows are excluded as
+    digit-less). A value OFF the grid near a power-of-ten boundary
+    (e.g. 0.0095 with scale=100) would round across it and report the
+    wrong digit — pass the scale that matches your column's
+    granularity (raw integer byte counts: ``scale=1``). chi2 uses the
     absent-digit-safe identity ``Σ_d (c_d − n·p_d)²/(n·p_d) =
     Σ_present c_d²/(n·p_d) − n`` so digits with zero observations
     need no synthetic rows. round-6 AFTER the ≤9-term sum (the
@@ -326,9 +332,14 @@ def benford_deviation(
     map-side-combining count agg (≤ 9·|groups| rows out), one
     dimension-sized re-agg. No window, no join, no Python.
     """
-    v = F.round(F.col(value_col) * 100).cast("long")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    v = F.round(F.col(value_col) * scale).cast("long")
     digits = (
-        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0.01))
+        df.filter(
+            F.col(value_col).isNotNull()
+            & (F.col(value_col) >= 1.0 / scale)
+        )
         .select(
             F.col(group_col).alias("group"),
             F.substring(v.cast("string"), 1, 1).cast("int").alias("d"),

@@ -903,13 +903,20 @@ def source_datasheet(
     aggregates (hash, lang, term — each keyed by source, each
     dimension-sized after its distinct) joined back on the source
     dimension; no multi-distinct expand on one agg, so each pass
-    combines map-side. The term explode is scan-local.
+    combines map-side. The term explode is scan-local. NULL texts and
+    langs are excluded from the distinct counts (SQL ``count(DISTINCT
+    …)`` semantics — a NULL is not a distinct value), and the side
+    aggregates LEFT-join back with coalesce-0 so a source whose docs
+    are all NULL/token-less still gets its row — a datasheet that
+    drops exactly the most pathological source would defeat its
+    purpose.
     """
     base = documents.groupBy(F.col(group_col).alias("source")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
     hashes = (
-        documents.select(
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(group_col).alias("source"),
             F.md5(F.col(text_col)).alias("_h"),
         )
@@ -918,7 +925,8 @@ def source_datasheet(
         .agg(F.count("*").cast("long").alias("n_distinct_texts"))
     )
     langs = (
-        documents.select(
+        documents.filter(F.col(lang_col).isNotNull())
+        .select(
             F.col(group_col).alias("source"), F.col(lang_col).alias("_l")
         )
         .distinct()
@@ -940,18 +948,23 @@ def source_datasheet(
         .agg(F.count("*").cast("long").alias("vocab_size"))
     )
     return (
-        base.join(hashes, "source")
-        .join(langs, "source")
-        .join(vocab, "source")
+        base.join(hashes, "source", "left")
+        .join(langs, "source", "left")
+        .join(vocab, "source", "left")
         .select(
             "source",
             "n_docs",
-            "n_distinct_texts",
+            F.coalesce(F.col("n_distinct_texts"), F.lit(0)).alias(
+                "n_distinct_texts"
+            ),
             F.round(
-                F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6
+                F.lit(1.0)
+                - F.coalesce(F.col("n_distinct_texts"), F.lit(0))
+                / F.col("n_docs"),
+                6,
             ).alias("dup_rate"),
-            "n_langs",
-            "vocab_size",
+            F.coalesce(F.col("n_langs"), F.lit(0)).alias("n_langs"),
+            F.coalesce(F.col("vocab_size"), F.lit(0)).alias("vocab_size"),
         )
     )
 
