@@ -4804,6 +4804,104 @@ def q_best_of_n_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level boilerplate removal (CCNet/Dolma granularity —
+    the dedup document-level passes cannot express): every doc carries
+    a planted COOKIE footer (boilerplate in ALL docs), every third doc
+    a SUBSCRIBE banner, plus its own body paragraph; the frequency rule
+    removes exactly the planted paragraphs (and any body shared by the
+    corpus's exact-dup families) while preserving paragraph order."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("COOKIE NOTICE accept all"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("SUBSCRIBE to our newsletter")
+            ),
+        ).alias("text"),
+    )
+    return paragraph_dedup(d, min_docs=2)
+
+
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge) over
+    the reversed customer name (the classic last-chars-first blocking
+    key): candidate pairs within 5 positions of the (key, c_custkey)
+    total order — the TeraSort-style sampled-boundary rank makes the
+    global window a keyed block join; the oracle is DuckDB's literal
+    row_number self-join."""
+    from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node_id"),
+        F.reverse(F.col("c_name")).alias("block_key"),
+    )
+    return sorted_neighborhood_pairs(
+        c, window=5, n_buckets=8, sample_pct=10
+    )
+
+
+def q_kg_schema_audit(spark, sf_dir):
+    """Domain/range conformance audit (SHACL-lite) over a constructed
+    triple table with planted violations: the conformant RESOLVES_TO
+    base plus reversed-endpoint (% 10), unknown-predicate (% 17) and
+    dangling-object (% 23) rows — the audit's verdict per row is
+    analytic. Signature table from the same RELATION_RULES the
+    extractor runs on (operators/triples.relation_signatures)."""
+    from threat_intelligence_knowledge_graph_spark.operators.triples import (
+        validate_triple_schema,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dom = F.concat(
+        F.lit("Domain_Evil-"), k.cast("string"), F.lit("_Example_Net")
+    )
+    ip = F.concat(
+        F.lit("Ipv4_10_"),
+        (k % 250).cast("string"),
+        F.lit("_"),
+        ((k * 7) % 250).cast("string"),
+        F.lit("_"),
+        ((k % 249) + 1).cast("string"),
+    )
+    nodes = (
+        o.select(F.lit("Domain").alias("node_label"), dom.alias("node_id"))
+        .unionByName(
+            o.select(F.lit("Ipv4").alias("node_label"), ip.alias("node_id"))
+        )
+        .distinct()
+    )
+    base = o.select(
+        dom.alias("subj"), F.lit("RESOLVES_TO").alias("pred"), ip.alias("obj")
+    )
+    reversed_ = o.filter(k % 10 == 0).select(
+        ip.alias("subj"), F.lit("RESOLVES_TO").alias("pred"), dom.alias("obj")
+    )
+    unknown_pred = o.filter(k % 17 == 0).select(
+        dom.alias("subj"), F.lit("FOOBAR").alias("pred"), ip.alias("obj")
+    )
+    dangling = o.filter(k % 23 == 0).select(
+        dom.alias("subj"),
+        F.lit("RESOLVES_TO").alias("pred"),
+        F.concat(F.lit("Missing_"), k.cast("string")).alias("obj"),
+    )
+    triples = (
+        base.unionByName(reversed_)
+        .unionByName(unknown_pred)
+        .unionByName(dangling)
+    )
+    return validate_triple_schema(triples, nodes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5013,6 +5111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_context_growth": q_transcript_context_growth,
         "transcript_tool_errors": q_transcript_tool_errors,
         "transcript_tool_chains": q_transcript_tool_chains,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "er_sorted_neighborhood": q_er_sorted_neighborhood,
+        "kg_schema_audit": q_kg_schema_audit,
     }
 
 
@@ -6370,6 +6471,66 @@ def _semantic_dedup_oracle_sql(
         SELECT v.id AS vec_id, CAST(v.cluster AS BIGINT) AS cluster,
                (b.b IS NULL) AS kept
         FROM vecs v LEFT JOIN blocked b ON v.id = b.b
+    """
+
+
+def _schema_audit_oracle_sql() -> str:
+    """Conformance-audit oracle: the signature VALUES are generated
+    from the SAME rule expansion the operator broadcasts
+    (operators/triples.relation_signatures) — one definition, two
+    engines, the repo's shared-rule-data convention."""
+    from threat_intelligence_knowledge_graph_spark.operators.triples import (
+        relation_signatures,
+    )
+
+    sigs = relation_signatures()
+    values = ", ".join(f"('{p}', '{s}', '{o}')" for p, s, o in sigs)
+    preds = ", ".join(f"'{p}'" for p in sorted({p for p, _s, _o in sigs}))
+    return f"""
+        WITH base AS (
+          SELECT 'Domain_Evil-' || cast(o_orderkey AS varchar)
+                   || '_Example_Net' AS dom,
+                 'Ipv4_10_' || cast(o_orderkey % 250 AS varchar) || '_'
+                   || cast((o_orderkey * 7) % 250 AS varchar) || '_'
+                   || cast((o_orderkey % 249) + 1 AS varchar) AS ip,
+                 o_orderkey AS k
+          FROM orders
+        ),
+        nodes AS (
+          SELECT 'Domain' AS node_label, dom AS node_id FROM base
+          UNION
+          SELECT 'Ipv4', ip FROM base
+        ),
+        triples AS (
+          SELECT dom AS subj, 'RESOLVES_TO' AS pred, ip AS obj FROM base
+          UNION ALL
+          SELECT ip, 'RESOLVES_TO', dom FROM base WHERE k % 10 = 0
+          UNION ALL
+          SELECT dom, 'FOOBAR', ip FROM base WHERE k % 17 = 0
+          UNION ALL
+          SELECT dom, 'RESOLVES_TO', 'Missing_' || cast(k AS varchar)
+          FROM base WHERE k % 23 = 0
+        ),
+        sigs(pred, subj_label, obj_label) AS (VALUES {values}),
+        lab AS (
+          SELECT t.subj, t.pred, t.obj,
+                 ns.node_label AS subj_label, nd.node_label AS obj_label
+          FROM triples t
+          LEFT JOIN nodes ns ON t.subj = ns.node_id
+          LEFT JOIN nodes nd ON t.obj = nd.node_id
+        )
+        SELECT l.subj, l.pred, l.obj, l.subj_label, l.obj_label,
+               CASE
+                 WHEN l.subj_label IS NULL OR l.obj_label IS NULL
+                   THEN 'unknown_endpoint'
+                 WHEN l.pred NOT IN ({preds}) THEN 'unknown_predicate'
+                 WHEN s.pred IS NOT NULL THEN 'ok'
+                 ELSE 'signature_mismatch'
+               END AS status
+        FROM lab l
+        LEFT JOIN sigs s
+          ON l.pred = s.pred AND l.subj_label = s.subj_label
+         AND l.obj_label = s.obj_label
     """
 
 
@@ -10655,4 +10816,58 @@ def oracle_sql() -> dict[str, str]:
         # (see q_bpe_train / q_bpe_token_counts / operators/bpe.py).
         "bpe_train": _bpe_train_oracle_sql(6),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(6),
+        "dedup_paragraphs": """
+            WITH d AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     concat_ws(chr(10), text, 'COOKIE NOTICE accept all',
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'SUBSCRIBE to our newsletter' END) AS text
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+              FROM d
+            ),
+            boiler AS (
+              SELECT para FROM p GROUP BY para
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (SELECT p.* FROM p ANTI JOIN boiler USING (para)),
+            tot AS (
+              SELECT doc_id, count(*) AS n_paragraphs FROM p GROUP BY 1
+            ),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   coalesce(r.text, '') AS text,
+                   cast(t.n_paragraphs AS bigint) AS n_paragraphs,
+                   cast(t.n_paragraphs - coalesce(r.n_kept, 0) AS bigint)
+                     AS n_removed
+            FROM tot t LEFT JOIN reb r USING (doc_id)
+        """,
+        "er_sorted_neighborhood": """
+            -- literal Hernandez-Stolfo window over the global order;
+            -- the Spark side reaches the same ranks via sampled-
+            -- boundary bucketing + prefix offsets (TeraSort rank).
+            WITH r AS (
+              SELECT cast(c_custkey AS bigint) AS id,
+                     reverse(c_name) AS key,
+                     row_number()
+                       OVER (ORDER BY reverse(c_name), c_custkey) AS rk
+              FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.key AS key_a, b.key AS key_b,
+                   cast(b.rk - a.rk AS bigint) AS rank_distance
+            FROM r a JOIN r b
+              ON b.rk > a.rk AND b.rk - a.rk < 5
+        """,
+        "kg_schema_audit": _schema_audit_oracle_sql(),
     }

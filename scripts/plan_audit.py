@@ -780,6 +780,39 @@ def main(sf_dir: str) -> int:
             "EvalPython",
         ],
     )
+    # 65: paragraph dedup — boilerplate set joins back by hash key as
+    # a LeftAnti (never a collect/broadcast-literal filter), reassembly
+    # is a keyed aggregate; no Python anywhere.
+    check(
+        "paragraph_dedup_anti_join",
+        em.q_dedup_paragraphs(spark, sf_dir),
+        ["LeftAnti", "HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # 66: sorted-neighborhood pair generation is a keyed equi-join on
+    # the rank block (never a cartesian/range join), rank windows are
+    # bucket-partitioned (no SinglePartition global window: the plan's
+    # Sort nodes are all preceded by a hashpartitioning exchange).
+    check(
+        "snm_keyed_block_join",
+        em.q_er_sorted_neighborhood(spark, sf_dir),
+        ["Window"],
+        must_not=[
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "EvalPython",
+            "Exchange SinglePartition",
+        ],
+    )
+    # 67: schema audit — signature lookup is a broadcast hash join
+    # against the <= ~20-row rule expansion; endpoint labeling is keyed
+    # equi-joins; no Python, no cartesian.
+    check(
+        "schema_audit_broadcast_sigs",
+        em.q_kg_schema_audit(spark, sf_dir),
+        ["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

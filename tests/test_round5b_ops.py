@@ -1,0 +1,216 @@
+"""Round-5 continuation operators: paragraph-level boilerplate dedup,
+sorted-neighborhood blocking, triple schema conformance audit."""
+
+from __future__ import annotations
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+    sorted_neighborhood_pairs,
+)
+from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+    paragraph_dedup,
+)
+from threat_intelligence_knowledge_graph_spark.operators.triples import (
+    relation_signatures,
+    validate_triple_schema,
+)
+
+
+class TestParagraphDedup:
+    def test_footer_removed_order_preserved(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\nFOOTER\nbeta"),
+                (2, "gamma\nFOOTER"),
+                (3, "delta"),
+            ],
+            "doc_id: long, text: string",
+        )
+        got = {
+            r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+            for r in paragraph_dedup(docs).collect()
+        }
+        assert got == {
+            1: ("alpha\nbeta", 3, 1),
+            2: ("gamma", 2, 1),
+            3: ("delta", 1, 0),
+        }
+
+    def test_all_boilerplate_doc_keeps_empty_row(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "FOOTER"), (2, "FOOTER"), (3, "keep\nFOOTER")],
+            "doc_id: long, text: string",
+        )
+        got = {r.doc_id: (r.text, r.n_removed) for r in paragraph_dedup(docs).collect()}
+        assert got[1] == ("", 1)
+        assert got[2] == ("", 1)
+        assert got[3] == ("keep", 1)
+
+    def test_min_docs_threshold(self, spark):
+        # FOOTER in only 2 docs: survives min_docs=3, dies at min_docs=2.
+        docs = spark.createDataFrame(
+            [(1, "a\nFOOTER"), (2, "b\nFOOTER"), (3, "c")],
+            "doc_id: long, text: string",
+        )
+        keep3 = {r.doc_id: r.text for r in paragraph_dedup(docs, min_docs=3).collect()}
+        assert keep3 == {1: "a\nFOOTER", 2: "b\nFOOTER", 3: "c"}
+        keep2 = {r.doc_id: r.text for r in paragraph_dedup(docs, min_docs=2).collect()}
+        assert keep2 == {1: "a", 2: "b", 3: "c"}
+
+    def test_repeat_within_one_doc_not_boilerplate(self, spark):
+        # countDistinct(doc_id): the same paragraph twice in ONE doc is
+        # repetition (repetition_ratio's business), not boilerplate.
+        docs = spark.createDataFrame(
+            [(1, "x\nx\ny"), (2, "z")], "doc_id: long, text: string"
+        )
+        got = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
+        assert got[1] == "x\nx\ny"
+
+    def test_empty_paragraphs_follow_frequency_rule(self, spark):
+        # '' (from the double separator) appears in docs 1 and 2 → removed;
+        # rebuilt text is the surviving subsequence, not a normalization.
+        docs = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e")],
+            "doc_id: long, text: string",
+        )
+        got = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed) for r in paragraph_dedup(docs).collect()}
+        assert got[1] == ("a\nb", 3, 1)
+        assert got[2] == ("c\nd", 3, 1)
+        assert got[3] == ("e", 1, 0)
+
+    def test_null_text_is_one_empty_paragraph(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a")], "doc_id: long, text: string"
+        )
+        got = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed) for r in paragraph_dedup(docs).collect()}
+        assert got[1] == ("", 1, 0)
+
+    def test_min_docs_validation(self, spark):
+        docs = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+        with pytest.raises(ValueError):
+            paragraph_dedup(docs, min_docs=1)
+
+
+def _brute_snm(rows, window):
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i, (ida, _ka) in enumerate(ranked):
+        for j in range(i + 1, min(i + window, len(ranked))):
+            out.add((ida, ranked[j][0], j - i))
+    return out
+
+
+class TestSortedNeighborhood:
+    def test_matches_brute_force_with_ties(self, spark):
+        rows = [(i, f"k{i % 7:02d}") for i in range(40)]
+        df = spark.createDataFrame(rows, "node_id: long, block_key: string")
+        got = {
+            (r.id_a, r.id_b, r.rank_distance)
+            for r in sorted_neighborhood_pairs(
+                df, window=4, n_buckets=5, sample_pct=50
+            ).collect()
+        }
+        assert got == _brute_snm(rows, 4)
+
+    def test_bucket_count_does_not_change_result(self, spark):
+        rows = [(i, f"z{(i * 13) % 23:03d}") for i in range(60)]
+        df = spark.createDataFrame(rows, "node_id: long, block_key: string")
+        one = {
+            (r.id_a, r.id_b, r.rank_distance)
+            for r in sorted_neighborhood_pairs(df, window=3, n_buckets=1).collect()
+        }
+        many = {
+            (r.id_a, r.id_b, r.rank_distance)
+            for r in sorted_neighborhood_pairs(
+                df, window=3, n_buckets=8, sample_pct=40
+            ).collect()
+        }
+        assert one == many == _brute_snm(rows, 3)
+
+    def test_window_two_is_adjacent_only(self, spark):
+        rows = [(i, chr(97 + i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "node_id: long, block_key: string")
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(df, window=2).collect()
+        )
+        assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "node_id: long, block_key: string")
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, window=1)
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, n_buckets=0)
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, sample_pct=0)
+
+
+class TestTripleSchemaAudit:
+    def test_signature_expansion_includes_noninjective_stix(self):
+        sigs = set(relation_signatures())
+        # ipv4-addr expands to BOTH Ipv4 and Cidr store labels.
+        assert ("RESOLVES_TO", "Domain", "Ipv4") in sigs
+        assert ("RESOLVES_TO", "Domain", "Cidr") in sigs
+        # vocabulary-only types appear as their capitalized selves.
+        assert ("USES", "Threat_actor", "Malware") in sigs
+        assert len(sigs) == len(relation_signatures())  # no dups
+
+    def test_statuses_and_precedence(self, spark):
+        nodes = spark.createDataFrame(
+            [
+                ("Domain", "Domain_X"),
+                ("Ipv4", "Ipv4_1"),
+                ("Url", "Url_Y"),
+            ],
+            "node_label: string, node_id: string",
+        )
+        triples = spark.createDataFrame(
+            [
+                ("Domain_X", "RESOLVES_TO", "Ipv4_1"),  # ok
+                ("Ipv4_1", "RESOLVES_TO", "Domain_X"),  # reversed → mismatch
+                ("Domain_X", "FOOBAR", "Ipv4_1"),  # unknown predicate
+                ("Domain_X", "FOOBAR", "Missing"),  # endpoint beats predicate
+                ("Url_Y", "CONTAINS", "Domain_X"),  # ok
+            ],
+            "subj: string, pred: string, obj: string",
+        )
+        got = {
+            (r.subj, r.pred, r.obj): r.status
+            for r in validate_triple_schema(triples, nodes).collect()
+        }
+        assert got == {
+            ("Domain_X", "RESOLVES_TO", "Ipv4_1"): "ok",
+            ("Ipv4_1", "RESOLVES_TO", "Domain_X"): "signature_mismatch",
+            ("Domain_X", "FOOBAR", "Ipv4_1"): "unknown_predicate",
+            ("Domain_X", "FOOBAR", "Missing"): "unknown_endpoint",
+            ("Url_Y", "CONTAINS", "Domain_X"): "ok",
+        }
+
+    def test_pipeline_output_is_fully_conformant(self, spark):
+        # The kernel can only emit rule-conformant triples: audit of its
+        # own output over a synthetic corpus must be all-ok.
+        from threat_intelligence_knowledge_graph_spark.datagen import (
+            generate_transcripts_df,
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.extraction import (
+            extract_graph_records,
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.reassembly import (
+            reassemble,
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.triples import (
+            build_edges,
+            build_nodes,
+            build_triples,
+        )
+
+        t = generate_transcripts_df(spark, 40)
+        ext = extract_graph_records(reassemble(t))
+        nodes = build_nodes(ext)
+        triples = build_triples(build_edges(ext, nodes))
+        audited = validate_triple_schema(
+            triples, nodes.select("node_label", "node_id")
+        )
+        assert audited.filter(audited.status != "ok").count() == 0

@@ -106,3 +106,146 @@ def apply_canonicalization(
         .drop("_src_canon", "_dst_canon")
         .dropDuplicates(["src_id", "rel_type", "dst_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge)
+# ---------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "node_id",
+    window: int = 5,
+    n_buckets: int = 32,
+    sample_pct: int = 5,
+    salt: str = "snm",
+) -> DataFrame:
+    """Candidate pairs within ``window`` positions of each other in the
+    total order by ``(key, id)`` — the classic sorted-neighborhood
+    blocking method (Hernandez & Stolfo 1995) that complements the
+    MinHash/LSH blocking: LSH catches token-set overlap, SNM catches
+    near-misses the blocking key SORTS together (typo'd hostnames,
+    sequential infrastructure) even at zero token overlap.
+
+    Output: ``(id_a, id_b, key_a, key_b, rank_distance)`` with
+    ``1 <= rank_distance < window`` and ``rank_a < rank_b`` — exactly
+    the pairs a window of size ``window`` sliding over the sorted list
+    emits, each once. Candidate generation only; verification is the
+    caller's (same contract as ``lsh_candidate_pairs``).
+
+    Scale shape (100 TB): a GLOBAL row_number would be a single-
+    partition sort, so the rank comes the TeraSort way, deterministic:
+    ``sample_pct``% md5-drawn sample -> nearest-rank boundary keys in
+    ONE bounded collect (<= n_buckets-1 strings) -> scan-local bucket
+    assignment (strictly-less rule; equal keys land together, so the
+    bucket concatenation IS the total order) -> per-bucket local
+    row_number (parallel windows) + prefix offsets from a <= n_buckets
+    row count collect. Pair join is a keyed equi-join on the rank
+    block ``(rank-1) div window`` with each right row emitted into its
+    own and its predecessor block: a same-block pair matches the
+    identity emission, a boundary-crossing pair the predecessor
+    emission — each qualifying pair exactly once, never a cartesian.
+    Equal-key runs longer than a bucket boundary sample step skew one
+    bucket; the window caps per-row output at ``window - 1`` pairs
+    regardless, so skew affects parallelism, not volume.
+    """
+    from .packing import _md5_bucket
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not 0 < sample_pct <= 100:
+        raise ValueError("sample_pct must be in (0, 100]")
+    from pyspark.sql import Window as W
+
+    scored = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).cast("string").alias("_key")
+    )
+    boundaries: list[str] = []
+    if n_buckets > 1:
+        from .packing import _FRAC_DENOM
+
+        thresh = sample_pct * (_FRAC_DENOM // 100)
+        sample = scored.filter(_md5_bucket("_id", salt) < F.lit(thresh))
+        w_s = W.orderBy(F.col("_key").asc(), F.col("_id").asc())
+        ranked_s = sample.select(
+            "_key",
+            F.row_number().over(w_s).alias("_rn"),
+            F.count("*").over(W.partitionBy()).alias("_n"),
+        )
+        conds = [
+            F.max(
+                F.when(
+                    F.col("_rn")
+                    == F.expr(
+                        f"CAST(({k} * _n + {n_buckets - 1}) "
+                        f"DIV {n_buckets} AS BIGINT)"
+                    ),
+                    F.col("_key"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, n_buckets)
+        ]
+        row = ranked_s.agg(*conds).collect()[0]
+        boundaries = sorted(
+            {row[f"b{k}"] for k in range(1, n_buckets) if row[f"b{k}"] is not None}
+        )
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + F.when(
+            F.col("_key") > F.lit(b), F.lit(1)
+        ).otherwise(F.lit(0))
+    bucketed = scored.withColumn("_bkt", bucket)
+    w_local = W.partitionBy("_bkt").orderBy(
+        F.col("_key").asc(), F.col("_id").asc()
+    )
+    local = bucketed.withColumn("_lrn", F.row_number().over(w_local))
+    sizes = {
+        r["_bkt"]: r["_c"]
+        for r in local.groupBy("_bkt").agg(F.count("*").alias("_c")).collect()
+    }
+    offset = {}
+    acc = 0
+    for bk in sorted(sizes):
+        offset[bk] = acc
+        acc += sizes[bk]
+    off_expr = F.lit(0)
+    for bk, o in offset.items():
+        off_expr = F.when(F.col("_bkt") == F.lit(bk), F.lit(o)).otherwise(
+            off_expr
+        )
+    ranked = local.select(
+        "_id",
+        "_key",
+        (F.col("_lrn") + off_expr).cast("long").alias("_rank"),
+    ).withColumn("_blk", ((F.col("_rank") - 1) / F.lit(window)).cast("long"))
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_rank").alias("_ra"),
+        F.col("_blk").alias("_jblk"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rank").alias("_rb"),
+        F.explode(
+            F.array(F.col("_blk"), F.col("_blk") - F.lit(1))
+        ).alias("_jblk"),
+    )
+    return (
+        left.join(right, "_jblk")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") < F.lit(window))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_distance"),
+        )
+    )

@@ -844,3 +844,79 @@ def family_size_histogram(
             .alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level boilerplate removal (CCNet / Dolma-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove paragraphs that repeat across >= ``min_docs`` distinct
+    documents (nav bars, cookie banners, license footers) and rebuild
+    each document's text with its paragraph order preserved — the
+    CCNet/Dolma paragraph-granularity dedup that document-level dedup
+    cannot express (two docs sharing a footer are NOT near-duplicates
+    of each other, yet a trained model sees the footer 10^6 times).
+
+    Output: ``(doc_id, text, n_paragraphs, n_removed)`` — one row per
+    input document; a document whose every paragraph is boilerplate
+    keeps a row with empty text (quarantine-don't-drop convention, the
+    caller decides). Empty paragraphs (consecutive separators) are
+    paragraphs too and follow the same frequency rule, so the rebuilt
+    text is NOT merely ``sep``-normalized — what survives is exactly
+    the non-boilerplate subsequence.
+
+    Scale shape (100 TB): posexplode is map-side; the frequency
+    aggregate shuffles only ``(md5, doc_id)`` pairs with partial
+    countDistinct; the boilerplate set joins back by 32-hex key (an
+    anti join — never a collect, the set can be arbitrarily large);
+    reassembly is one ``id_col`` aggregate whose per-group state is
+    bounded by a single document's paragraphs. The classic hot case (a
+    footer in every doc) is ONE group in the frequency agg and an
+    anti-join key hit — no skew amplification.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    paras = documents.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("_pos", "_para"),
+    ).select("_id", "_pos", "_para", F.md5(F.col("_para")).alias("_ph"))
+    boiler = (
+        paras.groupBy("_ph")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= F.lit(min_docs))
+        .select("_ph")
+    )
+    kept = paras.join(boiler, "_ph", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+        ).alias("_text"),
+        F.count("*").cast("long").alias("_n_kept"),
+    )
+    totals = paras.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_paragraphs")
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            "n_paragraphs",
+            (
+                F.col("n_paragraphs") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
