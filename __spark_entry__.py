@@ -4902,6 +4902,55 @@ def q_kg_schema_audit(spark, sf_dir):
     return validate_triple_schema(triples, nodes)
 
 
+def q_kg_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 validity intervals for temporal triples over a
+    deterministic observation stream derived from events (domain →
+    resolved-IP observations): change runs per (subj, pred) with
+    valid_from/valid_to chaining and is_current flags — the
+    re-pointed-infrastructure timeline first/last-seen cannot express
+    (a returning object opens a NEW interval)."""
+    from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+        scd2_intervals,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    obs = e.select(
+        F.concat(
+            F.lit("Domain_"), (F.col("user_id") % 40).cast("string")
+        ).alias("subj"),
+        F.lit("RESOLVES_TO").alias("pred"),
+        F.concat(
+            F.lit("Ipv4_"), (F.col("event_id") % 7).cast("string")
+        ).alias("obj"),
+        F.col("ts"),
+    )
+    return scd2_intervals(obs)
+
+
+def q_er_verified_matches(spark, sf_dir):
+    """The full classic ER candidate path blocking → verify: sorted-
+    neighborhood candidates over part names, scored with normalized
+    Levenshtein similarity (JVM built-in on both engines) and
+    thresholded — the pairs that would feed connected-components
+    resolution."""
+    from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+        sorted_neighborhood_pairs,
+        verify_pairs_edit_distance,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node_id"),
+        F.col("p_name").alias("name"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        p, key_col="name", id_col="node_id", window=4, n_buckets=8,
+        sample_pct=10,
+    )
+    return verify_pairs_edit_distance(
+        pairs, p, key_col="name", id_col="node_id", tau=0.45
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5114,6 +5163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "kg_schema_audit": q_kg_schema_audit,
+        "kg_scd2_intervals": q_kg_scd2_intervals,
+        "er_verified_matches": q_er_verified_matches,
     }
 
 
@@ -10870,4 +10921,67 @@ def oracle_sql() -> dict[str, str]:
               ON b.rk > a.rk AND b.rk - a.rk < 5
         """,
         "kg_schema_audit": _schema_audit_oracle_sql(),
+        "kg_scd2_intervals": """
+            WITH obs AS (
+              SELECT 'Domain_' || cast(user_id % 40 AS varchar) AS subj,
+                     'RESOLVES_TO' AS pred,
+                     'Ipv4_' || cast(event_id % 7 AS varchar) AS obj,
+                     ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT subj, pred, obj, ts,
+                     CASE WHEN lag(obj) OVER w IS NOT DISTINCT FROM obj
+                          THEN 0 ELSE 1 END AS chg
+              FROM obs
+              WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, obj)
+            ),
+            runs0 AS (
+              SELECT subj, pred, obj, ts,
+                     sum(chg) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM flagged
+            ),
+            runs AS (
+              SELECT subj, pred, run, obj, min(ts) AS valid_from,
+                     cast(count(*) AS bigint) AS n_observations
+              FROM runs0 GROUP BY 1, 2, 3, 4
+            )
+            SELECT subj, pred, obj, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   n_observations,
+                   (lead(valid_from) OVER w2 IS NULL) AS is_current
+            FROM runs
+            WINDOW w2 AS (
+              PARTITION BY subj, pred ORDER BY valid_from, obj)
+        """,
+        "er_verified_matches": """
+            -- blocking (literal sorted-neighborhood window) + verify
+            -- (normalized Levenshtein), the Spark side's TeraSort-rank
+            -- bucketing reaching identical ranks.
+            WITH r AS (
+              SELECT cast(p_partkey AS bigint) AS id, p_name AS key,
+                     row_number() OVER (ORDER BY p_name, p_partkey)
+                       AS rk
+              FROM part
+            ),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.key AS key_a, b.key AS key_b
+              FROM r a JOIN r b
+                ON b.rk > a.rk AND b.rk - a.rk < 4
+            ),
+            scored AS (
+              SELECT id_a, id_b, key_a, key_b,
+                     round(CASE
+                       WHEN greatest(length(key_a), length(key_b)) = 0
+                         THEN 1.0
+                       ELSE 1.0 - levenshtein(key_a, key_b)
+                              / greatest(length(key_a), length(key_b))
+                     END, 6) AS similarity
+              FROM cand
+            )
+            SELECT * FROM scored WHERE similarity >= 0.45
+        """,
     }

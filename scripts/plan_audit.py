@@ -813,6 +813,26 @@ def main(sf_dir: str) -> int:
         ["BroadcastHashJoin"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
+    # 68: SCD2 intervals — the lag window, run cumsum, run aggregate
+    # and valid_to lead window all cluster on (subj, pred): ONE hash
+    # exchange (HashPartitioning(subj,pred) satisfies the superset-key
+    # aggregate's clustering), local re-sorts only, no Python.
+    check(
+        "scd2_single_key_exchange",
+        em.q_kg_scd2_intervals(spark, sf_dir),
+        ["Window", "HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct"],
+        max_counts={"Exchange hashpartitioning": 1},
+    )
+    # 69: ER verify — Levenshtein scoring is pure codegen over the
+    # blocked candidates (keyed joins only; a per-row Python scorer or
+    # an all-pairs join would show here).
+    check(
+        "er_verify_jvm_only",
+        em.q_er_verified_matches(spark, sf_dir),
+        ["levenshtein"],
+        must_not=["EvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -214,3 +214,113 @@ class TestTripleSchemaAudit:
             triples, nodes.select("node_label", "node_id")
         )
         assert audited.filter(audited.status != "ok").count() == 0
+
+
+class TestScd2Intervals:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj: string, pred: string, obj: string, ts: timestamp"
+        )
+
+    def test_runs_and_reopened_interval(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        obs = self._obs(
+            spark,
+            [
+                ("d1", "R", "ip1", T(2026, 1, 1)),
+                ("d1", "R", "ip1", T(2026, 1, 2)),
+                ("d1", "R", "ip2", T(2026, 1, 3)),
+                ("d1", "R", "ip1", T(2026, 1, 4)),  # ip1 RETURNS → new run
+                ("d2", "R", "ip9", T(2026, 1, 1)),
+            ],
+        )
+        from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+            scd2_intervals,
+        )
+
+        got = [
+            (r.subj, r.obj, r.valid_from, r.valid_to, r.n_observations, r.is_current)
+            for r in scd2_intervals(obs).orderBy("subj", "valid_from", "obj").collect()
+        ]
+        assert got == [
+            ("d1", "ip1", T(2026, 1, 1), T(2026, 1, 3), 2, False),
+            ("d1", "ip2", T(2026, 1, 3), T(2026, 1, 4), 1, False),
+            ("d1", "ip1", T(2026, 1, 4), None, 1, True),
+            ("d2", "ip9", T(2026, 1, 1), None, 1, True),
+        ]
+
+    def test_same_instant_conflict_is_deterministic(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+            scd2_intervals,
+        )
+
+        obs = self._obs(
+            spark,
+            [
+                ("d1", "R", "ipB", T(2026, 1, 1)),
+                ("d1", "R", "ipA", T(2026, 1, 1)),  # same instant, obj order
+                ("d1", "R", "ipC", T(2026, 1, 2)),
+            ],
+        )
+        got = [
+            (r.obj, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_intervals(obs)
+            .orderBy("valid_from", "obj")
+            .collect()
+        ]
+        # obj-ordered at the tied instant: ipA run then ipB run (both
+        # valid_from 1/1, A's valid_to = B's valid_from), then ipC.
+        assert got == [
+            ("ipA", T(2026, 1, 1), T(2026, 1, 1), False),
+            ("ipB", T(2026, 1, 1), T(2026, 1, 2), False),
+            ("ipC", T(2026, 1, 2), None, True),
+        ]
+
+
+class TestVerifyPairsEditDistance:
+    def test_threshold_and_similarity(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+            verify_pairs_edit_distance,
+        )
+
+        recs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha bexa"), (3, "zzzz")],
+            "node_id: long, name: string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "id_a: long, id_b: long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.similarity
+            for r in verify_pairs_edit_distance(pairs, recs, tau=0.5).collect()
+        }
+        assert got == {(1, 2): 0.9}
+
+    def test_empty_strings_score_one(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+            verify_pairs_edit_distance,
+        )
+
+        recs = spark.createDataFrame(
+            [(1, ""), (2, "")], "node_id: long, name: string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+        got = verify_pairs_edit_distance(pairs, recs, tau=0.9).collect()
+        assert len(got) == 1 and got[0].similarity == 1.0
+
+    def test_tau_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.canonicalize import (
+            verify_pairs_edit_distance,
+        )
+
+        recs = spark.createDataFrame([(1, "a")], "node_id: long, name: string")
+        pairs = spark.createDataFrame([(1, 1)], "id_a: long, id_b: long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            verify_pairs_edit_distance(pairs, recs, tau=0)

@@ -249,3 +249,61 @@ def sorted_neighborhood_pairs(
             (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_distance"),
         )
     )
+
+
+def verify_pairs_edit_distance(
+    pairs: DataFrame,
+    records: DataFrame,
+    key_col: str = "name",
+    id_col: str = "node_id",
+    tau: float = 0.8,
+) -> DataFrame:
+    """Verification stage for blocking candidates (the step after
+    ``sorted_neighborhood_pairs`` / ``lsh_candidate_pairs``): score
+    each candidate ``(id_a, id_b)`` with normalized Levenshtein
+    similarity ``1 − dist / max(len_a, len_b)`` over ``key_col`` and
+    keep pairs at or above ``tau`` — completing the classic ER
+    pipeline blocking → verify → resolve (the kept pairs feed
+    ``connected_components`` exactly like LSH-verified pairs do).
+
+    Levenshtein is a built-in on both engines (identical unicode
+    semantics), so verification is pure JVM — no Python in the O(C)
+    candidate-scoring hot path. Two-empty-strings pairs score 1.0
+    (identical), not 0/0. ``similarity`` is rounded to 6 places
+    before the threshold compare and in the output (the repo's
+    engine-portability discipline for derived floats).
+
+    Scale shape: two keyed equi-joins attach the key strings to the
+    candidate list (candidates are the small side after blocking —
+    at 100 TB they stream through the join, never collected), then
+    ONE codegen'd projection computes distance + similarity. Cost is
+    O(candidates × len²) string work distributed over the cluster —
+    the blocking stage's whole job was making |candidates| ≪ n².
+    """
+    if not 0 < tau <= 1:
+        raise ValueError("tau must be in (0, 1]")
+    ra = records.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("_ka")
+    )
+    rb = records.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("_kb")
+    )
+    joined = pairs.select("id_a", "id_b").join(ra, "id_a").join(rb, "id_b")
+    mx = F.greatest(F.length("_ka"), F.length("_kb"))
+    sim = F.round(
+        F.when(mx == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein("_ka", "_kb") / mx
+        ),
+        6,
+    )
+    return (
+        joined.withColumn("similarity", sim)
+        .filter(F.col("similarity") >= F.lit(tau))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_ka").alias("key_a"),
+            F.col("_kb").alias("key_b"),
+            "similarity",
+        )
+    )

@@ -172,3 +172,76 @@ def interval_join(
         .filter(contained)
         .drop("_bucket")
     )
+
+
+def scd2_intervals(
+    observations: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) validity intervals for
+    temporal triples: collapse a per-timestamp observation stream
+    ``(subj, pred, obj, ts)`` into change-run rows ``(subj, pred, obj,
+    valid_from, valid_to, n_observations, is_current)`` — the "what
+    did this domain resolve to LAST month" view that ``min/max
+    first-last-seen`` cannot express: an object that disappears and
+    RETURNS opens a NEW interval (two runs, two rows), which is
+    exactly the fast-flux / re-pointed-infrastructure timeline an
+    analyst walks.
+
+    Semantics: per (subj, pred), observations are totally ordered by
+    ``(ts, obj)`` (the obj tiebreak makes same-instant conflicting
+    observations deterministic on every engine); a run is a maximal
+    stretch of equal obj; ``valid_from`` = first observation of the
+    run, ``valid_to`` = the next run's valid_from (NULL on the last
+    run — open interval, ``is_current`` true).
+
+    Scale shape: ONE (subj, pred) hash exchange serves the lag window,
+    the run-id cumulative sum, the run aggregate, and the valid_to
+    lead window (all (subj, pred)-partitioned, local re-sorts only);
+    nothing collects, output is bounded by the number of change
+    points, not observations. The hot-subject case (one domain in
+    10^8 events) is a single partition-local sort — AQE skew split
+    applies as everywhere else.
+    """
+    key = [F.col(subj_col), F.col(pred_col)]
+    w_order = Window.partitionBy(*key).orderBy(
+        F.col(ts_col).asc(), F.col(obj_col).asc()
+    )
+    flagged = observations.select(
+        subj_col, pred_col, obj_col, ts_col
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag(obj_col).over(w_order).eqNullSafe(F.col(obj_col)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    run = flagged.withColumn(
+        "_run",
+        F.sum("_chg").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = run.groupBy(subj_col, pred_col, "_run", obj_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_observations"),
+    )
+    # Two runs of one (subj, pred) can share valid_from only when
+    # conflicting objs arrive at the SAME instant (then they are
+    # adjacent obj-ordered runs) — the obj tiebreak keeps the lead
+    # deterministic on every engine; (valid_from, obj) is unique per
+    # key by construction (equal-obj stretches collapse into one run).
+    w_next = Window.partitionBy(*key).orderBy(
+        F.col("valid_from").asc(), F.col(obj_col).asc()
+    )
+    return runs.select(
+        subj_col,
+        pred_col,
+        obj_col,
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        "n_observations",
+    ).withColumn("is_current", F.col("valid_to").isNull())
