@@ -4951,6 +4951,55 @@ def q_er_verified_matches(spark, sf_dir):
     )
 
 
+def q_kg_temporal_two_hop(spark, sf_dir):
+    """Time-respecting two-hop chains (lateral-movement primitive):
+    a→b then b→c with t2 > t1 within 3 days, over a deterministic
+    sparse edge stream derived from events (every 3rd event; node
+    space mod 199 keeps pivot fan-out small). Strictly-causal pairs
+    only — a static two-hop would also report the impossible
+    B→C-before-A→B chains."""
+    from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+        temporal_two_hop,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    edges = e.select(
+        F.concat(
+            F.lit("N"), (F.col("event_id") % 199).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("N"), ((F.col("event_id") * 7 + 1) % 199).cast("string")
+        ).alias("dst"),
+        F.col("ts"),
+    )
+    return temporal_two_hop(edges, max_gap_s=3 * 86400)
+
+
+def q_kg_corroboration(spark, sf_dir):
+    """Knowledge-fusion confidence (noisy-OR over DISTINCT sources) for
+    the lineitem-derived supply triples: part -SUPPLIED_BY-> supplier
+    observed by order-derived source feeds; a feed repeating itself is
+    ONE vote."""
+    from threat_intelligence_knowledge_graph_spark.operators.triples import (
+        triple_corroboration,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.concat(F.lit("part_"), F.col("l_partkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("SUPPLIED_BY").alias("pred"),
+        F.concat(F.lit("supp_"), F.col("l_suppkey").cast("string")).alias(
+            "obj"
+        ),
+        F.concat(
+            F.lit("feed_"), (F.col("l_orderkey") % 13).cast("string")
+        ).alias("source"),
+    )
+    return triple_corroboration(obs, base_conf=0.7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5165,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_audit": q_kg_schema_audit,
         "kg_scd2_intervals": q_kg_scd2_intervals,
         "er_verified_matches": q_er_verified_matches,
+        "kg_temporal_two_hop": q_kg_temporal_two_hop,
+        "kg_corroboration": q_kg_corroboration,
     }
 
 
@@ -10983,5 +11034,34 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
             )
             SELECT * FROM scored WHERE similarity >= 0.45
+        """,
+        "kg_temporal_two_hop": """
+            WITH e AS (
+              SELECT 'N' || cast(event_id % 199 AS varchar) AS src,
+                     'N' || cast((event_id * 7 + 1) % 199 AS varchar)
+                       AS dst,
+                     ts, epoch_us(ts) AS tu
+              FROM events WHERE event_id % 3 = 0
+            )
+            SELECT a.src AS a, a.dst AS b, b.dst AS c,
+                   a.ts AS t1, b.ts AS t2,
+                   (b.tu - a.tu) / 1000000.0 AS gap_s
+            FROM e a JOIN e b
+              ON a.dst = b.src
+             AND b.tu > a.tu
+             AND b.tu - a.tu <= 3 * 86400 * 1000000::bigint
+        """,
+        "kg_corroboration": """
+            SELECT 'part_' || cast(l_partkey AS varchar) AS subj,
+                   'SUPPLIED_BY' AS pred,
+                   'supp_' || cast(l_suppkey AS varchar) AS obj,
+                   cast(count(DISTINCT 'feed_' ||
+                        cast(l_orderkey % 13 AS varchar)) AS bigint)
+                     AS n_sources,
+                   cast(count(*) AS bigint) AS n_mentions,
+                   round(1.0 - power(0.3,
+                     count(DISTINCT l_orderkey % 13)), 6) AS confidence
+            FROM lineitem
+            GROUP BY 1, 2, 3
         """,
     }

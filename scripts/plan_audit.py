@@ -833,6 +833,23 @@ def main(sf_dir: str) -> int:
         ["levenshtein"],
         must_not=["EvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     )
+    # 70: temporal two-hop — ONE keyed equi-join on the pivot node
+    # with the causal ts inequality as a join residual, never a
+    # cartesian/range join.
+    check(
+        "temporal_two_hop_keyed_join",
+        em.q_kg_temporal_two_hop(spark, sf_dir),
+        ["Join"],
+        must_not=["EvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # 71: corroboration — one triple-keyed aggregate chain (partial
+    # countDistinct), pure JVM.
+    check(
+        "corroboration_partial_agg",
+        em.q_kg_corroboration(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "CartesianProduct", "SortAggregate"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -324,3 +324,93 @@ class TestVerifyPairsEditDistance:
 
         with _pt.raises(ValueError):
             verify_pairs_edit_distance(pairs, recs, tau=0)
+
+
+class TestTemporalTwoHop:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "src: string, dst: string, ts: timestamp"
+        )
+
+    def test_causal_order_enforced(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+            temporal_two_hop,
+        )
+
+        edges = self._edges(
+            spark,
+            [
+                ("a", "b", T(2026, 1, 1)),
+                ("b", "c", T(2026, 1, 2)),  # causal: after a→b
+                ("b", "d", T(2025, 12, 31)),  # BEFORE a→b → excluded
+                ("b", "e", T(2026, 1, 1)),  # same instant → excluded
+            ],
+        )
+        got = [
+            (r.a, r.b, r.c, r.gap_s)
+            for r in temporal_two_hop(edges).collect()
+        ]
+        assert got == [("a", "b", "c", 86400.0)]
+
+    def test_max_gap_bound(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+            temporal_two_hop,
+        )
+
+        edges = self._edges(
+            spark,
+            [
+                ("a", "b", T(2026, 1, 1)),
+                ("b", "c", T(2026, 1, 2)),
+                ("b", "d", T(2026, 3, 1)),  # 59 days later
+            ],
+        )
+        got = {
+            r.c for r in temporal_two_hop(edges, max_gap_s=7 * 86400).collect()
+        }
+        assert got == {"c"}
+        with pytest.raises(ValueError):
+            temporal_two_hop(edges, max_gap_s=0)
+
+
+class TestTripleCorroboration:
+    def test_distinct_sources_drive_confidence(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.triples import (
+            triple_corroboration,
+        )
+
+        obs = spark.createDataFrame(
+            [
+                # triple X seen by 2 sources, one of them twice
+                ("s", "P", "o", "feedA"),
+                ("s", "P", "o", "feedA"),
+                ("s", "P", "o", "feedB"),
+                # triple Y seen once
+                ("s2", "P", "o2", "feedA"),
+            ],
+            "subj: string, pred: string, obj: string, source: string",
+        )
+        got = {
+            (r.subj, r.obj): (r.n_sources, r.n_mentions, r.confidence)
+            for r in triple_corroboration(obs, base_conf=0.7).collect()
+        }
+        assert got[("s", "o")] == (2, 3, 0.91)  # 1 - 0.3^2
+        assert got[("s2", "o2")] == (1, 1, 0.7)
+
+    def test_base_conf_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.triples import (
+            triple_corroboration,
+        )
+
+        obs = spark.createDataFrame(
+            [("s", "P", "o", "f")],
+            "subj: string, pred: string, obj: string, source: string",
+        )
+        with pytest.raises(ValueError):
+            triple_corroboration(obs, base_conf=1.0)

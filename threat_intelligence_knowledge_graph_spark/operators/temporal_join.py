@@ -245,3 +245,58 @@ def scd2_intervals(
         F.lead("valid_from").over(w_next).alias("valid_to"),
         "n_observations",
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def temporal_two_hop(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Time-respecting two-hop chains: ``a → b`` at ``t1`` followed by
+    ``b → c`` at ``t2 > t1`` (optionally within ``max_gap_s``) — the
+    lateral-movement / infection-chain primitive a static two-hop
+    cannot express (a static join happily reports B→C *before* A→B
+    ever happened, which is causally impossible).
+
+    Output: ``(a, b, c, t1, t2, gap_s)`` with ``gap_s`` from exact
+    integer microseconds and ONE /1e6 at the output seam (the repo's
+    epoch-arithmetic discipline). Strict ``t2 > t1``: a same-instant
+    pair has no causal order and is excluded.
+
+    Scale shape: ONE keyed equi-join on the pivot node ``b`` (the ts
+    inequality and gap bound evaluate inside the join as post-filters
+    — never a cartesian or range join). Hub pivots fan out
+    quadratically in their degree — the same power-law reality as
+    triangle counting; ``max_gap_s`` is the semantic bound (a chain
+    months apart is not one movement), and the graph_algos degree-cap
+    pattern composes unchanged if a corpus needs it.
+    """
+    a = edges.select(
+        F.col(src_col).alias("a"),
+        F.col(dst_col).alias("_b1"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t1u"),
+        F.col(ts_col).alias("t1"),
+    )
+    b = edges.select(
+        F.col(src_col).alias("_b2"),
+        F.col(dst_col).alias("c"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t2u"),
+        F.col(ts_col).alias("t2"),
+    )
+    cond = (F.col("_b1") == F.col("_b2")) & (F.col("_t2u") > F.col("_t1u"))
+    if max_gap_s is not None:
+        if max_gap_s <= 0:
+            raise ValueError("max_gap_s must be positive")
+        cond = cond & (
+            F.col("_t2u") - F.col("_t1u") <= F.lit(int(max_gap_s) * 1_000_000)
+        )
+    return a.join(b, cond).select(
+        "a",
+        F.col("_b1").alias("b"),
+        "c",
+        "t1",
+        "t2",
+        ((F.col("_t2u") - F.col("_t1u")) / F.lit(1_000_000.0)).alias("gap_s"),
+    )
