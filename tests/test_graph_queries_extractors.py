@@ -818,3 +818,41 @@ class TestRound5AnalystQueries:
         assert [(r.event_type, r.slope) for r in got] == [
             ("steep", 2.0), ("up", 1.0)
         ]
+
+
+class TestRound5bAnalystQueries:
+    def test_corroborated_edges(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            corroborated_edges,
+        )
+
+        rows = corroborated_edges(spark, k=10).collect()
+        assert rows
+        # confidence sorted desc; n_sources counts DISTINCT convs only
+        confs = [r.confidence for r in rows]
+        assert confs == sorted(confs, reverse=True)
+        for r in rows:
+            assert r.n_sources <= r.n_mentions
+            assert 0 < r.confidence < 1
+
+    def test_flux_timelines(self, spark, warehouse):
+        import datetime as dt
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            flux_timelines,
+        )
+
+        T = dt.datetime
+        obs = spark.createDataFrame(
+            [
+                ("d1", "R", "ip1", T(2026, 1, 1)),
+                ("d1", "R", "ip2", T(2026, 1, 2)),
+                ("d1", "R", "ip1", T(2026, 1, 3)),  # returns → 3 intervals
+                ("d2", "R", "ip9", T(2026, 1, 1)),
+            ],
+            "subj: string, pred: string, obj: string, ts: timestamp",
+        )
+        rows = flux_timelines(spark, obs, k=5).collect()
+        assert [r.subj for r in rows] == ["d1", "d2"]
+        top = rows[0]
+        assert (top.n_intervals, top.n_objects, top.current_obj) == (3, 2, "ip1")

@@ -884,3 +884,69 @@ def flagship_query(spark: SparkSession) -> DataFrame:
         ORDER BY subj, pred, obj
         """
     )
+
+
+def flux_timelines(
+    spark: SparkSession,
+    observations: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Fast-flux triage: the k (subj, pred) channels whose resolution
+    HISTORY churned through the most validity intervals (SCD2 runs —
+    re-pointed infrastructure, rotating C2), with the interval count,
+    distinct-object count, current object, and first/latest change
+    timestamps. A domain pinned to one IP forever has 1 interval; a
+    fast-flux domain has dozens — ``n_intervals > n_objects`` means
+    objects RETURN (rotation, not migration). Expects (subj, pred,
+    obj, ts) observations; most-churned first, subj tiebreak."""
+    from ..operators.temporal_join import scd2_intervals
+
+    iv = scd2_intervals(observations)
+    cur = iv.filter(F.col("is_current")).select(
+        "subj", "pred", F.col("obj").alias("current_obj")
+    )
+    per = iv.groupBy("subj", "pred").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.min("valid_from").alias("first_seen"),
+        F.max("valid_from").alias("last_change"),
+    )
+    return (
+        per.join(cur, ["subj", "pred"])
+        .orderBy(F.col("n_intervals").desc(), "subj")
+        .limit(k)
+    )
+
+
+def corroborated_edges(
+    spark: SparkSession, k: int = 20, base_conf: float = 0.7
+) -> DataFrame:
+    """Most independently-corroborated edges: noisy-OR confidence over
+    DISTINCT reporting conversations (each conversation = one
+    independent report; a single conversation repeating an edge is ONE
+    vote) from the extraction provenance table — the sort-before-
+    trusting triage column. Highest confidence first, then mention
+    count, then triple order."""
+    from ..operators.triples import triple_corroboration
+
+    ext = (
+        spark.table("extraction")
+        .filter(F.col("kind") == "edge")
+        .select(
+            F.col("src_id").alias("subj"),
+            F.col("rel_type").alias("pred"),
+            F.col("dst_id").alias("obj"),
+            F.col("conv_id").alias("source"),
+        )
+    )
+    return (
+        triple_corroboration(ext, base_conf=base_conf)
+        .orderBy(
+            F.col("confidence").desc(),
+            F.col("n_mentions").desc(),
+            "subj",
+            "pred",
+            "obj",
+        )
+        .limit(k)
+    )
