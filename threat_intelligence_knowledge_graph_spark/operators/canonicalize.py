@@ -150,7 +150,7 @@ def sorted_neighborhood_pairs(
     bucket; the window caps per-row output at ``window - 1`` pairs
     regardless, so skew affects parallelism, not volume.
     """
-    from .packing import _md5_bucket
+    from .packing import sampled_boundaries
 
     if window < 2:
         raise ValueError("window must be >= 2")
@@ -163,35 +163,13 @@ def sorted_neighborhood_pairs(
     scored = df.select(
         F.col(id_col).alias("_id"), F.col(key_col).cast("string").alias("_key")
     )
-    boundaries: list[str] = []
-    if n_buckets > 1:
-        from .packing import _FRAC_DENOM
-
-        thresh = sample_pct * (_FRAC_DENOM // 100)
-        sample = scored.filter(_md5_bucket("_id", salt) < F.lit(thresh))
-        w_s = W.orderBy(F.col("_key").asc(), F.col("_id").asc())
-        ranked_s = sample.select(
-            "_key",
-            F.row_number().over(w_s).alias("_rn"),
-            F.count("*").over(W.partitionBy()).alias("_n"),
+    boundaries = sorted(
+        set(
+            sampled_boundaries(
+                scored, "_key", "_id", n_buckets, sample_pct, salt
+            )
         )
-        conds = [
-            F.max(
-                F.when(
-                    F.col("_rn")
-                    == F.expr(
-                        f"CAST(({k} * _n + {n_buckets - 1}) "
-                        f"DIV {n_buckets} AS BIGINT)"
-                    ),
-                    F.col("_key"),
-                )
-            ).alias(f"b{k}")
-            for k in range(1, n_buckets)
-        ]
-        row = ranked_s.agg(*conds).collect()[0]
-        boundaries = sorted(
-            {row[f"b{k}"] for k in range(1, n_buckets) if row[f"b{k}"] is not None}
-        )
+    )
     bucket = F.lit(1)
     for b in boundaries:
         bucket = bucket + F.when(
@@ -202,9 +180,13 @@ def sorted_neighborhood_pairs(
         F.col("_key").asc(), F.col("_id").asc()
     )
     local = bucketed.withColumn("_lrn", F.row_number().over(w_local))
+    # Size counts come from the PRE-window frame: identical numbers,
+    # and the collect job never pays (or re-runs) the rank sort.
     sizes = {
         r["_bkt"]: r["_c"]
-        for r in local.groupBy("_bkt").agg(F.count("*").alias("_c")).collect()
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.count("*").alias("_c"))
+        .collect()
     }
     offset = {}
     acc = 0
@@ -272,6 +254,13 @@ def verify_pairs_edit_distance(
     (identical), not 0/0. ``similarity`` is rounded to 6 places
     before the threshold compare and in the output (the repo's
     engine-portability discipline for derived floats).
+
+    Contract: the joins against ``records`` are INNER — a pair id
+    absent from ``records`` (or a NULL key, whose similarity is NULL)
+    is dropped, not scored; blocking and verification are expected to
+    run over the SAME record table (as ``sorted_neighborhood_pairs``
+    output does by construction). Audit candidate/record consistency
+    upstream if the pair source is external.
 
     Scale shape: two keyed equi-joins attach the key strings to the
     candidate list (candidates are the small side after blocking —

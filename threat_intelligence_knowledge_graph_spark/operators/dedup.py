@@ -883,10 +883,15 @@ def paragraph_dedup(
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
+    # ``sep`` is a LITERAL separator: F.split takes a Java regex, so
+    # escape every non-alphanumeric char — an unescaped "|" or "."
+    # would split between every character AND diverge from the literal
+    # concat_ws rejoin below.
+    sep_rx = "".join(ch if ch.isalnum() else "\\" + ch for ch in sep)
     paras = documents.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx)
         ).alias("_pos", "_para"),
     ).select("_id", "_pos", "_para", F.md5(F.col("_para")).alias("_ph"))
     boiler = (

@@ -260,6 +260,59 @@ def temperature_mixture(
     return mixture_sample(df, key_col, source_col, shares, salt=salt)
 
 
+def sampled_boundaries(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+    sample_pct: int,
+    salt: str,
+) -> list:
+    """Deterministic nearest-rank bucket-boundary VALUES of
+    ``value_col`` — the shared TeraSort/RangePartitioner primitive
+    behind ``curriculum_order`` and
+    ``canonicalize.sorted_neighborhood_pairs``: a ``sample_pct``%
+    md5(tiebreak)-drawn sample (partition- and run-independent, the
+    mixture_sample draw), rank-windowed over ``(value, tiebreak)``
+    (bounded rows by construction), boundary values at ranks
+    ``ceil(k·n / n_buckets)`` returned in ONE bounded collect.
+    Returns <= n_buckets−1 non-null values in rank order (duplicates
+    kept — a duplicated boundary skips buckets identically on every
+    engine); empty when ``n_buckets <= 1`` or the sample is empty.
+    """
+    if n_buckets <= 1:
+        return []
+    thresh = sample_pct * (_FRAC_DENOM // 100)
+    sample = df.filter(_md5_bucket(tiebreak_col, salt) < F.lit(thresh))
+    w = Window.orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = sample.select(
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    conds = [
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr(
+                    f"CAST(({k} * _n + {n_buckets - 1}) "
+                    f"DIV {n_buckets} AS BIGINT)"
+                ),
+                F.col(value_col),
+            )
+        ).alias(f"b{k}")
+        for k in range(1, n_buckets)
+    ]
+    row = ranked.agg(*conds).collect()[0]
+    return [
+        row[f"b{k}"]
+        for k in range(1, n_buckets)
+        if row[f"b{k}"] is not None
+    ]
+
+
 def curriculum_order(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -301,37 +354,9 @@ def curriculum_order(
     scored = df.select(
         F.col(key_col).alias("key"), diff.alias("difficulty")
     )
-    boundaries: list[int] = []
-    if n_buckets > 1:
-        thresh = sample_pct * (_FRAC_DENOM // 100)
-        sample = scored.filter(
-            _md5_bucket("key", salt) < F.lit(thresh)
-        )
-        w = Window.orderBy(F.col("difficulty").asc(), F.col("key").asc())
-        ranked = sample.select(
-            "difficulty",
-            F.row_number().over(w).alias("_rn"),
-            F.count("*").over(Window.partitionBy()).alias("_n"),
-        )
-        conds = [
-            F.max(
-                F.when(
-                    F.col("_rn")
-                    == F.expr(
-                        f"CAST(({k} * _n + {n_buckets - 1}) "
-                        f"DIV {n_buckets} AS BIGINT)"
-                    ),
-                    F.col("difficulty"),
-                )
-            ).alias(f"b{k}")
-            for k in range(1, n_buckets)
-        ]
-        row = ranked.agg(*conds).collect()[0]
-        boundaries = [
-            row[f"b{k}"]
-            for k in range(1, n_buckets)
-            if row[f"b{k}"] is not None
-        ]
+    boundaries: list[int] = sampled_boundaries(
+        scored, "difficulty", "key", n_buckets, sample_pct, salt
+    )
     bucket = F.lit(1)
     for b in boundaries:
         bucket = bucket + F.when(

@@ -902,20 +902,18 @@ def flux_timelines(
     from ..operators.temporal_join import scd2_intervals
 
     iv = scd2_intervals(observations)
-    cur = iv.filter(F.col("is_current")).select(
-        "subj", "pred", F.col("obj").alias("current_obj")
-    )
+    # ONE aggregate pass: the current object is the last run's obj —
+    # max_by over the (valid_from, obj) run order, the same ordering
+    # that makes the SCD2 lead deterministic — so the interval chain
+    # is not recomputed for a second is_current branch.
     per = iv.groupBy("subj", "pred").agg(
         F.count("*").cast("long").alias("n_intervals"),
         F.countDistinct("obj").cast("long").alias("n_objects"),
         F.min("valid_from").alias("first_seen"),
         F.max("valid_from").alias("last_change"),
+        F.max_by("obj", F.struct("valid_from", "obj")).alias("current_obj"),
     )
-    return (
-        per.join(cur, ["subj", "pred"])
-        .orderBy(F.col("n_intervals").desc(), "subj")
-        .limit(k)
-    )
+    return per.orderBy(F.col("n_intervals").desc(), "subj", "pred").limit(k)
 
 
 def corroborated_edges(
