@@ -248,6 +248,10 @@ class TestTableIO:
         }
         assert audit2[("triples", "unique(subj,pred,obj)")] is False
         assert audit2[("triples", "not_null(subj)")] is False
+        # The planted row's pred 'X' is no rule's predicate and its null
+        # subj resolves to no node → domain/range conformance trips too,
+        # while the clean run above passed it (asserted via `all(passed)`).
+        assert audit2[("triples", "schema_conformance")] is False
 
     def test_compact_sorted_rewrite(self, spark, tmp_path):
         catalog = LocalTableCatalog(str(tmp_path / "t"))

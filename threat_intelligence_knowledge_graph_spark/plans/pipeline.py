@@ -287,6 +287,28 @@ def audit_graph_tables(
         results = r if results is None else results.union(r)
     if results is None:
         raise FileNotFoundError("no graph tables committed to audit")
+    if catalog.exists("triples") and catalog.exists("nodes"):
+        # Domain/range conformance (round-5): the kernel can only emit
+        # rule-conformant triples, so ANY non-ok status in a committed
+        # warehouse means upstream corruption or tampering — the same
+        # class of invariant as the MERGE-key checks above.
+        from ..operators.triples import validate_triple_schema
+
+        audited = validate_triple_schema(
+            catalog.read(spark, "triples"),
+            catalog.read(spark, "nodes").select("node_label", "node_id"),
+        )
+        conf = audited.agg(
+            F.coalesce(
+                F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
+            ).alias("violations")
+        ).select(
+            F.lit("triples").alias("table"),
+            F.lit("schema_conformance").alias("check"),
+            F.col("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        results = results.union(conf)
     if run_id:
         audit_rows = results.select(
             F.lit(run_id).alias("run_id"),
