@@ -1060,6 +1060,36 @@ def q_graph_bfs_distances(spark, sf_dir):
     return bfs_distances(edges, sources, max_hops=30)
 
 
+def q_graph_anf(spark, sf_dir):
+    """HyperANF (Boldi/Rosa/Vigna) 2-hop ball-size estimates for every
+    node of the planted nation graph (undirected 25-cycle +
+    nation–region edges), p=4 → 16 registers per node. The whole
+    recurrence — md5 register routing, integer-comparison leading-1
+    ranks, registerwise-max merges over neighbors, and the
+    scaled-integer harmonic sum — is exact integer arithmetic, so the
+    row-based DuckDB unroll lands on the identical per-node witness
+    (`s_scaled`); the one float op is the final division, identical in
+    both engines (raw-HLL estimate, no small-range correction, per
+    operators/sketches.py)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        anf_ball_sizes,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nkey = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    cyc = nat.select(
+        nkey.alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+        ).alias("dst"),
+    )
+    reg = nat.select(
+        nkey.alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return anf_ball_sizes(cyc.unionByName(reg), hops=2, p=4)
+
+
 def q_table_checks(spark, sf_dir):
     """Declarative data-quality suite over orders — 5 constraints in ONE
     aggregation pass (deequ-style expectations for pipeline outputs)."""
@@ -5091,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "curate_increment": q_curate_increment,
         "graph_bfs_distances": q_graph_bfs_distances,
+        "graph_anf": q_graph_anf,
         "graph_label_propagation": q_graph_label_propagation,
         "text_scrub_pii": q_text_scrub_pii,
         "text_repetition_ratio": q_text_repetition_ratio,
@@ -6370,6 +6401,78 @@ def _hll_oracle_sql() -> str:
                CAST({m} - present AS BIGINT) AS n_zero,
                CAST({s_expr} AS VARCHAR) AS s_scaled,
                round({numer!r} / CAST({s_expr} AS DOUBLE), 3) AS est_distinct
+        FROM agg
+    """
+
+
+def _anf_oracle_sql(hops: int = 2, m: int = 16) -> str:
+    """HyperANF oracle: the same md5 register routing and generated
+    58-branch leading-1 rank CASE as `_hll_oracle_sql`, then ``hops``
+    unrolled rounds of registerwise-max merge over the symmetrized
+    planted nation graph (row-based: a register has a row iff it has
+    ever been touched — rank 0 never occurs, mirroring the operator's
+    packed-array 0 = empty convention), finished with the per-node
+    scaled-integer harmonic sum in HUGEINT."""
+    w_bits, scale = 58, 59
+    rank_case = f"CASE WHEN w = 0 THEN {scale} " + " ".join(
+        f"WHEN w >= {1 << (w_bits - r)} THEN {r}" for r in range(1, w_bits + 1)
+    ) + " END"
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << scale)
+    rounds = []
+    for i in range(1, hops + 1):
+        prev = f"sk{i - 1}"
+        rounds.append(f""",
+        sk{i} AS (
+          SELECT id, register, max(m_rank) AS m_rank FROM (
+            SELECT id, register, m_rank FROM {prev}
+            UNION ALL
+            SELECT e.u AS id, s.register, s.m_rank
+            FROM sym e JOIN {prev} s ON s.id = e.v
+          ) GROUP BY id, register
+        )""")
+    s_expr = (
+        f"coalesce(s_present, 0) + CAST({m} - present AS HUGEINT)"
+        f" * CAST({1 << scale} AS HUGEINT)"
+    )
+    return f"""
+        WITH nedge AS (
+          SELECT 'n' || cast(n_nationkey AS varchar) AS u,
+                 'n' || cast((n_nationkey + 1) % 25 AS varchar) AS v
+          FROM nation
+          UNION ALL
+          SELECT 'n' || cast(n_nationkey AS varchar),
+                 'r' || cast(n_regionkey AS varchar)
+          FROM nation
+        ),
+        sym AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM nedge UNION ALL SELECT v AS u, u AS v FROM nedge
+          ) WHERE u <> v
+        ),
+        nodes AS (
+          SELECT DISTINCT u AS id FROM (
+            SELECT u FROM nedge UNION ALL SELECT v AS u FROM nedge
+          )
+        ),
+        h AS (
+          SELECT id, md5_number_upper('anf:' || id) AS hu FROM nodes
+        ),
+        sk0 AS (
+          SELECT id, register, {rank_case} AS m_rank FROM (
+            SELECT id, cast(hu % {m} AS int) AS register, hu // {m} AS w
+            FROM h
+          )
+        ){''.join(rounds)},
+        agg AS (
+          SELECT id, count(*) AS present,
+                 sum(CAST(1 AS BIGINT) << ({scale} - m_rank)) AS s_present
+          FROM sk{hops} GROUP BY id
+        )
+        SELECT id,
+               cast({m} - present AS bigint) AS n_zero,
+               cast({s_expr} AS varchar) AS s_scaled,
+               round({numer!r} / cast({s_expr} AS double), 3) AS est_ball
         FROM agg
     """
 
@@ -9521,6 +9624,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY doc_id
         """,
         "graph_label_propagation": _lpa_oracle_sql(iterations=4),
+        "graph_anf": _anf_oracle_sql(hops=2, m=16),
         # Walk enumeration with UNION dedup (recursion bounded: (id, d)
         # pairs are finite under the d < 30 guard), min per node — an
         # independent algorithm from the operator's frontier expansion.

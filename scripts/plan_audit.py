@@ -233,6 +233,17 @@ def main(sf_dir: str) -> int:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
     check(
+        # HyperANF: per round ONE keyed edge×sketch equi-join + one
+        # m-column max agg over packed register arrays — localCheckpoint
+        # truncates lineage so the final plan only shows the estimate
+        # projection over the checkpointed sketch (scan + agg-free
+        # project, no Python, no cartesian).
+        "anf_no_cartesian_no_python",
+        em.q_graph_anf(spark, sf_dir),
+        ["Project"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    )
+    check(
         # link prediction: through-node self-join + degree joins + the
         # adjacency anti-join — ALL keyed equi-joins, no cartesian, no
         # Python anywhere in the plan.

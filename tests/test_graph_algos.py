@@ -1121,3 +1121,92 @@ class TestConnectedComponentsIncrement:
             for r in self._inc(spark, a1, [(1, 3)]).collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+class TestAnfBallSizes:
+    """HyperANF: the sketch after t rounds must equal the HLL built
+    directly over the EXACT ball membership (set-union semantics make
+    the recurrence path-independent), witnessed by s_scaled."""
+
+    @staticmethod
+    def _mirror(edges, hops, m=16, directed=False, scale=59, w_bits=58):
+        import collections
+        import hashlib
+
+        adj = collections.defaultdict(set)
+        nodes = set()
+        for u, v in edges:
+            nodes.update((u, v))
+            adj[u].add(v)
+            if not directed:
+                adj[v].add(u)
+
+        def rank(w):
+            if w == 0:
+                return scale
+            for r in range(1, w_bits + 1):
+                if w >= 1 << (w_bits - r):
+                    return r
+            return scale
+
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        numer = alpha * m * m * float(1 << scale)
+        out = {}
+        for v in nodes:
+            ball = {v}
+            for _ in range(hops):
+                ball |= {w for u in ball for w in adj[u]}
+            regs = [0] * m
+            for u in ball:
+                h = int.from_bytes(
+                    hashlib.md5(f"anf:{u}".encode()).digest()[:8], "little"
+                )
+                j = h % m
+                regs[j] = max(regs[j], rank(h // m))
+            s = sum(1 << (scale - x) for x in regs)
+            out[v] = (
+                sum(1 for x in regs if x == 0),
+                str(s),
+                round(numer / s, 3),
+            )
+        return out
+
+    def test_undirected_matches_exact_ball_hll(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            anf_ball_sizes,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.id: (r.n_zero, r.s_scaled, r.est_ball)
+            for r in anf_ball_sizes(df, hops=2, p=4).collect()
+        }
+        assert got == self._mirror(edges, hops=2)
+
+    def test_directed_forward_ball(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            anf_ball_sizes,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.id: (r.n_zero, r.s_scaled, r.est_ball)
+            for r in anf_ball_sizes(df, hops=3, p=3, directed=True).collect()
+        }
+        assert got == self._mirror(edges, hops=3, m=8, directed=True)
+
+    def test_hops_zero_is_singleton_sketch(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            anf_ball_sizes,
+        )
+
+        df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        got = {
+            r.id: (r.n_zero, r.s_scaled)
+            for r in anf_ball_sizes(df, hops=0, p=4).collect()
+        }
+        exp = self._mirror([("a", "b")], hops=0)
+        assert got == {k: v[:2] for k, v in exp.items()}
+        assert all(nz == 15 for nz, _s in got.values())

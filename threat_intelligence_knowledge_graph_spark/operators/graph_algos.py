@@ -1615,3 +1615,108 @@ def degree_assortativity(
             (F.col("n_edges") > 0) & (den != 0), F.round(num / den, 6)
         ).alias("assortativity"),
     )
+
+
+def anf_ball_sizes(
+    edges: DataFrame,
+    hops: int = 2,
+    p: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "anf",
+    directed: bool = False,
+) -> DataFrame:
+    """(id, n_zero, s_scaled, est_ball): HyperANF — the approximate
+    neighborhood function (Boldi, Rosa & Vigna, WWW 2011; Palmer et
+    al.'s ANF with HLL counters) — estimating, for EVERY node at once,
+    the size of its ball B(v, hops) = {u : dist(v, u) <= hops}
+    (``directed=True``: forward-reachable set). The reference's GDS
+    surface has no per-node reachability-size primitive at all; at
+    web scale this is how neighborhood growth / effective-diameter
+    profiles are computed without |V| BFS sweeps.
+
+    Mechanism: each node carries a 2^p-register HyperLogLog sketch of
+    its known ball, initialized to {v}; each round every node merges
+    (registerwise max) its neighbors' sketches. After ``hops`` rounds
+    the sketch covers exactly B(v, hops) — set-union semantics make the
+    recurrence idempotent over the duplicate paths a multigraph walk
+    would double-count.
+
+    Scale shape: sketches are PACKED int arrays (one row per node, m
+    entries), so a round is ONE keyed equi-join (edges x sketches,
+    message size m ints) + ONE groupBy with m scalar max-aggs — all
+    JVM-side, map-side combining, AQE skew handling on hot nodes; no
+    per-register row blowup (row-per-register would multiply the
+    shuffle by m). localCheckpoint truncates lineage per round (the
+    PageRank/CC pattern). Registers/ranks reuse the engine-portable
+    md5 family of ``operators.sketches`` (``_md5_u64`` routing + the
+    integer-comparison leading-1 rank), and the per-node estimate is
+    the same SCALED-INTEGER harmonic sum as ``hll_estimate`` — exact
+    decimal arithmetic, one final float division — so the DuckDB
+    oracle replays the recurrence bit-identically (``s_scaled`` is the
+    hash-checked integer witness; a raw-HLL estimate, no small-range
+    correction, per sketches.py).
+    """
+    from .packing import _md5_u64
+    from .sketches import _HLL_SCALE, _hll_rank
+
+    if not 1 <= p <= 8:
+        raise ValueError("p must be in [1, 8]")
+    if hops < 0:
+        raise ValueError("hops must be >= 0")
+    m = 1 << p
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    sym = (
+        sym.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    h = _md5_u64(F.col("id"), salt)
+    reg = (h % F.lit(m)).cast("int")
+    rank = _hll_rank(F.floor(h / F.lit(m)).cast("long"))
+    # untouched registers are 0; a touched register's rank is >= 1, so
+    # 0 unambiguously means empty (rank of a zero payload is _HLL_SCALE)
+    sk = nodes.select(
+        "id",
+        F.array(
+            *[
+                F.when(reg == F.lit(j), rank).otherwise(F.lit(0))
+                for j in range(m)
+            ]
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+    maxes = [F.max(F.col("regs")[j]).alias(f"_r{j}") for j in range(m)]
+    rebuild = F.array(*[F.col(f"_r{j}") for j in range(m)]).alias("regs")
+    for _ in range(hops):
+        msgs = sym.join(sk, sym["v"] == sk["id"]).select(
+            F.col("u").alias("id"), "regs"
+        )
+        sk = (
+            sk.select("id", "regs")
+            .union(msgs)
+            .groupBy("id")
+            .agg(*maxes)
+            .select("id", rebuild)
+            .localCheckpoint(eager=True)
+        )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << _HLL_SCALE)
+    s = F.expr(
+        f"aggregate(regs, CAST(0 AS DECIMAL(38,0)), (acc, x) -> "
+        f"acc + CAST(shiftleft(1L, {_HLL_SCALE} - x) AS DECIMAL(38,0)))"
+    )
+    return sk.select(
+        "id",
+        F.expr("size(filter(regs, x -> x = 0))").cast("long").alias("n_zero"),
+        s.cast("string").alias("s_scaled"),
+        F.round(F.lit(numer) / s.cast("double"), 3).alias("est_ball"),
+    )
