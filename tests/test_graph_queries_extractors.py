@@ -856,3 +856,52 @@ class TestRound5bAnalystQueries:
         assert [r.subj for r in rows] == ["d1", "d2"]
         top = rows[0]
         assert (top.n_intervals, top.n_objects, top.current_obj) == (3, 2, "ip1")
+
+
+class TestNeighborhoodGrowth:
+    def test_ranking_tracks_reach_on_crafted_graph(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            neighborhood_growth,
+        )
+
+        orig = spark.table("triples")
+        # hub h reaches everything in <= 2 undirected hops; the chain
+        # tail t3 reaches only 3 nodes — the ranking must separate them.
+        crafted = spark.createDataFrame(
+            [("h", "RESOLVES_TO", f"s{i}") for i in range(8)]
+            + [("s0", "RESOLVES_TO", "t1"), ("t1", "RESOLVES_TO", "t2"),
+               ("t2", "RESOLVES_TO", "t3")],
+            ["subj", "pred", "obj"],
+        )
+        crafted.createOrReplaceTempView("triples")
+        try:
+            rows = neighborhood_growth(spark, hops=2, p=6, k=20).collect()
+            assert len(rows) == 12  # every node surfaced within k
+            # descending order with id tie-break
+            pairs = [(-r.est_ball, r.id) for r in rows]
+            assert pairs == sorted(pairs)
+            # every estimate equals the HLL built over the node's EXACT
+            # 2-ball (the anf_ball_sizes recurrence contract; raw-HLL
+            # values at these tiny cardinalities are estimator-biased,
+            # so equality-to-mirror is the meaningful check, not
+            # magnitude ordering)
+            from tests.test_graph_algos import TestAnfBallSizes
+
+            mirror = TestAnfBallSizes._mirror(
+                [(r.subj, r.obj) for r in crafted.collect()], hops=2, m=64
+            )
+            got = {r.id: (r.n_zero, r.est_ball) for r in rows}
+            assert got == {
+                k2: (v[0], v[2]) for k2, v in mirror.items()
+            }
+        finally:
+            orig.createOrReplaceTempView("triples")
+
+    def test_runs_on_warehouse(self, spark, warehouse):
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            neighborhood_growth,
+        )
+
+        rows = neighborhood_growth(spark, hops=2, p=4, k=5).collect()
+        assert 0 < len(rows) <= 5
+        assert all(r.est_ball > 0 for r in rows)

@@ -948,3 +948,31 @@ def corroborated_edges(
         )
         .limit(k)
     )
+
+
+def neighborhood_growth(
+    spark: SparkSession, hops: int = 3, p: int = 6, k: int = 20
+) -> DataFrame:
+    """(id, est_ball, n_zero): the ``k`` nodes with the LARGEST
+    estimated ``hops``-hop reachable sets over the undirected triple
+    view — HyperANF (`operators/graph_algos.py::anf_ball_sizes`)
+    surfaced to the pack. `blast_radius` answers "what can THIS node
+    touch" exactly; this answers "which nodes could touch the MOST"
+    for every node at once without |V| BFS sweeps — the prioritization
+    pass that picks which blast_radius calls are worth running. Raw-HLL
+    estimates (≈ ±1.04/√2^p relative error at p=6); the ranking, not
+    the absolute count, is the analyst signal."""
+    from ..operators.graph_algos import anf_ball_sizes
+
+    balls = anf_ball_sizes(
+        spark.table("triples").select("subj", "obj"),
+        hops=hops,
+        p=p,
+        src="subj",
+        dst="obj",
+    )
+    return (
+        balls.select("id", "est_ball", "n_zero")
+        .orderBy(F.col("est_ball").desc(), "id")
+        .limit(k)
+    )
