@@ -6368,17 +6368,31 @@ def _pagerank_delta_oracle_sql(iterations: int, damping: float) -> str:
     return "".join(parts)
 
 
-def _hll_oracle_sql() -> str:
-    """HLL oracle: same md5 routing, a generated 58-branch integer-
-    comparison CASE for the leading-1 rank (the only cross-engine-exact
-    leading-zero count), and the scaled-integer harmonic sum in HUGEINT
-    — mirrors operators/sketches.py::hll_build/hll_estimate exactly."""
-    w_bits, scale, m = 58, 59, 64
-    rank_case = f"CASE WHEN w = 0 THEN {scale} " + " ".join(
+def _hll_rank_case_sql(w_bits: int = 58, scale: int = 59) -> str:
+    """Generated integer-comparison CASE for the HLL leading-1 rank of
+    a column ``w`` — the ONE cross-engine-exact leading-zero count
+    (mirrors operators/sketches.py::_hll_rank; shared by every
+    HLL-family oracle so the chain cannot drift per-entry)."""
+    return f"CASE WHEN w = 0 THEN {scale} " + " ".join(
         f"WHEN w >= {1 << (w_bits - r)} THEN {r}" for r in range(1, w_bits + 1)
     ) + " END"
+
+
+def _hll_numer(m: int, scale: int = 59) -> float:
+    """alpha_m * m^2 * 2^scale — the raw-HLL estimator numerator
+    (mirrors operators/sketches.py::hll_estimate; shared so a constant
+    change lands in every HLL-family oracle at once)."""
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    numer = alpha * m * m * float(1 << scale)
+    return alpha * m * m * float(1 << scale)
+
+
+def _hll_oracle_sql() -> str:
+    """HLL oracle: same md5 routing, the shared generated rank CASE,
+    and the scaled-integer harmonic sum in HUGEINT — mirrors
+    operators/sketches.py::hll_build/hll_estimate exactly."""
+    scale, m = 59, 64
+    rank_case = _hll_rank_case_sql()
+    numer = _hll_numer(m)
     zero_term = (
         f"CAST({m} - present AS HUGEINT) * CAST({1 << scale} AS HUGEINT)"
     )
@@ -6413,12 +6427,9 @@ def _anf_oracle_sql(hops: int = 2, m: int = 16) -> str:
     ever been touched — rank 0 never occurs, mirroring the operator's
     packed-array 0 = empty convention), finished with the per-node
     scaled-integer harmonic sum in HUGEINT."""
-    w_bits, scale = 58, 59
-    rank_case = f"CASE WHEN w = 0 THEN {scale} " + " ".join(
-        f"WHEN w >= {1 << (w_bits - r)} THEN {r}" for r in range(1, w_bits + 1)
-    ) + " END"
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    numer = alpha * m * m * float(1 << scale)
+    scale = 59
+    rank_case = _hll_rank_case_sql()
+    numer = _hll_numer(m)
     rounds = []
     for i in range(1, hops + 1):
         prev = f"sk{i - 1}"

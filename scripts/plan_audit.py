@@ -38,6 +38,21 @@ def _ktruss_round_plan(em, spark, sf_dir):
     )
 
 
+def _anf_round_plan(spark):
+    """One HyperANF round's un-checkpointed sketch-merge plan over a
+    tiny in-memory graph (topology is irrelevant to the plan shape)."""
+    from pyspark.sql import functions as F
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        _anf_round,
+    )
+
+    sym = spark.createDataFrame([("a", "b"), ("b", "a")], ["u", "v"])
+    sk = spark.createDataFrame([("a",), ("b",)], ["id"]).select(
+        "id", F.array(*[F.lit(0) for _ in range(16)]).alias("regs")
+    )
+    return _anf_round(sym, sk, 16)
+
+
 def _mst_phase_plan(em, spark, sf_dir):
     """One Borůvka phase's un-checkpointed selection plan over the
     planted chord-triangle graph (the q_graph_mst input)."""
@@ -233,14 +248,15 @@ def main(sf_dir: str) -> int:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
     check(
-        # HyperANF: per round ONE keyed edge×sketch equi-join + one
-        # m-column max agg over packed register arrays — localCheckpoint
-        # truncates lineage so the final plan only shows the estimate
-        # projection over the checkpointed sketch (scan + agg-free
-        # project, no Python, no cartesian).
-        "anf_no_cartesian_no_python",
-        em.q_graph_anf(spark, sf_dir),
-        ["Project"],
+        # HyperANF: audit ONE round's UN-checkpointed plan (the
+        # _ktruss_round_plan precedent — the operator's checkpointed
+        # output plan shows only the final projection, which would make
+        # this guard vacuous). The round must be a keyed equi-join
+        # (SortMerge or BroadcastHash) + HashAggregate over the packed
+        # register arrays — no cartesian, no Python.
+        "anf_round_no_cartesian_no_python",
+        _anf_round_plan(spark),
+        ["Join", "HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
     )
     check(

@@ -1210,3 +1210,21 @@ class TestAnfBallSizes:
         exp = self._mirror([("a", "b")], hops=0)
         assert got == {k: v[:2] for k, v in exp.items()}
         assert all(nz == 15 for nz, _s in got.values())
+
+    def test_null_endpoints_dropped(self, spark):
+        # a corrupt null endpoint must not fabricate an all-empty-
+        # register node (raw est = alpha*m) in the output
+        from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+            anf_ball_sizes,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", None), (None, "a")],
+            "src string, dst string",
+        )
+        got = {
+            r.id: (r.n_zero, r.s_scaled, r.est_ball)
+            for r in anf_ball_sizes(df, hops=2, p=4).collect()
+        }
+        assert set(got) == {"a", "b"}
+        assert got == self._mirror([("a", "b")], hops=2)

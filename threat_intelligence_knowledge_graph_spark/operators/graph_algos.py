@@ -1617,6 +1617,28 @@ def degree_assortativity(
     )
 
 
+def _anf_round(sym: DataFrame, sk: DataFrame, m: int) -> DataFrame:
+    """One UN-checkpointed HyperANF round: every node absorbs its
+    neighbors' sketches by registerwise max — one keyed equi-join
+    (``sym`` × ``sk``) + one groupBy with m scalar max-aggs. Split out
+    so `scripts/plan_audit.py::anf_round_no_cartesian_no_python` can
+    inspect the round's actual join plan (the checkpointed final frame
+    in `anf_ball_sizes` truncates lineage, which would make a guard on
+    the end plan vacuous)."""
+    maxes = [F.max(F.col("regs")[j]).alias(f"_r{j}") for j in range(m)]
+    rebuild = F.array(*[F.col(f"_r{j}") for j in range(m)]).alias("regs")
+    msgs = sym.join(sk, sym["v"] == sk["id"]).select(
+        F.col("u").alias("id"), "regs"
+    )
+    return (
+        sk.select("id", "regs")
+        .union(msgs)
+        .groupBy("id")
+        .agg(*maxes)
+        .select("id", rebuild)
+    )
+
+
 def anf_ball_sizes(
     edges: DataFrame,
     hops: int = 2,
@@ -1665,10 +1687,17 @@ def anf_ball_sizes(
     if hops < 0:
         raise ValueError("hops must be >= 0")
     m = 1 << p
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # null endpoints carry no identity: drop them up front (the
+    # hll_build isNotNull discipline) — otherwise a corrupt null id
+    # would surface as a fabricated all-empty-register node whose raw
+    # estimate (= alpha*m) can outrank real nodes.
+    clean = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    sym = clean.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
         sym = sym.union(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            clean.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
     sym = (
         sym.filter(F.col("u") != F.col("v"))
@@ -1676,8 +1705,8 @@ def anf_ball_sizes(
         .localCheckpoint(eager=True)
     )
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        clean.select(F.col(src).alias("id"))
+        .union(clean.select(F.col(dst).alias("id")))
         .distinct()
     )
     h = _md5_u64(F.col("id"), salt)
@@ -1694,20 +1723,8 @@ def anf_ball_sizes(
             ]
         ).alias("regs"),
     ).localCheckpoint(eager=True)
-    maxes = [F.max(F.col("regs")[j]).alias(f"_r{j}") for j in range(m)]
-    rebuild = F.array(*[F.col(f"_r{j}") for j in range(m)]).alias("regs")
     for _ in range(hops):
-        msgs = sym.join(sk, sym["v"] == sk["id"]).select(
-            F.col("u").alias("id"), "regs"
-        )
-        sk = (
-            sk.select("id", "regs")
-            .union(msgs)
-            .groupBy("id")
-            .agg(*maxes)
-            .select("id", rebuild)
-            .localCheckpoint(eager=True)
-        )
+        sk = _anf_round(sym, sk, m).localCheckpoint(eager=True)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     numer = alpha * m * m * float(1 << _HLL_SCALE)
     s = F.expr(
