@@ -5030,6 +5030,101 @@ def q_kg_corroboration(spark, sf_dir):
     return triple_corroboration(obs, base_conf=0.7)
 
 
+_RANK_EVAL_QUERIES = {
+    "q_msv": ["merge", "stream", "vector"],
+    "q_ms": ["merge", "stream"],
+}
+
+
+def q_search_rank_eval(spark, sf_dir):
+    """Per-query MRR/MAP@10 of BM25 rankings for the two pinned term
+    sets against binary relevance rel(q, d) = "d contains >= 2 distinct
+    terms of q" — the multi-query members of the retrieval-evaluation
+    family (search_ndcg grades one graded ranking). AP terms are
+    lcm-scaled exact integers; rr/ap each ONE round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.retrieval import (
+        rank_eval,
+    )
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        bm25_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]{2,}', 0)")
+    rankings = None
+    qrels = None
+    for qid, terms in _RANK_EVAL_QUERIES.items():
+        r = bm25_search(d, terms, k=10).select(
+            F.lit(qid).alias("query_id"), "doc_id", "rk"
+        )
+        q = (
+            d.select(
+                "doc_id",
+                sum(
+                    F.array_contains(toks, t).cast("int") for t in terms
+                ).alias("_nt"),
+            )
+            .filter(F.col("_nt") >= 2)
+            .select(F.lit(qid).alias("query_id"), "doc_id")
+        )
+        rankings = r if rankings is None else rankings.unionAll(r)
+        qrels = q if qrels is None else qrels.unionAll(q)
+    return rank_eval(rankings, qrels, k=10)
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document with the deterministic
+    vowel-run syllable heuristic — exact integer counts, two
+    correctly-rounded divisions, round-6; scan-local projection."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        readability,
+    )
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement (k=50,
+    weight = doc length): md5-derived u, priority = -ln(u)/w rounded
+    to 6 with doc_id tie-break BEFORE the top-k cut — both engines
+    pick identical rows; TakeOrderedAndProject, no global sort."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", k=50).select(
+        "doc_id", "priority", "rk"
+    )
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Per-type hour-of-day seasonality card: exact-integer chi-square
+    against the uniform-over-24-hours null via (24*sum(c^2) - n^2)/n,
+    peak hour with smallest-hour tie-break, ONE round-6 division per
+    emitted ratio; single (type, hour) count-agg, window + final agg
+    share one type-keyed exchange."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        hourly_seasonality,
+    )
+
+    return hourly_seasonality(_t(spark, sf_dir, "events"))
+
+
+def q_graph_transitivity(spark, sf_dir):
+    """Global clustering coefficient over the planted 3-clique+pendant
+    gadgets: per gadget 3 closed wedges of 5 total (degrees 2,2,3,1),
+    so the oracle is ANALYTIC — transitivity = 0.6 with exact gadget
+    counts; the Spark side runs the real three-way-join pipeline."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        transitivity,
+    )
+
+    return transitivity(_triangle_gadget_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5139,6 +5234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "events_benford": q_events_benford,
         "search_ndcg": q_search_ndcg,
+        "search_rank_eval": q_search_rank_eval,
+        "text_readability": q_text_readability,
+        "sample_weighted": q_sample_weighted,
+        "events_seasonality": q_events_seasonality,
+        "graph_transitivity": q_graph_transitivity,
         "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
@@ -6754,6 +6854,116 @@ def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     es = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["es"])
     de = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["de"])
+
+    # Per-query BM25 CTE blocks for search_rank_eval (the search_ndcg
+    # ranking chain, parametrized over the two pinned term sets; rel =
+    # doc contains >= 2 distinct query terms).
+    def _bm25_blocks(qid: str, terms: list[str]) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        conds = " + ".join(
+            f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+            for t in terms
+        )
+        return f"""
+            tf_{qid} AS (
+              SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+              FROM (
+                SELECT doc_id, dl,
+                       unnest(list_filter(toks,
+                         t -> list_contains([{tl}], t))) AS term
+                FROM b2
+              ) GROUP BY 1, 2, 3
+            ),
+            dfr_{qid} AS (SELECT term, cast(count(*) AS bigint) AS df
+                          FROM tf_{qid} GROUP BY term),
+            scored_{qid} AS (
+              SELECT doc_id, round(sum(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / tdl))), 6)
+                       AS score
+              FROM tf_{qid} JOIN dfr_{qid} USING (term) CROSS JOIN consts
+              GROUP BY doc_id
+            ),
+            ranked_{qid} AS (
+              SELECT doc_id, rk FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC
+                ) AS rk FROM scored_{qid}
+              ) WHERE rk <= 10
+            ),
+            rel_{qid} AS (
+              SELECT doc_id FROM b2 WHERE ({conds}) >= 2
+            )"""
+
+    _rank_eval_sql = (
+        """
+            WITH b2 AS (
+              SELECT doc_id,
+                     cast(len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))
+                       AS bigint) AS dl,
+                     regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+              FROM documents
+            ),
+            consts AS (
+              SELECT cast(count(*) AS bigint) AS n,
+                     cast(sum(dl) AS bigint) AS tdl
+              FROM b2
+            ),"""
+        + ",".join(
+            _bm25_blocks(qid, terms)
+            for qid, terms in _RANK_EVAL_QUERIES.items()
+        )
+        + """,
+            rankings AS (
+              SELECT 'q_msv' AS query_id, doc_id, rk FROM ranked_q_msv
+              UNION ALL
+              SELECT 'q_ms', doc_id, rk FROM ranked_q_ms
+            ),
+            qrels AS (
+              SELECT 'q_msv' AS query_id, doc_id FROM rel_q_msv
+              UNION ALL
+              SELECT 'q_ms', doc_id FROM rel_q_ms
+            ),
+            nrel AS (SELECT query_id, cast(count(*) AS bigint) AS n_rel
+                     FROM qrels GROUP BY 1),
+            j AS (
+              SELECT r.query_id, r.rk AS pos,
+                     CASE WHEN q.doc_id IS NOT NULL THEN 1 END AS is_rel
+              FROM rankings r
+              LEFT JOIN qrels q
+                ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+            ),
+            h AS (
+              SELECT *, sum(coalesce(is_rel, 0)) OVER (
+                PARTITION BY query_id ORDER BY pos
+              ) AS hits
+              FROM j
+            ),
+            per_q AS (
+              SELECT query_id,
+                     cast(count(*) AS bigint) AS n_ranked,
+                     cast(min(CASE WHEN is_rel IS NOT NULL THEN pos END)
+                       AS bigint) AS first_rel_rank,
+                     cast(sum(CASE WHEN is_rel IS NOT NULL
+                                   THEN hits * (2520 // pos)
+                                   ELSE 0 END) AS bigint) AS ap_num
+              FROM h GROUP BY 1
+            )
+            SELECT p.query_id, p.n_ranked,
+                   coalesce(n.n_rel, 0) AS n_rel,
+                   p.first_rel_rank,
+                   CASE WHEN p.first_rel_rank IS NOT NULL
+                        THEN round(1.0 / p.first_rel_rank, 6)
+                        WHEN coalesce(n.n_rel, 0) > 0 THEN 0.0
+                   END AS rr,
+                   CASE WHEN coalesce(n.n_rel, 0) > 0
+                        THEN round(cast(p.ap_num AS double)
+                                   / cast(2520 * least(n.n_rel, 10)
+                                          AS double), 6)
+                   END AS ap
+            FROM per_q p LEFT JOIN nrel n USING (query_id)
+        """
+    )
     return {
         "kg_chunks": """
             WITH d AS (
@@ -7519,6 +7729,97 @@ def oracle_sql() -> dict[str, str]:
                    round(i, 6) AS idcg,
                    CASE WHEN i > 0 THEN round(d / i, 6) END AS ndcg
             FROM dcg CROSS JOIN idcg
+        """,
+        "search_rank_eval": _rank_eval_sql,
+        # Flesch reading-ease: vowel-run syllables, [a-z]+ words,
+        # [.!?]+ sentence runs floored at 1; exact integer counts,
+        # round-6 linear combination (see q_text_readability).
+        "text_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     cast(len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS bigint) AS n_words,
+                     cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS bigint) AS n_sentences,
+                     cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS bigint) AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     round(206.835
+                           - 1.015 * (cast(n_words AS double)
+                                      / cast(n_sentences AS double))
+                           - 84.6 * (cast(n_syllables AS double)
+                                     / cast(n_words AS double)), 6)
+                   END AS flesch
+            FROM c
+        """,
+        # Efraimidis-Spirakis weighted sample: md5-bucket u, priority
+        # -ln(u)/w round-6, (priority, doc_id) top-50 cut (see
+        # q_sample_weighted).
+        "sample_weighted": """
+            WITH w AS (
+              SELECT doc_id, cast(length(text) AS double) AS wt,
+                     cast(md5_number_upper('wsample:'
+                            || cast(doc_id AS varchar)) % 1000000 + 1
+                          AS double) / 1000001.0 AS u
+              FROM documents
+              WHERE length(text) > 0
+            ),
+            p AS (SELECT doc_id, round(-ln(u) / wt, 6) AS priority FROM w),
+            r AS (
+              SELECT doc_id, priority, row_number() OVER (
+                ORDER BY priority ASC, doc_id ASC
+              ) AS rk
+              FROM p
+            )
+            SELECT doc_id, priority, cast(rk AS int) AS rk
+            FROM r WHERE rk <= 50
+        """,
+        # Hour-of-day seasonality: integer chi-square identity
+        # (24*sum(c^2) - n^2)/n, smallest-hour peak tie-break (see
+        # q_events_seasonality).
+        "events_seasonality": """
+            WITH c AS (
+              SELECT event_type AS g, cast(hour(ts) AS int) AS h,
+                     cast(count(*) AS bigint) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (SELECT g, max(c) AS cmax FROM c GROUP BY g),
+            a AS (
+              SELECT c.g, cast(sum(c.c) AS bigint) AS n,
+                     cast(count(*) AS int) AS nh,
+                     min(CASE WHEN c.c = m.cmax THEN c.h END) AS peak_hour,
+                     max(m.cmax) AS peak,
+                     cast(sum(c.c * c.c) AS bigint) AS sc2
+              FROM c JOIN m USING (g) GROUP BY c.g
+            )
+            SELECT g AS event_type, n, nh AS n_hours_active,
+                   cast(peak_hour AS int) AS peak_hour,
+                   round(cast(peak AS double) / cast(n AS double), 6)
+                     AS peak_share,
+                   round(cast(24 * sc2 - n * n AS double)
+                         / cast(n AS double), 6) AS chi2
+            FROM a
+        """,
+        # Global transitivity over the 3-clique+pendant gadgets is
+        # ANALYTIC: each disjoint gadget contributes 3 closed wedges,
+        # 1 triangle, 5 wedges (degrees 2,2,3,1) — see
+        # q_graph_transitivity.
+        "graph_transitivity": """
+            WITH g AS (
+              SELECT cast(count(*) AS bigint) AS ng
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT cast(3 * ng AS bigint) AS n_closed_wedges,
+                   ng AS n_triangles,
+                   cast(5 * ng AS bigint) AS n_wedges,
+                   CASE WHEN ng > 0 THEN
+                     round(cast(3 * ng AS double)
+                           / cast(5 * ng AS double), 6)
+                   END AS transitivity
+            FROM g
         """,
         "events_benford": """
             WITH digits AS (

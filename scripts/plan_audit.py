@@ -877,6 +877,64 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "CartesianProduct", "SortAggregate"],
     )
+    # 72: readability is a pure scan-local codegen'd projection —
+    # three regexp counts, no exchange/join/agg/Python anywhere.
+    check(
+        "readability_scan_local",
+        em.q_text_readability(spark, sf_dir),
+        ["Scan parquet"],
+        must_not=["Exchange", "Join", "HashAggregate", "EvalPython", "Sort"],
+    )
+    # 73: weighted sampling is priority projection + ONE
+    # TakeOrderedAndProject (never a global sort/window over the
+    # corpus); the rank window runs over the k surviving rows only, so
+    # the plan has NO exchange at all in local mode.
+    plan = plan_of(em.q_sample_weighted(spark, sf_dir))
+    import re as _re2
+
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if (
+        "TakeOrderedAndProject" in plan
+        and "EvalPython" not in plan
+        and n_ex == 0
+    ):
+        print("PASS weighted_sample_take_ordered")
+    else:
+        failures.append(("weighted_sample_take_ordered", f"exchanges={n_ex}"))
+        print(f"FAIL weighted_sample_take_ordered: exchanges={n_ex}")
+    # 74: seasonality — (group, hour) count-agg exchange, then the
+    # window max and the final aggregate SHARE one group-keyed
+    # exchange: exactly two exchange nodes, hash aggregates, no
+    # Python.
+    plan = plan_of(em.q_events_seasonality(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if (
+        n_ex <= 2
+        and "EvalPython" not in plan
+        and "SortAggregate" not in plan
+    ):
+        print("PASS seasonality_two_exchanges")
+    else:
+        failures.append(("seasonality_two_exchanges", f"exchanges={n_ex}"))
+        print(f"FAIL seasonality_two_exchanges: exchanges={n_ex}")
+    # 75: transitivity — the audited canonical three-way triangle join
+    # (keyed equi-joins only; the only nested-loop joins are the final
+    # 1-row × 1-row stat combines), exact-integer wedge aggregate.
+    check(
+        "transitivity_keyed_joins",
+        em.q_graph_transitivity(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "SortAggregate"],
+    )
+    # 76: rank_eval — BM25 rankers bound the data (TakeOrdered), the
+    # hits window and per-query aggregate run over <= k rows per
+    # query, everything JVM-side.
+    check(
+        "rank_eval_jvm_only",
+        em.q_search_rank_eval(spark, sf_dir),
+        ["TakeOrderedAndProject", "Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

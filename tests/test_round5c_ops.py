@@ -1,0 +1,243 @@
+"""Round-5 continuation operators, batch C: MRR/MAP rank evaluation,
+Flesch readability, A-ES weighted sampling, hour-of-day seasonality,
+global transitivity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    transitivity,
+)
+from threat_intelligence_knowledge_graph_spark.operators.packing import (
+    weighted_sample,
+)
+from threat_intelligence_knowledge_graph_spark.operators.retrieval import (
+    rank_eval,
+)
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    hourly_seasonality,
+)
+from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+    readability,
+)
+
+
+class TestRankEval:
+    def _frames(self, spark):
+        rankings = spark.createDataFrame(
+            [
+                ("qa", "d1", 1), ("qa", "d2", 2), ("qa", "d3", 3),
+                ("qb", "d1", 1), ("qb", "d2", 2),
+                ("qc", "x", 1),
+                ("qd", "d1", 1), ("qd", "d2", 2),
+            ],
+            "query_id: string, doc_id: string, rk: int",
+        )
+        qrels = spark.createDataFrame(
+            [("qa", "d2"), ("qa", "d9"), ("qc", "x"), ("qd", "d9")],
+            "query_id: string, doc_id: string",
+        )
+        return rankings, qrels
+
+    def test_hand_computed(self, spark):
+        rankings, qrels = self._frames(spark)
+        got = {r.query_id: r.asDict() for r in rank_eval(rankings, qrels, k=10).collect()}
+        # qa: first hit at 2, rr = 0.5; AP = (1/2) / min(2, 10) = 0.25
+        assert got["qa"]["first_rel_rank"] == 2
+        assert got["qa"]["rr"] == 0.5
+        assert got["qa"]["ap"] == 0.25
+        assert got["qa"]["n_rel"] == 2
+        # qb: no qrels at all -> undefined, NULL
+        assert got["qb"]["rr"] is None and got["qb"]["ap"] is None
+        assert got["qb"]["n_rel"] == 0
+        # qc: perfect single hit -> rr = ap = 1
+        assert got["qc"]["rr"] == 1.0 and got["qc"]["ap"] == 1.0
+        # qd: has a relevant doc but the ranking missed it -> zeros
+        assert got["qd"]["first_rel_rank"] is None
+        assert got["qd"]["rr"] == 0.0 and got["qd"]["ap"] == 0.0
+
+    def test_two_hits_ap(self, spark):
+        rankings = spark.createDataFrame(
+            [("q", "a", 1), ("q", "b", 2), ("q", "c", 3), ("q", "d", 4)],
+            "query_id: string, doc_id: string, rk: int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", "a"), ("q", "c")], "query_id: string, doc_id: string"
+        )
+        row = rank_eval(rankings, qrels, k=10).collect()[0]
+        # hits at 1 (1/1) and 3 (2/3): AP = (1 + 2/3)/2 = 5/6
+        assert row.ap == round(5 / 6, 6)
+        assert row.rr == 1.0
+
+    def test_k_cutoff(self, spark):
+        rankings = spark.createDataFrame(
+            [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+            "query_id: string, doc_id: string, rk: int",
+        )
+        qrels = spark.createDataFrame([("q", "c")], "query_id: string, doc_id: string")
+        row = rank_eval(rankings, qrels, k=2).collect()[0]
+        assert row.rr == 0.0 and row.ap == 0.0 and row.n_ranked == 2
+
+    def test_validation(self, spark):
+        rankings, qrels = self._frames(spark)
+        with pytest.raises(ValueError):
+            rank_eval(rankings, qrels, k=0)
+        with pytest.raises(ValueError):
+            rank_eval(rankings, qrels, k=21)
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "The cat sat."), (2, ""), (3, "no punctuation here")],
+            "doc_id: long, text: string",
+        )
+        got = {r.doc_id: r.asDict() for r in readability(docs).collect()}
+        # 3 words, 3 vowel runs, 1 sentence:
+        # 206.835 - 1.015*3 - 84.6*1 = 119.19
+        assert got[1]["n_words"] == 3
+        assert got[1]["n_syllables"] == 3
+        assert got[1]["n_sentences"] == 1
+        assert got[1]["flesch"] == round(206.835 - 1.015 * 3 - 84.6, 6)
+        # empty doc: no words, NULL score (sentence floor still 1)
+        assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
+        # punctuation-free doc gets the sentence floor, not 0
+        assert got[3]["n_sentences"] == 1 and got[3]["flesch"] is not None
+
+    def test_vowel_runs_not_letters(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "queueing strength!")], "doc_id: long, text: string"
+        )
+        row = readability(docs).collect()[0]
+        # "queueing" -> ueuei as runs: 'ueuei' is one maximal run? No:
+        # q-u-e-u-e-i-n-g => "ueue i"? all of u,e,u,e,i are contiguous
+        # vowels -> ONE run; "strength" -> 'e' -> one run. Total 2.
+        assert row.n_syllables == 2
+        assert row.n_words == 2
+        assert row.n_sentences == 1
+
+
+class TestWeightedSample:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, float(1 + (i % 5))) for i in range(100)],
+            "doc_id: long, w: double",
+        )
+
+    def test_k_rows_and_determinism(self, spark):
+        docs = self._docs(spark)
+        a = weighted_sample(docs, "doc_id", "w", k=10).collect()
+        b = weighted_sample(docs, "doc_id", "w", k=10).collect()
+        assert len(a) == 10
+        assert [r.doc_id for r in a] == [r.doc_id for r in b]
+        assert [r.rk for r in a] == list(range(1, 11))
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "doc_id: long, w: double",
+        )
+        got = {r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=10).collect()}
+        assert got == {1, 5}
+
+    def test_heavy_weight_always_sampled(self, spark):
+        docs = spark.createDataFrame(
+            [(i, 1.0) for i in range(50)] + [(999, 1e9)],
+            "doc_id: long, w: double",
+        )
+        got = {r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=5).collect()}
+        # Exp(1e9) priority is ~1e-9 of any unit-weight row's: always in.
+        assert 999 in got
+
+    def test_salt_redraws(self, spark):
+        docs = self._docs(spark)
+        a = [r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=10, salt="s1").collect()]
+        b = [r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=10, salt="s2").collect()]
+        assert a != b
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            weighted_sample(self._docs(spark), "doc_id", "w", k=0)
+
+
+class TestHourlySeasonality:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        def t(h, m=0):
+            return dt.datetime(2026, 3, 1, h, m)
+
+        rows = [("spike", t(3, i)) for i in range(4)]
+        rows += [("flat", t(h)) for h in range(24)]
+        ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+        got = {r.event_type: r.asDict() for r in hourly_seasonality(ev).collect()}
+        # spike: all 4 in hour 3 -> chi2 = (24*16 - 16)/4 = 92
+        assert got["spike"]["n"] == 4
+        assert got["spike"]["n_hours_active"] == 1
+        assert got["spike"]["peak_hour"] == 3
+        assert got["spike"]["peak_share"] == 1.0
+        assert got["spike"]["chi2"] == 92.0
+        # flat: perfectly uniform -> chi2 = 0
+        assert got["flat"]["chi2"] == 0.0
+        assert got["flat"]["n_hours_active"] == 24
+        assert got["flat"]["peak_share"] == round(1 / 24, 6)
+
+    def test_peak_tie_smallest_hour(self, spark):
+        import datetime as dt
+
+        ev = spark.createDataFrame(
+            [
+                ("x", dt.datetime(2026, 3, 1, 7, 0)),
+                ("x", dt.datetime(2026, 3, 1, 7, 1)),
+                ("x", dt.datetime(2026, 3, 2, 5, 0)),
+                ("x", dt.datetime(2026, 3, 2, 5, 1)),
+            ],
+            "event_type: string, ts: timestamp",
+        )
+        row = hourly_seasonality(ev).collect()[0]
+        assert row.peak_hour == 5
+        # chi2 = (24*(4+4) - 16)/4 = 44
+        assert row.chi2 == 44.0
+
+
+class TestTransitivity:
+    def test_triangle(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src: string, dst: string"
+        )
+        row = transitivity(e).collect()[0]
+        assert row.n_triangles == 1
+        assert row.n_closed_wedges == 3
+        assert row.n_wedges == 3
+        assert row.transitivity == 1.0
+
+    def test_path_and_star(self, spark):
+        path = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src: string, dst: string"
+        )
+        row = transitivity(path).collect()[0]
+        assert (row.n_triangles, row.n_wedges, row.transitivity) == (0, 1, 0.0)
+        star = spark.createDataFrame(
+            [("h", "x"), ("h", "y"), ("h", "z")], "src: string, dst: string"
+        )
+        row = transitivity(star).collect()[0]
+        assert (row.n_wedges, row.transitivity) == (3, 0.0)
+
+    def test_single_edge_null(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        row = transitivity(e).collect()[0]
+        assert row.n_wedges == 0 and row.transitivity is None
+
+    def test_triangle_plus_pendant(self, spark):
+        # triangle abc + pendant d on a: wedges = C(3,2)+C(1,2)*2+C(1,2)
+        # deg a=3, b=2, c=2, d=1 -> 3+1+1+0 = 5; closed = 3 -> 0.6
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+            "src: string, dst: string",
+        )
+        row = transitivity(e).collect()[0]
+        assert row.n_wedges == 5
+        assert row.transitivity == 0.6

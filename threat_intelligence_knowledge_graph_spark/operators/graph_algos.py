@@ -1737,3 +1737,59 @@ def anf_ball_sizes(
         s.cast("string").alias("s_scaled"),
         F.round(F.lit(numer) / s.cast("double"), 3).alias("est_ball"),
     )
+
+
+def transitivity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row GLOBAL clustering coefficient card: (n_closed_wedges,
+    n_triangles, n_wedges, transitivity) over the undirected
+    ``_canonical_edges`` view — the graph-level companion to
+    ``local_clustering_coefficient`` (per node) and ``graph_stats``
+    (degrees): transitivity = 3·triangles / wedges, the fraction of
+    open two-paths that close. Mention-spoke CTI graphs sit near 0;
+    a genuinely interlinked campaign core pushes it up — the one-number
+    before/after check for `campaign_skeletons`-style stripping.
+
+    Exact arithmetic: Σ per-node triangle credits is EXACTLY 3T (each
+    triangle has three corners), wedges = Σ_v C(deg v, 2) via the
+    shiftright-exact binomial (the eval_clusters_pairwise identity),
+    so the ratio needs NO separate factor of 3 — transitivity =
+    closed/wedges in ONE round-6 division of two exact bigints;
+    n_triangles is the exact integer division 3T div 3. Zero wedges
+    (empty or perfect-matching graph) emits NULL, never 0/0.
+
+    Scale shape: one canonical-triangle three-way equi-join (the
+    audited triangle_count plan — no cartesian), one degree aggregate,
+    then two 1-row frames cross-joined. The power-law caveat and
+    mitigation (degree cap / pre-bucketing) are triangle_count's,
+    unchanged.
+    """
+    closed = triangle_count(edges, src, dst).agg(
+        F.sum("triangles").alias("closed")
+    )
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(
+            F.shiftright(F.col("deg") * (F.col("deg") - F.lit(1)), 1)
+        ).alias("wedges")
+    )
+    return closed.crossJoin(wedges).select(
+        F.coalesce(F.col("closed"), F.lit(0)).cast("long").alias("n_closed_wedges"),
+        F.expr("coalesce(closed, 0) div 3").cast("long").alias("n_triangles"),
+        F.coalesce(F.col("wedges"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.when(
+            F.col("wedges") > 0,
+            F.round(
+                F.coalesce(F.col("closed"), F.lit(0)).cast("double")
+                / F.col("wedges").cast("double"),
+                6,
+            ),
+        ).alias("transitivity"),
+    )

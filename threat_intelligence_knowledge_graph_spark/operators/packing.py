@@ -404,3 +404,61 @@ def split_oversized(
         "n_tokens",
         F.size(F.split(F.col(text_col), r"\s+")).cast("long"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-ES, IPL 2006): each row draws u ∈ (0,1)
+    from its md5 bucket and gets priority −ln(u)/w — an Exp(w) variate
+    — and the k SMALLEST priorities are the sample. Inclusion odds are
+    proportional to weight, the draw depends only on (salt, key) so it
+    is partition-count-independent and re-runnable, and changing
+    ``salt`` redraws without touching data. This is the quality-
+    weighted corpus subsampling primitive (`sample_by_hash` is
+    per-stratum Bernoulli; THIS picks exactly k, biased by a per-row
+    score such as a quality-model weight).
+
+    Rows with NULL or non-positive weight are excluded BY THE
+    SEMANTICS, not silently: w = 0 means zero sampling mass (priority
+    +inf), and a negative weight has no A-ES meaning — they never
+    appear in the output, and the docstring is the contract (the
+    mixture_sample on_missing discipline applies to absent sources,
+    not zero-mass rows).
+
+    Determinism across engines: u = (bucket+1)/(DENOM+1) is a ratio of
+    small exact ints (correctly-rounded double), ln is the same libm
+    call family the oracled entropy/logprob entries rely on, and the
+    priority is rounded to 6 with (priority, key) tie-break BEFORE the
+    top-k cut — both engines pick identical rows (batch_topk's
+    rounded-rank discipline).
+
+    Scale shape: scan-local priority projection, then ONE
+    TakeOrderedAndProject (orderBy().limit(k)) — no global sort, no
+    window over the corpus; the final rank window sees only k rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    u = (
+        (_md5_bucket(key_col, salt) + F.lit(1)).cast("double")
+        / F.lit(float(_FRAC_DENOM + 1))
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.round(-F.log(u) / w, 6)
+    picked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_priority", pri)
+        .orderBy(F.col("_priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    rk = Window.orderBy(F.col("_priority").asc(), F.col(key_col).asc())
+    return picked.withColumn("rk", F.row_number().over(rk).cast("int")).withColumnRenamed(
+        "_priority", "priority"
+    )

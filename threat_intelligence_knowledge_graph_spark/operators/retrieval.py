@@ -124,3 +124,105 @@ def ndcg_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def rank_eval(
+    rankings: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-query reciprocal rank + average precision at ``k`` — the
+    multi-query members of the retrieval-evaluation family (ndcg_eval
+    grades ONE graded ranking; MRR/MAP are THE binary multi-query
+    standards, and their corpus means are one trivial aggregation over
+    this frame).
+
+    Inputs: ``rankings`` (query_id, doc_id, rk with rk starting at 1
+    per query) and binary ``qrels`` (query_id, doc_id) — presence means
+    relevant. Output one row per ranked query: (query_id, n_ranked,
+    n_rel, first_rel_rank, rr, ap) where rr = 1/first_rel_rank and
+    ap = (Σ_{relevant hit at position p ≤ k} hits_up_to_p / p)
+    / min(n_rel, k). A query whose ranking hits nothing relevant gets
+    rr/ap NULL-free zeros only when it HAS relevant docs to find
+    (n_rel > 0); a query with no qrels rows at all is emitted with
+    first_rel_rank/rr/ap NULL (undefined, excluded from a mean by the
+    caller) — never a fake 0 that would drag MAP down for an
+    unjudged query.
+
+    Numeric determinism (the eval_triples discipline): every AP term
+    hits_p/p is scaled by L = lcm(1..k) so the numerator
+    Σ hits_p·(L/p) is an EXACT bigint (k ≤ 20 keeps every product and
+    sum far inside int64); rr and ap are each ONE double division of
+    two integers, round-6 — bit-identical on any IEEE-754 engine.
+
+    Scale shape: the ranking side is ≤ k rows per query by
+    construction (the rankers cut top-k); one (query,doc) equi-join
+    against qrels, one query-keyed window over ≤ k rows, one keyed
+    aggregation — a single hash exchange on query_id end to end.
+    """
+    if not 1 <= k <= 20:
+        raise ValueError("k must be in [1, 20] (lcm-exact arithmetic)")
+    lcm = 1
+    for i in range(2, k + 1):
+        g, a, b = 1, lcm, i
+        while b:
+            a, b = b, a % b
+        lcm = lcm * i // a
+
+    from pyspark.sql import Window
+
+    r = rankings.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("pos"),
+    ).filter(F.col("pos") <= k)
+    q = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(1).alias("_rel"),
+    ).distinct()
+
+    n_rel = q.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+
+    j = r.join(q, ["query_id", "doc_id"], "left")
+    w = Window.partitionBy("query_id").orderBy("pos")
+    # hits_up_to_p over relevant rows only; irrelevant rows contribute 0
+    hits = j.withColumn(
+        "_hits", F.sum(F.coalesce(F.col("_rel"), F.lit(0))).over(w)
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_ranked"),
+        F.min(F.when(F.col("_rel").isNotNull(), F.col("pos"))).alias(
+            "first_rel_rank"
+        ),
+        # L/pos is an exact integer for pos <= k (L = lcm(1..k)); the
+        # double division of two exact ints whose true quotient is an
+        # int is correctly rounded to that int, then cast back.
+        F.sum(
+            F.when(
+                F.col("_rel").isNotNull(),
+                (F.col("_hits") * (F.lit(lcm) / F.col("pos")).cast("long")),
+            ).otherwise(F.lit(0))
+        ).alias("_ap_num"),
+    )
+    out = per_q.join(n_rel, "query_id", "left").na.fill({"n_rel": 0})
+    den = F.lit(lcm) * F.least(F.col("n_rel"), F.lit(k))
+    return out.select(
+        "query_id",
+        F.col("n_ranked").cast("long").alias("n_ranked"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6),
+        )
+        .when(F.col("n_rel") > 0, F.lit(0.0))
+        .alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("_ap_num").cast("double") / den.cast("double"), 6),
+        ).alias("ap"),
+    )

@@ -790,3 +790,62 @@ def set_churn(
             F.round(F.lit(1) - j, 6).alias("churn"),
         )
     )
+
+
+def hourly_seasonality(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group hour-of-day seasonality card: does this channel keep
+    human office hours or run around the clock? Output one row per
+    group: (group, n, n_hours_active, peak_hour, peak_share, chi2)
+    where chi2 is Pearson's statistic against the uniform-over-24-hours
+    null — χ² = Σ_h (c_h − n/24)²/(n/24) = (24·Σ c_h² − n²)/n via the
+    integer identity, so automation (flat profile, χ² ≈ small) and
+    diurnal humans / cron spikes (χ² large) separate on one number.
+    Completes the timeline family: Fano = dispersion over time, trend =
+    drift, beacons = inter-arrival regularity, THIS = time-of-day
+    structure (a metronome beacon firing hourly is seasonality-flat but
+    beacon-loud; a 9-to-5 operator is the reverse).
+
+    ``peak_hour`` is the busiest hour (smallest hour wins count ties —
+    deterministic cross-engine), ``peak_share`` its traffic fraction.
+
+    Numeric determinism: counts are exact integers, the χ² numerator
+    24·Σc² − n² is exact bigint arithmetic, and χ² / peak_share are
+    each ONE round-6 integer division (the gini/trend discipline).
+
+    Scale shape: ONE (group, hour) count-aggregate (map-side combined;
+    ≤ 24 rows per group reach the shuffle), then the per-group window
+    max and the final per-group aggregate share the single group-keyed
+    exchange — no second shuffle, nothing collects.
+    """
+    h = F.hour(F.col(ts_col))
+    c = (
+        events.select(F.col(group_col).alias("g"), h.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("g")
+    c = c.withColumn("_cmax", F.max("c").over(w))
+    agg = c.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_hours_active"),
+        F.min(F.when(F.col("c") == F.col("_cmax"), F.col("h"))).alias(
+            "peak_hour"
+        ),
+        F.max("_cmax").alias("_peak"),
+        F.sum(F.col("c") * F.col("c")).alias("_sc2"),
+    )
+    num = F.lit(24) * F.col("_sc2") - F.col("n") * F.col("n")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_hours_active").cast("int").alias("n_hours_active"),
+        F.col("peak_hour").cast("int").alias("peak_hour"),
+        F.round(F.col("_peak").cast("double") / F.col("n").cast("double"), 6).alias(
+            "peak_share"
+        ),
+        F.round(num.cast("double") / F.col("n").cast("double"), 6).alias("chi2"),
+    )

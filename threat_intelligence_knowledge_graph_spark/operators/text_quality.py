@@ -1163,3 +1163,48 @@ def quality_model_score(
             (score >= F.lit(threshold)).alias("keep"),
         )
     )
+
+
+def readability(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the curation
+    signal CCNet/Gopher-style pipelines bucket corpora by): score =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with a
+    deterministic, engine-portable syllable heuristic — a syllable is
+    one maximal vowel run ``[aeiouy]+`` in the lowercased text (runs
+    cannot span word boundaries, so no word split is needed), words
+    are maximal ``[a-z]+`` runs, sentences are maximal ``[.!?]+`` runs
+    floored at 1. This is the standard vowel-group approximation (no
+    dictionary lookups, no silent-e modeling — those are lexicon
+    features, not text features, and would break oracle parity).
+
+    Numeric determinism: the three counts are exact integers; the
+    score is two correctly-rounded IEEE divisions and a fused
+    multiply-add-free linear combination of double literals, round-6 —
+    identical on any IEEE-754 engine (the gini/trend discipline).
+    Empty/word-free docs emit NULL score, never a fake 206.835.
+
+    Scale shape: ONE scan-local codegen'd projection — three
+    regexp_extract_all counts, zero Python, zero shuffle (the
+    repetition_ratio/TTR family shape).
+    """
+    low = F.lower(F.col(text_col))
+    n_words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0))
+    n_sent_raw = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0))
+    n_sent = F.greatest(n_sent_raw, F.lit(1))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return documents.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, F.round(score, 6)).alias("flesch"),
+    )
