@@ -5125,6 +5125,59 @@ def q_graph_transitivity(spark, sf_dir):
     return transitivity(_triangle_gadget_edges(spark, sf_dir))
 
 
+def q_graph_rich_club(spark, sf_dir):
+    """Rich-club curve over the planted 3-clique+pendant gadgets. The
+    G disjoint gadgets make the curve ANALYTIC: spectrum {1,2,3};
+    k=1 club = the 3G clique nodes with their 3G internal edges
+    (phi = 2/(3G-1)); k=2 club = the G degree-3 corners, zero edges
+    between gadgets (phi = 0); k=3 club empty (omitted)."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        rich_club,
+    )
+
+    return rich_club(_triangle_gadget_edges(spark, sf_dir))
+
+
+def q_graph_avg_nbr_deg(spark, sf_dir):
+    """Average neighbor degree per node over the planted gadgets —
+    analytically per gadget: corners 3k/3k+1 see (2+3)/2, the hub
+    3k+2 sees (2+2+1)/3, the pendant 3k+3 sees 3/1."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        avg_neighbor_degree,
+    )
+
+    return avg_neighbor_degree(_triangle_gadget_edges(spark, sf_dir))
+
+
+def q_events_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the (user_id, event_type, hour-of-day)
+    projection of the event log at k=5 — time-of-activity is the
+    classic indirect identifier: every quasi class smaller than 5 is
+    a release fingerprint. One keyed count-agg + filter."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        k_anonymity_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.hour("ts").cast("int").alias("hour")
+    )
+    return k_anonymity_audit(ev, ["user_id", "event_type", "hour"], k=5)
+
+
+def q_events_trimmed_mean(spark, sf_dir):
+    """Per-type 10%-trimmed mean of event values: Fraction-exact trim
+    counts over the (value, event_id) total order, decimal(38,6)
+    order-independent sum, ONE round-6 division; rank window and
+    final aggregate share one type-keyed exchange."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    return trimmed_mean(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id", trim=0.1
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5239,6 +5292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "events_seasonality": q_events_seasonality,
         "graph_transitivity": q_graph_transitivity,
+        "graph_rich_club": q_graph_rich_club,
+        "graph_avg_nbr_deg": q_graph_avg_nbr_deg,
+        "events_k_anonymity": q_events_k_anonymity,
+        "events_trimmed_mean": q_events_trimmed_mean,
         "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
@@ -7820,6 +7877,76 @@ def oracle_sql() -> dict[str, str]:
                            / cast(5 * ng AS double), 6)
                    END AS transitivity
             FROM g
+        """,
+        # Rich-club curve over the disjoint gadgets is ANALYTIC (see
+        # q_graph_rich_club): spectrum {1,2}, phi(1) = 3G/C(3G,2),
+        # phi(2) = 0 across G clique corners.
+        "graph_rich_club": """
+            WITH g AS (
+              SELECT cast(count(*) AS bigint) AS ng
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT cast(1 AS bigint) AS k,
+                   cast(3 * ng AS bigint) AS n_club,
+                   cast(3 * ng AS bigint) AS e_club,
+                   round(cast(3 * ng AS double)
+                         / cast((3 * ng * (3 * ng - 1)) // 2 AS double), 6)
+                     AS phi
+            FROM g WHERE 3 * ng >= 2
+            UNION ALL
+            SELECT cast(2 AS bigint), ng, cast(0 AS bigint), 0.0
+            FROM g WHERE ng >= 2
+        """,
+        # Average neighbor degree per gadget node is analytic: corners
+        # see (2+3)/2, the hub (2+2+1)/3, the pendant 3/1 (see
+        # q_graph_avg_nbr_deg).
+        "graph_avg_nbr_deg": """
+            WITH ks AS (
+              SELECT cast(o_orderkey * 3 AS bigint) AS k3
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            o(i, deg, s) AS (VALUES
+              (0, 2, 5), (1, 2, 5), (2, 3, 5), (3, 1, 3)
+            )
+            SELECT k3 + i AS id, cast(deg AS bigint) AS deg,
+                   round(cast(s AS double) / cast(deg AS double), 6)
+                     AS avg_nbr_deg
+            FROM ks CROSS JOIN o
+        """,
+        # k-anonymity audit: GROUP BY + HAVING < k (see
+        # q_events_k_anonymity).
+        "events_k_anonymity": """
+            SELECT user_id, event_type, cast(hour(ts) AS int) AS hour,
+                   cast(count(*) AS bigint) AS n
+            FROM events
+            GROUP BY user_id, event_type, hour(ts)
+            HAVING count(*) < 5
+        """,
+        # 10%-trimmed mean: identical rank/trim/decimal-sum chain (see
+        # q_events_trimmed_mean).
+        "events_trimmed_mean": """
+            WITH r AS (
+              SELECT event_type AS g,
+                     cast(value AS decimal(38,6)) AS v,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            t AS (SELECT *, (1 * n) // 10 AS tt FROM r),
+            k AS (
+              SELECT g, cast(max(n) AS bigint) AS n,
+                     cast(max(tt) AS bigint) AS t,
+                     sum(v) AS s, cast(count(*) AS bigint) AS c
+              FROM t WHERE rn > tt AND rn <= n - tt
+              GROUP BY g
+            )
+            SELECT g AS event_type, n, t AS n_trimmed_each_side,
+                   round(cast(s AS double) / cast(c AS double), 6)
+                     AS trimmed_mean
+            FROM k
         """,
         "events_benford": """
             WITH digits AS (

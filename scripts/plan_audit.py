@@ -935,6 +935,50 @@ def main(sf_dir: str) -> int:
         ["TakeOrderedAndProject", "Window"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    # 77: rich-club — the ordered window runs over the MERGED DEGREE
+    # HISTOGRAM (dimension-sized), never the graph; joins are keyed.
+    check(
+        "rich_club_histogram_window",
+        em.q_graph_rich_club(spark, sf_dir),
+        ["Window", "HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    # 78: average neighbor degree — degree agg + one keyed join + one
+    # node-keyed sum, all JVM-side.
+    check(
+        "avg_nbr_deg_keyed_joins",
+        em.q_graph_avg_nbr_deg(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=[
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "EvalPython",
+            "SortAggregate",
+        ],
+    )
+    # 79: k-anonymity audit — ONE map-side-combining count aggregate +
+    # scan-local filter; a single quasi-key exchange.
+    plan = plan_of(em.q_events_k_anonymity(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if n_ex <= 1 and "EvalPython" not in plan and "Join" not in plan:
+        print("PASS k_anonymity_single_exchange")
+    else:
+        failures.append(("k_anonymity_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL k_anonymity_single_exchange: exchanges={n_ex}")
+    # 80: trimmed mean — the rank window and the final aggregate share
+    # ONE group-keyed exchange (the exact_percentiles discipline), no
+    # global sort, no Python.
+    plan = plan_of(em.q_events_trimmed_mean(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if (
+        n_ex <= 1
+        and "EvalPython" not in plan
+        and "Exchange SinglePartition" not in plan
+    ):
+        print("PASS trimmed_mean_single_exchange")
+    else:
+        failures.append(("trimmed_mean_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL trimmed_mean_single_exchange: exchanges={n_ex}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -905,3 +905,28 @@ class TestNeighborhoodGrowth:
         rows = neighborhood_growth(spark, hops=2, p=4, k=5).collect()
         assert 0 < len(rows) <= 5
         assert all(r.est_ball > 0 for r in rows)
+
+
+class TestOfficeHoursChannels:
+    def test_diurnal_ranks_over_flat(self, spark):
+        import datetime as dt
+
+        from threat_intelligence_knowledge_graph_spark.plans.graph_queries import (
+            office_hours_channels,
+        )
+
+        rows = []
+        # diurnal: 48 events all in hour 9 across 2 days
+        for d in (1, 2):
+            rows += [("nine-to-five", dt.datetime(2026, 4, d, 9, m)) for m in range(24)]
+        # flat: one event every hour for 2 days
+        for d in (1, 2):
+            rows += [("roundclock", dt.datetime(2026, 4, d, h, 0)) for h in range(24)]
+        # thin: below min_events, must be suppressed
+        rows += [("thin", dt.datetime(2026, 4, 1, 9, 0))]
+        ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+        got = office_hours_channels(spark, ev, k=5, min_events=24).collect()
+        assert [r.event_type for r in got] == ["nine-to-five", "roundclock"]
+        assert got[0].peak_hour == 9
+        assert got[0].chi2 > got[1].chi2
+        assert got[1].chi2 == 0.0

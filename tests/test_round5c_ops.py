@@ -241,3 +241,139 @@ class TestTransitivity:
         row = transitivity(e).collect()[0]
         assert row.n_wedges == 5
         assert row.transitivity == 0.6
+
+
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    avg_neighbor_degree,
+    rich_club,
+)
+from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+    k_anonymity_audit,
+)
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    trimmed_mean,
+)
+
+
+def _tri_pendant(spark):
+    # triangle abc + pendant d on c: degrees a2 b2 c3 d1
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src: string, dst: string",
+    )
+
+
+class TestRichClub:
+    def test_hand_computed(self, spark):
+        got = {r.k: r.asDict() for r in rich_club(_tri_pendant(spark)).collect()}
+        # k=1: club {a,b,c}, edges ab/bc/ca all min-deg 2 -> phi 3/3
+        assert got[1]["n_club"] == 3
+        assert got[1]["e_club"] == 3
+        assert got[1]["phi"] == 1.0
+        # k=2 (club {c}, size 1) and k=3 (empty) have no defined phi
+        assert set(got) == {1}
+
+    def test_clique_is_flat_one(self, spark):
+        # K4: degrees all 3 -> only threshold below 3 exists via spectrum {3}
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+            "src: string, dst: string",
+        )
+        assert rich_club(e).collect() == []  # single degree value: club above it is empty
+
+    def test_hub_spoke_low(self, spark):
+        # star + one rim edge: hub h deg 4; rim x,y,z,w; edge x-y
+        e = spark.createDataFrame(
+            [("h", "x"), ("h", "y"), ("h", "z"), ("h", "w"), ("x", "y")],
+            "src: string, dst: string",
+        )
+        got = {r.k: r.asDict() for r in rich_club(e).collect()}
+        # spectrum {1, 2, 4}; k=1: club {h,x,y} (deg>1), edges with
+        # min>1: hx, hy, xy -> phi 3/3 = 1.0
+        assert got[1]["n_club"] == 3 and got[1]["phi"] == 1.0
+        # k=2: club {h} -> omitted; k=4 empty -> omitted
+        assert set(got) == {1}
+
+
+class TestAvgNeighborDegree:
+    def test_hand_computed(self, spark):
+        got = {r.id: r.asDict() for r in avg_neighbor_degree(_tri_pendant(spark)).collect()}
+        assert got["a"]["deg"] == 2 and got["a"]["avg_nbr_deg"] == 2.5
+        assert got["b"]["avg_nbr_deg"] == 2.5
+        assert got["c"]["deg"] == 3 and got["c"]["avg_nbr_deg"] == round(5 / 3, 6)
+        assert got["d"]["deg"] == 1 and got["d"]["avg_nbr_deg"] == 3.0
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "a")], "src: string, dst: string"
+        )
+        got = {r.id: r.asDict() for r in avg_neighbor_degree(e).collect()}
+        assert got == {
+            "a": {"id": "a", "deg": 1, "avg_nbr_deg": 1.0},
+            "b": {"id": "b", "deg": 1, "avg_nbr_deg": 1.0},
+        }
+
+
+class TestKAnonymityAudit:
+    def test_risky_classes(self, spark):
+        rows = [("u1", "t1")] * 5 + [("u2", "t1")] * 2 + [("u3", "t2")]
+        df = spark.createDataFrame(rows, "user_id: string, event_type: string")
+        got = {
+            (r.user_id, r.event_type): r.n
+            for r in k_anonymity_audit(df, ["user_id", "event_type"], k=5).collect()
+        }
+        assert got == {("u2", "t1"): 2, ("u3", "t2"): 1}
+
+    def test_anonymous_table_empty(self, spark):
+        rows = [("u1", "t1")] * 5 + [("u2", "t1")] * 5
+        df = spark.createDataFrame(rows, "user_id: string, event_type: string")
+        assert k_anonymity_audit(df, ["user_id", "event_type"], k=5).collect() == []
+
+    def test_null_is_a_quasi_value(self, spark):
+        df = spark.createDataFrame(
+            [("u1", None), ("u1", None), ("u2", "t")],
+            "user_id: string, event_type: string",
+        )
+        got = k_anonymity_audit(df, ["user_id", "event_type"], k=3).collect()
+        assert {(r.user_id, r.event_type, r.n) for r in got} == {
+            ("u1", None, 2),
+            ("u2", "t", 1),
+        }
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a",)], "x: string")
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, [], k=5)
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, ["x"], k=1)
+
+
+class TestTrimmedMean:
+    def test_hand_computed(self, spark):
+        rows = [("g", float(v), i) for i, v in enumerate([1, 2, 3, 4, 1000])]
+        df = spark.createDataFrame(rows, "g: string, v: double, id: long")
+        row = trimmed_mean(df, "v", "g", "id", trim=0.2).collect()[0]
+        # t = floor(0.2*5) = 1: drop 1 and 1000 -> mean(2,3,4) = 3
+        assert (row.n, row.n_trimmed_each_side, row.trimmed_mean) == (5, 1, 3.0)
+
+    def test_trim_zero_is_plain_mean(self, spark):
+        rows = [("g", float(v), v) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "g: string, v: double, id: long")
+        row = trimmed_mean(df, "v", "g", "id", trim=0.0).collect()[0]
+        assert (row.n, row.n_trimmed_each_side, row.trimmed_mean) == (10, 0, 5.5)
+
+    def test_nulls_excluded_and_groups_independent(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10.0, 1), ("a", None, 2), ("a", 20.0, 3), ("b", 7.0, 1)],
+            "g: string, v: double, id: long",
+        )
+        got = {r.g: r.asDict() for r in trimmed_mean(df, "v", "g", "id", trim=0.1).collect()}
+        assert got["a"]["n"] == 2 and got["a"]["trimmed_mean"] == 15.0
+        assert got["b"]["trimmed_mean"] == 7.0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("g", 1.0, 1)], "g: string, v: double, id: long")
+        with pytest.raises(ValueError):
+            trimmed_mean(df, "v", "g", "id", trim=0.5)
+        with pytest.raises(ValueError):
+            trimmed_mean(df, "v", "g", "id", trim=-0.1)

@@ -1793,3 +1793,118 @@ def transitivity(
             ),
         ).alias("transitivity"),
     )
+
+
+def rich_club(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Rich-club curve φ(k) (Zhou & Mondragón 2004; Colizza et al.
+    2006 uncorrected form): for every degree threshold k in the
+    graph's degree spectrum, the density of the subgraph induced by
+    nodes with degree > k — (k, n_club, e_club, phi) with φ =
+    2·E_k/(N_k·(N_k−1)). A rising tail means the hubs specifically
+    interconnect (a coordinated campaign core); mention-spoke CTI
+    graphs fall toward 0. Thresholds with n_club < 2 have no defined
+    density and are omitted.
+
+    Exact arithmetic via the suffix-count identity — NO induced
+    subgraph is ever materialized: N_k is a descending cumulative sum
+    over the degree histogram, E_k the same over the histogram of
+    per-edge min(deg_a, deg_b) (an edge survives the k-club cut iff
+    its weaker endpoint does), both aligned on the merged threshold
+    spectrum. φ is ONE round-6 division of exact bigints; the binomial
+    denominator uses the shiftright-exact form.
+
+    Scale shape: one degree aggregate, one edge↔degree join pair (the
+    graph_stats shape), two dimension-sized histograms (≤ |distinct
+    degrees| rows — power-law graphs have O(max_degree) distinct
+    values), ONE ordered window over that merged dimension frame (the
+    gini discipline: the global sort sees the histogram, never the
+    graph).
+    """
+    from pyspark.sql import Window
+
+    und = _canonical_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    nd = deg.groupBy("deg").agg(F.count("*").alias("nd"))
+    md = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(F.least(F.col("da"), F.col("db")).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count("*").alias("md"))
+    )
+    merged = (
+        nd.join(md, "deg", "full_outer")
+        .na.fill({"nd": 0, "md": 0})
+    )
+    w = (
+        Window.orderBy(F.col("deg").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "deg",
+        "nd",
+        "md",
+        F.sum("nd").over(w).alias("cn"),
+        F.sum("md").over(w).alias("cm"),
+    )
+    # club at threshold k: strictly-greater degrees -> subtract own bucket
+    n_club = (F.col("cn") - F.col("nd")).alias("n_club")
+    e_club = (F.col("cm") - F.col("md")).alias("e_club")
+    out = cum.select(F.col("deg").alias("k"), n_club, e_club).filter(
+        F.col("n_club") >= 2
+    )
+    denom = F.shiftright(F.col("n_club") * (F.col("n_club") - F.lit(1)), 1)
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_club").cast("long").alias("n_club"),
+        F.col("e_club").cast("long").alias("e_club"),
+        F.round(
+            F.col("e_club").cast("double") / denom.cast("double"), 6
+        ).alias("phi"),
+    )
+
+
+def avg_neighbor_degree(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, deg, avg_nbr_deg): each node's degree and the mean degree
+    of its neighbors over the undirected ``_canonical_edges`` view —
+    the per-node detail curve behind ``graph_stats``'s single
+    assortativity number (networkx average_neighbor_degree / the
+    knn(k) of Pastor-Satorras et al.). A hub whose avg_nbr_deg ≈ 1 is
+    a pure mention spoke; avg_nbr_deg ≫ its own degree flags a leaf
+    hanging off the campaign core.
+
+    Exact arithmetic: neighbor-degree sums are exact bigints over the
+    symmetrized edge list; the mean is ONE round-6 division by the
+    node's own (nonzero by construction) degree.
+
+    Scale shape: one degree aggregate, one keyed join of the
+    symmetrized edges against it, one node-keyed sum — the
+    graph_stats jk shape minus its second moment; map-side combining
+    carries the 100 TB weight, hot hubs are single AQE-split keys.
+    """
+    und = _canonical_edges(edges, src, dst)
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    j = sym.join(
+        deg.select(F.col("a").alias("b"), F.col("deg").alias("nbr_deg")), "b"
+    )
+    per = j.groupBy("a").agg(
+        F.count("*").alias("deg"),
+        F.sum("nbr_deg").alias("s"),
+    )
+    return per.select(
+        F.col("a").alias("id"),
+        F.col("deg").cast("long").alias("deg"),
+        F.round(F.col("s").cast("double") / F.col("deg").cast("double"), 6).alias(
+            "avg_nbr_deg"
+        ),
+    )

@@ -97,3 +97,36 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             (F.col("r.violations") == 0).alias("passed"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit before a corpus/telemetry release
+    (Sweeney's k-anonymity): every quasi-identifier combination whose
+    equivalence class holds FEWER than ``k`` rows, as (quasi cols...,
+    n) — each such row is a fingerprint that singles out ≲ k
+    individuals, the governance gate a training-data pipeline runs
+    next to PII scrubbing (scrub_pii removes direct identifiers; THIS
+    catches the indirect ones: a rare (user, type, hour) combination
+    identifies without containing a name). Empty output ⇔ the
+    projection is k-anonymous. NULL is a quasi-value like any other
+    (a NULL birthday still narrows the crowd).
+
+    Scale shape: ONE map-side-combining keyed count-aggregate + a
+    scan-local filter — the audit costs one shuffle of the distinct
+    combinations regardless of table size; the risky set it returns
+    is small by definition (classes below k).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < k)
+        .select(*quasi_cols, F.col("n").cast("long").alias("n"))
+    )

@@ -849,3 +849,67 @@ def hourly_seasonality(
         ),
         F.round(num.cast("double") / F.col("n").cast("double"), 6).alias("chi2"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tiebreak_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group α-trimmed mean — the robust center the MAD family's
+    outlier DETECTOR doesn't provide (mad_outliers flags tails; this
+    reports a level with the tails already cut, the stable SLA /
+    exfil-volume baseline a plain mean lets one burst wreck): drop
+    the lowest and highest ⌊α·n⌋ rows of each group's (value,
+    tiebreak) total order, average the rest. Output (group, n,
+    n_trimmed_each_side, trimmed_mean); α < 0.5 guarantees at least
+    one survivor per group (2·⌊α·n⌋ < n always), so no 0/0 case
+    exists.
+
+    Exactness: ⌊α·n⌋ uses the Fraction-exact integer arithmetic of
+    ``exact_percentiles`` (α read back as the decimal the caller
+    wrote); surviving values are summed as decimal(38,6) — exact and
+    ORDER-INDEPENDENT, where a double sum would vary with partition
+    merge order — and the mean is ONE round-6 division at the end.
+    NULL values are excluded like the percentile family.
+
+    Scale shape: the per-group rank window and the final aggregate
+    share ONE group-keyed exchange; no global sort, nothing collects.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    fr = Fraction(str(trim))
+    num, den = fr.numerator, fr.denominator
+    rows = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    # Keep the ORIGINAL group attribute through the chain: aliasing it
+    # before the aggregate makes Catalyst treat the alias as a new
+    # attribute and re-shuffle — grouping on the window's own partition
+    # key reuses its exchange (plan guard 80).
+    ranked = rows.select(
+        F.col(group_col),
+        F.col(value_col).cast("decimal(38,6)").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    ).withColumn("_t", F.expr(f"CAST(({num} * _n) DIV {den} AS BIGINT)"))
+    kept = ranked.filter(
+        (F.col("_rn") > F.col("_t")) & (F.col("_rn") <= F.col("_n") - F.col("_t"))
+    )
+    agg = kept.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_t").alias("n_trimmed_each_side"),
+        F.sum("_v").alias("_s"),
+        F.count("*").alias("_k"),
+    )
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_trimmed_each_side").cast("long").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("_s").cast("double") / F.col("_k").cast("double"), 6
+        ).alias("trimmed_mean"),
+    )

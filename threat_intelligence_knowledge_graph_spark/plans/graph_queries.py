@@ -976,3 +976,27 @@ def neighborhood_growth(
         .orderBy(F.col("est_ball").desc(), "id")
         .limit(k)
     )
+
+
+def office_hours_channels(
+    spark: SparkSession, events: DataFrame, k: int = 20, min_events: int = 24
+) -> DataFrame:
+    """Time-of-day-structure triage over an observation log: the k
+    most diurnally-structured channels by the hour-of-day chi-square
+    (highest χ² first, channel tiebreak) — a human operator keeps
+    office hours, a cron job spikes one hour, and both light up here
+    while around-the-clock automation sits near the uniform null.
+    Complements `clocked_beacons` on the orthogonal axis: a metronome
+    implant with a 1-hour period is seasonality-FLAT but cv²-loud;
+    a 9-to-5 keyboard actor is the reverse. ``peak_hour`` is the
+    channel's busiest UTC hour — the first clue for the operator's
+    timezone. ``min_events`` suppresses channels too thin to call
+    (χ² against 24 cells needs counts, not anecdotes)."""
+    from ..operators.stats import hourly_seasonality
+
+    return (
+        hourly_seasonality(events)
+        .filter(F.col("n") >= min_events)
+        .orderBy(F.col("chi2").desc(), "event_type")
+        .limit(k)
+    )
