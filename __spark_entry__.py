@@ -5178,6 +5178,54 @@ def q_events_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_events_l_diversity(spark, sf_dir):
+    """l-diversity audit companion to the k-anonymity entry: for the
+    (user_id, event_type, hour) quasi projection, classes whose
+    sensitive attribute (the day-of-month of activity — the temporal
+    fingerprint) takes < 3 distinct values; ONE keyed aggregate with
+    partial count-distinct + scan-local filter."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        l_diversity_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        F.dayofmonth("ts").cast("int").alias("day"),
+    )
+    return l_diversity_audit(
+        ev, ["user_id", "event_type", "hour"], "day", l=3
+    )
+
+
+def q_events_rate_peaks(spark, sf_dir):
+    """Sliding 24h-window rate profile per user (peak trailing-window
+    count + events over a 3/day limit) — epoch-integer RANGE frame,
+    exact bigints only; the frame window and the per-user aggregate
+    share ONE user-keyed exchange."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        rate_peaks,
+    )
+
+    return rate_peaks(
+        _t(spark, sf_dir, "events"), window_s=86400, limit=3
+    )
+
+
+def q_hll_user_overlap(spark, sf_dir):
+    """Pairwise distinct-user overlap between event types by HLL
+    inclusion-exclusion: per-type sketches from ONE scan, densified
+    register equi-join, scaled-integer harmonic-sum witnesses
+    (hash-checked strings), one fixed-order float expression round-3."""
+    from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+        hll_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_overlap(ev, "user_id", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5296,6 +5344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_avg_nbr_deg": q_graph_avg_nbr_deg,
         "events_k_anonymity": q_events_k_anonymity,
         "events_trimmed_mean": q_events_trimmed_mean,
+        "events_l_diversity": q_events_l_diversity,
+        "events_rate_peaks": q_events_rate_peaks,
+        "hll_user_overlap": q_hll_user_overlap,
         "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
@@ -6573,6 +6624,58 @@ def _hll_oracle_sql() -> str:
                CAST({s_expr} AS VARCHAR) AS s_scaled,
                round({numer!r} / CAST({s_expr} AS DOUBLE), 3) AS est_distinct
         FROM agg
+    """
+
+
+def _hll_overlap_oracle_sql() -> str:
+    """Pairwise HLL overlap oracle: per-type sketches with the shared
+    md5 routing + rank CASE, densified over all 64 registers (empty =
+    rank 0), register equi-join per unordered pair, HUGEINT harmonic
+    sums, and the same fixed-order inclusion-exclusion float — mirrors
+    operators/sketches.py::hll_overlap exactly."""
+    scale, m = 59, 64
+    rank_case = _hll_rank_case_sql()
+    numer = _hll_numer(m)
+    return f"""
+        WITH h AS (
+          SELECT event_type AS grp,
+                 md5_number_upper('hll:' || cast(user_id AS varchar)) AS hu
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        rw AS (SELECT grp, hu % {m} AS register, hu // {m} AS w FROM h),
+        regs AS (
+          SELECT grp, register, max({rank_case}) AS m_rank
+          FROM rw GROUP BY grp, register
+        ),
+        grps AS (SELECT DISTINCT grp FROM regs),
+        dense AS (
+          SELECT g.grp, r.register, coalesce(s.m_rank, 0) AS m_rank
+          FROM grps g
+          CROSS JOIN (SELECT unnest(range(0, {m})) AS register) r
+          LEFT JOIN regs s
+            ON s.grp = g.grp AND s.register = r.register
+        ),
+        pairs AS (
+          SELECT d1.grp AS a, d2.grp AS b,
+                 sum(CAST(1 AS BIGINT) << ({scale} - d1.m_rank)) AS sa,
+                 sum(CAST(1 AS BIGINT) << ({scale} - d2.m_rank)) AS sb,
+                 sum(CAST(1 AS BIGINT)
+                     << ({scale} - greatest(d1.m_rank, d2.m_rank))) AS su
+          FROM dense d1
+          JOIN dense d2 ON d1.register = d2.register AND d1.grp < d2.grp
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               CAST(sa AS VARCHAR) AS s_a,
+               CAST(sb AS VARCHAR) AS s_b,
+               CAST(su AS VARCHAR) AS s_union,
+               round({numer!r} / CAST(sa AS DOUBLE), 3) AS est_a,
+               round({numer!r} / CAST(sb AS DOUBLE), 3) AS est_b,
+               round({numer!r} / CAST(su AS DOUBLE), 3) AS est_union,
+               round({numer!r} / CAST(sa AS DOUBLE)
+                     + {numer!r} / CAST(sb AS DOUBLE)
+                     - {numer!r} / CAST(su AS DOUBLE), 3) AS est_overlap
+        FROM pairs
     """
 
 
@@ -7948,6 +8051,34 @@ def oracle_sql() -> dict[str, str]:
                      AS trimmed_mean
             FROM k
         """,
+        # l-diversity: GROUP BY + HAVING count(DISTINCT sensitive) < l
+        # (see q_events_l_diversity).
+        "events_l_diversity": """
+            SELECT user_id, event_type, cast(hour(ts) AS int) AS hour,
+                   cast(count(*) AS bigint) AS n,
+                   cast(count(DISTINCT day(ts)) AS bigint) AS n_sensitive
+            FROM events
+            GROUP BY user_id, event_type, hour(ts)
+            HAVING count(DISTINCT day(ts)) < 3
+        """,
+        # Sliding-window rate profile: integer-second RANGE frame
+        # shared with the per-user aggregate (see q_events_rate_peaks).
+        "events_rate_peaks": """
+            WITH r AS (
+              SELECT user_id,
+                     count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) // 1000000
+                       RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW
+                     ) AS c
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT user_id, cast(count(*) AS bigint) AS n_events,
+                   cast(max(c) AS bigint) AS peak_rate,
+                   cast(count(*) FILTER (WHERE c > 3) AS bigint) AS n_over
+            FROM r GROUP BY user_id
+        """,
+        "hll_user_overlap": _hll_overlap_oracle_sql(),
         "events_benford": """
             WITH digits AS (
               SELECT event_type AS "group",

@@ -979,6 +979,44 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("trimmed_mean_single_exchange", f"exchanges={n_ex}"))
         print(f"FAIL trimmed_mean_single_exchange: exchanges={n_ex}")
+    # 81: l-diversity — the two-phase distinct aggregate only (quasi +
+    # (quasi, sensitive) partials), no join, no Python.
+    plan = plan_of(em.q_events_l_diversity(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if n_ex <= 2 and "EvalPython" not in plan and "Join" not in plan:
+        print("PASS l_diversity_two_phase_distinct")
+    else:
+        failures.append(("l_diversity_two_phase_distinct", f"exchanges={n_ex}"))
+        print(f"FAIL l_diversity_two_phase_distinct: exchanges={n_ex}")
+    # 82: sliding-rate profile — the RANGE-frame window and the
+    # per-user aggregate share ONE user-keyed exchange; integer frame
+    # key, no Python.
+    plan = plan_of(em.q_events_rate_peaks(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if (
+        n_ex <= 1
+        and "EvalPython" not in plan
+        and "Exchange SinglePartition" not in plan
+    ):
+        print("PASS rate_peaks_single_exchange")
+    else:
+        failures.append(("rate_peaks_single_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL rate_peaks_single_exchange: exchanges={n_ex}")
+    # 83: HLL overlap — the checkpointed sketch means the RAW corpus
+    # is scanned at most once in the pair plan (zero parquet scans
+    # after the eager checkpoint), and the pair join is a register
+    # equi-join, never cartesian.
+    plan = plan_of(em.q_hll_user_overlap(spark, sf_dir))
+    n_scan = len(_re2.findall(r"^\(\d+\) Scan parquet", plan, _re2.M))
+    if (
+        n_scan <= 1
+        and "CartesianProduct" not in plan
+        and "EvalPython" not in plan
+    ):
+        print("PASS hll_overlap_single_corpus_scan")
+    else:
+        failures.append(("hll_overlap_single_corpus_scan", f"scans={n_scan}"))
+        print(f"FAIL hll_overlap_single_corpus_scan: scans={n_scan}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

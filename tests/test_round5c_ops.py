@@ -377,3 +377,108 @@ class TestTrimmedMean:
             trimmed_mean(df, "v", "g", "id", trim=0.5)
         with pytest.raises(ValueError):
             trimmed_mean(df, "v", "g", "id", trim=-0.1)
+
+
+from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+    rate_peaks,
+)
+from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+    l_diversity_audit,
+)
+from threat_intelligence_knowledge_graph_spark.operators.sketches import (
+    hll_overlap,
+)
+
+
+class TestLDiversityAudit:
+    def test_homogeneous_class_flagged(self, spark):
+        df = spark.createDataFrame(
+            [("q1", "a"), ("q1", "a"), ("q1", "a"),
+             ("q2", "a"), ("q2", "b"), ("q2", "c"),
+             ("q3", "a"), ("q3", "b")],
+            "quasi: string, sens: string",
+        )
+        got2 = {(r.quasi, r.n, r.n_sensitive)
+                for r in l_diversity_audit(df, ["quasi"], "sens", l=2).collect()}
+        assert got2 == {("q1", 3, 1)}
+        got3 = {(r.quasi, r.n_sensitive)
+                for r in l_diversity_audit(df, ["quasi"], "sens", l=3).collect()}
+        assert got3 == {("q1", 1), ("q3", 2)}
+
+    def test_null_sensitive_is_one_value(self, spark):
+        df = spark.createDataFrame(
+            [("q", None), ("q", None)], "quasi: string, sens: string"
+        )
+        row = l_diversity_audit(df, ["quasi"], "sens", l=2).collect()[0]
+        assert (row.n, row.n_sensitive) == (2, 1)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("q", "a")], "quasi: string, sens: string")
+        with pytest.raises(ValueError):
+            l_diversity_audit(df, [], "sens", l=2)
+        with pytest.raises(ValueError):
+            l_diversity_audit(df, ["quasi"], "sens", l=1)
+
+
+class TestRatePeaks:
+    def _ev(self, spark, epochs, user="u"):
+        import datetime as dt
+
+        rows = [(user, dt.datetime.fromtimestamp(e, dt.timezone.utc).replace(tzinfo=None))
+                for e in epochs]
+        return spark.createDataFrame(rows, "user_id: string, ts: timestamp")
+
+    def test_hand_computed_window(self, spark):
+        ev = self._ev(spark, [0, 10, 3599, 3600, 7200])
+        row = rate_peaks(ev, window_s=3600, limit=2).collect()[0]
+        # trailing-3600s counts: 1, 2, 3, 3, 1 -> peak 3, two over limit 2
+        assert (row.n_events, row.peak_rate, row.n_over) == (5, 3, 2)
+
+    def test_same_second_burst_counts_fully(self, spark):
+        ev = self._ev(spark, [100, 100, 100])
+        row = rate_peaks(ev, window_s=60).collect()[0]
+        assert row.peak_rate == 3
+
+    def test_burst_straddling_bucket_boundary(self, spark):
+        # 2 events just before and 2 just after an hour boundary: any
+        # aligned hourly bucket sees 2, the sliding window sees 4.
+        ev = self._ev(spark, [3598, 3599, 3600, 3601])
+        row = rate_peaks(ev, window_s=3600).collect()[0]
+        assert row.peak_rate == 4
+
+    def test_groups_independent_and_validation(self, spark):
+        ev = self._ev(spark, [0, 1], "u1").unionAll(self._ev(spark, [0], "u2"))
+        got = {r.user_id: r.peak_rate for r in rate_peaks(ev, window_s=10).collect()}
+        assert got == {"u1": 2, "u2": 1}
+        with pytest.raises(ValueError):
+            rate_peaks(ev, window_s=0)
+        with pytest.raises(ValueError):
+            rate_peaks(ev, window_s=10, limit=0)
+
+
+class TestHllOverlap:
+    def test_identical_groups_full_overlap(self, spark):
+        rows = [("A", f"k{i}") for i in range(200)] + [
+            ("B", f"k{i}") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g: string, key: string")
+        row = hll_overlap(df, "key", "g").collect()[0]
+        # identical key sets: identical sketches, union == either side
+        assert row.s_a == row.s_b == row.s_union
+        assert row.est_overlap == row.est_a == row.est_b
+
+    def test_subset_overlap_equals_smaller(self, spark):
+        rows = [("A", f"k{i}") for i in range(300)] + [
+            ("B", f"k{i}") for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g: string, key: string")
+        row = hll_overlap(df, "key", "g").collect()[0]
+        # B ⊂ A: union sketch == A's sketch, overlap estimate == est_B
+        assert row.s_union == row.s_a
+        assert row.est_overlap == row.est_b
+
+    def test_all_pairs_emitted(self, spark):
+        rows = [(g, f"{g}{i}") for g in "ABC" for i in range(20)]
+        df = spark.createDataFrame(rows, "g: string, key: string")
+        got = {(r.a, r.b) for r in hll_overlap(df, "key", "g").collect()}
+        assert got == {("A", "B"), ("A", "C"), ("B", "C")}

@@ -389,3 +389,58 @@ def dormancy_reactivation(
             F.col("_last_gap") > F.lit(quiet_us), F.lit(False)
         ).alias("reactivated"),
     )
+
+
+def rate_peaks(
+    events: DataFrame,
+    window_s: int = 3600,
+    limit: int | None = None,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window rate profile per channel — the abuse/exfil
+    detector the fixed-bucket family (hourly counts, Fano, CUSUM)
+    structurally misses: a 500-event burst straddling an hour boundary
+    halves in every aligned bucket but is ONE window here. For each
+    channel: ``peak_rate`` = the max number of its events in ANY
+    trailing ``window_s``-second window (windows anchored at events —
+    the max over event-anchored windows equals the max over all
+    windows), and, when ``limit`` is set, ``n_over`` = how many events
+    land in a trailing window already holding > ``limit`` events (the
+    throttle-violation count a rate limiter would have rejected).
+
+    Exactness: epoch-integer RANGE frame ``[ts − window_s + 1, ts]``
+    (inclusive trailing window) — same-second bursts are RANGE ties
+    and count fully in both engines; every output is an exact bigint,
+    no floats at all.
+
+    Scale shape: the range-frame window and the per-channel aggregate
+    share ONE channel-keyed exchange; nothing global, nothing
+    collects. State per channel is bounded by window occupancy, the
+    same bound a streaming rate limiter carries.
+    """
+    if window_s < 1:
+        raise ValueError("window_s must be >= 1")
+    if limit is not None and limit < 1:
+        raise ValueError("limit must be >= 1 when set")
+    # floor-of-seconds epoch (integer `div`, no float in the frame
+    # key): handles NTZ inputs and sub-second timestamps identically
+    # to DuckDB's epoch_us // 1000000
+    epoch = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000000")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(epoch)
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    rated = events.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_rate", F.count("*").over(w)
+    )
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.max("_rate").cast("long").alias("peak_rate"),
+    ]
+    if limit is not None:
+        aggs.append(
+            F.sum((F.col("_rate") > limit).cast("long")).alias("n_over")
+        )
+    return rated.groupBy(group_col).agg(*aggs)

@@ -130,3 +130,43 @@ def k_anonymity_audit(
         .filter(F.col("n") < k)
         .select(*quasi_cols, F.col("n").cast("long").alias("n"))
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """The companion gate to :func:`k_anonymity_audit` (Machanavajjhala
+    et al. 2007): a class can be k-anonymous yet leak — if all k rows
+    share ONE sensitive value, linking any member to the class reveals
+    it (homogeneity attack). Returns every quasi-identifier class whose
+    sensitive attribute takes FEWER than ``l`` distinct values, as
+    (quasi cols..., n, n_sensitive). Empty output ⇔ the projection is
+    l-diverse. NULL sensitive values count as one value (a class that
+    is all-NULL is maximally homogeneous — exactly what must surface).
+
+    Scale shape: ONE keyed aggregate with a partial count-distinct
+    (the distinct expansion shuffles (quasi, sensitive) pairs, already
+    deduplicated map-side) + a scan-local filter.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(
+                F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\0null"))
+            ).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+        .select(
+            *quasi_cols,
+            F.col("n").cast("long").alias("n"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        )
+    )

@@ -463,3 +463,118 @@ def cms_join_size(
     return per_row.agg(
         F.min("dot").cast("long").alias("est_join_size")
     )
+
+
+def hll_grouped_build(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """(group, register, m_rank): one :func:`hll_build` sketch PER
+    GROUP in a single pass — the per-day / per-source distinct-count
+    cube shape. Same md5 routing and rank chain; ONE map-side-combining
+    max-agg over ≤ |groups|·2^p cells."""
+    if not 1 <= p <= 12:
+        raise ValueError("p must be in [1, 12]")
+    m = 1 << p
+    h = _md5_u64(key_col, salt)
+    hashed = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        (h % F.lit(m)).cast("long").alias("register"),
+        F.floor(h / F.lit(m)).cast("long").alias("_w"),
+    )
+    return (
+        hashed.select("group", "register", _hll_rank(F.col("_w")).alias("_rank"))
+        .groupBy("group", "register")
+        .agg(F.max("_rank").alias("m_rank"))
+    )
+
+
+def hll_overlap(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Pairwise distinct-key overlap between groups by HLL
+    inclusion-exclusion — "how many users does each pair of event
+    types / sources / days share?" WITHOUT a quadratic distinct-pair
+    join: per group one sketch (:func:`hll_grouped_build`), per pair
+    the UNION sketch is the registerwise max, and est(A∩B) =
+    est(A) + est(B) − est(A∪B). One row per unordered pair (a < b):
+    (a, b, s_a, s_b, s_union, est_a, est_b, est_union, est_overlap).
+
+    Exactness discipline: the three harmonic sums are the
+    scaled-integer decimal(38,0) witnesses of :func:`hll_estimate`
+    (hash-checkable strings); the single float expression is the
+    three-division inclusion-exclusion, one fixed evaluation order,
+    round-3. Inclusion-exclusion inherits raw-HLL error (can go
+    negative for near-disjoint sets — that IS the estimate; the
+    magnitude, not the sign, is the analyst signal).
+
+    Scale shape: sketches are DENSIFIED (every group × 2^p registers,
+    empty = rank 0) so the pair join is a plain register equi-join of
+    two dimension-sized frames — |groups|²·2^p/2 join rows total,
+    independent of corpus size; the raw keys are touched exactly once.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << _HLL_SCALE)
+    # The sketch table (≤ |groups|·2^p rows) is referenced four times
+    # below (group list + both join sides); localCheckpoint pins it so
+    # the RAW corpus is scanned exactly once — the HyperANF lineage
+    # discipline, here also a 4×-scan saver.
+    sk = hll_grouped_build(keys, key_col, group_col, p=p, salt=salt).localCheckpoint(
+        eager=True
+    )
+    groups = sk.select("group").distinct()
+    dense = (
+        groups.select(
+            "group", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("register")
+        )
+        .join(sk, ["group", "register"], "left")
+        .na.fill({"m_rank": 0})
+    )
+    a = dense.select(
+        F.col("group").alias("a"),
+        "register",
+        F.col("m_rank").alias("_ra"),
+    )
+    b = dense.select(
+        F.col("group").alias("b"),
+        "register",
+        F.col("m_rank").alias("_rb"),
+    )
+    pairs = a.join(b, "register").filter(F.col("a") < F.col("b"))
+
+    def _term(rank_col):
+        return F.expr(
+            f"shiftleft(1L, {_HLL_SCALE} - {rank_col})"
+        ).cast("decimal(38,0)")
+
+    agg = pairs.groupBy("a", "b").agg(
+        F.sum(_term("_ra")).alias("_sa"),
+        F.sum(_term("_rb")).alias("_sb"),
+        F.sum(
+            F.expr(
+                f"shiftleft(1L, {_HLL_SCALE} - greatest(_ra, _rb))"
+            ).cast("decimal(38,0)")
+        ).alias("_su"),
+    )
+    ea = F.lit(numer) / F.col("_sa").cast("double")
+    eb = F.lit(numer) / F.col("_sb").cast("double")
+    eu = F.lit(numer) / F.col("_su").cast("double")
+    return agg.select(
+        "a",
+        "b",
+        F.col("_sa").cast("string").alias("s_a"),
+        F.col("_sb").cast("string").alias("s_b"),
+        F.col("_su").cast("string").alias("s_union"),
+        F.round(ea, 3).alias("est_a"),
+        F.round(eb, 3).alias("est_b"),
+        F.round(eu, 3).alias("est_union"),
+        F.round(ea + eb - eu, 3).alias("est_overlap"),
+    )
