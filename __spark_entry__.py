@@ -5226,6 +5226,37 @@ def q_hll_user_overlap(spark, sf_dir):
     return hll_overlap(ev, "user_id", "event_type")
 
 
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier signup→purchase conversion curve with right
+    censoring at the corpus horizon: exact integer-µs day durations,
+    descending-cumsum risk sets, running ln-sum survival (cumulative
+    frame = deterministic addition order), round-6."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        survival_curve,
+    )
+
+    return survival_curve(_t(spark, sf_dir, "events"), "signup", "purchase")
+
+
+def q_events_value_pct(spark, sf_dir):
+    """Per-type percent-rank normalization of event values (the
+    cross-source score-mixing transform): both engines define
+    percent_rank identically, ties share a rank; NULL values filtered
+    (NULLS FIRST vs LAST differs across engines); round-6."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        percentile_normalize,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    return percentile_normalize(ev, "value", "event_type").select(
+        "event_id", "event_type", "pct"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5347,6 +5378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_l_diversity": q_events_l_diversity,
         "events_rate_peaks": q_events_rate_peaks,
         "hll_user_overlap": q_hll_user_overlap,
+        "events_survival": q_events_survival,
+        "events_value_pct": q_events_value_pct,
         "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
@@ -8079,6 +8112,67 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY user_id
         """,
         "hll_user_overlap": _hll_overlap_oracle_sql(),
+        # Kaplan-Meier: identical duration/risk/ln-sum chain (see
+        # q_events_survival).
+        "events_survival": """
+            WITH ev AS (
+              SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+              FROM events WHERE ts IS NOT NULL
+            ),
+            t0 AS (SELECT u, min(us) AS t0 FROM ev
+                   WHERE t = 'signup' GROUP BY u),
+            conv AS (
+              SELECT ev.u, min(us) AS t1 FROM ev JOIN t0 USING (u)
+              WHERE t = 'purchase' AND us >= t0 GROUP BY ev.u
+            ),
+            hz AS (SELECT max(us) AS hz FROM ev),
+            subj AS (
+              SELECT (coalesce(t1, hz) - t0) // 86400000000 AS t_day,
+                     CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS e
+              FROM t0 LEFT JOIN conv USING (u) CROSS JOIN hz
+            ),
+            days AS (
+              SELECT t_day, cast(sum(e) AS bigint) AS d,
+                     cast(sum(1 - e) AS bigint) AS c
+              FROM subj GROUP BY t_day
+            ),
+            risk AS (
+              SELECT *, sum(d + c) OVER (
+                ORDER BY t_day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS n FROM days
+            ),
+            curve AS (
+              SELECT *,
+                sum(CASE WHEN d > 0 AND d < n
+                         THEN ln(cast(n - d AS double) / cast(n AS double))
+                         ELSE 0.0 END) OVER (
+                  ORDER BY t_day ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS lns,
+                max(CASE WHEN d > 0 AND d >= n THEN 1 ELSE 0 END) OVER (
+                  ORDER BY t_day ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS dead
+              FROM risk
+            )
+            SELECT cast(t_day AS bigint) AS t_day,
+                   cast(n AS bigint) AS n_at_risk,
+                   d AS n_events, c AS n_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(lns), 6) END AS survival
+            FROM curve
+        """,
+        # percent_rank is identically defined in both engines; NULLs
+        # filtered (NULLS FIRST/LAST divergence) — see
+        # q_events_value_pct.
+        "events_value_pct": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value ASC
+                   ), 6) AS pct
+            FROM events WHERE value IS NOT NULL
+        """,
         "events_benford": """
             WITH digits AS (
               SELECT event_type AS "group",

@@ -1017,6 +1017,29 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("hll_overlap_single_corpus_scan", f"scans={n_scan}"))
         print(f"FAIL hll_overlap_single_corpus_scan: scans={n_scan}")
+    # 87: Kaplan-Meier — keyed min-aggregates + a 1-row broadcast
+    # horizon; the curve windows run over the day table (dimension-
+    # sized by the horizon), everything JVM-side.
+    check(
+        "survival_jvm_only",
+        em.q_events_survival(spark, sf_dir),
+        ["Window", "HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "SortAggregate"],
+    )
+    # 88: percent-rank normalization — ONE group-keyed window
+    # exchange, scan-local otherwise, no aggregate, no Python.
+    plan = plan_of(em.q_events_value_pct(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if (
+        n_ex <= 1
+        and "EvalPython" not in plan
+        and "HashAggregate" not in plan
+        and "Exchange SinglePartition" not in plan
+    ):
+        print("PASS value_pct_single_window_exchange")
+    else:
+        failures.append(("value_pct_single_window_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL value_pct_single_window_exchange: exchanges={n_ex}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

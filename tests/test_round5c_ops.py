@@ -482,3 +482,76 @@ class TestHllOverlap:
         df = spark.createDataFrame(rows, "g: string, key: string")
         got = {(r.a, r.b) for r in hll_overlap(df, "key", "g").collect()}
         assert got == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+from threat_intelligence_knowledge_graph_spark.operators.stats import (
+    percentile_normalize,
+    survival_curve,
+)
+
+
+class TestSurvivalCurve:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2026, 5, 1)
+        return spark.createDataFrame(
+            [(u, t, base + dt.timedelta(days=d)) for u, t, d in rows],
+            "user_id: string, event_type: string, ts: timestamp",
+        )
+
+    def test_hand_computed_km(self, spark):
+        ev = self._ev(spark, [
+            ("u1", "signup", 0), ("u1", "purchase", 2),
+            ("u2", "signup", 0), ("u2", "purchase", 5),
+            ("u3", "signup", 0),
+            ("u4", "purchase", -1), ("u4", "signup", 1),  # pre-start conversion ignored
+        ])
+        got = {r.t_day: r.asDict() for r in survival_curve(ev, "signup", "purchase").collect()}
+        # day 2: risk 4, event u1 -> S = 3/4
+        assert got[2]["n_at_risk"] == 4 and got[2]["n_events"] == 1
+        assert got[2]["survival"] == 0.75
+        # day 4: u4 censored (horizon - its t0), no event -> S unchanged
+        assert got[4]["n_censored"] == 1 and got[4]["n_events"] == 0
+        assert got[4]["survival"] == 0.75
+        # day 5: risk 2 (u2 event + u3 censored at horizon) -> S = 0.375
+        assert got[5]["n_at_risk"] == 2
+        assert got[5]["survival"] == 0.375
+        assert set(got) == {2, 4, 5}
+
+    def test_risk_set_fully_consumed_hits_zero(self, spark):
+        ev = self._ev(spark, [
+            ("a", "signup", 0), ("a", "purchase", 1),
+            ("b", "signup", 0), ("b", "purchase", 1),
+        ])
+        got = survival_curve(ev, "signup", "purchase").collect()
+        assert len(got) == 1
+        assert got[0].survival == 0.0 and got[0].n_at_risk == 2
+
+    def test_no_converters_flat_one(self, spark):
+        ev = self._ev(spark, [
+            ("a", "signup", 0), ("b", "signup", 0), ("b", "click", 3),
+        ])
+        got = survival_curve(ev, "signup", "purchase").collect()
+        assert all(r.survival == 1.0 for r in got)
+        assert sum(r.n_censored for r in got) == 2
+
+
+class TestPercentileNormalize:
+    def test_rank_transform(self, spark):
+        df = spark.createDataFrame(
+            [("g", 10.0), ("g", 20.0), ("g", 30.0), ("h", 7.0)],
+            "g: string, v: double",
+        )
+        got = sorted(
+            (r.g, r.v, r.pct) for r in percentile_normalize(df, "v", "g").collect()
+        )
+        assert got == [("g", 10.0, 0.0), ("g", 20.0, 0.5), ("g", 30.0, 1.0),
+                       ("h", 7.0, 0.0)]
+
+    def test_ties_share_rank(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 1.0), ("g", 2.0)], "g: string, v: double"
+        )
+        got = sorted(r.pct for r in percentile_normalize(df, "v", "g").collect())
+        assert got == [0.0, 0.0, 1.0]

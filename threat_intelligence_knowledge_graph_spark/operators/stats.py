@@ -913,3 +913,117 @@ def trimmed_mean(
             F.col("_s").cast("double") / F.col("_k").cast("double"), 6
         ).alias("trimmed_mean"),
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    start_type: str,
+    convert_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan–Meier time-to-conversion with right censoring — the
+    time-to-event member of the timeline family that the funnel/
+    retention pair cannot express: funnel() reports WHETHER users
+    convert, retention_cohorts() whether they RETURN; this reports the
+    conversion-time DISTRIBUTION with non-converters handled honestly
+    (censored at the corpus horizon, still in the risk set until then)
+    instead of dropped — dropping them is survivorship bias, the
+    classic dwell-time / patch-latency mistake.
+
+    Subjects: users with a ``start_type`` event (t0 = their first);
+    conversion = first ``convert_type`` at or after t0; duration =
+    whole days (exact integer-µs floor-div) to conversion, else to the
+    global max timestamp (1-row broadcast horizon). One output row per
+    day where anyone leaves: (t_day, n_at_risk, n_events, n_censored,
+    survival) with S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s/n_s); censored
+    subjects count in the risk set at their own day (events-first
+    convention, pinned).
+
+    Determinism: risk sets are exact descending cumsums over the DAY
+    table; S is exp of a RUNNING ln-sum — a cumulative-frame window
+    sum, so the addition ORDER is the frame order on both engines
+    (never a partition-merge-order float sum); round-6 at the end.
+    The day a risk set is wholly consumed by events (n = d) sets a
+    sticky zero flag instead of feeding ln(0).
+
+    Scale shape: two user-keyed min-aggregates + one 1-row broadcast
+    horizon; the curve windows run over the DAY table — bounded by the
+    observation horizon in days, dimension-sized by construction (the
+    gini discipline).
+    """
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    ev = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), us.alias("us")
+    )
+    t0 = ev.filter(F.col("t") == start_type).groupBy("u").agg(
+        F.min("us").alias("t0")
+    )
+    conv = (
+        ev.filter(F.col("t") == convert_type)
+        .join(t0, "u")
+        .filter(F.col("us") >= F.col("t0"))
+        .groupBy("u")
+        .agg(F.min("us").alias("t1"))
+    )
+    horizon = ev.agg(F.max("us").alias("hz"))
+    subj = (
+        t0.join(conv, "u", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CAST((coalesce(t1, hz) - t0) DIV 86400000000 AS BIGINT)"
+            ).alias("t_day"),
+            F.col("t1").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    days = subj.groupBy("t_day").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy(F.col("t_day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = days.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_desc))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n")),
+        F.log((F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double")),
+    ).otherwise(F.lit(0.0))
+    curve = risk.withColumn("_lns", F.sum(term).over(w_asc)).withColumn(
+        "_dead",
+        F.max(((F.col("d") > 0) & (F.col("d") >= F.col("n"))).cast("int")).over(
+            w_asc
+        ),
+    )
+    return curve.select(
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_lns")), 6))
+        .alias("survival"),
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Adds ``pct`` — the within-group percent rank of ``value_col``
+    ((rank − 1)/(n − 1), ties share a rank, single-row groups pin 0.0)
+    — the quantile-normalization step that makes scores COMPARABLE
+    ACROSS GROUPS before mixing (a quality score of 0.7 means
+    different things in different sources; its percentile doesn't).
+    Both engines define percent_rank identically, so the only added
+    op is the round-6; ONE group-keyed window exchange, scan-local
+    otherwise."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    return df.withColumn("pct", F.round(F.percent_rank().over(w), 6))
