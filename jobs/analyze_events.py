@@ -26,6 +26,13 @@ oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
 - ``--report sequences``   top consecutive event-type trigrams
 - ``--report funnel``      ordered progression through --steps a,b,c
 - ``--report retention``   weekly cohort retention
+- ``--report seasonality`` per-type hour-of-day chi-square profile
+                           (office hours vs around-the-clock)
+- ``--report rate``        sliding 24h-window peak rate per user
+                           (bursts aligned buckets miss)
+- ``--report survival``    Kaplan-Meier time-to-conversion between
+                           --steps start,convert (censored honestly)
+- ``--report trimmed``     per-type 10%-trimmed mean of ``value``
 
 Invocation::
 
@@ -51,7 +58,7 @@ from threat_intelligence_knowledge_graph_spark.session import build_session
 REPORTS = (
     "beacons", "entropy", "fano", "trend", "correlation", "autocorr",
     "novelty", "churn", "cusum", "mad", "markov", "sequences",
-    "funnel", "retention",
+    "funnel", "retention", "seasonality", "rate", "survival", "trimmed",
 )
 
 
@@ -88,6 +95,16 @@ def _build(report: str, events, steps: list[str], lag: int = 24):
         return stats.funnel(events, steps)
     if report == "retention":
         return stats.retention_cohorts(events)
+    if report == "seasonality":
+        return stats.hourly_seasonality(events)
+    if report == "rate":
+        return anomaly.rate_peaks(events, window_s=86400, limit=3)
+    if report == "survival":
+        if len(steps) != 2:
+            raise SystemExit("--report survival requires --steps start,convert")
+        return stats.survival_curve(events, steps[0], steps[1])
+    if report == "trimmed":
+        return stats.trimmed_mean(events, "value", "event_type", "event_id")
     raise SystemExit(f"unknown report {report!r} (choose from {REPORTS})")
 
 

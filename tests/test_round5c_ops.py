@@ -555,3 +555,55 @@ class TestPercentileNormalize:
         )
         got = sorted(r.pct for r in percentile_normalize(df, "v", "g").collect())
         assert got == [0.0, 0.0, 1.0]
+
+
+class TestAnalyzeEventsCliRound5c:
+    def _mod(self):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "analyze_events",
+            _os.path.join(
+                _os.path.dirname(__file__), "..", "jobs", "analyze_events.py"
+            ),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_new_reports(self, spark, tmp_path, capsys):
+        import datetime
+
+        ae = self._mod()
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(4):
+            rows.append((f"s{i}", f"u{i}", "signup", base, 1.0))
+            if i < 2:
+                rows.append(
+                    (f"p{i}", f"u{i}", "purchase",
+                     base + datetime.timedelta(days=i + 1), 2.0)
+                )
+        src = str(tmp_path / "ev.parquet")
+        spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "value"]
+        ).write.parquet(src)
+
+        rc = ae.main(
+            ["--input", src, "--report", "survival",
+             "--steps", "signup,purchase"],
+            spark=spark,
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "survival" in out and "n_at_risk" in out
+
+        for report in ("seasonality", "rate", "trimmed"):
+            rc = ae.main(["--input", src, "--report", report], spark=spark)
+            assert rc == 0
+
+        # survival without exactly 2 steps -> clean one-line exit
+        with pytest.raises(SystemExit):
+            ae.main(
+                ["--input", src, "--report", "survival"], spark=spark
+            )
