@@ -5257,6 +5257,68 @@ def q_events_value_pct(spark, sf_dir):
     )
 
 
+def q_similarity_mutual_best(spark, sf_dir):
+    """Reciprocal best match over the every-7th-embedding subset: the
+    batch_topk candidate lists (k=5, rounded-cosine rank) filtered to
+    pairs where each side is the other's top non-self candidate —
+    the high-precision ER pairing rule."""
+    from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+        batch_topk,
+        mutual_best,
+    )
+
+    sub = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    scores = batch_topk(
+        sub,
+        sub.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+    )
+    return mutual_best(scores)
+
+
+def q_eval_calibration(spark, sf_dir):
+    """Reliability diagram + per-bin Brier of a SYNTHETIC calibrated
+    scorer (p = md5_a/1e6, y = [md5_b < md5_a] — P(y=1|p) = p by
+    construction, so the diagram is diagonal): fixed-point millionths,
+    exact integer bin/sum arithmetic, one round-6 division per ratio."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        calibration_table,
+    )
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        _md5_bucket,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        (_md5_bucket("doc_id", "cal_p").cast("double") / F.lit(1e6)).alias("p"),
+        (_md5_bucket("doc_id", "cal_y") < _md5_bucket("doc_id", "cal_p"))
+        .cast("int")
+        .alias("y"),
+    )
+    return calibration_table(d, "p", "y")
+
+
+def q_graph_degree_hist(spark, sf_dir):
+    """Degree distribution over the planted gadgets — analytic:
+    {1: G (pendants), 2: 2G (clique corners), 3: G (hubs)}."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        degree_histogram,
+    )
+
+    return degree_histogram(_triangle_gadget_edges(spark, sf_dir))
+
+
+def q_graph_hill_tail(spark, sf_dir):
+    """Hill tail-exponent MLE at d_min=2 over the planted gadgets —
+    analytic: tail degrees {2×2G, 3×G}, Σ ln = G·ln(3/2), so
+    alpha = 1 + 3G/(G·ln 1.5); the ln sum runs over the
+    dimension-sized histogram."""
+    from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+        hill_tail,
+    )
+
+    return hill_tail(_triangle_gadget_edges(spark, sf_dir), d_min=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5380,6 +5442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": q_hll_user_overlap,
         "events_survival": q_events_survival,
         "events_value_pct": q_events_value_pct,
+        "similarity_mutual_best": q_similarity_mutual_best,
+        "eval_calibration": q_eval_calibration,
+        "graph_degree_hist": q_graph_degree_hist,
+        "graph_hill_tail": q_graph_hill_tail,
         "events_json_props": q_events_json_props,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
@@ -8172,6 +8238,100 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY value ASC
                    ), 6) AS pct
             FROM events WHERE value IS NOT NULL
+        """,
+        # Reciprocal best match: the batch_topk candidate chain on the
+        # %7 subset, self pairs dropped, per-side top-1, reversed-pair
+        # equi-join (see q_similarity_mutual_best).
+        "similarity_mutual_best": """
+            WITH sub AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 7 = 0
+                AND sqrt(list_dot_product(cast(embedding AS double[]),
+                                          cast(embedding AS double[]))) > 0
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       cast(e.embedding AS double[]),
+                       cast(q.embedding AS double[])), 3) AS cosine
+              FROM sub e CROSS JOIN sub q
+            ),
+            topk AS (
+              SELECT query_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored
+              ) WHERE rn <= 5
+            ),
+            best AS (
+              SELECT query_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM topk WHERE query_id <> vec_id
+              ) WHERE rn = 1
+            )
+            SELECT b1.query_id, b1.vec_id, b1.cosine
+            FROM best b1 JOIN best b2
+              ON b1.query_id = b2.vec_id AND b1.vec_id = b2.query_id
+            WHERE b1.query_id < b1.vec_id
+        """,
+        # Calibration over the synthetic calibrated scorer: identical
+        # fixed-point bin/Brier chain (see q_eval_calibration).
+        "eval_calibration": """
+            WITH s AS (
+              SELECT md5_number_upper('cal_p:' || cast(doc_id AS varchar))
+                       % 1000000 AS ba,
+                     md5_number_upper('cal_y:' || cast(doc_id AS varchar))
+                       % 1000000 AS bb
+              FROM documents
+            ),
+            r AS (
+              SELECT cast(round((cast(ba AS double) / 1000000.0) * 1000000)
+                       AS bigint) AS m,
+                     CASE WHEN bb < ba THEN 1 ELSE 0 END AS y
+              FROM s
+            ),
+            b AS (
+              SELECT least(m // 100000, 9) AS bin, m, y,
+                     (m - y * 1000000) AS e
+              FROM r
+            )
+            SELECT cast(bin AS int) AS bin,
+                   cast(count(*) AS bigint) AS n,
+                   round(sum(m) / (count(*) * 1e6), 6) AS mean_pred,
+                   round(cast(sum(y) AS double)
+                         / cast(count(*) AS double), 6) AS frac_pos,
+                   round(cast(sum(e * e) AS double)
+                         / (cast(count(*) AS double) * 1e12), 6) AS brier
+            FROM b GROUP BY bin
+        """,
+        # Degree histogram over the gadgets is analytic (see
+        # q_graph_degree_hist).
+        "graph_degree_hist": """
+            WITH g AS (
+              SELECT cast(count(*) AS bigint) AS ng
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT cast(1 AS bigint) AS deg, ng AS n_nodes FROM g
+            UNION ALL
+            SELECT 2, cast(2 * ng AS bigint) FROM g
+            UNION ALL
+            SELECT 3, ng FROM g
+        """,
+        # Hill tail MLE over the gadgets is analytic: sum ln =
+        # 2G·ln(1) + G·ln(3/2) (see q_graph_hill_tail).
+        "graph_hill_tail": """
+            WITH g AS (
+              SELECT cast(count(*) AS bigint) AS ng
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT cast(2 AS int) AS d_min,
+                   cast(3 * ng AS bigint) AS n_tail,
+                   round(1.0 + cast(3 * ng AS double)
+                         / (cast(ng AS double)
+                            * ln(cast(3 AS double) / cast(2 AS double))), 6)
+                     AS alpha
+            FROM g
         """,
         "events_benford": """
             WITH digits AS (

@@ -1040,6 +1040,34 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("value_pct_single_window_exchange", f"exchanges={n_ex}"))
         print(f"FAIL value_pct_single_window_exchange: exchanges={n_ex}")
+    # 89: reciprocal best match — candidate generation is the audited
+    # batch_topk broadcast score matrix; the mutuality check itself is
+    # windows + ONE keyed equi-join on the reversed pair, never a
+    # cartesian, all JVM-side.
+    check(
+        "mutual_best_keyed_mutuality",
+        em.q_similarity_mutual_best(spark, sf_dir),
+        ["Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
+    # 90: calibration table — scan-local fixed-pointing + ONE
+    # map-side-combining aggregate over <= n_bins groups; no join, no
+    # Python.
+    plan = plan_of(em.q_eval_calibration(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if n_ex <= 1 and "EvalPython" not in plan and "Join" not in plan:
+        print("PASS calibration_single_aggregate")
+    else:
+        failures.append(("calibration_single_aggregate", f"exchanges={n_ex}"))
+        print(f"FAIL calibration_single_aggregate: exchanges={n_ex}")
+    # 91: Hill tail — two histogram aggregates then a 1-row stat; all
+    # hash aggregates, no Python, no cartesian.
+    check(
+        "hill_tail_histogram_aggs",
+        em.q_graph_hill_tail(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "SortAggregate"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -607,3 +607,96 @@ class TestAnalyzeEventsCliRound5c:
             ae.main(
                 ["--input", src, "--report", "survival"], spark=spark
             )
+
+
+from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+    calibration_table,
+)
+from threat_intelligence_knowledge_graph_spark.operators.graph_algos import (
+    degree_histogram,
+    hill_tail,
+)
+from threat_intelligence_knowledge_graph_spark.operators.similarity import (
+    mutual_best,
+)
+
+
+class TestMutualBest:
+    def test_mutual_pairs_only(self, spark):
+        # a<->b mutual best; c's best is a but a's best is b -> no pair
+        scores = spark.createDataFrame(
+            [
+                ("a", "b", 0.9), ("a", "c", 0.5),
+                ("b", "a", 0.9), ("b", "c", 0.4),
+                ("c", "a", 0.8), ("c", "b", 0.2),
+            ],
+            "query_id: string, vec_id: string, cosine: double",
+        )
+        got = [(r.query_id, r.vec_id, r.cosine) for r in mutual_best(scores).collect()]
+        assert got == [("a", "b", 0.9)]
+
+    def test_self_pairs_ignored_and_tiebreak(self, spark):
+        scores = spark.createDataFrame(
+            [
+                ("a", "a", 1.0), ("a", "b", 0.7), ("a", "c", 0.7),
+                ("b", "b", 1.0), ("b", "a", 0.7),
+                ("c", "a", 0.9),
+            ],
+            "query_id: string, vec_id: string, cosine: double",
+        )
+        # a's best among ties (b, c) -> b by id tie-break; b's best is a
+        got = [(r.query_id, r.vec_id) for r in mutual_best(scores).collect()]
+        assert got == [("a", "b")]
+
+
+class TestCalibrationTable:
+    def test_hand_computed_bins(self, spark):
+        rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 0), (1.0, 1)]
+        df = spark.createDataFrame(rows, "p: double, y: int")
+        got = {r.bin: r.asDict() for r in calibration_table(df, "p", "y").collect()}
+        assert set(got) == {0, 9}
+        assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+        assert got[0]["mean_pred"] == 0.05
+        # brier bin 0: (0.05-0)^2 = 0.0025
+        assert got[0]["brier"] == 0.0025
+        # top bin: p=1.0 folds in; n=3, frac_pos=2/3
+        assert got[9]["n"] == 3
+        assert got[9]["frac_pos"] == round(2 / 3, 6)
+        # brier bin 9: ((0.95-1)^2 + (0.95-0)^2 + (1-1)^2)/3 = 0.300833...
+        assert got[9]["brier"] == round((0.0025 + 0.9025 + 0.0) / 3, 6)
+
+    def test_boundary_bucketing_exact(self, spark):
+        # p = 0.3 must land in bin 3 (floor(0.3*10) on doubles says 2)
+        df = spark.createDataFrame([(0.3, 1)], "p: double, y: int")
+        assert calibration_table(df, "p", "y").collect()[0].bin == 3
+
+    def test_nulls_excluded_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(0.5, 1), (None, 1), (0.5, None)], "p: double, y: int"
+        )
+        got = calibration_table(df, "p", "y").collect()
+        assert len(got) == 1 and got[0].n == 1
+        with pytest.raises(ValueError):
+            calibration_table(df, "p", "y", n_bins=1)
+
+
+class TestDegreeHistogramHill:
+    def test_histogram(self, spark):
+        got = {r.deg: r.n_nodes for r in degree_histogram(_tri_pendant(spark)).collect()}
+        assert got == {1: 1, 2: 2, 3: 1}
+
+    def test_hill_analytic(self, spark):
+        import math
+
+        row = hill_tail(_tri_pendant(spark), d_min=2).collect()[0]
+        # tail degrees {2,2,3}: sum ln = ln(3/2); alpha = 1 + 3/ln(1.5)
+        assert row.n_tail == 3
+        assert row.alpha == round(1 + 3 / math.log(1.5), 6)
+
+    def test_degenerate_tail_null(self, spark):
+        # all tail degrees equal d_min -> sum ln = 0 -> alpha NULL
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        row = hill_tail(e, d_min=1).collect()[0]
+        assert row.n_tail == 2 and row.alpha is None
+        with pytest.raises(ValueError):
+            hill_tail(e, d_min=0)

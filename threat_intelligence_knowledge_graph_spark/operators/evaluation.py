@@ -203,3 +203,71 @@ def eval_clusters_pairwise(
         rec.alias("recall"),
         _f1(prec, rec).alias("f1"),
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier decomposition input for a
+    probabilistic scorer (the quality-filter model audit: a filter
+    whose 0.9-bucket is only 60% positive silently over-prunes):
+    rows bucketed by predicted probability into ``n_bins`` equal-width
+    bins, one output row per non-empty bin — (bin, n, mean_pred,
+    frac_pos, brier) where brier is the bin's mean squared error
+    Σ(p − y)²/n.
+
+    Exactness: probabilities are fixed-pointed to exact integer
+    MILLIONTHS first (round(p·1e6) — the inputs are round-6 scores by
+    repo discipline, so this recovers the intended integer exactly;
+    a raw ``floor(p·n_bins)`` would misbucket p = 0.3 whose double is
+    below 3/10), the bin is an integer div, sums of millionths and of
+    squared-millionths are exact bigints/decimals, and each emitted
+    ratio is ONE round-6 division. p = 1.0 folds into the top bin.
+    NULL probabilities or labels are excluded (unscored rows are a
+    coverage question, not a calibration one).
+
+    Scale shape: ONE map-side-combining keyed aggregate over ≤ n_bins
+    groups; everything before it is scan-local.
+    """
+    if not 2 <= n_bins <= 100:
+        raise ValueError("n_bins must be in [2, 100]")
+    milli = F.round(F.col(prob_col) * F.lit(1_000_000)).cast("long")
+    y = F.col(label_col).cast("long")
+    width = 1_000_000 // n_bins
+    rows = (
+        scored.filter(
+            F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(milli.alias("_m"), y.alias("_y"))
+        # integer `div`, not float division-and-truncate: same operator
+        # the DuckDB oracle's `//` performs
+        .select(
+            F.least(F.expr(f"_m div {width}"), F.lit(n_bins - 1)).alias("bin"),
+            "_m",
+            "_y",
+        )
+    )
+    err = F.col("_m") - F.col("_y") * F.lit(1_000_000)
+    agg = rows.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_m").alias("_sm"),
+        F.sum("_y").alias("_sy"),
+        F.sum((err * err).cast("decimal(38,0)")).alias("_se"),
+    )
+    return agg.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_sm").cast("double") / (F.col("n") * F.lit(1e6)), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("_sy").cast("double") / F.col("n").cast("double"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(
+            F.col("_se").cast("double") / (F.col("n").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("brier"),
+    )

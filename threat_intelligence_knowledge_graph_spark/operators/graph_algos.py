@@ -1908,3 +1908,72 @@ def avg_neighbor_degree(
             "avg_nbr_deg"
         ),
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(deg, n_nodes): the degree distribution over the undirected
+    ``_canonical_edges`` view — the first plot of any graph audit and
+    the input every tail diagnostic (rich_club, hill_tail) reduces to.
+    One degree aggregate + one histogram aggregate, both map-side
+    combining; output is dimension-sized (≤ |distinct degrees| rows).
+    """
+    und = _canonical_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(
+            F.col("deg").cast("long").alias("deg"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
+    )
+
+
+def hill_tail(
+    edges: DataFrame,
+    d_min: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row Hill estimator of the degree-distribution tail exponent
+    (Hill 1975; the Clauset-Shalizi-Newman power-law check's MLE core):
+    α = 1 + n / Σ_{deg ≥ d_min} ln(deg/d_min) over the ``d_min``-tail
+    — the one-number answer to "is this graph scale-free hub-dominated
+    (α ≈ 2–3) or degree-homogeneous (α large)?", which decides whether
+    the skew mitigations (degree caps, salting) are load-bearing or
+    dormant for a given corpus.
+
+    Output (d_min, n_tail, alpha); alpha NULL when the tail is empty
+    or entirely AT d_min (Σ ln = 0: the MLE diverges — reported as
+    undefined, never +inf). The ln sum runs over the DIMENSION-SIZED
+    histogram (count · ln(deg/d_min) per distinct degree — the
+    event_entropy discipline: ln arguments are exact integer ratios),
+    round-6 after the one division.
+    """
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    hist = degree_histogram(edges, src, dst).filter(F.col("deg") >= d_min)
+    agg = hist.agg(
+        F.sum("n_nodes").alias("n_tail"),
+        F.sum(
+            F.col("n_nodes").cast("double")
+            * F.log(F.col("deg").cast("double") / F.lit(float(d_min)))
+        ).alias("_lns"),
+    )
+    return agg.select(
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail"),
+        F.when(
+            F.col("_lns") > 0,
+            F.round(
+                F.lit(1.0) + F.col("n_tail").cast("double") / F.col("_lns"), 6
+            ),
+        ).alias("alpha"),
+    )

@@ -751,3 +751,53 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(query_id_col, pos_id_col, "neg_id", "neg_cosine", "neg_rank")
     )
+
+
+def mutual_best(
+    scores: DataFrame,
+    a_col: str = "query_id",
+    b_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Reciprocal best match over a scored candidate-pair table — the
+    high-precision ER/bitext pairing rule (Artetxe & Schwenk's
+    margin-family ancestor): a pair survives iff each side is the
+    OTHER's top-1 candidate. Input is any (a, b, score) frame from the
+    candidate generators (batch_topk, LSH buckets, prefix join); self
+    pairs (a = b) are ignored; best-per-side is (score DESC, partner
+    ASC) on the already-rounded score — deterministic cross-engine —
+    and the output is one row per mutual pair as (a, b, score) with
+    a < b.
+
+    Mutuality needs BOTH directions present in ``scores``: candidates
+    absent from the table cannot win (exactly the semantics of pruning
+    by candidate generation — top-k lists are asymmetric, so a pair is
+    emitted only when each member appears in the other's list).
+
+    Scale shape: two per-side row_number windows over the candidate
+    table (bounded by the generators, ≤ k rows per side) + ONE keyed
+    equi-join of the two top-1 frames on the reversed pair — no
+    corpus-sized work at all.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = scores.filter(F.col(a_col) != F.col(b_col)).select(
+        F.col(a_col).alias("_a"),
+        F.col(b_col).alias("_b"),
+        F.col(score_col).alias("_s"),
+    )
+    w = Window.partitionBy("_a").orderBy(F.desc("_s"), F.asc("_b"))
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_a", "_b", "_s")
+    )
+    rev = best.select(
+        F.col("_b").alias("_a"), F.col("_a").alias("_b"), F.col("_s").alias("_s2")
+    )
+    mutual = best.join(rev, ["_a", "_b"]).filter(F.col("_a") < F.col("_b"))
+    return mutual.select(
+        F.col("_a").alias(a_col),
+        F.col("_b").alias(b_col),
+        F.col("_s").alias(score_col),
+    )
