@@ -5319,6 +5319,78 @@ def q_graph_hill_tail(spark, sf_dir):
     return hill_tail(_triangle_gadget_edges(spark, sf_dir), d_min=2)
 
 
+def _auc_scored(spark, sf_dir):
+    """Synthetic scored/labeled frame for the ranking-metric entries:
+    score p = (md5_a % 1000)/1000 (thousandths — deliberate heavy
+    ties so the mid-rank tie convention is exercised), label y = 1
+    with probability p via an independent md5 draw (yb < p·1e6), so
+    the scorer is informative (AUC well above ½) but imperfect."""
+    from threat_intelligence_knowledge_graph_spark.operators.packing import (
+        _md5_bucket,
+    )
+
+    th = _md5_bucket("doc_id", "auc_s", 1000)
+    return _t(spark, sf_dir, "documents").select(
+        (th.cast("double") / F.lit(1000.0)).alias("p"),
+        (_md5_bucket("doc_id", "auc_y") < th * F.lit(1000))
+        .cast("int")
+        .alias("y"),
+    )
+
+
+def q_eval_roc_auc(spark, sf_dir):
+    """Exact tie-aware ROC-AUC (Mann-Whitney rank-sum identity) of the
+    synthetic calibrated scorer — integer rank arithmetic over
+    distinct-score groups, ONE round-6 division. Oracle: the identical
+    cumulative-count window chain in SQL."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        roc_auc,
+    )
+
+    return roc_auc(_auc_scored(spark, sf_dir), "p", "y")
+
+
+def q_eval_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 operating-point table at 10 equal-width
+    thresholds over the synthetic scorer — exact integer TP/FP/FN from
+    descending bucket cumulation, one round-6 division per ratio."""
+    from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+        pr_curve,
+    )
+
+    return pr_curve(_auc_scored(spark, sf_dir), "p", "y", n_thresholds=10)
+
+
+def q_events_ewma_hourly(spark, sf_dir):
+    """Truncated dyadic EWMA (α=½, 8 lags) of per-type hourly volumes
+    with the cnt/ewma surge ratio — every term and partial sum is an
+    exactly-representable dyadic rational (integer count over a power
+    of two), so the EWMA itself is bit-identical on both engines with
+    NO fixed-point scaffolding; only the ratio rounds."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        ewma_surge,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return ewma_surge(ev, "event_type", "ts", 3600, 8)
+
+
+def q_events_simpson(spark, sf_dir):
+    """Simpson concentration λ = Σcᵢ²/n² + inverse-Simpson effective
+    state count per user — the entropy triage's no-log companion;
+    both ratios are single round-6 divisions of exact integers."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        simpson_index,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return simpson_index(ev, "user_id", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5554,6 +5626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_verified_matches": q_er_verified_matches,
         "kg_temporal_two_hop": q_kg_temporal_two_hop,
         "kg_corroboration": q_kg_corroboration,
+        "eval_roc_auc": q_eval_roc_auc,
+        "eval_pr_curve": q_eval_pr_curve,
+        "events_ewma_hourly": q_events_ewma_hourly,
+        "events_simpson": q_events_simpson,
     }
 
 
@@ -11991,5 +12067,145 @@ def oracle_sql() -> dict[str, str]:
                      count(DISTINCT l_orderkey % 13)), 6) AS confidence
             FROM lineitem
             GROUP BY 1, 2, 3
+        """,
+        # Exact tie-aware ROC-AUC: identical synthetic scorer, the same
+        # distinct-score-group cumulative-count rank identity
+        # (2·avg-rank of a tied group = 2·cnt_lt + n + 1), exact
+        # integers until ONE round-6 division (see q_eval_roc_auc).
+        "eval_roc_auc": """
+            WITH s AS (
+              SELECT md5_number_upper('auc_s:' || cast(doc_id AS varchar))
+                       % 1000 AS th,
+                     md5_number_upper('auc_y:' || cast(doc_id AS varchar))
+                       % 1000000 AS yb
+              FROM documents
+            ),
+            r AS (
+              SELECT cast(round((cast(th AS double) / 1000.0) * 1000000)
+                       AS bigint) AS m,
+                     CASE WHEN yb < th * 1000 THEN 1 ELSE 0 END AS y
+              FROM s
+            ),
+            g AS (SELECT m, count(*) AS n, sum(y) AS np FROM r GROUP BY m),
+            c AS (
+              SELECT m, n, np,
+                     sum(n) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - n AS lt
+              FROM g
+            ),
+            t AS (
+              SELECT sum(np * (2 * lt + n + 1)) AS s2,
+                     sum(np) AS n_pos, sum(n) - sum(np) AS n_neg
+              FROM c
+            )
+            SELECT cast(n_pos AS bigint) AS n_pos,
+                   cast(n_neg AS bigint) AS n_neg,
+                   round(cast(s2 - n_pos * (n_pos + 1) AS double)
+                         / cast(2 * n_pos * n_neg AS double), 6) AS auc
+            FROM t
+        """,
+        # PR operating-point table: identical bucket floor + descending
+        # cumulation, exact TP/FP/FN integers (see q_eval_pr_curve).
+        "eval_pr_curve": """
+            WITH s AS (
+              SELECT md5_number_upper('auc_s:' || cast(doc_id AS varchar))
+                       % 1000 AS th,
+                     md5_number_upper('auc_y:' || cast(doc_id AS varchar))
+                       % 1000000 AS yb
+              FROM documents
+            ),
+            r AS (
+              SELECT cast(round((cast(th AS double) / 1000.0) * 1000000)
+                       AS bigint) AS m,
+                     CASE WHEN yb < th * 1000 THEN 1 ELSE 0 END AS y
+              FROM s
+            ),
+            b AS (SELECT least(m // 100000, 9) AS bucket, y FROM r),
+            per AS (
+              SELECT bucket, count(*) AS n, sum(y) AS np
+              FROM b GROUP BY bucket
+            ),
+            c AS (
+              SELECT bucket,
+                     sum(np) OVER wd AS tp,
+                     sum(n) OVER wd - sum(np) OVER wd AS fp,
+                     sum(np) OVER () - sum(np) OVER wd AS fn
+              FROM per
+              WINDOW wd AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)
+            )
+            SELECT round(cast(bucket AS double) / 10.0, 6) AS threshold,
+                   cast(tp AS bigint) AS tp,
+                   cast(fp AS bigint) AS fp,
+                   cast(fn AS bigint) AS fn,
+                   CASE WHEN tp + fp <> 0 THEN
+                     round(cast(tp AS double) / cast(tp + fp AS double), 6)
+                   END AS precision,
+                   CASE WHEN tp + fn <> 0 THEN
+                     round(cast(tp AS double) / cast(tp + fn AS double), 6)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn <> 0 THEN
+                     round(cast(2 * tp AS double)
+                           / cast(2 * tp + fp + fn AS double), 6)
+                   END AS f1
+            FROM c
+        """,
+        # Dyadic EWMA: integer hourly counts over powers of two are
+        # exactly representable, so the UNROUNDED ewma column hashes
+        # identically; row-based lags over present buckets only
+        # (see q_events_ewma_hourly).
+        "events_ewma_hourly": """
+            WITH b AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 1000000 // 3600 AS bucket
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ),
+            c AS (
+              SELECT g, bucket, count(*) AS cnt
+              FROM b GROUP BY g, bucket
+            )
+            SELECT g AS event_type, cast(bucket AS bigint) AS bucket,
+                   cast(cnt AS bigint) AS cnt,
+                   cast(cnt AS double) / 2.0
+                   + coalesce(cast(lag(cnt, 1) OVER w AS double), 0.0) / 4.0
+                   + coalesce(cast(lag(cnt, 2) OVER w AS double), 0.0) / 8.0
+                   + coalesce(cast(lag(cnt, 3) OVER w AS double), 0.0) / 16.0
+                   + coalesce(cast(lag(cnt, 4) OVER w AS double), 0.0) / 32.0
+                   + coalesce(cast(lag(cnt, 5) OVER w AS double), 0.0) / 64.0
+                   + coalesce(cast(lag(cnt, 6) OVER w AS double), 0.0) / 128.0
+                   + coalesce(cast(lag(cnt, 7) OVER w AS double), 0.0) / 256.0
+                     AS ewma,
+                   round(cast(cnt AS double) / (
+                     cast(cnt AS double) / 2.0
+                     + coalesce(cast(lag(cnt, 1) OVER w AS double), 0.0) / 4.0
+                     + coalesce(cast(lag(cnt, 2) OVER w AS double), 0.0) / 8.0
+                     + coalesce(cast(lag(cnt, 3) OVER w AS double), 0.0) / 16.0
+                     + coalesce(cast(lag(cnt, 4) OVER w AS double), 0.0) / 32.0
+                     + coalesce(cast(lag(cnt, 5) OVER w AS double), 0.0) / 64.0
+                     + coalesce(cast(lag(cnt, 6) OVER w AS double), 0.0) / 128.0
+                     + coalesce(cast(lag(cnt, 7) OVER w AS double), 0.0) / 256.0
+                   ), 6) AS surge_ratio
+            FROM c
+            WINDOW w AS (PARTITION BY g ORDER BY bucket)
+        """,
+        # Simpson concentration: Σcᵢ²/n² with exact integer numerator
+        # and denominator, one round-6 division each way
+        # (see q_events_simpson).
+        "events_simpson": """
+            WITH c AS (
+              SELECT user_id AS g, event_type AS s, count(*) AS c
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT g AS user_id,
+                   cast(sum(c) AS bigint) AS n_events,
+                   cast(count(*) AS bigint) AS n_states,
+                   round(cast(sum(c * c) AS double)
+                         / cast(sum(c) * sum(c) AS double), 6) AS simpson,
+                   round(cast(sum(c) * sum(c) AS double)
+                         / cast(sum(c * c) AS double), 6) AS inv_simpson
+            FROM c GROUP BY g
         """,
     }

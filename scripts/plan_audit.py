@@ -1068,6 +1068,45 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "SortAggregate"],
     )
+    # 92: ROC-AUC — distinct-score aggregate, then the cumulative-rank
+    # window over the quantization-bounded group table, then one global
+    # agg; no join, no Python.
+    check(
+        "roc_auc_rank_window",
+        em.q_eval_roc_auc(spark, sf_dir),
+        ["HashAggregate", "Window"],
+        must_not=["CartesianProduct", "EvalPython", "Join"],
+    )
+    # 93: PR curve — ONE bucket aggregate then windows over the
+    # <= n_thresholds bucket rows; no join, no Python.
+    check(
+        "pr_curve_bucket_cumulation",
+        em.q_eval_pr_curve(spark, sf_dir),
+        ["HashAggregate", "Window"],
+        must_not=["CartesianProduct", "EvalPython", "Join"],
+    )
+    # 94: dyadic EWMA — one (group, bucket) count aggregate, then ONE
+    # group-keyed window (all L lags share a single sort); no join, no
+    # Python, no single-partition exchange.
+    plan = plan_of(em.q_events_ewma_hourly(spark, sf_dir))
+    n_win = len(_re2.findall(r"^\(\d+\) Window", plan, _re2.M))
+    if (
+        n_win == 1
+        and "EvalPython" not in plan
+        and "Join" not in plan
+        and "Exchange SinglePartition" not in plan
+    ):
+        print("PASS ewma_single_group_window")
+    else:
+        failures.append(("ewma_single_group_window", f"windows={n_win}"))
+        print(f"FAIL ewma_single_group_window: windows={n_win}")
+    # 95: Simpson — two map-side-combining aggregates, nothing else.
+    check(
+        "simpson_two_aggregates",
+        em.q_events_simpson(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -1,0 +1,161 @@
+"""Round-5 continuation operators, batch D: exact ROC-AUC, PR
+operating-point table, dyadic EWMA surge detection, Simpson
+concentration."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from threat_intelligence_knowledge_graph_spark.operators.anomaly import ewma_surge
+from threat_intelligence_knowledge_graph_spark.operators.evaluation import (
+    pr_curve,
+    roc_auc,
+)
+from threat_intelligence_knowledge_graph_spark.operators.stats import simpson_index
+
+
+def _scored(spark):
+    return spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.2, 1), (0.4, 1)],
+        "p: double, y: int",
+    )
+
+
+class TestRocAuc:
+    def test_hand_computed_with_ties(self, spark):
+        # pairs: (0.2+,0.1-)=1, (0.2+,0.2-)=.5, (0.4+,0.1-)=1,
+        # (0.4+,0.2-)=1 -> 3.5/4 = 0.875
+        row = roc_auc(_scored(spark), "p", "y").collect()[0]
+        assert (row.n_pos, row.n_neg) == (2, 2)
+        assert row.auc == 0.875
+
+    def test_perfect_and_random(self, spark):
+        perfect = spark.createDataFrame(
+            [(0.1, 0), (0.9, 1)], "p: double, y: int"
+        )
+        assert roc_auc(perfect, "p", "y").collect()[0].auc == 1.0
+        tied = spark.createDataFrame(
+            [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "p: double, y: int"
+        )
+        assert roc_auc(tied, "p", "y").collect()[0].auc == 0.5
+
+    def test_single_class_null(self, spark):
+        pos_only = spark.createDataFrame(
+            [(0.3, 1), (0.7, 1)], "p: double, y: int"
+        )
+        row = roc_auc(pos_only, "p", "y").collect()[0]
+        assert row.n_neg == 0 and row.auc is None
+
+    def test_null_rows_excluded(self, spark):
+        d = spark.createDataFrame(
+            [(0.1, 0), (0.2, 0), (0.2, 1), (0.4, 1), (None, 1), (0.9, None)],
+            "p: double, y: int",
+        )
+        row = roc_auc(d, "p", "y").collect()[0]
+        assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 0.875)
+
+
+class TestPrCurve:
+    def test_hand_computed(self, spark):
+        rows = {
+            r.threshold: r.asDict()
+            for r in pr_curve(_scored(spark), "p", "y", n_thresholds=10).collect()
+        }
+        assert set(rows) == {0.1, 0.2, 0.4}
+        assert rows[0.4]["tp"] == 1 and rows[0.4]["fp"] == 0
+        assert rows[0.4]["fn"] == 1
+        assert rows[0.4]["precision"] == 1.0 and rows[0.4]["recall"] == 0.5
+        assert rows[0.4]["f1"] == 0.666667
+        assert rows[0.2]["tp"] == 2 and rows[0.2]["fp"] == 1
+        assert rows[0.2]["precision"] == 0.666667 and rows[0.2]["recall"] == 1.0
+        assert rows[0.2]["f1"] == 0.8
+        assert rows[0.1]["precision"] == 0.5 and rows[0.1]["f1"] == 0.666667
+
+    def test_top_bucket_folds_score_one(self, spark):
+        d = spark.createDataFrame([(1.0, 1), (0.95, 0)], "p: double, y: int")
+        rows = pr_curve(d, "p", "y", n_thresholds=10).collect()
+        # both rows land in the 0.9 bucket: one row, tp=1, fp=1
+        assert len(rows) == 1
+        assert rows[0].threshold == 0.9
+        assert rows[0].tp == 1 and rows[0].fp == 1
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            pr_curve(_scored(spark), "p", "y", n_thresholds=1)
+
+
+def _ts(hour: int, sec: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        hours=hour, seconds=sec
+    )
+
+
+class TestEwmaSurge:
+    def _events(self, spark):
+        rows = (
+            [("a", _ts(0, i)) for i in range(2)]
+            + [("a", _ts(1, i)) for i in range(4)]
+            + [("a", _ts(3, i)) for i in range(8)]
+        )
+        return spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+
+    def test_dyadic_exact_recurrence(self, spark):
+        got = {
+            r.bucket: r.asDict()
+            for r in ewma_surge(self._events(spark), n_lags=8).collect()
+        }
+        base = min(got)
+        # bucket 0: ewma = 2/2 = 1.0; bucket 1: 4/2 + 2/4 = 2.5;
+        # bucket 3 (row-based lag skips the empty hour): 8/2+4/4+2/8 = 5.25
+        assert got[base]["cnt"] == 2 and got[base]["ewma"] == 1.0
+        assert got[base]["surge_ratio"] == 2.0
+        assert got[base + 1]["ewma"] == 2.5
+        assert got[base + 1]["surge_ratio"] == 1.6
+        assert got[base + 3]["ewma"] == 5.25
+        assert got[base + 3]["surge_ratio"] == 1.52381
+
+    def test_single_lag_degenerates_to_constant_ratio(self, spark):
+        rows = ewma_surge(self._events(spark), n_lags=1).collect()
+        assert all(r.surge_ratio == 2.0 for r in rows)
+        assert all(r.ewma == r.cnt / 2 for r in rows)
+
+    def test_groups_independent(self, spark):
+        d = spark.createDataFrame(
+            [("a", _ts(0)), ("b", _ts(0)), ("b", _ts(1))],
+            "event_type: string, ts: timestamp",
+        )
+        got = {
+            (r.event_type, r.bucket): r.ewma for r in ewma_surge(d).collect()
+        }
+        base = min(b for (_, b) in got)
+        # b's second bucket sees only b's history (1/2 + 1/4), never a's
+        assert got[("b", base + 1)] == 0.75
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            ewma_surge(self._events(spark), n_lags=0)
+
+
+class TestSimpsonIndex:
+    def test_hand_computed(self, spark):
+        d = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "x"), (1, "y"), (2, "z")],
+            "user_id: long, event_type: string",
+        )
+        got = {r.user_id: r.asDict() for r in simpson_index(d).collect()}
+        # user 1: counts {x:3, y:1} -> lambda = (9+1)/16 = 0.625
+        assert got[1]["n_events"] == 4 and got[1]["n_states"] == 2
+        assert got[1]["simpson"] == 0.625
+        assert got[1]["inv_simpson"] == 1.6
+        # single-type group concentrates to exactly 1
+        assert got[2]["simpson"] == 1.0 and got[2]["inv_simpson"] == 1.0
+
+    def test_uniform_inverse_equals_state_count(self, spark):
+        d = spark.createDataFrame(
+            [(1, t) for t in ["a", "b", "c", "d"]],
+            "user_id: long, event_type: string",
+        )
+        row = simpson_index(d).collect()[0]
+        assert row.simpson == 0.25 and row.inv_simpson == 4.0

@@ -444,3 +444,79 @@ def rate_peaks(
             F.sum((F.col("_rate") > limit).cast("long")).alias("n_over")
         )
     return rated.groupBy(group_col).agg(*aggs)
+
+
+def ewma_surge(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    n_lags: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of per-group
+    bucket volumes, with a current-vs-EWMA surge ratio — the classic
+    SOC volume-spike detector (a sudden 5× on `login_failure` while
+    the EWMA remembers the calm baseline), complementary to
+    :func:`cusum_level_shift` (slow drifts) and :func:`rate_peaks`
+    (absolute windows).
+
+    EWMA here is the DYADIC truncation Σⱼ₌₀..L₋₁ cnt₍ₜ₋ⱼ₎ / 2^(j+1)
+    over the group's last L present buckets (α = ½, geometric weights;
+    missing history at a series head contributes 0 — the cold-start
+    convention, weights documented as summing to 1 − 2⁻ᴸ over a full
+    window so the ratio is mildly conservative there). Bucket counts
+    are integers and every weight is a power of two, so EACH term and
+    EVERY partial sum is an exactly-representable dyadic rational —
+    the whole EWMA is bit-identical on any IEEE-754 engine in ANY
+    summation order, no fixed-point scaffolding needed. The only
+    rounded division is the surge ratio cnt/ewma (round-6; ewma > 0
+    whenever the row exists since the current bucket contributes
+    cnt/2 ≥ ½).
+
+    Lag semantics are ROW-based over buckets PRESENT in the data
+    (empty buckets are skipped, not zero-filled — at 100 TB the dense
+    bucket × group grid is exactly the materialization to avoid; a
+    zero-filled variant is one sequence-join away if wanted).
+
+    Scale shape: one map-side-combining (group, bucket) count, then a
+    per-group window ordered by bucket — ONE exchange on group, one
+    partition-local sort, L lag expressions in a single projection.
+    """
+    if not 1 <= n_lags <= 32:
+        raise ValueError("n_lags must be in [1, 32]")
+    b = (
+        (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
+        .cast("long")
+        .alias("bucket")
+    )
+    counts = (
+        events.select(F.col(group_col).alias("grp"), b)
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bucket")
+    ewma = None
+    for j in range(n_lags):
+        term = (
+            F.coalesce(F.lag("cnt", j).over(w), F.lit(0)).cast("double")
+            / F.lit(float(2 ** (j + 1)))
+        )
+        ewma = term if ewma is None else ewma + term
+    out = counts.select(
+        F.col("grp").alias(group_col),
+        # epoch-bucket ordinal, not a timestamp: engine-portable (no
+        # session-timezone re-interpretation on either side) and the
+        # natural partition key downstream.
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        ewma.alias("ewma"),
+    )
+    return out.select(
+        group_col,
+        "bucket",
+        "cnt",
+        "ewma",
+        F.round(F.col("cnt").cast("double") / F.col("ewma"), 6).alias(
+            "surge_ratio"
+        ),
+    )

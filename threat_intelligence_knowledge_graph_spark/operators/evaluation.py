@@ -271,3 +271,162 @@ def calibration_table(
             6,
         ).alias("brier"),
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC of a binary scorer (the quality-filter /
+    dedup-classifier ranking audit) via the Mann-Whitney rank-sum
+    identity — no threshold sweep, no trapezoid approximation:
+
+        AUC = (S2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+
+    where ``S2`` is twice the sum of the positives' average ranks under
+    ascending score order (ties get the tied group's average rank — the
+    standard mid-rank convention, equal to counting tied pos/neg pairs
+    as half-concordant).
+
+    Exactness: scores are fixed-pointed to integer millionths
+    (round(s·1e6) — repo round-6 discipline recovers the intended
+    integer), ranks come from cumulative integer counts over the
+    DISTINCT-score groups, and twice-the-average-rank of a tied group
+    (2·cnt_lt + n_s + 1) is integral, so S2 is an exact bigint and the
+    emitted AUC is ONE round-6 double division. NULL scores/labels are
+    excluded.
+
+    Scale shape: one map-side-combining aggregate over distinct score
+    values (≤ 1e6+1 groups under millionth quantization — bounded by
+    the quantization, NOT the row count), then a single-partition
+    running sum over those ≤ 1e6 group rows (a dimension-sized window,
+    same posture as the percentile/histogram entries), then one global
+    agg. Row data never leaves its scan partition unaggregated.
+    """
+    m = F.round(F.col(score_col) * F.lit(1_000_000)).cast("long")
+    y = F.col(label_col).cast("long")
+    groups = (
+        scored.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(m.alias("_m"), y.alias("_y"))
+        .groupBy("_m")
+        .agg(F.count("*").alias("_n"), F.sum("_y").alias("_np"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = groups.select(
+        "_m",
+        "_n",
+        "_np",
+        (F.sum("_n").over(w) - F.col("_n")).alias("_lt"),
+    )
+    # 2 × avg rank of the tied group at score m = 2·cnt_lt + n_group + 1.
+    s2 = cum.select(
+        (F.col("_np") * (F.lit(2) * F.col("_lt") + F.col("_n") + F.lit(1))).alias(
+            "_s2"
+        ),
+        "_n",
+        "_np",
+    ).agg(
+        F.sum("_s2").alias("_S2"),
+        F.sum("_np").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).alias("n_neg"),
+    )
+    return s2.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                (F.col("_S2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+                .cast("double")
+                / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_thresholds: int = 10,
+) -> DataFrame:
+    """Precision/recall/F1 at ``n_thresholds`` equal-width score
+    thresholds (t = i/n for i in 0..n-1, predict positive when
+    score ≥ t) — the operating-point table behind a PR curve, for
+    picking a quality-filter cutoff with eyes open.
+
+    Exactness: scores fixed-pointed to integer millionths, rows
+    bucketed once by integer div, per-bucket (n, n_pos) aggregated,
+    and the ≥-threshold cumulations run DESCENDING over the ≤
+    ``n_thresholds`` bucket rows — every TP/FP/FN is an exact bigint
+    and each emitted ratio is ONE round-6 double division (NULL when
+    undefined: precision at a threshold nothing clears, F1 when both
+    components are NULL-free zero).
+
+    Scale shape: one map-side-combining aggregate over ≤ n_thresholds+1
+    buckets, then window + arithmetic over those few rows. Thresholds
+    are closed under the bucket floor: round(s·1e6) div width — scores
+    exactly at a boundary land in the bucket whose threshold they meet,
+    so TP(t) counts precisely the rows with quantized score ≥ t.
+    """
+    if not 2 <= n_thresholds <= 1000:
+        raise ValueError("n_thresholds must be in [2, 1000]")
+    width = 1_000_000 // n_thresholds
+    mcol = F.round(F.col(score_col) * F.lit(1_000_000)).cast("long")
+    rows = (
+        scored.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.least(
+                F.expr(f"cast(round({score_col} * 1000000) as bigint) div {width}"),
+                F.lit(n_thresholds - 1),
+            ).alias("bucket"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+    )
+    per = rows.groupBy("bucket").agg(
+        F.count("*").alias("_n"), F.sum("_y").alias("_np")
+    )
+    from pyspark.sql import Window
+
+    wdesc = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("_np").over(wdesc).alias("tp"),
+        (F.sum("_n").over(wdesc) - F.sum("_np").over(wdesc)).alias("fp"),
+        (F.sum("_np").over(tot) - F.sum("_np").over(wdesc)).alias("fn"),
+    )
+    prec = _ratio(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = _ratio(F.col("tp"), F.col("tp") + F.col("fn"))
+    return cum.select(
+        F.round(
+            F.col("bucket").cast("double") / F.lit(float(n_thresholds)), 6
+        ).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) != 0,
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("f1"),
+    )

@@ -1027,3 +1027,55 @@ def percentile_normalize(
     otherwise."""
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     return df.withColumn("pct", F.round(F.percent_rank().over(w), 6))
+
+
+def simpson_index(
+    events: DataFrame,
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Simpson concentration λ = Σ pᵢ² (and inverse-Simpson effective
+    state count 1/λ) of each group's categorical event distribution —
+    the companion diversity triage to :func:`event_entropy`: λ is the
+    probability two sampled events share a type, so a clocked beacon
+    scores λ ≈ 1 while organic activity over k actions scores ≈ 1/k.
+    On a training corpus, inverse-Simpson is the "effective number of
+    templates" a source draws from — more interpretable than nats.
+
+    Exactness: λ = (Σ cᵢ²) / n² — the numerator is an exact bigint of
+    squared counts (decimal-widened against overflow), so each emitted
+    value is ONE round-6 double division (inverse-Simpson divides the
+    other way: n²/Σcᵢ², exact for the same reason). No per-row
+    probability division, no logs.
+
+    Scale shape: identical to event_entropy — one map-side-combining
+    (group, state) count, one per-group aggregate, no window.
+    """
+    counts = (
+        events.groupBy(
+            F.col(group_col).alias("grp"), F.col(state_col).alias("_state")
+        ).agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.count("*").alias("_k"),
+            F.sum("c").alias("_n"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("_sc2"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_n").cast("long").alias("n_events"),
+            F.col("_k").cast("long").alias("n_states"),
+            F.round(
+                F.col("_sc2").cast("double")
+                / (F.col("_n") * F.col("_n")).cast("double"),
+                6,
+            ).alias("simpson"),
+            F.round(
+                (F.col("_n") * F.col("_n")).cast("double")
+                / F.col("_sc2").cast("double"),
+                6,
+            ).alias("inv_simpson"),
+        )
+    )
