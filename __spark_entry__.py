@@ -5391,6 +5391,60 @@ def q_events_simpson(spark, sf_dir):
     return simpson_index(ev, "user_id", "event_type")
 
 
+def q_events_nearest_click(spark, sf_dir):
+    """Nearest-event join (both directions, ±1 day tolerance): for each
+    error event, the same user's click event closest in time — the
+    single-exchange union-merge plan (backward last + forward first
+    sharing one sort); equidistant resolves to the EARLIER click.
+    Integer epoch arithmetic only — the operator emits no floats.
+    Oracle: an INDEPENDENT brute-force per-user join + abs-gap argmin
+    with the same (distance, earlier) tie order."""
+    from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+        nearest_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = nearest_join(
+        left,
+        right,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        tolerance_seconds=86400,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "left_epoch",
+        "nearest_epoch",
+        "gap_s",
+    )
+
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """SlimPajama-style soft-dedup sampling weights (1/family_size per
+    md5 content class) over the planted replay corpus — every family's
+    total mass is exactly 1; weight is the only division (round-6)."""
+    from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    corpus = (
+        d.unionByName(d.filter(k % 7 == 0))
+        .unionByName(d.filter(k % 7 == 0))
+        .unionByName(d.filter(k % 13 == 0))
+    )
+    return soft_dedup_weights(corpus)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5630,6 +5684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_pr_curve": q_eval_pr_curve,
         "events_ewma_hourly": q_events_ewma_hourly,
         "events_simpson": q_events_simpson,
+        "events_nearest_click": q_events_nearest_click,
+        "dedup_soft_weights": q_dedup_soft_weights,
     }
 
 
@@ -12207,5 +12263,61 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(c) * sum(c) AS double)
                          / cast(sum(c * c) AS double), 6) AS inv_simpson
             FROM c GROUP BY g
+        """,
+        # Nearest-event join: INDEPENDENT brute-force per-user join +
+        # abs-gap argmin with the pinned (distance, earlier) tie order
+        # — a completely different plan from the Spark union-merge
+        # (see q_events_nearest_click). Integer epochs only.
+        "events_nearest_click": """
+            WITH a AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 1000000 AS e
+              FROM events
+              WHERE event_type = 'error'
+                AND ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            b AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS e
+              FROM events
+              WHERE event_type = 'click'
+                AND ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            m AS (
+              SELECT a.event_id, b.e AS be,
+                     row_number() OVER (
+                       PARTITION BY a.event_id
+                       ORDER BY abs(b.e - a.e), b.e - a.e
+                     ) AS rn
+              FROM a JOIN b ON a.user_id = b.user_id
+              WHERE abs(b.e - a.e) <= 86400
+            )
+            SELECT a.event_id, a.user_id,
+                   cast(a.e AS bigint) AS left_epoch,
+                   cast(m.be AS bigint) AS nearest_epoch,
+                   cast(m.be - a.e AS bigint) AS gap_s
+            FROM a LEFT JOIN (SELECT event_id, be FROM m WHERE rn = 1) m
+              USING (event_id)
+        """,
+        # Soft-dedup weights: identical md5 content classes over the
+        # replay-planted corpus; weight = ONE round-6 division
+        # (see q_dedup_soft_weights).
+        "dedup_soft_weights": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM documents
+                WHERE doc_id % 7 = 0
+              UNION ALL SELECT doc_id, text FROM documents
+                WHERE doc_id % 7 = 0
+              UNION ALL SELECT doc_id, text FROM documents
+                WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id,
+                   cast(count(*) OVER (
+                     PARTITION BY md5(coalesce(text, ''))
+                   ) AS bigint) AS family_size,
+                   round(cast(1 AS double) / cast(count(*) OVER (
+                     PARTITION BY md5(coalesce(text, ''))
+                   ) AS double), 6) AS weight
+            FROM corpus
         """,
     }

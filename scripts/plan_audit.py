@@ -1107,6 +1107,25 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
     )
+    # 96: nearest-event join — the union-merge plan: ONE key exchange,
+    # one sort, two windows, NO join node (the oracle uses a brute
+    # join; the operator must not).
+    plan = plan_of(em.q_events_nearest_click(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if n_ex == 1 and "Join" not in plan and "EvalPython" not in plan:
+        print("PASS nearest_join_union_merge")
+    else:
+        failures.append(("nearest_join_union_merge", f"exchanges={n_ex}"))
+        print(f"FAIL nearest_join_union_merge: exchanges={n_ex}")
+    # 97: soft-dedup weights — ONE md5-keyed window exchange (no
+    # groupBy+rejoin), text dropped before the shuffle, no Python.
+    plan = plan_of(em.q_dedup_soft_weights(spark, sf_dir))
+    n_ex = len(_re2.findall(r"^\(\d+\) Exchange", plan, _re2.M))
+    if n_ex == 1 and "Join" not in plan and "EvalPython" not in plan:
+        print("PASS soft_dedup_single_window_exchange")
+    else:
+        failures.append(("soft_dedup_single_window_exchange", f"exchanges={n_ex}"))
+        print(f"FAIL soft_dedup_single_window_exchange: exchanges={n_ex}")
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

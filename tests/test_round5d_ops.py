@@ -159,3 +159,72 @@ class TestSimpsonIndex:
         )
         row = simpson_index(d).collect()[0]
         assert row.simpson == 0.25 and row.inv_simpson == 4.0
+
+
+class TestNearestJoin:
+    def _run(self, spark, lefts, rights, tol=10):
+        from threat_intelligence_knowledge_graph_spark.operators.temporal_join import (
+            nearest_join,
+        )
+
+        left = spark.createDataFrame(
+            [(i, u, _ts(0, s)) for i, (u, s) in enumerate(lefts)],
+            "rid: long, user_id: long, ts: timestamp",
+        )
+        right = spark.createDataFrame(
+            [(u, _ts(0, s)) for (u, s) in rights],
+            "user_id: long, ts: timestamp",
+        )
+        out = nearest_join(
+            left, right, key="user_id", left_time="ts", right_time="ts",
+            tolerance_seconds=tol,
+        )
+        return {r.rid: (r.nearest_epoch, r.gap_s) for r in out.collect()}
+
+    def test_forward_wins_when_closer(self, spark):
+        got = self._run(spark, [(1, 100)], [(1, 90), (1, 105)])
+        e, g = got[0]
+        assert g == 5 and e is not None
+
+    def test_tie_prefers_earlier(self, spark):
+        got = self._run(spark, [(1, 100)], [(1, 95), (1, 105)])
+        assert got[0][1] == -5
+
+    def test_simultaneous_is_gap_zero(self, spark):
+        got = self._run(spark, [(1, 100)], [(1, 100), (1, 101)])
+        assert got[0][1] == 0
+
+    def test_tolerance_and_left_outer(self, spark):
+        got = self._run(spark, [(1, 100), (2, 100)], [(1, 130)], tol=10)
+        assert got[0] == (None, None)  # out of tolerance
+        assert got[1] == (None, None)  # no rights for user 2 at all
+        got = self._run(spark, [(1, 100)], [(1, 130)], tol=30)
+        assert got[0][1] == 30  # inclusive boundary
+
+    def test_groups_independent(self, spark):
+        got = self._run(spark, [(1, 100)], [(2, 100)])
+        assert got[0] == (None, None)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(spark, [(1, 100)], [(1, 100)], tol=0)
+
+
+class TestSoftDedupWeights:
+    def test_family_mass_is_one(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)],
+            "doc_id: long, text: string",
+        )
+        got = {r.doc_id: (r.family_size, r.weight) for r in
+               soft_dedup_weights(d).collect()}
+        assert got[1] == (3, 0.333333) and got[2] == (3, 0.333333)
+        assert got[4] == (1, 1.0)
+        # NULL text is one family (coalesced to '')
+        assert got[5] == (2, 0.5) and got[6] == (2, 0.5)

@@ -925,3 +925,40 @@ def paragraph_dedup(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+def soft_dedup_weights(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SlimPajama-style SOFT deduplication: instead of dropping
+    duplicates, every row gets sampling weight 1/family_size (md5-equal
+    content classes), so each distinct text contributes total mass 1 to
+    a weighted draw no matter how often it was crawled. The downstream
+    weighted sampler (packing.weighted_sample) consumes the weight
+    column directly — soft dedup composes with temperature mixing
+    where hard dedup would have already destroyed the signal that a
+    text was popular.
+
+    Emits (id, family_size, weight): weight is the ONE round-6
+    division 1/family_size; family_size is an exact bigint.
+
+    Scale shape: ONE window count partitioned by the 32-hex md5 — a
+    single exchange where the equivalent groupBy+rejoin costs two, and
+    only (id, hash) pairs shuffle, never text. The classic hot family
+    (one boilerplate text in 10^6 copies) lands in one partition as
+    10^6 skinny rows — the same bounded skew every md5-keyed dedup op
+    here carries, and the reason text is dropped before the exchange.
+    """
+    h = F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+    w = Window.partitionBy("_h")
+    return (
+        documents.select(F.col(id_col), h)
+        .withColumn("family_size", F.count("*").over(w).cast("long"))
+        .select(
+            id_col,
+            "family_size",
+            F.round(
+                F.lit(1.0) / F.col("family_size").cast("double"), 6
+            ).alias("weight"),
+        )
+    )

@@ -300,3 +300,95 @@ def temporal_two_hop(
         "t2",
         ((F.col("_t2u") - F.col("_t1u")) / F.lit(1_000_000.0)).alias("gap_s"),
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Nearest-event join: for every left row, the right-side event
+    time closest in EITHER direction within ``tolerance_seconds`` —
+    the "which probe fired around this alert" primitive that as-of
+    (backward-only) cannot express. Equidistant candidates resolve to
+    the EARLIER right event (pinned; an alert is more plausibly the
+    effect of what preceded it).
+
+    Left-outer semantics: every left row survives, with NULL
+    ``nearest_epoch``/``gap_s`` when no right event is in tolerance.
+    ``gap_s`` is SIGNED (right − left: negative = before). Everything
+    is epoch-second integer arithmetic — this operator emits no
+    floats at all.
+
+    Plan shape (the asof_join union-merge, doubled): ONE Exchange on
+    the key, ONE partition-local sort, and TWO window passes sharing
+    that sort — a backward ``last(ignorenulls)`` over unbounded-
+    preceding for the latest right event at-or-before, and a forward
+    ``first(ignorenulls)`` over unbounded-following for the earliest
+    right event strictly after. Right rows sort BEFORE left rows at an
+    equal timestamp (side 0 < 1), so an exactly-simultaneous right
+    event is the backward match at gap 0 and is never double-counted
+    by the forward frame. NO join node, no broadcast: cost is the
+    union scan + one shuffle regardless of either side's size — at
+    100 TB the alternative (banded self-join on time buckets) pays a
+    multiplicative candidate blow-up this plan never generates.
+    """
+    if tolerance_seconds <= 0:
+        raise ValueError("tolerance_seconds must be positive")
+    lcols = list(left.columns)
+    key_t = left.schema[key].dataType
+    r2 = right.select(
+        F.col(key).cast(key_t).alias("_k"),
+        F.unix_timestamp(F.col(right_time)).alias("_e"),
+        F.lit(0).alias("_side"),
+        F.unix_timestamp(F.col(right_time)).alias("_re"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+        ],
+    )
+    l2 = left.select(
+        F.col(key).alias("_k"),
+        F.unix_timestamp(F.col(left_time)).alias("_e"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_re"),
+        *lcols,
+    )
+    order = [F.col("_e").asc(), F.col("_side").asc()]
+    wback = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        r2.unionByName(l2)
+        .withColumn("_prev", F.last("_re", ignorenulls=True).over(wback))
+        .withColumn("_next", F.first("_re", ignorenulls=True).over(wfwd))
+        .filter(F.col("_side") == 1)
+    )
+    d_prev = F.col("_e") - F.col("_prev")
+    d_next = F.col("_next") - F.col("_e")
+    tol = F.lit(tolerance_seconds)
+    ok_prev = F.col("_prev").isNotNull() & (d_prev <= tol)
+    ok_next = F.col("_next").isNotNull() & (d_next <= tol)
+    nearest = (
+        F.when(ok_prev & ok_next,
+               F.when(d_prev <= d_next, F.col("_prev")).otherwise(F.col("_next")))
+        .when(ok_prev, F.col("_prev"))
+        .when(ok_next, F.col("_next"))
+    )
+    return merged.select(
+        *lcols,
+        F.col("_e").cast("long").alias("left_epoch"),
+        nearest.cast("long").alias("nearest_epoch"),
+        (nearest - F.col("_e")).cast("long").alias("gap_s"),
+    )
