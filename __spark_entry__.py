@@ -5445,6 +5445,23 @@ def q_dedup_soft_weights(spark, sf_dir):
     return soft_dedup_weights(corpus)
 
 
+def q_text_textrank(spark, sf_dir):
+    """Corpus-level TextRank keywords over every 5th document: word
+    co-occurrence graph (scan-local adjacent-pair generation) +
+    3-step weighted PageRank, rank rounded to 9 BEFORE the top-20
+    (rank DESC, term ASC) cut. Oracle: the identical unrolled
+    weighted-PageRank arithmetic over a generate_series pair CTE —
+    out-strengths are sums of INTEGER-valued doubles (exact in any
+    order), so only the ~1e-17 contribution-sum noise differs,
+    absorbed by round-9."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        textrank_keywords,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return textrank_keywords(d, iterations=3, damping=0.85, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5686,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_simpson": q_events_simpson,
         "events_nearest_click": q_events_nearest_click,
         "dedup_soft_weights": q_dedup_soft_weights,
+        "text_textrank": q_text_textrank,
     }
 
 
@@ -7239,6 +7257,84 @@ def _schema_audit_oracle_sql() -> str:
           ON l.pred = s.pred AND l.subj_label = s.subj_label
          AND l.obj_label = s.obj_label
     """
+
+
+def _textrank_oracle_sql(
+    iterations: int = 3, damping: float = 0.85, k: int = 20
+) -> str:
+    """Unrolled weighted-PageRank recurrence over the word
+    co-occurrence graph of every 5th document (see q_text_textrank).
+    Same per-iteration arithmetic as _pagerank_oracle_sql's weighted
+    path (contributions rank·w, teleport (1.0-d)/n, dangling kept
+    generic though it is exactly 0 here — every node of an undirected
+    graph has out-edges); the head builds edges from adjacent-token
+    pairs via generate_series over the token array, the tail rounds to
+    9 BEFORE the (rank DESC, term ASC) top-k cut."""
+    d = repr(damping)
+    parts = [
+        """
+        WITH tok0 AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS ts
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        pr0 AS (
+          SELECT least(ts[i], ts[i + 1]) AS a,
+                 greatest(ts[i], ts[i + 1]) AS b
+          FROM tok0, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE ts[i] <> ts[i + 1]
+        ),
+        p AS (SELECT a, b, count(*) AS wt FROM pr0 GROUP BY a, b),
+        e AS (
+          SELECT a AS src, b AS dst, cast(wt AS double) AS ew FROM p
+          UNION ALL
+          SELECT b, a, cast(wt AS double) FROM p
+        ),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        cnt AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+        outdeg AS (SELECT src, sum(ew) AS out_w FROM e GROUP BY src),
+        w AS (
+          SELECT e.src, e.dst, e.ew / outdeg.out_w AS w
+          FROM e JOIN outdeg USING (src)
+        ),
+        it0 AS (SELECT id, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        dang{i} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dm
+          FROM it{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+          WHERE o.src IS NULL
+        ),
+        contrib{i} AS (
+          SELECT w.dst AS id, sum(r.rank * w.w) AS c
+          FROM w JOIN it{i - 1} r ON w.src = r.id
+          GROUP BY w.dst
+        ),
+        it{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / cnt.n
+                   + {d} * (coalesce(c.c, 0.0) + dang{i}.dm / cnt.n) AS rank
+          FROM nodes nd
+          CROSS JOIN cnt
+          CROSS JOIN dang{i}
+          LEFT JOIN contrib{i} c ON c.id = nd.id
+        )
+            """
+        )
+    parts.append(
+        f"""
+        SELECT term, rank, cast(rk AS int) AS rk FROM (
+          SELECT id AS term, round(rank, 9) AS rank,
+                 row_number() OVER (
+                   ORDER BY round(rank, 9) DESC, id ASC
+                 ) AS rk
+          FROM it{iterations}
+        ) WHERE rk <= {k}
+        """
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12320,4 +12416,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS double), 6) AS weight
             FROM corpus
         """,
+        "text_textrank": _textrank_oracle_sql(
+            iterations=3, damping=0.85, k=20
+        ),
     }

@@ -1126,6 +1126,15 @@ def main(sf_dir: str) -> int:
     else:
         failures.append(("soft_dedup_single_window_exchange", f"exchanges={n_ex}"))
         print(f"FAIL soft_dedup_single_window_exchange: exchanges={n_ex}")
+    # 98: TextRank — scan-local pair generation (token arrays never
+    # shuffle), keyed joins for the rank loop, TakeOrderedAndProject
+    # for the top-k; no Python, no cartesian.
+    check(
+        "textrank_jvm_topk",
+        em.q_text_textrank(spark, sf_dir),
+        ["TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -228,3 +228,57 @@ class TestSoftDedupWeights:
         assert got[4] == (1, 1.0)
         # NULL text is one family (coalesced to '')
         assert got[5] == (2, 0.5) and got[6] == (2, 0.5)
+
+
+class TestTextrankKeywords:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta alpha"),   # alpha-beta edge, weight 2
+                (2, "beta gamma"),         # beta-gamma edge, weight 1
+                (3, "solo solo"),          # self-pair only -> no edge
+                (4, ""),                   # empty doc
+                (5, None),                 # NULL doc
+            ],
+            "doc_id: long, text: string",
+        )
+
+    def test_hand_replayed_recurrence(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            textrank_keywords,
+        )
+
+        got = {
+            r.term: (r.rank, r.rk)
+            for r in textrank_keywords(self._docs(spark), k=10).collect()
+        }
+        # graph: alpha-(2)-beta-(1)-gamma; solo/empty/NULL contribute
+        # no nodes. Replay the exact recurrence in Python floats.
+        d, n = 0.85, 3
+        w = {
+            ("alpha", "beta"): 1.0,
+            ("beta", "alpha"): 2.0 / 3.0,
+            ("beta", "gamma"): 1.0 / 3.0,
+            ("gamma", "beta"): 1.0,
+        }
+        r = {t: 1.0 / n for t in ("alpha", "beta", "gamma")}
+        for _ in range(3):
+            c = {t: 0.0 for t in r}
+            for (u, v), wt in w.items():
+                c[v] += r[u] * wt
+            r = {t: (1.0 - d) / n + d * (c[t] + 0.0 / n) for t in r}
+        assert set(got) == {"alpha", "beta", "gamma"}
+        for t in r:
+            assert got[t][0] == pytest.approx(round(r[t], 9), abs=1e-9)
+        # beta is the hub; rk follows (rank DESC, term ASC)
+        assert got["beta"][1] == 1
+        assert got["beta"][0] > got["alpha"][0] > got["gamma"][0]
+
+    def test_top_k_cut_and_rank_order(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            textrank_keywords,
+        )
+
+        rows = textrank_keywords(self._docs(spark), k=2).collect()
+        assert [r.rk for r in rows] == [1, 2]
+        assert rows[0].term == "beta"

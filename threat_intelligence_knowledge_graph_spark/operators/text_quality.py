@@ -1208,3 +1208,86 @@ def readability(
         n_syll.cast("long").alias("n_syllables"),
         F.when(n_words > 0, F.round(score, 6)).alias("flesch"),
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    damping: float = 0.85,
+    k: int = 20,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau, EMNLP'04) keywords:
+    build the word co-occurrence graph (undirected, adjacent lowercase
+    ``[a-z0-9]`` tokens, edge weight = adjacency count) and rank terms
+    by weighted PageRank — the graph-centrality complement to
+    :func:`tfidf_top_terms` (TF-IDF finds *distinctive* terms; TextRank
+    finds *structurally central* ones that co-occur with everything).
+
+    Pair generation is SCAN-LOCAL (no per-token shuffle): the token
+    array never leaves its row — adjacent pairs come from a
+    ``transform(sequence(...))`` over the array with out-of-bounds
+    NULLs filtered, so the first exchange in the plan is already the
+    (a, b) pair count. Self-pairs (a repeated token) are dropped;
+    "a b" and "b a" both count toward the unordered edge {a, b}.
+
+    Ranking reuses :func:`operators.pagerank.pagerank` (weighted path,
+    dangling-safe) — every node of this graph has out-edges, so the
+    dangling term is exactly 0 but the generic arithmetic is kept for
+    oracle parity. The emitted rank is **rounded to 9 BEFORE the
+    top-k ordering** (the tfidf discipline: summation-order noise is
+    ~1e-17, collapsed before it can flip a tiebreak), then
+    (rank DESC, term ASC) row-numbers the top ``k``.
+
+    100 TB shape: tokenize+pair scan-local; pair count and the
+    per-iteration rank⋈edge joins shuffle on term keys (vocabulary-
+    sized, Zipf-bounded — the same posture as tfidf's df frame); the
+    final top-k is a TakeOrderedAndProject over the vocab frame plus a
+    k-row window. Stop-word hubs ("the") are the documented hot keys;
+    at extreme scale pre-drop the top-percentile-df terms (tfidf's df
+    frame gives the list) before the PageRank loop.
+    """
+    from .pagerank import pagerank
+
+    ts = F.expr(
+        f"regexp_extract_all(lower({text_col}), "
+        f"'[a-z0-9]{{{min_term_len},}}', 0)"
+    )
+    pairs = (
+        documents.select(ts.alias("_ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    # get() (not []) so the i = size probe is a NULL,
+                    # not an ANSI INVALID_ARRAY_INDEX error
+                    "filter(transform(sequence(1, greatest(size(_ts), 1)), "
+                    "i -> struct(least(get(_ts, i-1), get(_ts, i)) AS a, "
+                    "greatest(get(_ts, i-1), get(_ts, i)) AS b)), "
+                    "p -> p.a IS NOT NULL AND p.b IS NOT NULL "
+                    "AND p.a != p.b)"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    p = pairs.groupBy("a", "b").agg(F.count("*").alias("wt"))
+    edges = p.select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"), "wt"
+    ).unionByName(
+        p.select(
+            F.col("b").alias("src_id"), F.col("a").alias("dst_id"), "wt"
+        )
+    )
+    ranks = pagerank(
+        edges, iterations=iterations, damping=damping, weight="wt"
+    )
+    top = (
+        ranks.select(
+            F.col("id").alias("term"), F.round("rank", 9).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("term").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
