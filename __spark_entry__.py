@@ -5462,6 +5462,22 @@ def q_text_textrank(spark, sf_dir):
     return textrank_keywords(d, iterations=3, damping=0.85, k=20)
 
 
+def q_events_best_lag(spark, sf_dir):
+    """Best-lag cross-correlation (±3 h) between event-type hourly
+    series — the relay/lead-lag read lag-0 correlation can't make;
+    dense-range universe, exact integer moments (y's re-computed per
+    shifted window), one round-6 division, round-before-rank best-lag
+    pick. Oracle: the identical dense-range moment algebra with the
+    shifted join expressed independently as cb.bucket = ca.bucket+lag."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        best_lag_correlation,
+    )
+
+    return best_lag_correlation(
+        _t(spark, sf_dir, "events"), max_lag=3, min_overlap=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5704,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nearest_click": q_events_nearest_click,
         "dedup_soft_weights": q_dedup_soft_weights,
         "text_textrank": q_text_textrank,
+        "events_best_lag": q_events_best_lag,
     }
 
 
@@ -12419,4 +12436,68 @@ def oracle_sql() -> dict[str, str]:
         "text_textrank": _textrank_oracle_sql(
             iterations=3, damping=0.85, k=20
         ),
+        # Best-lag cross-correlation: identical dense-range moment
+        # algebra; the shifted co-activity join is written the other
+        # way around (cb.bucket = ca.bucket + lag) as an independence
+        # check (see q_events_best_lag).
+        "events_best_lag": """
+            WITH ev AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 1000000 // 3600 AS bucket
+              FROM events WHERE ts IS NOT NULL
+            ),
+            c AS (SELECT g, bucket, count(*) AS x FROM ev GROUP BY 1, 2),
+            rng AS (
+              SELECT min(bucket) AS mn, max(bucket) AS mx,
+                     max(bucket) - min(bucket) + 1 AS n
+              FROM c
+            ),
+            lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+            mxm AS (
+              SELECT g, sum(x) AS s1, sum(x * x) AS s2 FROM c GROUP BY g
+            ),
+            my AS (
+              SELECT g, lag, sum(x) AS sy1, sum(x * x) AS sy2
+              FROM c CROSS JOIN lags CROSS JOIN rng
+              WHERE bucket >= mn + lag AND bucket <= mx + lag
+              GROUP BY 1, 2
+            ),
+            xy AS (
+              SELECT ca.g AS a, cb.g AS b, l.lag AS lag,
+                     sum(ca.x * cb.x) AS sxy, count(*) AS n_shared
+              FROM c ca
+              CROSS JOIN lags l
+              JOIN c cb ON cb.bucket = ca.bucket + l.lag AND ca.g < cb.g
+              GROUP BY 1, 2, 3
+              HAVING count(*) >= 3
+            ),
+            scored AS (
+              SELECT a, b, xy.lag AS lag, n_shared,
+                     rng.n * sxy - mxm.s1 * my.sy1 AS num,
+                     rng.n * mxm.s2 - mxm.s1 * mxm.s1 AS vara,
+                     rng.n * my.sy2 - my.sy1 * my.sy1 AS varb
+              FROM xy
+              JOIN mxm ON mxm.g = xy.a
+              JOIN my ON my.g = xy.b AND my.lag = xy.lag
+              CROSS JOIN rng
+            ),
+            ranked AS (
+              SELECT a, b, lag, n_shared,
+                     sign(num) AS direction,
+                     round(cast(num * num AS double)
+                           / cast(vara * varb AS double), 6) AS r2,
+                     row_number() OVER (
+                       PARTITION BY a, b
+                       ORDER BY round(cast(num * num AS double)
+                                 / cast(vara * varb AS double), 6) DESC,
+                                abs(lag) ASC, lag ASC
+                     ) AS rk
+              FROM scored
+              WHERE vara > 0 AND varb > 0
+            )
+            SELECT a, b, cast(lag AS int) AS lag,
+                   cast(n_shared AS bigint) AS n_shared,
+                   cast(direction AS int) AS direction, r2
+            FROM ranked WHERE rk = 1
+        """,
     }

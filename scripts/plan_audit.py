@@ -1135,6 +1135,15 @@ def main(sf_dir: str) -> int:
         ["TakeOrderedAndProject"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    # 99: best-lag correlation — bucket-keyed co-activity join with
+    # bounded lag fan-out; the lag table and moments broadcast; no
+    # cartesian between data-sized frames, no Python.
+    check(
+        "best_lag_keyed_joins",
+        em.q_events_best_lag(spark, sf_dir),
+        ["HashAggregate", "Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

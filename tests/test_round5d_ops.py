@@ -282,3 +282,47 @@ class TestTextrankKeywords:
         rows = textrank_keywords(self._docs(spark), k=2).collect()
         assert [r.rk for r in rows] == [1, 2]
         assert rows[0].term == "beta"
+
+
+class TestBestLagCorrelation:
+    def test_planted_shift_recovers_lag(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            best_lag_correlation,
+        )
+
+        rows = []
+        # a: counts [1,2,3] at hours 0,1,2; b: the same shape at 2,3,4
+        # (b trails a by exactly 2h); c: constant 1 over the full range
+        # (zero variance -> every pair with c dropped)
+        for h, n in [(0, 1), (1, 2), (2, 3)]:
+            rows += [("a", _ts(h))] * n
+            rows += [("b", _ts(h + 2))] * n
+        rows += [("c", _ts(h)) for h in range(5)]
+        ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+        got = best_lag_correlation(ev, max_lag=3, min_overlap=3).collect()
+        pairs = {(r.a, r.b): r for r in got}
+        assert ("a", "b") in pairs
+        r = pairs[("a", "b")]
+        assert r.lag == 2 and r.r2 == 1.0 and r.direction == 1
+        assert r.n_shared == 3
+        # one best row per pair, and no pair may beat the planted
+        # perfect shift
+        assert len(got) == len(pairs)
+        assert all(x.r2 <= 1.0 for x in got)
+        # c is constant over the DENSE range, so its lag-0 variance is
+        # zero; a (x, c) pair can only surface at a SHIFTED lag (where
+        # truncation makes c non-constant) — never lag 0
+        assert all(x.lag != 0 for x in got if "c" in (x.a, x.b))
+
+    def test_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            best_lag_correlation,
+        )
+
+        ev = spark.createDataFrame(
+            [("a", _ts(0))], "event_type: string, ts: timestamp"
+        )
+        with pytest.raises(ValueError):
+            best_lag_correlation(ev, max_lag=0)
+        with pytest.raises(ValueError):
+            best_lag_correlation(ev, min_overlap=0)

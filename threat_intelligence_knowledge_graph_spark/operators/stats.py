@@ -1079,3 +1079,130 @@ def simpson_index(
             ).alias("inv_simpson"),
         )
     )
+
+
+def best_lag_correlation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    max_lag: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Lead/lag detection between per-group hourly series — the relay
+    read :func:`correlated_series` (lag 0 only) cannot make: a proxy
+    that re-beacons three hours after its upstream C2 correlates at
+    lag 3, not lag 0. For every co-active pair (a < b) and every lag
+    L ∈ [−max_lag, +max_lag], the squared Pearson correlation of
+    x = a's series against y_i = b's count at bucket i+L, reported at
+    the pair's BEST lag (``r2`` DESC, \\|lag\\| ASC, lag ASC — rounded
+    before ranking, the repo discipline). Positive ``lag`` means b
+    trails a.
+
+    Universe semantics (pinned, and deliberately different from
+    correlated_series' active-bucket universe): the DENSE integer
+    bucket range [min_bucket, max_bucket] of the whole frame, both
+    series zero-extended — so n is lag-independent and y's moments
+    over the shifted window [min+L, max+L] are computed exactly per
+    (group, lag) by a conditional aggregate. All sums are exact
+    integers; ``r2`` is ONE round-6 division with the sign reported
+    separately; zero-variance sides are dropped (undefined, never
+    faked).
+
+    Scale shape: one (group, hour) count; per-group x-moments and
+    per-(group, lag) y-moments are dimension-sized aggregates
+    (groups × (2·max_lag+1) rows); the only data-sized join is the
+    bucket-keyed co-activity self-join, fanned out (2·max_lag+1)× on
+    the lagged side — bounded fan-out, same posture as the banded
+    interval join. Best-lag selection is a window over pair×lag rows
+    (dimension-sized). No Python, no cartesian.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    events = events.filter(F.col(ts_col).isNotNull())
+    bucket = (F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).cast("long")
+    counts = events.groupBy(
+        F.col(group_col).alias("g"), bucket.alias("bucket")
+    ).agg(F.count("*").alias("x"))
+    rng = counts.agg(
+        F.min("bucket").alias("_mn"),
+        F.max("bucket").alias("_mx"),
+        (F.max("bucket") - F.min("bucket") + F.lit(1)).alias("_n"),
+    )
+    lags = (
+        events.sparkSession.range(-max_lag, max_lag + 1)
+        .select(F.col("id").cast("long").alias("lag"))
+    )
+    # x-moments over the dense range: every active bucket is inside
+    # [mn, mx] by construction, so these are plain per-group sums.
+    mx_ = counts.groupBy("g").agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    # y-moments per (group, lag) over the SHIFTED window [mn+L, mx+L].
+    ylag = counts.crossJoin(F.broadcast(lags)).crossJoin(F.broadcast(rng))
+    my = (
+        ylag.filter(
+            (F.col("bucket") >= F.col("_mn") + F.col("lag"))
+            & (F.col("bucket") <= F.col("_mx") + F.col("lag"))
+        )
+        .groupBy("g", "lag")
+        .agg(
+            F.sum("x").alias("sy1"),
+            F.sum(F.col("x") * F.col("x")).alias("sy2"),
+        )
+    )
+    ca = counts.select(F.col("g").alias("a"), "bucket", F.col("x").alias("xa"))
+    cb = (
+        counts.crossJoin(F.broadcast(lags))
+        .select(
+            F.col("g").alias("b"),
+            "lag",
+            (F.col("bucket") - F.col("lag")).alias("bucket"),
+            F.col("x").alias("xb"),
+        )
+    )
+    xy = (
+        ca.join(cb, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "lag")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.count("*").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    ma = mx_.select(
+        F.col("g").alias("a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    mb = my.select(
+        F.col("g").alias("b"), "lag",
+        F.col("sy1").alias("s1b"), F.col("sy2").alias("s2b"),
+    )
+    n = F.col("_n")
+    num = n * F.col("sxy") - F.col("s1a") * F.col("s1b")
+    vara = n * F.col("s2a") - F.col("s1a") * F.col("s1a")
+    varb = n * F.col("s2b") - F.col("s1b") * F.col("s1b")
+    scored = (
+        xy.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), ["b", "lag"])
+        .crossJoin(F.broadcast(rng.select("_n")))
+        .filter((vara > 0) & (varb > 0))
+        .select(
+            "a",
+            "b",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.signum(num).cast("int").alias("direction"),
+            F.round((num * num) / (vara * varb), 6).alias("r2"),
+        )
+    )
+    w = Window.partitionBy("a", "b").orderBy(
+        F.col("r2").desc(), F.abs(F.col("lag")).asc(), F.col("lag").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
