@@ -33,6 +33,12 @@ oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
 - ``--report survival``    Kaplan-Meier time-to-conversion between
                            --steps start,convert (censored honestly)
 - ``--report trimmed``     per-type 10%-trimmed mean of ``value``
+- ``--report ewma``        dyadic EWMA surge ratios of per-type hourly
+                           volumes (spike triage)
+- ``--report lags``        best-lag cross-correlation between type
+                           series (±3 h relay/lead-lag detection)
+- ``--report simpson``     per-user Simpson concentration + effective
+                           state count
 
 Invocation::
 
@@ -59,6 +65,7 @@ REPORTS = (
     "beacons", "entropy", "fano", "trend", "correlation", "autocorr",
     "novelty", "churn", "cusum", "mad", "markov", "sequences",
     "funnel", "retention", "seasonality", "rate", "survival", "trimmed",
+    "ewma", "lags", "simpson",
 )
 
 
@@ -105,6 +112,12 @@ def _build(report: str, events, steps: list[str], lag: int = 24):
         return stats.survival_curve(events, steps[0], steps[1])
     if report == "trimmed":
         return stats.trimmed_mean(events, "value", "event_type", "event_id")
+    if report == "ewma":
+        return anomaly.ewma_surge(events)
+    if report == "lags":
+        return stats.best_lag_correlation(events, max_lag=3)
+    if report == "simpson":
+        return stats.simpson_index(events)
     raise SystemExit(f"unknown report {report!r} (choose from {REPORTS})")
 
 

@@ -326,3 +326,30 @@ class TestBestLagCorrelation:
             best_lag_correlation(ev, max_lag=0)
         with pytest.raises(ValueError):
             best_lag_correlation(ev, min_overlap=0)
+
+
+class TestAnalyzeEventsCliRound5d:
+    def test_new_reports(self, spark, tmp_path):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "analyze_events",
+            _os.path.join(
+                _os.path.dirname(__file__), "..", "jobs", "analyze_events.py"
+            ),
+        )
+        ae = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(ae)
+        rows = [
+            (f"e{h}{i}", f"u{i % 2}", t, _ts(h), 1.0)
+            for h in range(6)
+            for i in range(3)
+            for t in ("click", "error")
+        ]
+        src = str(tmp_path / "ev.parquet")
+        spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "value"]
+        ).write.parquet(src)
+        for report in ("ewma", "lags", "simpson"):
+            assert ae.main(["--input", src, "--report", report], spark=spark) == 0
