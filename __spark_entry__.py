@@ -5478,6 +5478,34 @@ def q_events_best_lag(spark, sf_dir):
     )
 
 
+def q_events_seasonal_surge(spark, sf_dir):
+    """Seasonally-adjusted volume deviation: each (type, week,
+    hour-of-week) cell vs the type's same-hour-of-week baseline across
+    all weeks — pure epoch-integer calendar math (Thursday-aligned
+    weeks, dow = (days+4) mod 7), exact integers, one round-6
+    division."""
+    from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+        seasonal_surge,
+    )
+
+    return seasonal_surge(_t(spark, sf_dir, "events"))
+
+
+def q_events_dp_counts(spark, sf_dir):
+    """ε-DP (type, user) counts via the seeded Laplace mechanism
+    (ε=0.5): md5 inverse-CDF noise makes the release a pure function
+    of the input — reproducible and oracle-auditable; only the noisy
+    column is emitted (the release posture)."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        dp_noisy_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return dp_noisy_counts(ev, ["event_type", "user_id"], epsilon=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5721,6 +5749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_soft_weights": q_dedup_soft_weights,
         "text_textrank": q_text_textrank,
         "events_best_lag": q_events_best_lag,
+        "events_seasonal_surge": q_events_seasonal_surge,
+        "events_dp_counts": q_events_dp_counts,
     }
 
 
@@ -12499,5 +12529,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(n_shared AS bigint) AS n_shared,
                    cast(direction AS int) AS direction, r2
             FROM ranked WHERE rk = 1
+        """,
+        # Seasonally-adjusted deviation: identical epoch-integer
+        # calendar math (Thursday-aligned weeks), exact integers, one
+        # round-6 division (see q_events_seasonal_surge).
+        "events_seasonal_surge": """
+            WITH b AS (
+              SELECT event_type AS g, epoch_us(ts) // 1000000 AS e
+              FROM events WHERE ts IS NOT NULL
+            ),
+            cells AS (
+              SELECT g,
+                     (e + 4 * 86400) // (7 * 86400) AS week,
+                     ((e // 86400 + 4) % 7) * 24 + (e // 3600) % 24
+                       AS how,
+                     count(*) AS cnt
+              FROM b GROUP BY 1, 2, 3
+            ),
+            nw AS (SELECT count(DISTINCT week) AS nw FROM cells),
+            base AS (
+              SELECT g, how, sum(cnt) AS bt FROM cells GROUP BY 1, 2
+            )
+            SELECT c.g AS event_type,
+                   cast(c.week AS bigint) AS week,
+                   cast(c.how AS int) AS hour_of_week,
+                   cast(c.cnt AS bigint) AS cnt,
+                   cast(base.bt AS bigint) AS baseline_total,
+                   round(cast(c.cnt * nw.nw AS double)
+                         / cast(base.bt AS double), 6) AS ratio
+            FROM cells c
+            JOIN base ON base.g = c.g AND base.how = c.how
+            CROSS JOIN nw
+        """,
+        # Seeded-Laplace DP counts: identical md5 inverse-CDF noise
+        # chain; sign(±1) multiplications are exact so operand order
+        # is immaterial, and the one ln's ULP is absorbed by the
+        # post-add round-6 (see q_events_dp_counts).
+        "events_dp_counts": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS tc
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            u AS (
+              SELECT event_type, user_id, tc,
+                     (cast(md5_number_upper('dp:' || event_type ||
+                        chr(31) || cast(user_id AS varchar)) % 1000000
+                        AS double) + 0.5) / 1000000.0 AS u
+              FROM c
+            )
+            SELECT event_type, user_id,
+                   round(tc + (-(1.0 / 0.5) * sign(u - 0.5)
+                         * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
+                     AS noisy_count
+            FROM u
         """,
     }

@@ -1144,6 +1144,23 @@ def main(sf_dir: str) -> int:
         ["HashAggregate", "Window"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    # 100: seasonal surge — one cell count, dimension-sized baseline
+    # re-agg joined back broadcast, 1-row week count; no window, no
+    # Python, no sort aggregate.
+    check(
+        "seasonal_surge_broadcast_baseline",
+        em.q_events_seasonal_surge(spark, sf_dir),
+        ["HashAggregate", "BroadcastHashJoin"],
+        must_not=["CartesianProduct", "EvalPython", "Window", "SortAggregate"],
+    )
+    # 101: DP counts — ONE keyed count + scan-local noise projection;
+    # no join, no window, no Python.
+    check(
+        "dp_counts_single_aggregate",
+        em.q_events_dp_counts(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -353,3 +353,105 @@ class TestAnalyzeEventsCliRound5d:
         ).write.parquet(src)
         for report in ("ewma", "lags", "simpson"):
             assert ae.main(["--input", src, "--report", report], spark=spark) == 0
+
+
+class TestSeasonalSurge:
+    def test_two_week_baseline(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            seasonal_surge,
+        )
+
+        rows = (
+            [("a", _ts(0, i)) for i in range(2)]           # week w, cell H
+            + [("a", _ts(7 * 24, i)) for i in range(4)]    # week w+1, same H
+            + [("a", _ts(1))]                              # different cell
+        )
+        ev = spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+        got = {
+            (r.week, r.hour_of_week): r for r in seasonal_surge(ev).collect()
+        }
+        hows = {h for (_, h) in got}
+        assert len(hows) == 2  # the repeated cell + the lone one
+        cells = sorted(
+            (r for r in got.values() if r.baseline_total == 6),
+            key=lambda r: r.week,
+        )
+        assert [c.cnt for c in cells] == [2, 4]
+        assert cells[0].ratio == 0.666667 and cells[1].ratio == 1.333333
+        lone = [r for r in got.values() if r.baseline_total == 1][0]
+        # active in 1 of 2 weeks: observed 1 vs per-week mean 0.5
+        assert lone.ratio == 2.0
+
+    def test_hour_of_week_alignment(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.anomaly import (
+            seasonal_surge,
+        )
+
+        # same wall-clock hour, 7 days apart -> SAME hour_of_week
+        ev = spark.createDataFrame(
+            [("a", _ts(5)), ("a", _ts(5 + 7 * 24))],
+            "event_type: string, ts: timestamp",
+        )
+        rows = seasonal_surge(ev).collect()
+        assert len({r.hour_of_week for r in rows}) == 1
+        assert len({r.week for r in rows}) == 2
+
+
+class TestDpNoisyCounts:
+    def _ev(self, spark):
+        return spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 1)],
+            "event_type: string, user_id: long",
+        )
+
+    def test_reproducible_and_seeded_per_group(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        r1 = {
+            (r.event_type, r.user_id): r.noisy_count
+            for r in dp_noisy_counts(
+                self._ev(spark), ["event_type", "user_id"]
+            ).collect()
+        }
+        r2 = {
+            (r.event_type, r.user_id): r.noisy_count
+            for r in dp_noisy_counts(
+                self._ev(spark), ["event_type", "user_id"]
+            ).collect()
+        }
+        assert r1 == r2  # pure function of the input
+        assert len(set(r1.values())) > 1  # per-group noise differs
+        # a different salt re-draws the noise
+        r3 = dp_noisy_counts(
+            self._ev(spark), ["event_type", "user_id"], salt="dp2"
+        ).collect()
+        assert {
+            (r.event_type, r.user_id): r.noisy_count for r in r3
+        } != r1
+
+    def test_include_true_and_noise_scale(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        tight = dp_noisy_counts(
+            self._ev(spark), ["event_type"], epsilon=100.0, include_true=True
+        ).collect()
+        for r in tight:
+            # epsilon huge -> noise tiny: noisy ~ true
+            assert abs(r.noisy_count - r.true_count) < 0.2
+        # release posture: no true_count column by default
+        cols = dp_noisy_counts(self._ev(spark), ["event_type"]).columns
+        assert "true_count" not in cols
+
+    def test_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        with pytest.raises(ValueError):
+            dp_noisy_counts(self._ev(spark), ["event_type"], epsilon=0.0)
+        with pytest.raises(ValueError):
+            dp_noisy_counts(self._ev(spark), [])

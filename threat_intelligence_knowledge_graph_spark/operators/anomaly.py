@@ -520,3 +520,67 @@ def ewma_surge(
             "surge_ratio"
         ),
     )
+
+
+def seasonal_surge(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonally-adjusted volume deviation: each (group, week,
+    hour-of-week) cell's count against that group's SAME-hour-of-week
+    baseline across all weeks — the triage that separates "9am Monday
+    login spike" (normal) from "3am Sunday login spike at Monday
+    volume" (not), which :func:`ewma_surge` (recency-relative) and
+    ``hourly_seasonality`` (profile-only) each miss half of.
+
+    ``ratio`` = observed · n_weeks / baseline_total — observed over
+    the group-hour's per-week mean, with zero-weeks correctly counted
+    through the GLOBAL distinct-week count (exact integers, ONE
+    round-6 division). Calendar math is pure epoch-integer arithmetic
+    (weeks are Thursday-aligned: epoch day 0 was a Thursday;
+    hour_of_week = dow·24 + hour with dow = (days+4) mod 7 giving
+    0 = Sunday) — no timezone/date functions to diverge on.
+
+    Scale shape: one (group, week, how) map-side-combining count; the
+    baseline is a re-agg of that frame on (group, how) (dimension-
+    sized: groups × 168) joined back BROADCAST; n_weeks is a 1-row
+    broadcast. No window, no Python.
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    days = (e / F.lit(86400)).cast("long")
+    cells = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            ((e + F.lit(4 * 86400)) / F.lit(7 * 86400)).cast("long").alias("week"),
+            (
+                ((days + F.lit(4)) % F.lit(7)) * F.lit(24)
+                + ((e / F.lit(3600)).cast("long") % F.lit(24))
+            ).alias("hour_of_week"),
+        )
+        .groupBy("grp", "week", "hour_of_week")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_weeks = cells.select("week").distinct().agg(
+        F.count("*").alias("_nw")
+    )
+    baseline = cells.groupBy("grp", "hour_of_week").agg(
+        F.sum("cnt").alias("baseline_total")
+    )
+    return (
+        cells.join(F.broadcast(baseline), ["grp", "hour_of_week"])
+        .crossJoin(F.broadcast(n_weeks))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("week").cast("long").alias("week"),
+            F.col("hour_of_week").cast("int").alias("hour_of_week"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("baseline_total").cast("long").alias("baseline_total"),
+            F.round(
+                (F.col("cnt") * F.col("_nw")).cast("double")
+                / F.col("baseline_total").cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )

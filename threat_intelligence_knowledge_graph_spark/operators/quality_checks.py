@@ -170,3 +170,63 @@ def l_diversity_audit(
             F.col("n_sensitive").cast("long").alias("n_sensitive"),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    include_true: bool = False,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    — the release-side member of the privacy family
+    (:func:`k_anonymity_audit` / :func:`l_diversity_audit` measure
+    re-identification risk; this one produces counts safe to publish):
+    count per group plus Laplace(1/ε) noise (sensitivity 1 for a
+    count), so any single row changes the distribution of the output
+    by at most a factor e^ε.
+
+    The noise draw is SEEDED (md5 of salt + group key), making the
+    release a pure function of the input — reproducible across runs,
+    engines, and partition layouts, and auditable by the oracle. This
+    is the standard deterministic-DP testing posture; rotate ``salt``
+    per release in production (re-releasing under many salts spends
+    budget ε each time — the usual composition caveat, documented not
+    enforced). Inverse-CDF transform: u = (md5 mod 1e6 + 0.5)/1e6 ∈
+    (0,1), noise = −(1/ε)·sign(u−½)·ln(1−2·|u−½|); the single ln is
+    the only libm call, and the emitted noisy count rounds to 6 AFTER
+    the add (the corpus_kl ULP discipline).
+
+    ``include_true=True`` additionally emits the raw count — for
+    audits and tests ONLY; a published release selects the noisy
+    column alone (emitting both would make the noise pointless).
+
+    Scale shape: ONE map-side-combining keyed count, then a scan-local
+    noise projection on the group-sized frame. No window, no Python.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    keyed = F.concat(F.lit(salt), F.lit(":"), key)
+    le_hex = F.concat_ws(
+        "",
+        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
+    )
+    u64 = F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+    u = ((u64 % F.lit(1_000_000)).cast("double") + F.lit(0.5)) / F.lit(1e6)
+    b = F.lit(1.0 / epsilon)
+    centered = u - F.lit(0.5)
+    noise = (
+        -b
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("true_count"))
+    cols = [F.col(c) for c in group_cols]
+    if include_true:
+        cols.append(F.col("true_count").cast("long").alias("true_count"))
+    cols.append(F.round(F.col("true_count") + noise, 6).alias("noisy_count"))
+    return counts.select(*cols)
