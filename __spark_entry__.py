@@ -5506,6 +5506,30 @@ def q_events_dp_counts(spark, sf_dir):
     return dp_noisy_counts(ev, ["event_type", "user_id"], epsilon=0.5)
 
 
+def q_transcript_refusals(spark, sf_dir):
+    """Per-conversation assistant-refusal profile over the synthetic
+    transcripts with PLANTED refusals (assistant turns where
+    (conv + turn) % 5 == 0 get an 'I cannot help…' suffix): literal
+    lowercase-contains matching (no regex seam), exact counts, one
+    round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        refusal_rate,
+    )
+
+    tr = _synth_transcripts(spark, sf_dir)
+    planted = tr.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant")
+            & ((F.col("conv_id").cast("long") + F.col("turn_idx")) % 5 == 0),
+            F.concat(
+                F.col("text"), F.lit(" I cannot help with that request.")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return refusal_rate(planted)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5751,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_best_lag": q_events_best_lag,
         "events_seasonal_surge": q_events_seasonal_surge,
         "events_dp_counts": q_events_dp_counts,
+        "transcript_refusals": q_transcript_refusals,
     }
 
 
@@ -7382,6 +7407,42 @@ def _textrank_oracle_sql(
         """
     )
     return "".join(parts)
+
+
+def _refusal_oracle_sql() -> str:
+    """Refusal-rate oracle: planted suffix + OR-of-lowercase-contains
+    generated from the operator's own REFUSAL_PATTERNS (single source
+    of truth; apostrophes SQL-escaped), one keyed aggregate."""
+    from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+        REFUSAL_PATTERNS,
+    )
+
+    cond = " OR ".join(
+        "contains(lower(text), '{}')".format(p.replace("'", "''"))
+        for p in REFUSAL_PATTERNS
+    )
+    return f"""
+        WITH base AS ({_SYNTH_TRANSCRIPTS_SQL}),
+        planted AS (
+          SELECT conv_id, role,
+                 CASE WHEN role = 'assistant'
+                       AND (cast(conv_id AS bigint) + turn_idx) % 5 = 0
+                      THEN text || ' I cannot help with that request.'
+                      ELSE text END AS text
+          FROM base
+        ),
+        a AS (
+          SELECT conv_id,
+                 CASE WHEN {cond} THEN 1 ELSE 0 END AS r
+          FROM planted WHERE role = 'assistant' AND text IS NOT NULL
+        )
+        SELECT conv_id,
+               cast(count(*) AS bigint) AS n_assistant,
+               cast(sum(r) AS bigint) AS n_refusals,
+               round(cast(sum(r) AS double) / cast(count(*) AS double), 6)
+                 AS refusal_rate
+        FROM a GROUP BY conv_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12565,6 +12626,12 @@ def oracle_sql() -> dict[str, str]:
         # chain; sign(±1) multiplications are exact so operand order
         # is immaterial, and the one ln's ULP is absorbed by the
         # post-add round-6 (see q_events_dp_counts).
+        # Assistant-refusal profile over the planted transcripts: the
+        # OR-of-contains predicate is GENERATED from the same
+        # REFUSAL_PATTERNS tuple the operator scans (single source of
+        # truth), literal substrings — no regex dialect seam
+        # (see q_transcript_refusals).
+        "transcript_refusals": _refusal_oracle_sql(),
         "events_dp_counts": """
             WITH c AS (
               SELECT event_type, user_id, count(*) AS tc

@@ -1161,6 +1161,14 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
     )
+    # 102: refusal profile — scan-local contains projection + ONE
+    # keyed aggregate; no join, no window, no Python.
+    check(
+        "refusal_single_aggregate",
+        em.q_transcript_refusals(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -455,3 +455,46 @@ class TestDpNoisyCounts:
             dp_noisy_counts(self._ev(spark), ["event_type"], epsilon=0.0)
         with pytest.raises(ValueError):
             dp_noisy_counts(self._ev(spark), [])
+
+
+class TestRefusalRate:
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            refusal_rate,
+        )
+
+        turns = spark.createDataFrame(
+            [
+                ("c1", "assistant", "Sure, here is the answer."),
+                ("c1", "assistant", "I cannot help with that."),
+                ("c1", "assistant", "I'M SORRY, BUT no."),  # case-folded
+                ("c1", "user", "I cannot believe it"),       # not assistant
+                ("c2", "assistant", "Done."),
+                ("c3", "user", "hi"),                        # no assistant
+                ("c4", "assistant", None),                   # NULL text
+            ],
+            "conv_id: string, role: string, text: string",
+        )
+        got = {r.conv_id: r.asDict() for r in refusal_rate(turns).collect()}
+        assert got["c1"]["n_assistant"] == 3
+        assert got["c1"]["n_refusals"] == 2
+        assert got["c1"]["refusal_rate"] == 0.666667
+        assert got["c2"]["n_refusals"] == 0 and got["c2"]["refusal_rate"] == 0.0
+        # no assistant turns / NULL-only -> no row, never a NULL rate
+        assert "c3" not in got and "c4" not in got
+
+    def test_patterns_are_substrings_not_regex(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.transcript_stats import (
+            REFUSAL_PATTERNS,
+            refusal_rate,
+        )
+
+        # every pinned pattern detects itself embedded mid-sentence
+        turns = spark.createDataFrame(
+            [(f"c{i}", "assistant", f"well, {p}do X")
+             for i, p in enumerate(REFUSAL_PATTERNS)],
+            "conv_id: string, role: string, text: string",
+        )
+        rows = refusal_rate(turns).collect()
+        assert all(r.refusal_rate == 1.0 for r in rows)
+        assert len(rows) == len(REFUSAL_PATTERNS)

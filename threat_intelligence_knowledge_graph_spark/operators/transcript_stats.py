@@ -514,3 +514,69 @@ def conversation_outcomes(
             conv_col, "n_turns", "last_role", outcome.alias("outcome")
         )
     )
+
+
+REFUSAL_PATTERNS = (
+    # Pinned, RE2-safe, case-insensitive-by-lowering; matched against
+    # assistant turns only. The standard SFT-curation screen: a
+    # refusal-heavy conversation teaches the model to refuse, not to
+    # help — filter or downweight before training (and a rising
+    # refusal rate across ingest batches is a data-drift alarm).
+    "i cannot ",
+    "i can't ",
+    "i'm sorry, but",
+    "i am sorry, but",
+    "i'm unable to",
+    "i am unable to",
+    "as an ai",
+)
+
+
+def refusal_rate(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation assistant-refusal profile: (conv_id,
+    n_assistant, n_refusals, refusal_rate) — the SFT screen that keeps
+    refusal-heavy conversations out of (or downweighted in) a training
+    mix. A turn counts as a refusal when its LOWERCASED text contains
+    any :data:`REFUSAL_PATTERNS` substring — plain ``contains``, not
+    regex: the patterns are literals, substring scan is cheaper, and
+    both engines agree on byte semantics with no regex-dialect seam.
+    Conversations with assistant turns only are profiled; a
+    conversation with NO assistant turn has no rate to report and is
+    excluded (NULL-rate rows would poison a mean downstream).
+
+    Exactness: counts are exact integers from one keyed aggregate;
+    the rate is ONE round-6 division.
+
+    Scale shape: scan-local lowercase + OR-of-contains projection,
+    ONE map-side-combining aggregate on conv_id. No join, no window,
+    no Python.
+    """
+    lowered = F.lower(F.col(text_col))
+    is_refusal = None
+    for p in REFUSAL_PATTERNS:
+        c = lowered.contains(p)
+        is_refusal = c if is_refusal is None else (is_refusal | c)
+    is_assistant = F.col(role_col) == "assistant"
+    agg = (
+        turns.filter(is_assistant & F.col(text_col).isNotNull())
+        .groupBy(F.col(conv_col))
+        .agg(
+            F.count("*").alias("n_assistant"),
+            F.sum(is_refusal.cast("long")).alias("n_refusals"),
+        )
+    )
+    return agg.select(
+        conv_col,
+        F.col("n_assistant").cast("long").alias("n_assistant"),
+        F.col("n_refusals").cast("long").alias("n_refusals"),
+        F.round(
+            F.col("n_refusals").cast("double")
+            / F.col("n_assistant").cast("double"),
+            6,
+        ).alias("refusal_rate"),
+    )
