@@ -5530,6 +5530,21 @@ def q_transcript_refusals(spark, sf_dir):
     return refusal_rate(planted)
 
 
+def q_sample_cluster_balanced(spark, sf_dir):
+    """Diversity-balanced embedding sample: ≤ 8 rows per integer-grid
+    k-means cluster by deterministic md5-priority draw — the
+    embedding-space analog of mixture water-filling; assignment and
+    draw are both bit-identical cross-engine (integer Lloyd + exact
+    decimal md5 priority)."""
+    from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), k=4, iterations=2, per_cluster=8
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5776,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_surge": q_events_seasonal_surge,
         "events_dp_counts": q_events_dp_counts,
         "transcript_refusals": q_transcript_refusals,
+        "sample_cluster_balanced": q_sample_cluster_balanced,
     }
 
 
@@ -12632,6 +12648,24 @@ def oracle_sql() -> dict[str, str]:
         # truth), literal substrings — no regex dialect seam
         # (see q_transcript_refusals).
         "transcript_refusals": _refusal_oracle_sql(),
+        # Cluster-balanced sampling: the shared unrolled-Lloyd CTE
+        # chain + an md5-priority window draw per cluster
+        # (see q_sample_cluster_balanced).
+        "sample_cluster_balanced": f"""
+            WITH {_kmeans_assign_ctes(4, 2, 1024)}
+            SELECT vec_id, cast(cluster AS bigint) AS cluster,
+                   cast(rk AS int) AS draw_rank
+            FROM (
+              SELECT id AS vec_id, cluster,
+                     row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY md5_number_upper(
+                         'cbal:' || cast(id AS varchar)
+                       ), id
+                     ) AS rk
+              FROM assign2
+            ) WHERE rk <= 8
+        """,
         "events_dp_counts": """
             WITH c AS (
               SELECT event_type, user_id, count(*) AS tc

@@ -1169,6 +1169,14 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
     )
+    # 103: cluster-balanced sample — the audited kmeans joins plus ONE
+    # cluster-keyed window; no Python, no cartesian.
+    check(
+        "cluster_balanced_window_draw",
+        em.q_sample_cluster_balanced(spark, sf_dir),
+        ["Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -498,3 +498,58 @@ class TestRefusalRate:
         rows = refusal_rate(turns).collect()
         assert all(r.refusal_rate == 1.0 for r in rows)
         assert len(rows) == len(REFUSAL_PATTERNS)
+
+
+class TestClusterBalancedSample:
+    def _emb(self, spark):
+        # two well-separated 1-d modes: 12 points near 0, 3 near 10
+        rows = [(i, [0.0 + i * 0.001]) for i in range(12)]
+        rows += [(100 + i, [10.0 + i * 0.001]) for i in range(3)]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    def test_quota_and_exhaustion(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        got = cluster_balanced_sample(
+            self._emb(spark), k=2, per_cluster=5
+        ).collect()
+        by_cluster = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        sizes = sorted(len(v) for v in by_cluster.values())
+        # dense mode capped at 5, sparse mode exhausted at 3
+        assert sizes == [3, 5]
+        for rows in by_cluster.values():
+            assert sorted(r.draw_rank for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
+
+    def test_deterministic_and_salt_redraws(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        a = {
+            (r.vec_id, r.cluster, r.draw_rank)
+            for r in cluster_balanced_sample(
+                self._emb(spark), k=2, per_cluster=5
+            ).collect()
+        }
+        b = {
+            (r.vec_id, r.cluster, r.draw_rank)
+            for r in cluster_balanced_sample(
+                self._emb(spark), k=2, per_cluster=5
+            ).collect()
+        }
+        assert a == b
+        c = {
+            (r.vec_id, r.cluster, r.draw_rank)
+            for r in cluster_balanced_sample(
+                self._emb(spark), k=2, per_cluster=5, salt="other"
+            ).collect()
+        }
+        assert a != c  # different salt, different members/order
+        with pytest.raises(ValueError):
+            cluster_balanced_sample(self._emb(spark), per_cluster=0)

@@ -243,3 +243,61 @@ def semantic_dedup(
         F.coalesce(~F.col("_blk"), F.lit(True)).alias("kept"),
     )
     return (result, dropped) if return_dropped else result
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1024,
+    per_cluster: int = 10,
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity-balanced subset: at most ``per_cluster`` rows from
+    each k-means cluster, drawn by deterministic md5 priority — the
+    embedding-space analog of source-mixture water-filling
+    (``packing.mixture_sample``): a corpus dominated by one semantic
+    mode (press releases, boilerplate advisories) contributes at most
+    its quota, so the sample covers the embedding space instead of
+    replaying its density. The standard cheap proxy for
+    facility-location/coreset selection at corpus scale.
+
+    (id, cluster, draw_rank): draw_rank is the md5-priority position
+    within the cluster (1-based); rows with rank ≤ quota survive.
+    Clusters smaller than the quota contribute everything — by design
+    (rare modes are what balancing protects), count the output per
+    cluster to see which were exhausted. Changing ``salt`` redraws.
+
+    Determinism: the k-means assignment is the integer-grid
+    :func:`kmeans_assign` (bit-identical on any engine/partitioning);
+    the draw priority is the exact-decimal ``_md5_u64`` with id
+    tiebreak — no RNG, no partition dependence anywhere.
+
+    Scale shape: kmeans_assign's bounded-iteration joins, then ONE
+    cluster-keyed window. k is dimension-sized, so the window
+    partitions are big but few — for huge clusters swap the
+    row_number for the sampled-boundary TeraSort rank (the
+    sorted-neighborhood machinery) to avoid a single hot partition.
+    """
+    from .packing import _md5_u64
+
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    assign = kmeans_assign(
+        emb, id_col=id_col, vec_col=vec_col, k=k,
+        iterations=iterations, scale=scale,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        _md5_u64(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        assign.withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= per_cluster)
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("draw_rank").cast("int").alias("draw_rank"),
+        )
+    )
