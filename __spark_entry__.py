@@ -5545,6 +5545,19 @@ def q_sample_cluster_balanced(spark, sf_dir):
     )
 
 
+def q_text_vocab_richness(spark, sf_dir):
+    """Vocabulary-richness card (Chao1 + Good-Turing coverage) over
+    every 5th document: exact integer term counts / hapax / dis
+    legomena, bias-corrected Chao1 (f2+1 denominator — defined even
+    when f2=0), one round-6 division per estimate."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        vocab_richness,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return vocab_richness(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5792,6 +5805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dp_counts": q_events_dp_counts,
         "transcript_refusals": q_transcript_refusals,
         "sample_cluster_balanced": q_sample_cluster_balanced,
+        "text_vocab_richness": q_text_vocab_richness,
     }
 
 
@@ -12665,6 +12679,36 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM assign2
             ) WHERE rk <= 8
+        """,
+        # Vocabulary richness: identical token CTE + two cascaded
+        # integer aggregates; bias-corrected Chao1 and Good-Turing
+        # coverage are each one round-6 division
+        # (see q_text_vocab_richness).
+        "text_vocab_richness": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]{2,}')) AS term
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            agg AS (
+              SELECT count(*) AS s_obs, sum(c) AS n,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                     sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+              FROM tf
+            )
+            SELECT cast(s_obs AS bigint) AS s_obs,
+                   cast(n AS bigint) AS n_tokens,
+                   cast(f1 AS bigint) AS f1,
+                   cast(f2 AS bigint) AS f2,
+                   CASE WHEN n > 0 THEN
+                     round(s_obs + cast(f1 * (f1 - 1) AS double)
+                           / cast(2 * (f2 + 1) AS double), 6)
+                   END AS chao1,
+                   CASE WHEN n > 0 THEN
+                     round(1.0 - cast(f1 AS double) / cast(n AS double), 6)
+                   END AS coverage
+            FROM agg
         """,
         "events_dp_counts": """
             WITH c AS (

@@ -1177,6 +1177,14 @@ def main(sf_dir: str) -> int:
         ["Window"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    # 104: vocab richness — two cascaded aggregates + a 1-row stat; no
+    # join, no window, no Python.
+    check(
+        "vocab_richness_cascaded_aggs",
+        em.q_text_vocab_richness(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

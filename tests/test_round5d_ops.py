@@ -553,3 +553,42 @@ class TestClusterBalancedSample:
         assert a != c  # different salt, different members/order
         with pytest.raises(ValueError):
             cluster_balanced_sample(self._emb(spark), per_cluster=0)
+
+
+class TestVocabRichness:
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            vocab_richness,
+        )
+
+        # terms: aa x3, bb x2, cc x1, dd x1  ->  s_obs=4, n=7, f1=2, f2=1
+        d = spark.createDataFrame(
+            [(1, "aa aa bb cc"), (2, "aa bb dd")],
+            "doc_id: long, text: string",
+        )
+        row = vocab_richness(d).collect()[0]
+        assert (row.s_obs, row.n_tokens, row.f1, row.f2) == (4, 7, 2, 1)
+        # chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
+        assert row.chao1 == 4.5
+        assert row.coverage == 0.714286
+
+    def test_no_hapax_coverage_one(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            vocab_richness,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "aa aa bb bb")], "doc_id: long, text: string"
+        )
+        row = vocab_richness(d).collect()[0]
+        # f1 = 0: chao1 collapses to s_obs, coverage to 1.0
+        assert row.f1 == 0 and row.chao1 == 2.0 and row.coverage == 1.0
+
+    def test_empty_corpus_null_estimates(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            vocab_richness,
+        )
+
+        d = spark.createDataFrame([(1, "!!!")], "doc_id: long, text: string")
+        row = vocab_richness(d).collect()[0]
+        assert row.s_obs == 0 and row.chao1 is None and row.coverage is None

@@ -1291,3 +1291,62 @@ def textrank_keywords(
     )
     w = Window.orderBy(F.col("rank").desc(), F.col("term").asc())
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def vocab_richness(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """One-row vocabulary-richness card: observed vocabulary, token
+    mass, hapax/dis legomena, the bias-corrected Chao1 estimate of the
+    TRUE vocabulary size, and Good-Turing coverage — the "how much of
+    this corpus's vocabulary have we actually seen" answer that decides
+    whether more crawling buys new content or replays (a coverage near
+    1 says the source is exhausted; a Chao1 far above s_obs says keep
+    crawling).
+
+        chao1    = s_obs + f1·(f1−1) / (2·(f2+1))   (always defined)
+        coverage = 1 − f1/n                          (Good–Turing)
+
+    Exactness: term counts, f1, f2, s_obs, n are exact integers from
+    two cascaded aggregates; each estimate is ONE round-6 division
+    (the f2+1 denominator keeps Chao1 defined when f2 = 0 — the
+    standard bias-corrected form, not the f1²/2f2 classic that
+    divides by zero). Empty corpus → zero row with NULL estimates.
+
+    Scale shape: scan-local tokenize/explode, one (term) count
+    (vocabulary-sized, Zipf-bounded), one frequency-of-frequencies
+    re-agg (≤ log-ish distinct counts), one 1-row final agg. The same
+    two-cascade shape as family_size_histogram.
+    """
+    toks = documents.select(
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]{{{min_term_len},}}', 0)"
+            )
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("c"))
+    agg = tf.agg(
+        F.count("*").alias("s_obs"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = F.col("s_obs") + (
+        (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+    )
+    coverage = F.lit(1.0) - F.col("f1").cast("double") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(F.when(F.col("n") > 0, chao1), 6).alias("chao1"),
+        F.round(F.when(F.col("n") > 0, coverage), 6).alias("coverage"),
+    )
