@@ -5558,6 +5558,27 @@ def q_text_vocab_richness(spark, sf_dir):
     return vocab_richness(d)
 
 
+_DRIFT_COLUMNS = ("user_id", "event_type", "value", "props")
+
+
+def q_events_profile_drift(spark, sf_dir):
+    """Schema-profile drift between the even/odd event_id halves of
+    the events table (a synthetic two-batch split): per-column null
+    rates, exact distinct counts, and their deltas — each emitted
+    ratio one round-6 division. Oracle: per-column UNION ALL profile
+    generated from the same column tuple."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        profile_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        list(_DRIFT_COLUMNS),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5806,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_refusals": q_transcript_refusals,
         "sample_cluster_balanced": q_sample_cluster_balanced,
         "text_vocab_richness": q_text_vocab_richness,
+        "events_profile_drift": q_events_profile_drift,
     }
 
 
@@ -7437,6 +7459,44 @@ def _textrank_oracle_sql(
         """
     )
     return "".join(parts)
+
+
+def _profile_drift_oracle_sql() -> str:
+    """Per-column profile UNION generated from the same _DRIFT_COLUMNS
+    tuple the Spark entry profiles (single source of truth); identical
+    round-6 ratio arithmetic (see q_events_profile_drift)."""
+
+    def _prof(side: str, pred: str) -> str:
+        parts = []
+        for c in _DRIFT_COLUMNS:
+            parts.append(
+                f"SELECT '{c}' AS col, count(*) AS n, "
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nu, "
+                f"count(DISTINCT {c}) AS nd "
+                f"FROM events WHERE {pred}"
+            )
+        return f"{side} AS ({' UNION ALL '.join(parts)})"
+
+    return f"""
+        WITH {_prof('pa', 'event_id % 2 = 0')},
+        {_prof('pb', 'event_id % 2 = 1')}
+        SELECT pa.col,
+               cast(pa.n AS bigint) AS n_a,
+               cast(pb.n AS bigint) AS n_b,
+               round(cast(pa.nu AS double) / cast(pa.n AS double), 6)
+                 AS null_rate_a,
+               round(cast(pb.nu AS double) / cast(pb.n AS double), 6)
+                 AS null_rate_b,
+               round(cast(pb.nu AS double) / cast(pb.n AS double)
+                     - cast(pa.nu AS double) / cast(pa.n AS double), 6)
+                 AS null_rate_delta,
+               cast(pa.nd AS bigint) AS n_distinct_a,
+               cast(pb.nd AS bigint) AS n_distinct_b,
+               CASE WHEN pa.nd > 0 THEN
+                 round(cast(pb.nd AS double) / cast(pa.nd AS double), 6)
+               END AS distinct_ratio
+        FROM pa JOIN pb USING (col)
+    """
 
 
 def _refusal_oracle_sql() -> str:
@@ -12662,6 +12722,7 @@ def oracle_sql() -> dict[str, str]:
         # truth), literal substrings — no regex dialect seam
         # (see q_transcript_refusals).
         "transcript_refusals": _refusal_oracle_sql(),
+        "events_profile_drift": _profile_drift_oracle_sql(),
         # Cluster-balanced sampling: the shared unrolled-Lloyd CTE
         # chain + an md5-priority window draw per cluster
         # (see q_sample_cluster_balanced).

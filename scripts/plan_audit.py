@@ -1185,6 +1185,15 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "Join", "Window"],
     )
+    # 105: profile drift — one aggregate pass per batch (the
+    # multi-distinct expand is schema-bounded) + a schema-sized join;
+    # no window, no Python, no cartesian.
+    check(
+        "profile_drift_schema_sized",
+        em.q_events_profile_drift(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["CartesianProduct", "EvalPython", "Window"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -592,3 +592,47 @@ class TestVocabRichness:
         d = spark.createDataFrame([(1, "!!!")], "doc_id: long, text: string")
         row = vocab_richness(d).collect()[0]
         assert row.s_obs == 0 and row.chao1 is None and row.coverage is None
+
+
+class TestProfileDrift:
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            profile_drift,
+        )
+
+        a = spark.createDataFrame(
+            [("x", 1), ("y", 2), ("z", None), ("x", 4)],
+            "t: string, v: int",
+        )
+        b = spark.createDataFrame(
+            [("x", None), ("x", None), ("x", 1), (None, 2)],
+            "t: string, v: int",
+        )
+        got = {r.col: r.asDict() for r in profile_drift(a, b, ["t", "v"]).collect()}
+        assert got["t"]["n_a"] == 4 and got["t"]["n_b"] == 4
+        assert got["t"]["null_rate_a"] == 0.0 and got["t"]["null_rate_b"] == 0.25
+        assert got["t"]["null_rate_delta"] == 0.25
+        assert got["t"]["n_distinct_a"] == 3 and got["t"]["n_distinct_b"] == 1
+        assert got["t"]["distinct_ratio"] == 0.333333
+        assert got["v"]["null_rate_a"] == 0.25 and got["v"]["null_rate_b"] == 0.5
+        assert got["v"]["null_rate_delta"] == 0.25
+
+    def test_zero_baseline_distinct_null_ratio(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            profile_drift,
+        )
+
+        a = spark.createDataFrame([(None,), (None,)], "t: string")
+        b = spark.createDataFrame([("x",)], "t: string")
+        row = profile_drift(a, b, ["t"]).collect()[0]
+        assert row.n_distinct_a == 0 and row.distinct_ratio is None
+        assert row.null_rate_a == 1.0
+
+    def test_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            profile_drift,
+        )
+
+        a = spark.createDataFrame([("x",)], "t: string")
+        with pytest.raises(ValueError):
+            profile_drift(a, a, [])

@@ -230,3 +230,93 @@ def dp_noisy_counts(
         cols.append(F.col("true_count").cast("long").alias("true_count"))
     cols.append(F.round(F.col("true_count") + noise, 6).alias("noisy_count"))
     return counts.select(*cols)
+
+
+def profile_drift(
+    batch_a: DataFrame,
+    batch_b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Schema-profile drift between two ingest batches — the per-column
+    health diff a steady-state pipeline alerts on BEFORE content-level
+    drift metrics (``corpus_kl``/PSI) even apply: a feed that suddenly
+    ships 40% NULL ``tool`` columns or collapses ``event_type`` to one
+    value shows up here as a null-rate or distinct-count shift, while
+    its text distribution may still look fine.
+
+    One row per profiled column: (column, n_a, n_b, null_rate_a,
+    null_rate_b, null_rate_delta, n_distinct_a, n_distinct_b,
+    distinct_ratio) — rates and the b/a distinct ratio are each ONE
+    round-6 division of exact integers; ``distinct_ratio`` is NULL
+    when a batch-A column has zero distinct values (no baseline).
+
+    Scale shape: ONE aggregate pass per batch computing every
+    column's null sum and exact distinct count (schema-sized
+    aggregate list; the multi-distinct expand is bounded by the
+    profiled-column count — cap the list, not the data), then a
+    schema-sized unpivot + one tiny join on column name. At 100 TB
+    swap exact distinct counts for the HLL sketches in
+    ``operators.sketches`` — same output shape, documented here.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+
+    def _profile(df: DataFrame) -> DataFrame:
+        aggs = [F.count("*").alias("_n")]
+        for c in columns:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+            )
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        row = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', _null_{c}, _nd_{c}" for c in columns
+        )
+        return row.select(
+            "_n",
+            F.expr(
+                f"stack({len(columns)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+            ),
+        ).select(
+            F.col("col"),
+            F.col("_n").alias("n"),
+            F.col("n_nulls"),
+            F.col("n_distinct"),
+        )
+
+    pa = _profile(batch_a)
+    pb = _profile(batch_b)
+    a = pa.select(
+        "col",
+        F.col("n").alias("n_a"),
+        F.col("n_nulls").alias("_nu_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    b = pb.select(
+        "col",
+        F.col("n").alias("n_b"),
+        F.col("n_nulls").alias("_nu_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+    )
+    ra = F.col("_nu_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("_nu_b").cast("double") / F.col("n_b").cast("double")
+    return a.join(b, "col").select(
+        # 'col', not 'column' — COLUMN is a reserved word in several
+        # SQL dialects (incl. the oracle's)
+        F.col("col"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ra, 6).alias("null_rate_a"),
+        F.round(rb, 6).alias("null_rate_b"),
+        F.round(rb - ra, 6).alias("null_rate_delta"),
+        F.col("n_distinct_a").cast("long").alias("n_distinct_a"),
+        F.col("n_distinct_b").cast("long").alias("n_distinct_b"),
+        F.round(
+            F.when(
+                F.col("n_distinct_a") > 0,
+                F.col("n_distinct_b").cast("double")
+                / F.col("n_distinct_a").cast("double"),
+            ),
+            6,
+        ).alias("distinct_ratio"),
+    )
