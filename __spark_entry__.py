@@ -5579,6 +5579,19 @@ def q_events_profile_drift(spark, sf_dir):
     )
 
 
+def q_text_stylometry(spark, sf_dir):
+    """Burrows' Delta between document sources over the corpus's top-30
+    terms: millionth-fixed-point relative frequencies make the
+    cross-source moments exact integers, each z one division over one
+    IEEE sqrt, zero-variance terms excluded by an INTEGER test, mean
+    rounds to 6 after the sum."""
+    from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+        stylometry_delta,
+    )
+
+    return stylometry_delta(_t(spark, sf_dir, "documents"), m=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5828,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cluster_balanced": q_sample_cluster_balanced,
         "text_vocab_richness": q_text_vocab_richness,
         "events_profile_drift": q_events_profile_drift,
+        "text_stylometry": q_text_stylometry,
     }
 
 
@@ -12723,6 +12737,55 @@ def oracle_sql() -> dict[str, str]:
         # (see q_transcript_refusals).
         "transcript_refusals": _refusal_oracle_sql(),
         "events_profile_drift": _profile_drift_oracle_sql(),
+        # Burrows' Delta: identical fixed-point z chain; the
+        # zero-variance exclusion is an exact integer comparison on
+        # both engines (see q_text_stylometry).
+        "text_stylometry": """
+            WITH toks AS (
+              SELECT source AS src,
+                     unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]{2,}')) AS term
+              FROM documents WHERE source IS NOT NULL
+            ),
+            counts AS (
+              SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            totals AS (SELECT src, sum(c) AS n FROM counts GROUP BY 1),
+            top AS (
+              SELECT term FROM (
+                SELECT term, row_number() OVER (
+                  ORDER BY sum(c) DESC, term ASC
+                ) AS rk
+                FROM counts GROUP BY term
+              ) WHERE rk <= 30
+            ),
+            grid AS (
+              SELECT t.src, tp.term,
+                     cast(round(cast(coalesce(c.c, 0) * 1000000 AS double)
+                                / cast(t.n AS double)) AS bigint) AS f
+              FROM totals t
+              CROSS JOIN top tp
+              LEFT JOIN counts c ON c.src = t.src AND c.term = tp.term
+            ),
+            mom AS (
+              SELECT term, count(*) AS s, sum(f) AS sf,
+                     sum(f * f) AS sf2
+              FROM grid GROUP BY term
+            ),
+            z AS (
+              SELECT g.src, g.term,
+                     cast(m.s * g.f - m.sf AS double)
+                       / sqrt(cast(m.s * m.sf2 - m.sf * m.sf AS double))
+                       AS z
+              FROM grid g JOIN mom m USING (term)
+              WHERE m.s * m.sf2 - m.sf * m.sf > 0
+            )
+            SELECT a.src AS a, b.src AS b,
+                   cast(count(*) AS bigint) AS n_terms,
+                   round(sum(abs(a.z - b.z)) / count(*), 6) AS delta
+            FROM z a JOIN z b ON a.term = b.term AND a.src < b.src
+            GROUP BY 1, 2
+        """,
         # Cluster-balanced sampling: the shared unrolled-Lloyd CTE
         # chain + an md5-priority window draw per cluster
         # (see q_sample_cluster_balanced).

@@ -1194,6 +1194,15 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["CartesianProduct", "EvalPython", "Window"],
     )
+    # 106: stylometry — vocabulary-keyed counts, one ordered top-m cut,
+    # then S×m-grid joins; no Python. (The totals × top-m cross join is
+    # dimension × dimension — the one sanctioned cartesian shape.)
+    check(
+        "stylometry_grid_joins",
+        em.q_text_stylometry(spark, sf_dir),
+        ["HashAggregate"],
+        must_not=["EvalPython", "SortAggregate"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

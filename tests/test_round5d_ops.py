@@ -636,3 +636,69 @@ class TestProfileDrift:
         a = spark.createDataFrame([("x",)], "t: string")
         with pytest.raises(ValueError):
             profile_drift(a, a, [])
+
+
+class TestStylometryDelta:
+    def test_hand_replayed(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            stylometry_delta,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "aa aa bb", "A"), (2, "aa bb bb", "B"), (3, "aa bb", "C")],
+            "doc_id: long, text: string, source: string",
+        )
+        got = {
+            (r.a, r.b): r for r in stylometry_delta(d, m=2).collect()
+        }
+        # replay the fixed-point chain in Python
+        f = {}
+        for s, toks in {"A": "aa aa bb", "B": "aa bb bb", "C": "aa bb"}.items():
+            ts = toks.split()
+            for t in ("aa", "bb"):
+                f[(s, t)] = round(ts.count(t) * 1_000_000 / len(ts))
+        z = {}
+        for t in ("aa", "bb"):
+            vals = [f[(s, t)] for s in "ABC"]
+            sf, sf2, S = sum(vals), sum(v * v for v in vals), 3
+            rad = S * sf2 - sf * sf
+            for s in "ABC":
+                z[(s, t)] = (S * f[(s, t)] - sf) / math.sqrt(rad)
+        exp = {}
+        for a, b in [("A", "B"), ("A", "C"), ("B", "C")]:
+            exp[(a, b)] = round(
+                sum(abs(z[(a, t)] - z[(b, t)]) for t in ("aa", "bb")) / 2, 6
+            )
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k].n_terms == 2
+            assert got[k].delta == pytest.approx(exp[k], abs=1e-6)
+        # A and B are mirror images around C: symmetric distances
+        assert got[("A", "C")].delta == got[("B", "C")].delta
+        assert got[("A", "B")].delta > got[("A", "C")].delta
+
+    def test_identical_sources_zero_variance_excluded(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            stylometry_delta,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "aa bb cc", "A"), (2, "aa bb cc", "B")],
+            "doc_id: long, text: string, source: string",
+        )
+        # every term has an identical profile -> all variances are
+        # EXACTLY zero (integer test) -> no scorable terms, no rows
+        assert stylometry_delta(d, m=3).collect() == []
+
+    def test_validation(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.text_quality import (
+            stylometry_delta,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "aa", "A")], "doc_id: long, text: string, source: string"
+        )
+        with pytest.raises(ValueError):
+            stylometry_delta(d, m=0)

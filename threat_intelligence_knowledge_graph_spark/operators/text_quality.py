@@ -1350,3 +1350,112 @@ def vocab_richness(
         F.round(F.when(F.col("n") > 0, chao1), 6).alias("chao1"),
         F.round(F.when(F.col("n") > 0, coverage), 6).alias("coverage"),
     )
+
+
+def stylometry_delta(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    m: int = 30,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between sources — stylometric
+    attribution over function-word profiles: the CTI read is "these
+    two 'different' feeds/personas write alike" (shared authorship or
+    republication), the curation read is near-duplicate SOURCES that
+    content-level dedup misses because the texts differ while the
+    style doesn't. Delta(a,b) = mean over the corpus's top-``m`` terms
+    of |z_a(t) − z_b(t)|, where z is the term's relative-frequency
+    z-score across sources.
+
+    Exactness discipline: per-source relative frequencies are
+    fixed-pointed to integer MILLIONTHS (round(c·1e6/N) — one double
+    division + round, engine-identical), so the cross-source moments
+    are exact integers and each z is the Pearson-style identity
+    (S·f − Σf) / √(S·Σf² − (Σf)²) — ONE division over ONE IEEE sqrt
+    of an exact integer. Zero-variance terms (identical millionth
+    profile in every source — an exact INTEGER test, never a float
+    near-zero boundary) are excluded from every pair's mean alike;
+    ``n_terms`` reports how many survived. The final mean rounds to 6
+    AFTER the m-term sum (absorbing summation-order ULPs). A source
+    absent from a term's counts contributes f = 0 through the
+    source × top-term grid — required: omitting zeros would bias every
+    μ upward.
+
+    Scale shape: tokenize scan-local; (source, term) counts shuffle on
+    vocabulary keys; top-m is one ordered cut of the term-count frame;
+    everything after runs on the S×m grid (dimension-sized) — two
+    broadcast-joined moment frames and one term-keyed pair self-join
+    bounded by S²·m rows. No Python.
+    """
+    if not 1 <= m <= 500:
+        raise ValueError("m must be in [1, 500]")
+    toks = documents.filter(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]{{{min_term_len},}}', 0)"
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("src", "term").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    top = (
+        counts.groupBy("term")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("term").asc())
+        .limit(m)
+        .select("term")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(counts, ["src", "term"], "left")
+        .select(
+            "src",
+            "term",
+            F.round(
+                (F.coalesce(F.col("c"), F.lit(0)) * F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / F.col("n").cast("double")
+            )
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    mom = grid.groupBy("term").agg(
+        F.count("*").alias("s"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sf2"),
+    )
+    rad = F.col("s") * F.col("sf2") - F.col("sf") * F.col("sf")
+    z = (
+        grid.join(F.broadcast(mom), "term")
+        .filter(rad > 0)
+        .select(
+            "src",
+            "term",
+            (
+                (F.col("s") * F.col("f") - F.col("sf")).cast("double")
+                / F.sqrt(rad.cast("double"))
+            ).alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("src").alias("a"), "term", F.col("z").alias("za")
+    )
+    zb = z.select(
+        F.col("src").alias("b"), "term", F.col("z").alias("zb")
+    )
+    return (
+        za.join(zb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb"))) / F.count("*"), 6
+            ).alias("delta"),
+        )
+    )
