@@ -39,6 +39,8 @@ oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
                            series (±3 h relay/lead-lag detection)
 - ``--report simpson``     per-user Simpson concentration + effective
                            state count
+- ``--report surge``       seasonally-adjusted (type, week,
+                           hour-of-week) volume deviation cells
 
 Invocation::
 
@@ -65,7 +67,7 @@ REPORTS = (
     "beacons", "entropy", "fano", "trend", "correlation", "autocorr",
     "novelty", "churn", "cusum", "mad", "markov", "sequences",
     "funnel", "retention", "seasonality", "rate", "survival", "trimmed",
-    "ewma", "lags", "simpson",
+    "ewma", "lags", "simpson", "surge",
 )
 
 
@@ -118,6 +120,8 @@ def _build(report: str, events, steps: list[str], lag: int = 24):
         return stats.best_lag_correlation(events, max_lag=3)
     if report == "simpson":
         return stats.simpson_index(events)
+    if report == "surge":
+        return anomaly.seasonal_surge(events)
     raise SystemExit(f"unknown report {report!r} (choose from {REPORTS})")
 
 
