@@ -5592,6 +5592,19 @@ def q_text_stylometry(spark, sf_dir):
     return stylometry_delta(_t(spark, sf_dir, "documents"), m=30)
 
 
+def q_events_robust_trend(spark, sf_dir):
+    """Mann-Kendall S/z + Theil-Sen median slope per event type over
+    hourly volumes — exact integer S and ×18-scaled tie-corrected
+    variance, one sqrt + one round-6 division for z; the Sen slope is
+    a nearest-rank PICK (pair-key tiebreak) so the emitted value is a
+    single division of one engine-stable chosen pair."""
+    from threat_intelligence_knowledge_graph_spark.operators.stats import (
+        robust_trend,
+    )
+
+    return robust_trend(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5842,6 +5855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_richness": q_text_vocab_richness,
         "events_profile_drift": q_events_profile_drift,
         "text_stylometry": q_text_stylometry,
+        "events_robust_trend": q_events_robust_trend,
     }
 
 
@@ -12785,6 +12799,63 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(abs(a.z - b.z)) / count(*), 6) AS delta
             FROM z a JOIN z b ON a.term = b.term AND a.src < b.src
             GROUP BY 1, 2
+        """,
+        # Mann-Kendall + Theil-Sen: identical integer S / ×18 variance
+        # / nearest-rank slope pick (see q_events_robust_trend).
+        "events_robust_trend": """
+            WITH c AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 1000000 // 3600 AS h,
+                     count(*) AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a.g, a.h AS hi, a.y AS yi, b.h AS hj, b.y AS yj
+              FROM c a JOIN c b ON a.g = b.g AND a.h < b.h
+            ),
+            mk AS (
+              SELECT g, sum(sign(yj - yi)) AS s FROM p GROUP BY g
+            ),
+            nb AS (SELECT g, count(*) AS n FROM c GROUP BY g),
+            tc AS (
+              SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tie18
+              FROM (SELECT g, y, count(*) AS t FROM c GROUP BY g, y)
+              GROUP BY g
+            ),
+            mz AS (
+              SELECT nb.g, nb.n, mk.s,
+                     round((CASE WHEN mk.s > 0
+                                 THEN cast(mk.s - 1 AS double)
+                                 WHEN mk.s < 0
+                                 THEN cast(mk.s + 1 AS double)
+                                 ELSE 0.0 END)
+                           / sqrt(cast(nb.n * (nb.n - 1) * (2 * nb.n + 5)
+                                       - tc.tie18 AS double) / 18.0), 6)
+                       AS mk_z
+              FROM nb JOIN mk USING (g) JOIN tc USING (g)
+              WHERE nb.n >= 2
+                AND nb.n * (nb.n - 1) * (2 * nb.n + 5) - tc.tie18 > 0
+            ),
+            sen AS (
+              SELECT g, round(sl, 6) AS sen_slope FROM (
+                SELECT g, sl,
+                       row_number() OVER (
+                         PARTITION BY g ORDER BY sl, hi, hj
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY g) AS m
+                FROM (
+                  SELECT g, hi, hj,
+                         cast(yj - yi AS double)
+                           / cast(hj - hi AS double) AS sl
+                  FROM p
+                )
+              ) WHERE rn = cast(ceil(m / 2.0) AS bigint)
+            )
+            SELECT mz.g AS event_type,
+                   cast(mz.n AS bigint) AS n_buckets,
+                   cast(mz.s AS bigint) AS mk_s,
+                   mz.mk_z, sen.sen_slope
+            FROM mz JOIN sen USING (g)
         """,
         # Cluster-balanced sampling: the shared unrolled-Lloyd CTE
         # chain + an md5-priority window draw per cluster

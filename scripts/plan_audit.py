@@ -1203,6 +1203,15 @@ def main(sf_dir: str) -> int:
         ["HashAggregate"],
         must_not=["EvalPython", "SortAggregate"],
     )
+    # 107: robust trend — group-keyed pair self-join (documented
+    # quadratic fan-out in BUCKET count, not rows) + keyed aggs and
+    # the median window; no Python, no cartesian.
+    check(
+        "robust_trend_keyed_pairs",
+        em.q_events_robust_trend(spark, sf_dir),
+        ["HashAggregate", "Window"],
+        must_not=["CartesianProduct", "EvalPython"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

@@ -702,3 +702,54 @@ class TestStylometryDelta:
         )
         with pytest.raises(ValueError):
             stylometry_delta(d, m=0)
+
+
+class TestRobustTrend:
+    def _series(self, spark, ys, typ="a"):
+        rows = []
+        for h, y in enumerate(ys):
+            rows += [(typ, _ts(h))] * y
+        return spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+
+    def test_monotone_hand_computed(self, spark):
+        import math
+
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            robust_trend,
+        )
+
+        row = robust_trend(self._series(spark, [1, 2, 3, 4])).collect()[0]
+        assert row.n_buckets == 4 and row.mk_s == 6
+        # no ties: var = 4*3*13/18; z = (6-1)/sqrt(var)
+        assert row.mk_z == pytest.approx(
+            round(5 / math.sqrt(156 / 18.0), 6), abs=1e-6
+        )
+        assert row.sen_slope == 1.0
+
+    def test_outlier_robustness_vs_lsq(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            robust_trend,
+            trend_slope,
+        )
+
+        ev = self._series(spark, [1, 2, 3, 100])
+        sen = robust_trend(ev).collect()[0].sen_slope
+        lsq = trend_slope(ev).collect()[0].slope
+        # median pairwise slope shrugs off the burst hour; LSQ doesn't
+        assert sen == 1.0
+        assert lsq > 20
+
+    def test_all_tied_dropped(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            robust_trend,
+        )
+
+        assert robust_trend(self._series(spark, [2, 2, 2])).collect() == []
+
+    def test_decreasing_negative(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.stats import (
+            robust_trend,
+        )
+
+        row = robust_trend(self._series(spark, [4, 3, 2, 1])).collect()[0]
+        assert row.mk_s == -6 and row.mk_z < 0 and row.sen_slope == -1.0

@@ -1206,3 +1206,114 @@ def best_lag_correlation(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def robust_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Non-parametric trend per group — Mann-Kendall S/z plus the
+    Theil–Sen slope over hourly volumes: the robust complement to
+    :func:`trend_slope`'s least squares, which one burst hour can
+    drag into a fake "ramping" verdict; MK counts only ORDER
+    (concordant minus discordant pairs) and Theil–Sen takes the
+    median pairwise slope, so both shrug off outlier hours.
+
+        S   = Σ_{i<j} sign(y_j − y_i)               (exact integer)
+        z   = (S∓1) / √var,  var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18
+                                   (tie-corrected; ×18-scaled integer)
+        sen = the nearest-rank-median pairwise slope (y_j−y_i)/(t_j−t_i)
+
+    Exactness: S, n, and the ×18-scaled variance are exact integers
+    (the one √ is IEEE over var18/18.0 — two deterministic ops); z is
+    ONE round-6 division. The Theil–Sen median is a nearest-rank PICK
+    (ordered by the slope double, pair-key tiebreak — equal doubles
+    order identically everywhere), so the emitted value is a single
+    round-6 division of the one chosen pair. Groups with < 2 buckets
+    or zero variance (all hours tied) are dropped, never faked.
+
+    Scale shape: one (group, hour) count, then a per-group PAIR
+    self-join — a DOCUMENTED quadratic fan-out in the bucket count
+    (b hours → b(b−1)/2 rows; a year of hourly buckets is ~38M pairs
+    per group — fine keyed work, but cap the window or pre-bucket to
+    days if b grows past ~10⁴); tie counts and the median window are
+    group-keyed aggregates over the same frames. No Python.
+    """
+    events = events.filter(F.col(ts_col).isNotNull())
+    hour_idx = (
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col).cast("timestamp")))
+        / F.lit(3600)
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(group_col).alias("g"), hour_idx.alias("h"))
+        .agg(F.count("*").alias("y"))
+    )
+    a = counts.select(F.col("g"), F.col("h").alias("hi"), F.col("y").alias("yi"))
+    b = counts.select(F.col("g"), F.col("h").alias("hj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "g").filter(F.col("hi") < F.col("hj"))
+    mk = pairs.groupBy("g").agg(
+        F.sum(F.signum(F.col("yj") - F.col("yi")).cast("long")).alias("_s"),
+        F.count("*").alias("_npairs"),
+    )
+    nbuckets = counts.groupBy("g").agg(F.count("*").alias("_n"))
+    # tie correction: Σ over tied-value groups of t(t-1)(2t+5)
+    ties = (
+        counts.groupBy("g", "y")
+        .agg(F.count("*").alias("_t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie18")
+        )
+    )
+    n = F.col("_n")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("_tie18")
+    s = F.col("_s")
+    zexpr = F.when(s > 0, (s - 1).cast("double")).when(
+        s < 0, (s + 1).cast("double")
+    ).otherwise(F.lit(0.0)) / F.sqrt(var18.cast("double") / F.lit(18.0))
+    mkz = (
+        nbuckets.join(mk, "g")
+        .join(ties, "g")
+        .filter((n >= 2) & (var18 > 0))
+        .select(
+            "g",
+            n.cast("long").alias("n_buckets"),
+            s.cast("long").alias("mk_s"),
+            F.round(zexpr, 6).alias("mk_z"),
+        )
+    )
+    # Theil–Sen: nearest-rank median of pairwise slopes, pair-key
+    # tiebreak on the ordering so the PICKED pair is engine-stable.
+    slopes = pairs.select(
+        "g",
+        "hi",
+        "hj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("hj") - F.col("hi")).cast("double")
+        ).alias("_slope"),
+    )
+    wrk = Window.partitionBy("g").orderBy(
+        F.col("_slope").asc(), F.col("hi").asc(), F.col("hj").asc()
+    )
+    wn = Window.partitionBy("g")
+    sen = (
+        slopes.select(
+            "g",
+            "_slope",
+            F.row_number().over(wrk).alias("_rn"),
+            F.count("*").over(wn).alias("_m"),
+        )
+        .filter(F.col("_rn") == F.ceil(F.col("_m") / 2))
+        .select("g", F.round(F.col("_slope"), 6).alias("sen_slope"))
+    )
+    return mkz.join(sen, "g").select(
+        F.col("g").alias(group_col),
+        "n_buckets",
+        "mk_s",
+        "mk_z",
+        "sen_slope",
+    )
