@@ -5605,6 +5605,23 @@ def q_events_robust_trend(spark, sf_dir):
     return robust_trend(_t(spark, sf_dir, "events"))
 
 
+def q_events_ks_drift(spark, sf_dir):
+    """Two-sample KS distance of the `value` distribution between the
+    even/odd event_id halves: D's numerator |c_a·n_b − c_b·n_a| is an
+    exact integer, so the max and its location are integer-argmax
+    picks (value-ASC tiebreak) and D is ONE round-6 division."""
+    from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+        ks_two_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct CTI text from sf0.001, run the full extraction
     kernel, return the distinct triple set (SURVEY.md §7 flagship query)."""
@@ -5856,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile_drift": q_events_profile_drift,
         "text_stylometry": q_text_stylometry,
         "events_robust_trend": q_events_robust_trend,
+        "events_ks_drift": q_events_ks_drift,
     }
 
 
@@ -12856,6 +12874,37 @@ def oracle_sql() -> dict[str, str]:
                    cast(mz.s AS bigint) AS mk_s,
                    mz.mk_z, sen.sen_slope
             FROM mz JOIN sen USING (g)
+        """,
+        # Two-sample KS: identical integer-numerator cumulative chain,
+        # integer argmax with value-ASC tiebreak
+        # (see q_events_ks_drift).
+        "events_ks_drift": """
+            WITH m AS (
+              SELECT value AS v,
+                     CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS da,
+                     CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS db
+              FROM events WHERE value IS NOT NULL
+            ),
+            per AS (
+              SELECT v, sum(da) AS da, sum(db) AS db FROM m GROUP BY v
+            ),
+            cum AS (
+              SELECT v,
+                     sum(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS ca,
+                     sum(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cb,
+                     sum(da) OVER () AS na,
+                     sum(db) OVER () AS nb
+              FROM per
+            )
+            SELECT cast(na AS bigint) AS n_a,
+                   cast(nb AS bigint) AS n_b,
+                   v AS at_value,
+                   round(cast(abs(ca * nb - cb * na) AS double)
+                         / cast(na * nb AS double), 6) AS ks_d
+            FROM cum WHERE na > 0 AND nb > 0
+            ORDER BY abs(ca * nb - cb * na) DESC, v ASC LIMIT 1
         """,
         # Cluster-balanced sampling: the shared unrolled-Lloyd CTE
         # chain + an md5-priority window draw per cluster

@@ -1212,6 +1212,14 @@ def main(sf_dir: str) -> int:
         ["HashAggregate", "Window"],
         must_not=["CartesianProduct", "EvalPython"],
     )
+    # 108: KS drift — one value-keyed count, the distinct-value
+    # cumulative window, one TakeOrdered argmax; no join, no Python.
+    check(
+        "ks_drift_cumulative_argmax",
+        em.q_events_ks_drift(spark, sf_dir),
+        ["HashAggregate", "Window", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "EvalPython", "Join"],
+    )
     spark.stop()
     print(f"\n{'OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0

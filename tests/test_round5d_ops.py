@@ -753,3 +753,47 @@ class TestRobustTrend:
 
         row = robust_trend(self._series(spark, [4, 3, 2, 1])).collect()[0]
         assert row.mk_s == -6 and row.mk_z < 0 and row.sen_slope == -1.0
+
+
+class TestKsTwoSample:
+    def test_hand_computed(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v: double")
+        b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v: double")
+        row = ks_two_sample(a, b, "v").collect()[0]
+        # F_a jumps to 1/2 at v=2 while F_b is still 0 -> D = 1/2 at 2.0
+        assert (row.n_a, row.n_b) == (4, 4)
+        assert row.ks_d == 0.5 and row.at_value == 2.0
+
+    def test_identical_distributions_zero(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(1.0,), (2.0,)], "v: double")
+        row = ks_two_sample(a, a, "v").collect()[0]
+        assert row.ks_d == 0.0
+        # tie on the zero numerator resolves to the smallest value
+        assert row.at_value == 1.0
+
+    def test_disjoint_supports_full_distance(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(1.0,), (2.0,)], "v: double")
+        b = spark.createDataFrame([(5.0,), (6.0,)], "v: double")
+        row = ks_two_sample(a, b, "v").collect()[0]
+        assert row.ks_d == 1.0 and row.at_value == 2.0
+
+    def test_empty_side_no_row(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(1.0,)], "v: double")
+        empty = spark.createDataFrame([(None,)], "v: double")
+        assert ks_two_sample(a, empty, "v").collect() == []

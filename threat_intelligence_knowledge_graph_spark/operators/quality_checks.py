@@ -14,7 +14,7 @@ per-partition lineage rows (``plans/pipeline.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # A check is (name, violations_aggregate_column). The aggregate must be
 # valid inside one df.agg(...) call.
@@ -319,4 +319,74 @@ def profile_drift(
             ),
             6,
         ).alias("distinct_ratio"),
+    )
+
+
+def ks_two_sample(
+    batch_a: DataFrame,
+    batch_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between a numeric
+    column's distributions in two batches — the CONTINUOUS member of
+    the drift family (:func:`profile_drift` = schema shape,
+    ``corpus_kl`` = categorical shape, this = where along the value
+    axis two batches' distributions pull apart):
+
+        D = max_x |F_a(x) − F_b(x)|,  reported with the value at
+        which the max is attained (smallest such value on ties).
+
+    Exactness: with c_a(x)/c_b(x) the cumulative counts at each
+    observed value, D's numerator |c_a·n_b − c_b·n_a| is an exact
+    integer — the max and its arg are picked by INTEGER comparison
+    (value ASC tiebreak), and the emitted D is ONE round-6 division
+    of the winning numerator by n_a·n_b. NULLs excluded; an empty
+    side yields no row (no distribution to compare).
+
+    Scale shape: one (value, side) count aggregate, one running-sum
+    window over the DISTINCT merged values (bounded by value
+    cardinality, the AUC posture — quantize first if the column is
+    continuous at full precision), one TakeOrdered argmax. No Python.
+    """
+    a = batch_a.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"), F.lit(1).alias("_ca"), F.lit(0).alias("_cb")
+    )
+    b = batch_b.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"), F.lit(0).alias("_ca"), F.lit(1).alias("_cb")
+    )
+    per = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("_ca").alias("da"), F.sum("_cb").alias("db"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per.select(
+        "v",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+        F.sum("da").over(tot).alias("na"),
+        F.sum("db").over(tot).alias("nb"),
+    )
+    num = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        cum.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "v",
+            num.alias("_num"),
+            "na",
+            "nb",
+        )
+        .orderBy(F.col("_num").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("v").alias("at_value"),
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
     )
