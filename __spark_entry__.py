@@ -12516,10 +12516,19 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN yb < th * 1000 THEN 1 ELSE 0 END AS y
               FROM s
             ),
-            b AS (SELECT least(m // 100000, 9) AS bucket, y FROM r),
-            per AS (
+            b AS (
+              SELECT least((m * 10) // 1000000, 9) AS bucket, y FROM r
+            ),
+            agg0 AS (
               SELECT bucket, count(*) AS n, sum(y) AS np
               FROM b GROUP BY bucket
+            ),
+            per AS (
+              -- dense threshold spine, mirroring the operator
+              SELECT s.bucket, coalesce(a.n, 0) AS n,
+                     coalesce(a.np, 0) AS np
+              FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
+              LEFT JOIN agg0 a USING (bucket)
             ),
             c AS (
               SELECT bucket,
@@ -12709,14 +12718,20 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN rng
             ),
             ranked AS (
+              -- factors cast to double BEFORE multiplying, mirroring
+              -- the operator's overflow-safe form (identical while
+              -- |num| < 2^53, gracefully degrading past it)
               SELECT a, b, lag, n_shared,
                      sign(num) AS direction,
-                     round(cast(num * num AS double)
-                           / cast(vara * varb AS double), 6) AS r2,
+                     round((cast(num AS double) * cast(num AS double))
+                           / (cast(vara AS double)
+                              * cast(varb AS double)), 6) AS r2,
                      row_number() OVER (
                        PARTITION BY a, b
-                       ORDER BY round(cast(num * num AS double)
-                                 / cast(vara * varb AS double), 6) DESC,
+                       ORDER BY round((cast(num AS double)
+                                   * cast(num AS double))
+                                 / (cast(vara AS double)
+                                    * cast(varb AS double)), 6) DESC,
                                 abs(lag) ASC, lag ASC
                      ) AS rk
               FROM scored
@@ -12963,8 +12978,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             u AS (
               SELECT event_type, user_id, tc,
-                     (cast(md5_number_upper('dp:' || event_type ||
-                        chr(31) || cast(user_id AS varchar)) % 1000000
+                     (cast(md5_number_upper('dp:'
+                        || coalesce(event_type, chr(0) || 'null')
+                        || chr(31)
+                        || coalesce(cast(user_id AS varchar),
+                                    chr(0) || 'null')) % 1000000
                         AS double) + 0.5) / 1000000.0 AS u
               FROM c
             )

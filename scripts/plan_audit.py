@@ -1077,14 +1077,19 @@ def main(sf_dir: str) -> int:
         ["HashAggregate", "Window"],
         must_not=["CartesianProduct", "EvalPython", "Join"],
     )
-    # 93: PR curve — ONE bucket aggregate then windows over the
-    # <= n_thresholds bucket rows; no join, no Python.
-    check(
-        "pr_curve_bucket_cumulation",
-        em.q_eval_pr_curve(spark, sf_dir),
-        ["HashAggregate", "Window"],
-        must_not=["CartesianProduct", "EvalPython", "Join"],
-    )
+    # 93: PR curve — ONE bucket aggregate joined onto the n-row dense
+    # threshold spine (a Range source, dimension-sized), then windows
+    # over exactly n_thresholds rows; no Python, no cartesian.
+    plan = plan_of(em.q_eval_pr_curve(spark, sf_dir))
+    if (
+        "EvalPython" not in plan
+        and "CartesianProduct" not in plan
+        and "Range" in plan
+    ):
+        print("PASS pr_curve_bucket_cumulation")
+    else:
+        failures.append(("pr_curve_bucket_cumulation", "shape"))
+        print("FAIL pr_curve_bucket_cumulation: shape")
     # 94: dyadic EWMA — one (group, bucket) count aggregate, then ONE
     # group-keyed window (all L lags share a single sort); no join, no
     # Python, no single-partition exchange.

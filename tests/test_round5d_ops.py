@@ -58,12 +58,13 @@ class TestRocAuc:
 
 
 class TestPrCurve:
-    def test_hand_computed(self, spark):
+    def test_hand_computed_dense(self, spark):
         rows = {
             r.threshold: r.asDict()
             for r in pr_curve(_scored(spark), "p", "y", n_thresholds=10).collect()
         }
-        assert set(rows) == {0.1, 0.2, 0.4}
+        # dense spine: EVERY threshold emits a row
+        assert set(rows) == {round(i / 10, 1) for i in range(10)}
         assert rows[0.4]["tp"] == 1 and rows[0.4]["fp"] == 0
         assert rows[0.4]["fn"] == 1
         assert rows[0.4]["precision"] == 1.0 and rows[0.4]["recall"] == 0.5
@@ -72,14 +73,30 @@ class TestPrCurve:
         assert rows[0.2]["precision"] == 0.666667 and rows[0.2]["recall"] == 1.0
         assert rows[0.2]["f1"] == 0.8
         assert rows[0.1]["precision"] == 0.5 and rows[0.1]["f1"] == 0.666667
+        # empty buckets carry the cumulations of the next populated one
+        assert rows[0.3]["tp"] == 1 and rows[0.3]["fp"] == 0
+        # above every score: nothing predicted positive -> precision
+        # undefined (NULL), recall a true 0
+        assert rows[0.9]["tp"] == 0 and rows[0.9]["fp"] == 0
+        assert rows[0.9]["precision"] is None and rows[0.9]["recall"] == 0.0
 
     def test_top_bucket_folds_score_one(self, spark):
         d = spark.createDataFrame([(1.0, 1), (0.95, 0)], "p: double, y: int")
-        rows = pr_curve(d, "p", "y", n_thresholds=10).collect()
-        # both rows land in the 0.9 bucket: one row, tp=1, fp=1
-        assert len(rows) == 1
-        assert rows[0].threshold == 0.9
-        assert rows[0].tp == 1 and rows[0].fp == 1
+        rows = {r.threshold: r for r in pr_curve(d, "p", "y", n_thresholds=10).collect()}
+        # both rows land in the 0.9 bucket; lower thresholds cumulate
+        assert len(rows) == 10
+        assert rows[0.9].tp == 1 and rows[0.9].fp == 1
+        assert rows[0.0].tp == 1 and rows[0.0].fp == 1
+
+    def test_non_divisor_thresholds_exact_boundary(self, spark):
+        # n=3 does not divide 1e6: 0.666666 must NOT clear t=2/3,
+        # 0.666667 must (the (m*n) div 1e6 identity)
+        d = spark.createDataFrame(
+            [(0.666666, 1), (0.666667, 1)], "p: double, y: int"
+        )
+        rows = {r.threshold: r for r in pr_curve(d, "p", "y", n_thresholds=3).collect()}
+        assert rows[0.666667].tp == 1  # only the clearing row
+        assert rows[0.333333].tp == 2
 
     def test_validation(self, spark):
         with pytest.raises(ValueError):
@@ -445,6 +462,20 @@ class TestDpNoisyCounts:
         # release posture: no true_count column by default
         cols = dp_noisy_counts(self._ev(spark), ["event_type"]).columns
         assert "true_count" not in cols
+
+    def test_null_groups_draw_independent_noise(self, spark):
+        from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        # ('x', NULL), (NULL, 'x') and ('x', 'x') must all seed
+        # DIFFERENTLY (concat_ws alone would collide the first two)
+        d = spark.createDataFrame(
+            [("x", None), (None, "x"), ("x", "x")], "a: string, b: string"
+        )
+        rows = dp_noisy_counts(d, ["a", "b"], include_true=True).collect()
+        noises = {round(r.noisy_count - r.true_count, 6) for r in rows}
+        assert len(noises) == 3
 
     def test_validation(self, spark):
         from threat_intelligence_knowledge_graph_spark.operators.quality_checks import (

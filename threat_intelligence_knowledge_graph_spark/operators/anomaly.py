@@ -484,6 +484,15 @@ def ewma_surge(
     """
     if not 1 <= n_lags <= 32:
         raise ValueError("n_lags must be in [1, 32]")
+    # NULL ts/group rows are excluded HERE, not left to the caller: a
+    # NULL bucket would sort first in the window and be consumed as
+    # lag history, corrupting the group's earliest real EWMA terms.
+    # cast-truncation (NOT floor) is deliberate: DuckDB's integer //
+    # also truncates toward zero, so pre-1970 garbage buckets
+    # identically on both engines.
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     b = (
         (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
         .cast("long")
@@ -548,6 +557,10 @@ def seasonal_surge(
     broadcast. No window, no Python.
     """
     e = F.unix_timestamp(F.col(ts_col))
+    # cast-truncation (NOT floor) on every epoch division is
+    # deliberate: DuckDB's integer // truncates toward zero too, so
+    # pre-1970 garbage timestamps bucket identically on both engines
+    # (both % operators are C-style dividend-signed as well).
     days = (e / F.lit(86400)).cast("long")
     cells = (
         events.filter(F.col(ts_col).isNotNull())

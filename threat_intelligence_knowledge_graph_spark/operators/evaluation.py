@@ -325,10 +325,13 @@ def roc_auc(
         (F.sum("_n").over(w) - F.col("_n")).alias("_lt"),
     )
     # 2 × avg rank of the tied group at score m = 2·cnt_lt + n_group + 1.
+    # decimal(38,0)-widened (the simpson/calibration discipline): at
+    # multi-billion-row scale S2 ~ n_pos·2n exceeds int64 and would
+    # silently wrap as a long.
     s2 = cum.select(
-        (F.col("_np") * (F.lit(2) * F.col("_lt") + F.col("_n") + F.lit(1))).alias(
-            "_s2"
-        ),
+        (F.col("_np") * (F.lit(2) * F.col("_lt") + F.col("_n") + F.lit(1)))
+        .cast("decimal(38,0)")
+        .alias("_s2"),
         "_n",
         "_np",
     ).agg(
@@ -336,15 +339,17 @@ def roc_auc(
         F.sum("_np").alias("n_pos"),
         (F.sum("_n") - F.sum("_np")).alias("n_neg"),
     )
+    np38 = F.col("n_pos").cast("decimal(19,0)")
+    nn38 = F.col("n_neg").cast("decimal(19,0)")
     return s2.select(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         F.round(
             F.when(
                 (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                (F.col("_S2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+                (F.col("_S2") - np38 * (np38 + F.lit(1)))
                 .cast("double")
-                / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                / (F.lit(2) * np38 * nn38).cast("double"),
             ),
             6,
         ).alias("auc"),
@@ -363,35 +368,58 @@ def pr_curve(
     picking a quality-filter cutoff with eyes open.
 
     Exactness: scores fixed-pointed to integer millionths, rows
-    bucketed once by integer div, per-bucket (n, n_pos) aggregated,
-    and the ≥-threshold cumulations run DESCENDING over the ≤
-    ``n_thresholds`` bucket rows — every TP/FP/FN is an exact bigint
-    and each emitted ratio is ONE round-6 double division (NULL when
-    undefined: precision at a threshold nothing clears, F1 when both
-    components are NULL-free zero).
+    bucketed once by the exact integer test (m·n) div 1e6 (correct for
+    EVERY n — see the inline note), per-bucket (n, n_pos) aggregated
+    onto a DENSE threshold spine (every threshold emits a row, even
+    when its score bucket is empty — a consumer picking a cutoff needs
+    those rows and their cumulations are well-defined), and the
+    ≥-threshold cumulations run DESCENDING over exactly
+    ``n_thresholds`` rows — every TP/FP/FN is an exact bigint and each
+    emitted ratio is ONE round-6 double division (NULL when undefined:
+    precision at a threshold nothing clears, F1 when every component
+    is zero).
 
-    Scale shape: one map-side-combining aggregate over ≤ n_thresholds+1
-    buckets, then window + arithmetic over those few rows. Thresholds
-    are closed under the bucket floor: round(s·1e6) div width — scores
-    exactly at a boundary land in the bucket whose threshold they meet,
-    so TP(t) counts precisely the rows with quantized score ≥ t.
+    Scale shape: one map-side-combining aggregate over ≤ n_thresholds
+    buckets joined to the n-row spine, then window + arithmetic over
+    those few rows. Thresholds are inclusive: TP(t) counts precisely
+    the rows whose quantized score m satisfies m·n ≥ t·n·1e6, i.e.
+    score ≥ t under the quantization.
     """
     if not 2 <= n_thresholds <= 1000:
         raise ValueError("n_thresholds must be in [2, 1000]")
-    width = 1_000_000 // n_thresholds
-    mcol = F.round(F.col(score_col) * F.lit(1_000_000)).cast("long")
+    # bucket i ⟺ m·n ≥ i·1e6 and < (i+1)·1e6: (m·n) div 1e6 is exact
+    # for EVERY n, divisor of 1e6 or not (a plain m div (1e6//n) puts
+    # boundary scores in the wrong bucket when n does not divide 1e6)
     rows = (
         scored.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(
             F.least(
-                F.expr(f"cast(round({score_col} * 1000000) as bigint) div {width}"),
+                F.expr(
+                    f"(cast(round({score_col} * 1000000) as bigint)"
+                    f" * {n_thresholds}) div 1000000"
+                ),
                 F.lit(n_thresholds - 1),
             ).alias("bucket"),
             F.col(label_col).cast("long").alias("_y"),
         )
     )
-    per = rows.groupBy("bucket").agg(
-        F.count("*").alias("_n"), F.sum("_y").alias("_np")
+    # dense threshold spine: every threshold gets a row even when its
+    # score bucket is empty (the cumulations below are well-defined
+    # there, and a consumer picking a cutoff needs the row)
+    spine = (
+        scored.sparkSession.range(0, n_thresholds)
+        .select(F.col("id").cast("long").alias("bucket"))
+    )
+    per = spine.join(
+        rows.groupBy("bucket").agg(
+            F.count("*").alias("_n"), F.sum("_y").alias("_np")
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        F.coalesce(F.col("_np"), F.lit(0)).alias("_np"),
     )
     from pyspark.sql import Window
 

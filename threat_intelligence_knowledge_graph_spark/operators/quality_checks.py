@@ -209,13 +209,21 @@ def dp_noisy_counts(
         raise ValueError("epsilon must be positive")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
-    keyed = F.concat(F.lit(salt), F.lit(":"), key)
-    le_hex = F.concat_ws(
-        "",
-        *[F.substring(F.md5(keyed), 15 - 2 * i, 2) for i in range(8)],
+    from .packing import _md5_u64
+
+    # NULL-sentinel each component BEFORE joining: concat_ws skips
+    # NULLs, which would collide distinct groups like ('x', NULL) and
+    # (NULL, 'x') onto ONE seed — identical (correlated) noise, which
+    # a seeded-DP release must never draw. The shared _md5_u64 is the
+    # repo's ONE cross-engine hash primitive (no inline twin to drift).
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in group_cols
+        ],
     )
-    u64 = F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+    u64 = _md5_u64(key, salt)
     u = ((u64 % F.lit(1_000_000)).cast("double") + F.lit(0.5)) / F.lit(1e6)
     b = F.lit(1.0 / epsilon)
     centered = u - F.lit(0.5)
@@ -368,7 +376,14 @@ def ks_two_sample(
         F.sum("da").over(tot).alias("na"),
         F.sum("db").over(tot).alias("nb"),
     )
-    num = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    # decimal(19)-widened cross products (the simpson discipline): at
+    # multi-billion-row scale ca·nb exceeds int64 and a long product
+    # would wrap; the argmax stays an EXACT decimal comparison.
+    ca19 = F.col("ca").cast("decimal(19,0)")
+    cb19 = F.col("cb").cast("decimal(19,0)")
+    na19 = F.col("na").cast("decimal(19,0)")
+    nb19 = F.col("nb").cast("decimal(19,0)")
+    num = F.abs(ca19 * nb19 - cb19 * na19)
     return (
         cum.filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
@@ -385,7 +400,10 @@ def ks_two_sample(
             F.col("v").alias("at_value"),
             F.round(
                 F.col("_num").cast("double")
-                / (F.col("na") * F.col("nb")).cast("double"),
+                / (
+                    F.col("na").cast("decimal(19,0)")
+                    * F.col("nb").cast("decimal(19,0)")
+                ).cast("double"),
                 6,
             ).alias("ks_d"),
         )

@@ -1121,6 +1121,8 @@ def best_lag_correlation(
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
     events = events.filter(F.col(ts_col).isNotNull())
+    # cast-truncation matches DuckDB's integer // (also truncating
+    # toward zero), so pre-1970 garbage buckets identically
     bucket = (F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).cast("long")
     counts = events.groupBy(
         F.col(group_col).alias("g"), bucket.alias("bucket")
@@ -1184,6 +1186,15 @@ def best_lag_correlation(
     num = n * F.col("sxy") - F.col("s1a") * F.col("s1b")
     vara = n * F.col("s2a") - F.col("s1a") * F.col("s1a")
     varb = n * F.col("s2b") - F.col("s1b") * F.col("s1b")
+    # each factor cast to double BEFORE the squares/products: num is
+    # exactly representable while |num| < 2^53, so the ratio is
+    # bit-identical to the oracle there, and past it degrades to the
+    # same graceful precision loss on both engines instead of silent
+    # int64 wraparound (n is the DENSE bucket-range size — a year of
+    # hours x real counts overflows num*num as a long)
+    numd, varad, varbd = (
+        num.cast("double"), vara.cast("double"), varb.cast("double")
+    )
     scored = (
         xy.join(F.broadcast(ma), "a")
         .join(F.broadcast(mb), ["b", "lag"])
@@ -1195,7 +1206,7 @@ def best_lag_correlation(
             F.col("lag").cast("int").alias("lag"),
             F.col("n_shared").cast("long").alias("n_shared"),
             F.signum(num).cast("int").alias("direction"),
-            F.round((num * num) / (vara * varb), 6).alias("r2"),
+            F.round((numd * numd) / (varad * varbd), 6).alias("r2"),
         )
     )
     w = Window.partitionBy("a", "b").orderBy(
