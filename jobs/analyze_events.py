@@ -41,6 +41,10 @@ oracled operators in ``operators/stats.py`` / ``operators/anomaly.py``:
                            state count
 - ``--report surge``       seasonally-adjusted (type, week,
                            hour-of-week) volume deviation cells
+- ``--report ks``          two-sample KS drift of ``value`` between
+                           two deterministic halves (xxhash64 parity
+                           of ``event_id`` — works for any id type; a
+                           real pipeline splits on its batch column)
 
 Invocation::
 
@@ -67,7 +71,7 @@ REPORTS = (
     "beacons", "entropy", "fano", "trend", "correlation", "autocorr",
     "novelty", "churn", "cusum", "mad", "markov", "sequences",
     "funnel", "retention", "seasonality", "rate", "survival", "trimmed",
-    "ewma", "lags", "simpson", "surge",
+    "ewma", "lags", "simpson", "surge", "ks",
 )
 
 
@@ -122,6 +126,18 @@ def _build(report: str, events, steps: list[str], lag: int = 24):
         return stats.simpson_index(events)
     if report == "surge":
         return anomaly.seasonal_surge(events)
+    if report == "ks":
+        from threat_intelligence_knowledge_graph_spark.operators import (
+            quality_checks,
+        )
+        from pyspark.sql import functions as F
+
+        side = F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(2))
+        return quality_checks.ks_two_sample(
+            events.filter(side == 0),
+            events.filter(side == 1),
+            "value",
+        )
     raise SystemExit(f"unknown report {report!r} (choose from {REPORTS})")
 
 

@@ -368,7 +368,7 @@ class TestAnalyzeEventsCliRound5d:
         spark.createDataFrame(
             rows, ["event_id", "user_id", "event_type", "ts", "value"]
         ).write.parquet(src)
-        for report in ("ewma", "lags", "simpson", "surge"):
+        for report in ("ewma", "lags", "simpson", "surge", "ks"):
             assert ae.main(["--input", src, "--report", report], spark=spark) == 0
 
 
